@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The actual codecs (JPEG decode, audio resample, video frame-sample) are
+  * NOT available in this environment — [[FakeDecoder]] is a clearly-marked
+  * deterministic stand-in. Everything Spark-side is real and tested: the
+  * schema, the binary column handling, the mapPartitions batch shape
+  * (decode-per-partition, never per-row driver calls), and the
+  * pushdown-friendly metadata projection.
+  *
+  * At 100 TB the layout matters more than the codec: payloads live in their
+  * own column (parquet column pruning means metadata-only queries never read
+  * bytes), and partition counts are sized by `media_bytes`, not row count.
+  */
+object Multimodal {
+  /** One media row: payload + typed metadata. */
+  final case class MediaItem(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded-media metadata (what a real decoder would emit). */
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  /** STUB — deterministic fake decoder. A real deployment swaps this for an
+    * image/audio library call; the signature (bytes in, metadata out, called
+    * once per item inside a partition batch) is the real contract. */
+  object FakeDecoder {
+    def decode(item: MediaItem): MediaMeta = {
+      val n = item.media.length.toLong
+      // xor-fold checksum: stands in for a content hash
+      var cs = 0L
+      var i = 0
+      while (i < item.media.length) { cs = cs * 31 + (item.media(i) & 0xFF); i += 1 }
+      MediaMeta(item.doc_id, item.kind, n,
+        width = (n % 640).toInt, height = (n % 480).toInt, checksum = cs)
+    }
+  }
+
+  /** Derives a binary media column from `documents` (text bytes stand in
+    * for real payloads; schema/partitioning are what is under test). */
+  def attachMedia(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** Batch decode over partitions: the Spark-side shape of a real codec
+    * pass. Dataset+mapPartitions so per-partition setup cost (codec init)
+    * amortizes over the batch — the Scala analogue of `mapInPandas`. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { items =>
+      // real impl: initialize codec once here, then stream the batch
+      items.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Metadata-only projection computed declaratively (no decode): byte
+    * size per payload — the query pattern that must prune the binary column
+    * at scan time when metadata is materialized columnar. */
+  def mediaByteStats(documents: DataFrame): DataFrame =
+    attachMedia(documents)
+      .select(col("doc_id"), col("kind"),
+        octet_length(col("media")).cast(LongType).as("n_bytes"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Exprs._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table (`doc_id, text, lang, source, n_chars`): tokenization,
+  * quality scoring, n-gram language ID, document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / lambda higher-order functions / regex) — no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with input
+  * splits: no shuffle at all until the final (tiny) aggregate.
+  */
+object TextOps {
+  /** Whitespace tokens. One place so every operator agrees. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** A BPE-ish subword count approximation: whitespace tokens plus
+    * intra-token transitions from letter-runs to digit-runs (a cheap,
+    * deterministic proxy for subword splits — real BPE needs a learned
+    * vocab). */
+  def approxSubwordCount(text: Column): Column =
+    size(split(text, " ")) +
+      size(regexp_extract_all(text, lit("[a-zA-Z]+[0-9]"), lit(0)))
+
+  /** Per-language token statistics: doc counts, token totals, char means. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("total_tokens"),
+        round2(sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars"))
+      .orderBy("lang")
+
+  /** Per-document quality signals: length, token count, mean word length,
+    * lexical diversity (distinct/total tokens), stopword ratio,
+    * terminal-punctuation count. These are the standard cheap filters a
+    * pretraining pipeline applies before dedup. */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        round2((col("n_chars") - (size(toks) - lit(1))).cast("double") /
+          size(toks), 2).as("avg_word_len"),
+        round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("lexical_diversity"),
+        round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
+          size(toks), 4).as("stopword_ratio"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          .cast(LongType).as("n_sentence_marks"))
+      .orderBy("doc_id")
+  }
+
+  // Minimal stopword marker sets per language (public common-word lists).
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "you")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "eine", "zu")
+  val StopEs = Seq("el", "los", "que", "y", "en", "un", "una", "se", "por", "como")
+  val StopFr = Seq("le", "les", "et", "est", "je", "ne", "pas", "vous", "dans", "ce")
+
+  private def hits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*)))
+
+  /** Deterministic n-gram/stopword language ID: CJK codepoints short-circuit
+    * to `zh`; otherwise argmax of per-language stopword hit counts with a
+    * fixed tie order (en > de > es > fr), `und` when nothing matches.
+    * Integer scoring — no float comparisons — so the decision is identical
+    * across engines and partitionings. */
+  def langIdExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val (en, de, es, fr) = (hits(toks, StopEn), hits(toks, StopDe),
+      hits(toks, StopEs), hits(toks, StopFr))
+    when(text.rlike("[一-鿿]"), "zh")
+      .when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Confusion-matrix counts of predicted vs labeled language. */
+  def langIdEval(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), langIdExpr(col("text")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct token
+    * set. Groups docs that are permutations/repetitions of the same
+    * vocabulary — the cheapest useful near-dup fingerprint that stays
+    * exactly reproducible in any engine. */
+  def fingerprintExpr(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Fingerprint dedup summary: one row per distinct fingerprint with the
+    * keeper (min doc_id) and the group size. */
+  def fingerprintDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(fingerprintExpr(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper_id")
+}

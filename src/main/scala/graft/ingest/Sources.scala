@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers over the driver testdata layout (`<sfDir>/<table>.parquet`) and
+  * the reference's ingest formats (SURVEY.md §2.1).
+  *
+  * All readers are declarative `spark.read` plans: Catalyst keeps predicate
+  * pushdown and column pruning intact all the way to the parquet scan, which
+  * is the property that matters at 100 TB (never materialize-then-filter).
+  */
+object Sources {
+  /** One parquet file per table (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads via the nanos-as-long legacy conf. [[normalizeEvents]] restores a
+    * proper µs TimestampType by integer division — the same ns→µs truncation
+    * DuckDB applies natively, so oracle parity is exact. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEvents(table(spark, sfDir, "events"))
+  }
+
+  /** ns-long `ts` → µs timestamp (no-op when `ts` is already a timestamp).
+    * `div` (integral) — a double detour would lose precision above 2^53. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+
+  /** CSV-as-strings scan, matching the reference's header-only inference
+    * (`reference:airflow_docker/dags/ecomm_pipeline/extractor.py:102`):
+    * every column arrives as nullable string and is cast downstream by
+    * [[Cleaning.castChain]]. Spark reads `.csv.gz` transparently. */
+  def rawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** CSV scan with the canonical schema applied at the source (the
+    * Spark-first alternative: pushdown-friendly, no string detour). */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Parses a Kafka-shaped frame (`key: string, value: string`) back into
+    * typed events — the inverse of [[graft.sink.Sinks.kafkaEnvelope]];
+    * stands in for `readStream.format("kafka")` + `from_json`
+    * (`reference:README.md:214`; no kafka connector jar ships in this
+    * environment, so the envelope codec is exercised over files/memory). */
+  def fromKafkaEnvelope(envelope: DataFrame, eventSchema: StructType): DataFrame =
+    envelope.select(from_json(col("value"), eventSchema).as("e")).select("e.*")
+}

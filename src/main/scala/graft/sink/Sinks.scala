@@ -1,0 +1,61 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+/** Sinks (SURVEY.md §2.1 S4/S5/S7/S8), Spark-first.
+  *
+  * The reference's Kafka producer collects every row to the driver and loops
+  * (`reference:airflow_docker/dags/ecomm_pipeline/producer.py:47-71`) — the
+  * one anti-pattern we explicitly do NOT replicate: here serialization is a
+  * distributed projection and the write is a distributed sink, so throughput
+  * scales with executors instead of the driver NIC.
+  *
+  * No kafka connector jar ships in this environment, so the Kafka-shaped
+  * frame (`key`,`value`) is exercised against file/memory sinks; with
+  * spark-sql-kafka on the classpath the same frame feeds
+  * `.write.format("kafka")` unchanged.
+  */
+object Sinks {
+  /** Kafka-shaped envelope keyed by user (partitioning parity with
+    * `producer.py:60`): deterministic hand-built JSON value. Timestamps ride
+    * as epoch micros and money as 2dp decimal text, so the byte-exact
+    * envelope is reproducible in any engine (doubles never stringify). */
+  def kafkaEnvelope(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id").cast(StringType).as("kafka_key"),
+      concat(
+        lit("{\"event_id\":"), col("event_id").cast(StringType),
+        lit(",\"ts_us\":"), unix_micros(col("ts")).cast(StringType),
+        lit(",\"event_type\":\""), col("event_type"),
+        lit("\",\"price\":"), col("value").cast(DecimalType(18, 2)).cast(StringType),
+        lit("}")).as("kafka_value"))
+      .orderBy("event_id")
+
+  /** Idiomatic variant of the envelope (`to_json(struct(...))`) — the form
+    * you'd ship to a real broker; ISO-millis timestamp formatting parity
+    * with `producer.py:36`. */
+  def jsonEnvelope(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast(StringType).as("key"),
+      to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("event_time"),
+        col("event_id"), col("event_type"), col("user_id"),
+        col("value").as("price"), col("props"))).as("value"))
+
+  /** Date-partitioned parquet layer (the Snowflake "partitioned by event
+    * timestamps" layout, `reference:README.md:40`): downstream day-range
+    * predicates prune whole directories (`PruneFileSourcePartitions`). */
+  def writeDatePartitioned(events: DataFrame, path: String): Unit =
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** TRUNCATE+INSERT full-refresh semantics of the reference's reporting
+    * layer (`snowflake_refresh.py:7-8`). */
+  def overwrite(result: DataFrame, path: String): Unit =
+    result.write.mode(SaveMode.Overwrite).parquet(path)
+}

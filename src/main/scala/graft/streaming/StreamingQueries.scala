@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Exprs._
+
+/** Structured-Streaming twins of the reference's Flink-SQL layer
+  * (SURVEY.md §2.8: "rolling aggregations, windowing functions, or filtering
+  * based on event types", `reference:README.md:47`; the Flink SQL itself is
+  * not committed, so semantics are pinned to the batch queries of
+  * `snowflake_refresh.py` — stream result ≡ batch result is the contract,
+  * enforced by the DuckDB oracle and the batch-equals-stream specs).
+  *
+  * Design: the transforms are the *same* DataFrame expressions as
+  * [[graft.ops.EventQueries]] applied to an unbounded source — Catalyst
+  * plans them incrementally (partial aggregates into the state store). At
+  * scale the state is bounded per key-day; watermarking (see
+  * [[windowedRevenue]]) evicts closed days.
+  */
+object StreamingQueries {
+  /** Runs `transform` over a file-streamed view of `<sfDir>/events.parquet`
+    * and materializes the result (memory sink) as a batch frame. The file
+    * source wants a directory, so the single parquet file is symlinked into
+    * a fresh temp dir; the checkpoint dir is likewise per-call temp (WAL +
+    * state parity with `reference:extractor.py:25-41`'s resumable cursor,
+    * ST4). */
+  def runStream(spark: SparkSession, sfDir: String, name: String,
+      mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory(s"graft-src-$name")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"), path)
+    val schema = spark.read.parquet(path.toString).schema
+    val stream = graft.ingest.Sources.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val ck = Files.createTempDirectory(s"graft-ck-$name").toString
+    val q = transform(stream).writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  def runCompleteMode(spark: SparkSession, sfDir: String, name: String)(
+      transform: DataFrame => DataFrame): DataFrame =
+    runStream(spark, sfDir, name, "complete")(transform)
+
+  /** Streaming conversion funnel (ST3 twin of A6). */
+  def funnelCounts(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("event_count"))
+
+  /** Streaming daily revenue as a 1-day tumbling event-time window
+    * (ST3 twin of A4); project window start back to a date so the streaming
+    * result is schema-identical to the batch query. */
+  def dailyRevenueWindowed(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(moneySum(col("value")).as("total_revenue"))
+      .select(to_date(col("window.start")).as("event_date"),
+        col("total_revenue"))
+
+  /** Streaming half of the DAU twin (ST3 twin of A9): exact distinct isn't
+    * supported on streams, so the stream performs the stateful first-seen
+    * dedup of (day, type, user) and the count happens as a batch aggregate
+    * over the materialized deduped stream (SURVEY §7.3's parity choice; the
+    * at-scale alternative is approx_count_distinct with watermark-scoped
+    * state). */
+  def dedupDailyUsers(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("event_date"), col("event_type"),
+        col("user_id"))
+      .dropDuplicates("event_date", "event_type", "user_id")
+
+  /** Batch finisher for [[dedupDailyUsers]]' materialized output. */
+  def countDailyActiveUsers(deduped: DataFrame): DataFrame =
+    deduped.groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("daily_active_users"))
+      .orderBy(col("event_date").desc, col("event_type"))
+
+  /** Watermarked append-mode windowed revenue — the production-shaped
+    * variant (ST6): 1-day tumbling windows finalized once the watermark
+    * passes window end + delay; state for closed windows is evicted. Late
+    * rows beyond `delay` are dropped — the declared divergence-by-necessity
+    * (the reference commits no late-data policy). Exercised by the streaming
+    * specs over MemoryStream. */
+  def windowedRevenue(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(moneySum(col("value")).as("total_revenue"))
+      .select(to_date(col("window.start")).as("event_date"),
+        col("total_revenue"))
+}
