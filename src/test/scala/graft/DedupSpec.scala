@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base ~40-token doc; b = exact dup of a; c = near-dup (one word changed);
+  // d = unrelated; e = too short for trigrams
+  private val base = (1 to 40).map(i => s"w${i % 13}").mkString(" ")
+  private val near = base.split(" ").updated(5, "CHANGED").mkString(" ")
+  lazy val docs: DataFrame = Seq(
+    (0L, base), (1L, base), (2L, near),
+    (3L, (1 to 40).map(i => s"z$i").mkString(" ")),
+    (4L, "tiny doc"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts under min doc_id") {
+    val groups = Dedup.exactDedup(docs)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(groups(0L) == 2L) // docs 0+1
+    assert(groups(2L) == 1L && groups(3L) == 1L && groups(4L) == 1L)
+  }
+
+  test("shingles drops docs shorter than the shingle width") {
+    val ids = Dedup.shingles(docs).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("ngramJaccardTopPairs ranks the exact dup above the near dup") {
+    val pairs = Dedup.ngramJaccardTopPairs(docs, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.head._1 == 0L && pairs.head._2 == 1L && pairs.head._3 == 1.0)
+    // near-dup shares most trigrams
+    assert(pairs.exists(p => p._2 == 2L && p._3 > 0.5))
+  }
+
+  test("minhashNearDups finds planted near-dups with exact jaccard attached") {
+    val got = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup missed: ${got.mkString(",")}")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near dup missed: ${got.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical texts is identical; near-dup is close") {
+    val sigs = docs.select($"doc_id", Dedup.simhashExpr("text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val hamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(hamming <= 16, s"hamming=$hamming")
+    val far = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(far > hamming)
+  }
+
+  test("simhashNearDups reports the exact-dup pair at hamming 0") {
+    val got = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+}

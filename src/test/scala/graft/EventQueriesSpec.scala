@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.EventQueries
+
+class EventQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (event_id, ts, user_id, event_type, value, props)
+  lazy val events: DataFrame = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "view", 5.0, """{"k": 1}"""),
+    (2L, ts("2024-01-01 10:00:00"), 1L, "click", 7.0, """{"k": 1}"""),
+    (3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 10.0, """{"k": 1}"""),
+    (4L, ts("2024-01-01 12:00:00"), 2L, "click", 3.0, """{"k": 2}"""),
+    (5L, ts("2024-01-01 13:00:00"), 2L, "signup", 0.0, """{"k": 2}"""),
+    (6L, ts("2024-01-02 09:00:00"), 2L, "click", 4.0, """{"k": 2}"""),
+    (7L, ts("2024-01-02 09:30:00"), 2L, "purchase", 20.5, """{"k": 2}"""),
+    (8L, ts("2024-01-02 09:30:00"), 3L, "purchase", 0.25, """{"k": 1}"""),
+    (9L, ts("2024-01-02 23:59:59"), 3L, "error", 1.0, """{"k": 3}"""))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("dailyRevenue sums purchases per day") {
+    val got = EventQueries.dailyRevenue(events)
+      .as[(java.sql.Date, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(10.0, 20.75))
+  }
+
+  test("conversionFunnel excludes non-funnel event types") {
+    val got = EventQueries.conversionFunnel(events)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("click" -> 3L, "purchase" -> 3L, "view" -> 1L))
+  }
+
+  test("abandonedCartUsers anti-joins same-day purchasers") {
+    // user 1 clicked+purchased on day1 (excluded); user 2 clicked day1 w/o
+    // purchase (included), clicked day2 but purchased day2 (excluded)
+    val got = EventQueries.abandonedCartUsers(events)
+      .select("user_id", "cart_events").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)))
+  }
+
+  test("avgOrderValueDaily divides by exact distinct users") {
+    val got = EventQueries.avgOrderValueDaily(events)
+      .as[(java.sql.Date, Double)].collect()
+    // day1: 10.0/1; day2: (20.5+0.25)/2 = 10.375 -> 10.38 (half-up)
+    assert(got.map(_._2).toSeq == Seq(10.0, 10.38))
+  }
+
+  test("dailyActiveUsers counts distinct users per (day,type), day desc") {
+    val got = EventQueries.dailyActiveUsers(events)
+      .as[(java.sql.Date, String, Long)].collect()
+    assert(got.head._1.toString == "2024-01-02")
+    assert(got.map(r => (r._1.toString, r._2, r._3)).toSet
+      .contains(("2024-01-02", "purchase", 2L)))
+  }
+
+  test("dailyTopN breaks timestamp ties by event_id") {
+    val got = EventQueries.dailyTopN(events, n = 2)
+      .select("event_id").as[Long].collect().toSeq
+    // day1: ids 1,2 tie at 10:00 -> order (1,2); day2: 6,7
+    assert(got == Seq(1L, 2L, 6L, 7L))
+  }
+
+  test("validateNulls counts rows with null key columns") {
+    val withNull = events.union(Seq(
+      (10L, null.asInstanceOf[Timestamp], 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val n = EventQueries.validateNulls(withNull).as[Long].head()
+    assert(n == 1L)
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val plan = EventQueries.dailyRevenue(
+      ingest.Sources.events(spark, sf("sf0.001")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"expected pushed filters in:\n$plan")
+  }
+}

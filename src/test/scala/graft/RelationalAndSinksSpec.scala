@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+import graft.ingest.Sources
+import graft.ops.RelationalQueries
+import graft.sink.Sinks
+
+class RelationalAndSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricingSummary totals reconcile with raw scan") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val res = RelationalQueries.pricingSummary(li)
+    val totalOrders = res.agg(sum("count_order")).as[Long].head()
+    assert(totalOrders == li.count())
+  }
+
+  test("topBrandRevenue broadcasts the dimension side") {
+    val plan = RelationalQueries.topBrandRevenue(
+      Sources.table(spark, sf("sf0.001"), "lineitem"),
+      Sources.table(spark, sf("sf0.001"), "part"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("orderPriority plans a semi join") {
+    val plan = RelationalQueries.orderPriority(
+      Sources.table(spark, sf("sf0.001"), "lineitem"),
+      Sources.table(spark, sf("sf0.001"), "orders"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+  }
+
+  test("kafka envelope round-trips through from_json") {
+    val events = Sources.events(spark, sf("sf0.001"))
+    val env = Sinks.jsonEnvelope(events)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType)))
+    val back = Sources.fromKafkaEnvelope(env, schema)
+    assert(back.count() == events.count())
+    val sumBack = back.agg(sum("price")).as[Double].head()
+    val sumOrig = events.agg(sum("value")).as[Double].head()
+    assert(math.abs(sumBack - sumOrig) < 1e-6)
+  }
+
+  test("date-partitioned sink writes prunable layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Sources.events(spark, sf("sf0.001"))
+    Sinks.writeDatePartitioned(events, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName)
+    assert(dirs.length > 1, s"expected partition dirs, got ${dirs.toSeq}")
+    // day-filter prunes partitions at planning time
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date") === dirs.head.stripPrefix("event_date="))
+    assert(pruned.count() > 0)
+  }
+
+  test("multimodal decodeMeta preserves byte lengths and is deterministic") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val meta = Multimodal.decodeMeta(spark, Multimodal.attachMedia(docs))
+    val joined = meta.toDF().join(docs, "doc_id")
+      .select(col("n_bytes"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)].collect()
+    joined.foreach { case (n, l) => assert(n == l) } // ASCII corpus: bytes==chars
+    val cs1 = meta.select("checksum").as[Long].collect().sorted.toSeq
+    val cs2 = Multimodal.decodeMeta(spark, Multimodal.attachMedia(docs))
+      .select("checksum").as[Long].collect().sorted.toSeq
+    assert(cs1 == cs2)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  // deterministic corpus: vec 1 nearly equals vec 0; others pseudo-random
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(dim)(i => (math.sin(seed * 31 + i * 7).toFloat))
+  lazy val emb: DataFrame = {
+    val rows = Seq(
+      (0L, vec(1)),
+      (1L, vec(1).map(x => x + 0.001f))) ++
+      (2L to 30L).map(k => (k, vec(k.toInt)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def cosScala(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("cosineTopK matches a driver-side brute force") {
+    val got = Similarity.cosineTopK(emb, queryVecId = 0L, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val all = emb.as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosScala(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-4) }
+    assert(got.head._1 == 1L && got.head._2 > 0.9999)
+  }
+
+  test("lshTopK keeps high recall vs exact top-k") {
+    val exact = Similarity.cosineTopK(emb, 0L, k = 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Similarity.lshTopK(emb, 0L, k = 5, dim = dim,
+      bits = 12, maxHammingBits = 6)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact intersect approx).size >= 3,
+      s"recall too low: exact=$exact approx=$approx")
+  }
+
+  test("embeddingNearDups finds the planted near-identical pair") {
+    val got = Similarity.embeddingNearDups(emb, threshold = 0.999, dim = dim)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.EventQueries
+import graft.streaming.StreamingQueries
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  test("stream funnel equals batch funnel on testdata") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries.runCompleteMode(spark, dir, "t_funnel")(
+      StreamingQueries.funnelCounts).orderBy("event_type")
+      .as[(String, Long)].collect().toSeq
+    val batch = EventQueries.conversionFunnel(
+      ingest.Sources.events(spark, dir)).as[(String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("windowed revenue with watermark finalizes closed windows and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingQueries.windowedRevenue(mem.toDF(), delay = "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_wm")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wm").toString)
+      .start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+        Ev(2, ts("2024-01-01 11:00:00"), 2, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark past day-1 window end (+1h delay)
+      mem.addData(Ev(3, ts("2024-01-02 02:00:00"), 1, "purchase", 7.0, "{}"))
+      q.processAllAvailable()
+      // this day-1 row is behind the watermark -> dropped
+      mem.addData(Ev(4, ts("2024-01-01 09:00:00"), 3, "purchase", 99.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("t_wm")
+        .as[(java.sql.Date, Double)].collect().toMap
+      assert(out(java.sql.Date.valueOf("2024-01-01")) == 15.0) // late 99 dropped
+      assert(!out.contains(java.sql.Date.valueOf("2024-01-02"))) // still open
+    } finally q.stop()
+  }
+
+  test("streaming dedup + batch count equals batch exact distinct") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries.countDailyActiveUsers(
+      StreamingQueries.runStream(spark, dir, "t_dau", "append")(
+        StreamingQueries.dedupDailyUsers))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val batch = EventQueries.dailyActiveUsers(
+        ingest.Sources.events(spark, dir))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+}
