@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen + parquet reader paths, so the first
+    // measured query doesn't absorb JVM startup cost.
+    spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    try SparkEntry.queries.get("q_validate_count")
+      .foreach(f => f(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -41,16 +41,23 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(width)))))).as("shingle"))
   }
 
+  /** Hashed shingle ids: (doc_id, h) with h = xxhash64(shingle). All
+    * downstream set arithmetic runs on 16-byte (long, long) rows instead of
+    * shuffling shingle text — the thing that matters when the corpus is
+    * 100 TB (collisions at 64 bits are negligible for set sizes here). */
+  def hashedShingles(documents: DataFrame, width: Int = 3): DataFrame =
+    shingles(documents, width)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+
   /** Exact n-gram Jaccard: top-k most-similar document pairs. Intersections
-    * come from a shingle-keyed self-join (group sizes bounded by shingle
-    * frequency); the division is int/int in IEEE doubles, so ordering is
-    * engine-exact. */
+    * come from a shingle-hash-keyed self-join (group sizes bounded by
+    * shingle frequency); the division is int/int in IEEE doubles, so
+    * ordering is engine-exact. */
   def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20): DataFrame = {
-    val sh = shingles(documents).cache()
+    val sh = hashedShingles(documents).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("common"))
     inter
@@ -65,44 +72,56 @@ object Dedup {
       .limit(k)
   }
 
-  /** MinHash signature column: `numHashes` independent min-hashes of the
-    * document's shingle set, built per-row from the shingle array (seeded
-    * xxhash64 per hash function — no learned model, no shuffle). */
-  private def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+  /** MinHash signatures as `numHashes` codegen'd min-aggregates over the
+    * exploded hashed-shingle stream (one shuffle on doc_id). Interpreted
+    * higher-order functions are deliberately avoided on this hot path —
+    * explode + hash aggregate stays inside WholeStageCodegen. Output:
+    * (doc_id, m0..m{n-1}). */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sh = hashedShingles(documents)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
     * numHashes=32 split into 8 bands × 4 rows: docs agreeing on any full
     * band become candidates (prob ≈ 1-(1-j^4)^8, steep around j≈0.5). Only
-    * candidates pay the exact verification join. Returns pairs with exact
-    * jaccard ≥ `threshold`. */
+    * (long, long) rows ever shuffle: band buckets for candidate generation,
+    * hashed shingles for the exact verification — no document text or
+    * arrays move. Returns pairs with exact jaccard ≥ `threshold`. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val toks = split(col("text"), " ")
-    val withSig = documents
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band hash per (doc, band); bucket join on (band, hash)
-    val banded = withSig.select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+    val sh = hashedShingles(documents).cache()
+    val sig = minhashSignatures(documents, numHashes)
+    // one 64-bit bucket per band: xxhash64 over the band's signature slice
+    val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64((lit(b) +: (0 until rows).map(j =>
+            col(s"m${b * rows + j}"))): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
-      .dropDuplicates("doc1", "doc2")
-    cand.select(col("doc1"), col("doc2"),
-        round2(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6).as("jaccard"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    // exact verification: |A∩B| via two slim joins on the shingle hash
+    val common = cand
+      .join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+      .join(sh.withColumnRenamed("doc_id", "doc2"), Seq("doc2", "h"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc1")
+        .withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2")
+        .withColumnRenamed("sz", "sz2"), "doc2")
+      .select(col("doc1"), col("doc2"),
+        round2(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc1"), col("doc2"))
   }
@@ -125,12 +144,29 @@ object Dedup {
        |    (v, k) -> if(v > 0, shiftleft(1L, k), 0L)),
        |  0L, (acc, x) -> acc | x)""".stripMargin)
 
+  /** SimHash signatures via explode + one codegen'd hash aggregate: hash
+    * each token once, then 64 conditional ±1 sums per doc and a Scala-side
+    * bit-pack — the vectorizable formulation of [[simhashExpr]] (identical
+    * result; the per-row HOF variant stays for expression-level use). */
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"v$k"))
+    val packed = (0 until 64).map(k =>
+      when(col(s"v$k") > 0, lit(1L << k)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("sig"))
+  }
+
   /** SimHash near-dup pairs: candidates block on any equal 16-bit quarter of
     * the signature (a hamming-distance ≤ 3 pair must agree on ≥1 of 4
     * bands), verified with `bit_count(xor) <= maxHamming`. */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = documents.select(col("doc_id"),
-        simhashExpr("text").as("sig"))
+    val sigs = simhashSignatures(documents)
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))

@@ -58,6 +58,14 @@ class DedupSpec extends SparkSpec {
     assert(far > hamming)
   }
 
+  test("simhashSignatures (agg form) agrees with simhashExpr (HOF form)") {
+    val viaExpr = docs.select($"doc_id", Dedup.simhashExpr("text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashSignatures(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhashNearDups reports the exact-dup pair at hamming 0") {
     val got = Dedup.simhashNearDups(docs, maxHamming = 3)
       .as[(Long, Long, Int)].collect()
