@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ingest.Sources
-import graft.ops.{EventQueries, RelationalQueries}
+import graft.ops.{EventQueries, RelationalQueries, WindowedQueries}
 import graft.sink.Sinks
 import graft.streaming.StreamingQueries
 
@@ -44,6 +44,8 @@ object SparkEntry {
     "q_validate_count" -> ev(EventQueries.validateCount),
     "q_validate_max_date" -> ev(EventQueries.validateMaxDate),
     "q_kafka_envelope" -> ev(Sinks.kafkaEnvelope),
+    "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
+    "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     // ---- join/agg coverage on the star schema ----
     "q_pricing_summary" -> ((s, dir) =>
       RelationalQueries.pricingSummary(Sources.table(s, dir, "lineitem"))),
@@ -146,6 +148,36 @@ object SparkEntry {
         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
         |  || '}' AS kafka_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_sessionization" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "q_running_revenue" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT event_date,
+        |  CAST(round(rev, 2) AS DOUBLE) AS total_revenue,
+        |  CAST(round(sum(rev) OVER (ORDER BY event_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+        |  floor((CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7) * 100 + 0.5) / 100 AS ma7_revenue,
+        |  CAST(round(rev - lag(rev) OVER (ORDER BY event_date), 2) AS DOUBLE) AS delta_revenue
+        |FROM d
+        |WINDOW w7 AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_date""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,

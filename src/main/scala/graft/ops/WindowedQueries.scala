@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Exprs._
+
+/** Windowed analytics beyond the reference's single `row_number` (SURVEY
+  * §2.5): gap-based sessionization and running/moving/delta revenue — the
+  * "rolling aggregations, windowing functions" the reference delegates to
+  * its (uncommitted) Flink SQL layer (`reference:README.md:47`), expressed
+  * Spark-first.
+  */
+object WindowedQueries {
+  /** Per-user sessionization with Spark's native `session_window` (gap
+    * closes a session when the next event is ≥ `gap` away; window end is
+    * exclusive). The grouping shuffles once on user_id and merges windows
+    * per user — the 100 TB-friendly formulation (state per user bounded by
+    * open sessions, no global sort; contrast with a gaps-and-islands
+    * window-function rewrite, which is how the oracle mirrors it). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_us"))
+      .orderBy("user_id", "session_start")
+
+  /** Daily revenue with running total, 7-day moving average, and
+    * day-over-day delta. Frame sums run over the exact decimal per-day
+    * revenue (order-fixed frames + exact accumulator = engine-exact);
+    * the moving average divides as double with engine-agnostic rounding.
+    * The dataset is pre-aggregated to one row per day, so the unpartitioned
+    * window is bounded (days, not events) at any scale. */
+  def runningRevenue(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(exactSum(col("value")).as("rev"))
+    val w = Window.orderBy("event_date")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily.select(
+        col("event_date"),
+        round(col("rev"), 2).cast(DoubleType).as("total_revenue"),
+        round(sum(col("rev")).over(cum), 2).cast(DoubleType)
+          .as("running_total"),
+        round2(sum(col("rev")).over(w7).cast(DoubleType) /
+          count(lit(1)).over(w7)).as("ma7_revenue"),
+        round(col("rev") - lag(col("rev"), 1).over(w), 2).cast(DoubleType)
+          .as("delta_revenue"))
+      .orderBy("event_date")
+  }
+}
