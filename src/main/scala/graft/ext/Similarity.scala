@@ -22,10 +22,11 @@ import graft.Exprs._
   * functions (`zip_with` + `aggregate`) — no UDF, stays in WholeStageCodegen.
   */
 object Similarity {
-  /** Sequential-fold dot product of two float-array columns in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns in double, accumulated in index
+    * order — a native codegen'd Catalyst expression ([[VecDotProduct]]);
+    * bit-identical to the interpreted `aggregate(zip_with(...))`
+    * formulation it replaces, at a fraction of the cost. */
+  def dot(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -51,15 +52,16 @@ object Similarity {
     * dimension `dim`, components from a splitmix-style integer mix of
     * (seed, plane, component) mapped to [-1, 1). Reproducible everywhere,
     * no RNG state. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(bits) { p =>
       Array.tabulate(dim) { i =>
         var z = seed + 0x9E3779B97F4A7C15L * (p.toLong * 131071L + i + 1L)
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z ^= z >>> 31
-        // top 53 bits → [0,1) → [-1,1)
-        (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        // top 53 bits → [0,1) → [-1,1); float plane components so the
+        // codegen'd float-vector dot product applies
+        ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
       }
     }
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column ↔ catalyst Expression conversions `private[sql]`
+  * (column-node decoupling). This bridge lives inside the `sql` package
+  * namespace to expose exactly the two conversions custom expressions need
+  * — the standard technique for third-party Catalyst extensions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
