@@ -41,13 +41,14 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(width)))))).as("shingle"))
   }
 
-  /** Hashed shingle ids: (doc_id, h) with h = xxhash64(shingle). All
-    * downstream set arithmetic runs on 16-byte (long, long) rows instead of
-    * shuffling shingle text — the thing that matters when the corpus is
-    * 100 TB (collisions at 64 bits are negligible for set sizes here). */
+  /** Hashed shingle ids: (doc_id, h), h from [[TextExpressions.shingleHashes]]
+    * (one O(tokens) pass per document). All downstream set arithmetic runs
+    * on 16-byte (long, long) rows instead of shuffling shingle text — the
+    * thing that matters when the corpus is 100 TB. Docs shorter than the
+    * shingle width yield an empty set and drop out at the explode. */
   def hashedShingles(documents: DataFrame, width: Int = 3): DataFrame =
-    shingles(documents, width)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    documents.select(col("doc_id"),
+      explode(TextExpressions.shingleHashes(col("text"), width)).as("h"))
 
   /** Exact n-gram Jaccard: top-k most-similar document pairs. Intersections
     * come from a shingle-hash-keyed self-join (group sizes bounded by

@@ -1,0 +1,73 @@
+package graft.ext
+
+import java.util.{HashSet => JHashSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass shingle hashing: the distinct set of xxhash64-combined hashes of
+  * each run of `width` consecutive whitespace tokens, as `array<long>`.
+  *
+  * Why a custom expression: the built-in formulation
+  * (`transform(sequence(...), i -> hash(slice(split(text), i, w)))`)
+  * re-evaluates the captured `split(text)` on every lambda invocation —
+  * O(tokens²) per document — because higher-order-function lambdas don't
+  * share subexpressions. This evaluates once per row: tokenize O(n), hash
+  * each token once, rolling-combine, dedup. Token joins are injective
+  * (tokens carry no separator), so the hash set is equivalent to the
+  * distinct string-shingle set absent 64-bit collisions.
+  *
+  * Evaluated once per row (not per element), so CodegenFallback costs one
+  * virtual call per document — negligible against the per-token work.
+  */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, s"shingle width must be >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val n = tokens.length
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val tokenHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens(i)
+      tokenHash(i) =
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    val seen = new JHashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n - width + 1)
+    var m = 0
+    i = 0
+    while (i <= n - width) {
+      var h = Seed
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokenHash(i + j), h); j += 1 }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else out.take(m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Distinct hashed `width`-token shingles of a text column. */
+  def shingleHashes(text: Column, width: Int = 3): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), width))
+}
