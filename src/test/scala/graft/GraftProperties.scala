@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{EventQueries, WindowedQueries}
+
+// top-level: nested case classes break encoder codegen
+case class PropEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** ScalaCheck invariants (SURVEY §5.3) over generated event frames. */
+object GraftProperties extends Properties("graft") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // each case runs several Spark jobs; 20 cases keeps the suite fast
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(20)
+
+  private val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private val genEvent: Gen[(Long, Long, String, Double)] = for {
+    offMin <- Gen.choose(0L, 5L * 24 * 60) // 5 days of minutes
+    user <- Gen.choose(1L, 8L)
+    tpe <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+    cents <- Gen.choose(0L, 100000L)
+  } yield (offMin, user, tpe, cents / 100.0)
+
+  private val genEvents: Gen[List[(Long, Long, String, Double)]] =
+    Gen.nonEmptyListOf(genEvent)
+
+  private def toDf(rows: List[(Long, Long, String, Double)]) =
+    rows.zipWithIndex.map { case ((off, user, tpe, v), i) =>
+      PropEvent(i.toLong, new Timestamp(baseMs + off * 60000L), user, tpe, v, "{}")
+    }.toDF()
+
+  property("funnel counts sum to the funnel-filtered row count") =
+    forAll(genEvents) { rows =>
+      val df = toDf(rows)
+      val funnelTotal = EventQueries.conversionFunnel(df)
+        .agg(org.apache.spark.sql.functions.sum("event_count"))
+        .as[Long].head()
+      val expected = rows.count(r =>
+        Set("view", "click", "purchase").contains(r._3)).toLong
+      funnelTotal == expected
+    }
+
+  property("abandoned users never purchased on that day") =
+    forAll(genEvents) { rows =>
+      val df = toDf(rows)
+      val abandoned = EventQueries.abandonedCartUsers(df)
+        .select("event_date", "user_id")
+        .as[(java.sql.Date, Long)].collect().toSet
+      val purchasers = rows.filter(_._3 == "purchase").map { r =>
+        (new java.sql.Date((baseMs + r._1 * 60000L) / 86400000L * 86400000L),
+          r._2)
+      }.toSet
+      abandoned.intersect(purchasers).isEmpty
+    }
+
+  property("dailyTopN keeps at most N rows per day, ranks contiguous") =
+    forAll(genEvents, Gen.choose(1, 5)) { (rows, n) =>
+      val out = EventQueries.dailyTopN(toDf(rows), n)
+        .as[(java.sql.Date, Long, Long)].collect()
+      val perDay = out.groupBy(_._1)
+      perDay.values.forall { g =>
+        g.length <= n && g.map(_._3).sorted.toSeq == (1L to g.length).toSeq
+      }
+    }
+
+  property("daily revenue totals reconcile with raw purchase sum") =
+    forAll(genEvents) { rows =>
+      val perDay = EventQueries.dailyRevenue(toDf(rows))
+        .as[(java.sql.Date, Double)].collect()
+      val expected = rows.filter(_._3 == "purchase").map(_._4).sum
+      // per-day 2dp rounding drifts < 0.005 per day from the exact total
+      math.abs(perDay.map(_._2).sum - expected) <= 0.005 * (perDay.length + 1)
+    }
+
+  property("sessions partition the event stream") =
+    forAll(genEvents) { rows =>
+      val df = toDf(rows)
+      val sessions = WindowedQueries.sessionize(df)
+      val total = sessions.agg(org.apache.spark.sql.functions.sum("n_events"))
+        .as[Long].head()
+      val durationsOk = sessions.select("duration_us").as[Long]
+        .collect().forall(_ >= 0L)
+      total == rows.length.toLong && durationsOk
+    }
+
+  property("validateCount matches the frame size") =
+    forAll(genEvents) { rows =>
+      EventQueries.validateCount(toDf(rows)).as[Long].head() == rows.length
+    }
+}
