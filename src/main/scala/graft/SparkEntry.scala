@@ -78,6 +78,13 @@ object SparkEntry {
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
+    "q_funnel_conversions" -> ((s, dir) => {
+      import s.implicits._
+      StreamingQueries.toConversionInput(Sources.events(s, dir))
+        .transform(df => graft.streaming.FunnelState.conversions(s,
+          df.as[graft.streaming.FunnelState.In]).toDF())
+        .orderBy("user_id", "purchaseAt")
+    }),
     // ---- streaming twins (Structured Streaming over a file stream) ----
     "q_stream_funnel" -> ((s, dir) =>
       StreamingQueries.runCompleteMode(s, dir, "stream_funnel")(

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state (SURVEY §2.8: the reference outsources all streaming
+  * state to Flink/Kafka; this is the Spark-native custom-state path —
+  * `flatMapGroupsWithState` — for semantics windowed aggregates can't
+  * express): a per-user funnel-progression machine that emits a conversion
+  * record the moment a user completes view → cart(click) → purchase, with
+  * the time-to-convert, then resets.
+  *
+  * Scale design: state is one small case class per active user, partitioned
+  * by the group key (users spread across executors); event-time timeout
+  * evicts users idle past `idleTimeout`, so state is bounded by *active*
+  * users, not history — the property that keeps this runnable against an
+  * unbounded 100 TB stream.
+  */
+object FunnelState {
+  case class In(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Furthest funnel stage reached + timestamps. */
+  case class UserFunnel(viewAt: Option[Long], clickAt: Option[Long])
+
+  case class Conversion(user_id: Long, viewAt: Timestamp,
+      purchaseAt: Timestamp, secondsToConvert: Long, purchaseValue: Double)
+
+  def update(idleTimeoutMs: Long)(userId: Long, events: Iterator[In],
+      state: GroupState[UserFunnel]): Iterator[Conversion] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var s = state.getOption.getOrElse(UserFunnel(None, None))
+    val out = Seq.newBuilder[Conversion]
+    // process in event order within the batch
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" if s.viewAt.isEmpty => s = s.copy(viewAt = Some(t))
+        case "click" if s.viewAt.isDefined && s.clickAt.isEmpty =>
+          s = s.copy(clickAt = Some(t))
+        case "purchase" if s.clickAt.isDefined =>
+          out += Conversion(userId, new Timestamp(s.viewAt.get),
+            new Timestamp(t), (t - s.viewAt.get) / 1000L, e.value)
+          s = UserFunnel(None, None) // reset after conversion
+        case _ => ()
+      }
+    }
+    state.update(s)
+    // batch execution has no watermark; timeouts only apply when streaming
+    val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+    if (wm > 0) state.setTimeoutTimestamp(wm + idleTimeoutMs)
+    out.result().iterator
+  }
+
+  /** Wires the state machine over a (possibly streaming) typed event set.
+    * Requires a watermark on `ts` upstream when streaming. */
+  def conversions(spark: SparkSession, events: Dataset[In],
+      idleTimeout: String = "1h"): Dataset[Conversion] = {
+    import spark.implicits._
+    val ms = org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleTimeout)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update(ms))
+  }
+}

@@ -84,6 +84,11 @@ object StreamingQueries {
       .agg(count(lit(1)).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** Projects the events table onto [[FunnelState.In]]'s columns. */
+  def toConversionInput(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+
   /** Watermarked append-mode windowed revenue — the production-shaped
     * variant (ST6): 1-day tumbling windows finalized once the watermark
     * passes window end + delay; state for closed windows is evicted. Late

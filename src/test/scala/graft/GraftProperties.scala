@@ -40,8 +40,9 @@ object GraftProperties extends Properties("graft") {
   property("funnel counts sum to the funnel-filtered row count") =
     forAll(genEvents) { rows =>
       val df = toDf(rows)
+      import org.apache.spark.sql.functions.{coalesce, lit, sum}
       val funnelTotal = EventQueries.conversionFunnel(df)
-        .agg(org.apache.spark.sql.functions.sum("event_count"))
+        .agg(coalesce(sum("event_count"), lit(0L)))
         .as[Long].head()
       val expected = rows.count(r =>
         Set("view", "click", "purchase").contains(r._3)).toLong
