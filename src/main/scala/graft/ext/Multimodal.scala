@@ -58,6 +58,36 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministically truncates the payload to `maxBytes`
+    * (a real impl decodes, scales, re-encodes — same batch shape). */
+  def resize(spark: SparkSession, media: DataFrame, maxBytes: Int): Dataset[MediaItem] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { items =>
+      // real impl: codec init once per partition, then per-item re-encode
+      items.map(m => m.copy(media = m.media.take(maxBytes)))
+    }
+  }
+
+  /** Frame row emitted by [[sampleFrames]]. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: splits the payload into `n` evenly-spaced chunks
+    * (a real impl seeks keyframes). One input row fans out to n rows — the
+    * video-to-training-examples shape; downstream repartitioning should key
+    * on (doc_id, frame_idx). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaItem].flatMap { m =>
+      val len = m.media.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        Frame(m.doc_id, i, java.util.Arrays.copyOfRange(m.media, from, until))
+      }
+    }
+  }
+
   /** Metadata-only projection computed declaratively (no decode): byte
     * size per payload — the query pattern that must prune the binary column
     * at scan time when metadata is materialized columnar. */

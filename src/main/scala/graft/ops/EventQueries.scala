@@ -111,6 +111,18 @@ object EventQueries {
       .agg(count(lit(1)).as("event_count"))
       .orderBy("event_date")
 
+  /** Revenue rollup over (event_type, day): per-(type, day) rows plus
+    * per-type subtotals plus a grand total in one pass — Spark plans one
+    * Expand + hash aggregate, so the subtotal levels cost one shuffle
+    * total (vs three separate aggregations). `gid` disambiguates subtotal
+    * rows from genuine nulls. */
+  def revenueRollup(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .rollup(col("event_type"), day)
+      .agg(moneySum(col("value")).as("revenue"), count(lit(1)).as("n_events"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").desc, col("event_type"), col("event_date"))
+
   // ---- data-quality validations (reference:airflow_docker/dags/ecomm_pipeline/snowflake.py) ----
 
   /** Count of rows with any key column null (`snowflake.py:27-36`). */

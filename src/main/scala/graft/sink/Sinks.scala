@@ -58,4 +58,16 @@ object Sinks {
     * layer (`snowflake_refresh.py:7-8`). */
   def overwrite(result: DataFrame, path: String): Unit =
     result.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed + sorted table: two tables bucketed on the same key join
+    * co-located — no Exchange on either side — which is the pre-partitioning
+    * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once
+    * at write time, never again). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

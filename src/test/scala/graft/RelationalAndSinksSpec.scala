@@ -64,6 +64,41 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val o = Sources.table(spark, sf("sf0.001"), "orders")
+    Sinks.writeBucketed(li, "li_bkt", "l_orderkey", 4)
+    Sinks.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bkt", "l_orderkey", 4)
+    // force the shuffle-join path (tiny tables would broadcast otherwise)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing unused in:\n$plan")
+      assert(joined.count() == li.join(o,
+        li("l_orderkey") === o("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("multimodal resize truncates payloads; frame sampling partitions them") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(20)
+    val media = Multimodal.attachMedia(docs)
+    val resized = Multimodal.resize(spark, media, maxBytes = 16)
+    assert(resized.collect().forall(_.media.length <= 16))
+    val frames = Multimodal.sampleFrames(spark, media, n = 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    val lens = media.as[Multimodal.MediaItem].collect()
+      .map(m => m.doc_id -> m.media.length).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == 4)
+      assert(fs.map(_.frame.length).sum == lens(id)) // frames partition bytes
+    }
+  }
+
   test("multimodal decodeMeta preserves byte lengths and is deterministic") {
     val docs = Sources.table(spark, sf("sf0.001"), "documents")
     val meta = Multimodal.decodeMeta(spark, Multimodal.attachMedia(docs))
