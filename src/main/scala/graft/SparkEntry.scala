@@ -79,6 +79,7 @@ object SparkEntry {
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
+    "q_asof_last_purchase" -> ev(ops.AsOfJoin.lastPurchaseAsOfView),
     "q_funnel_conversions" -> ((s, dir) => {
       import s.implicits._
       StreamingQueries.toConversionInput(Sources.events(s, dir))
@@ -156,6 +157,19 @@ object SparkEntry {
         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
         |  || '}' AS kafka_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_asof_last_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  p.value AS last_purchase_value,
+        |  epoch_us(v.ts) - epoch_us(p.ts) AS us_since_purchase
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND p.ts <= v.ts
+        |ORDER BY event_id""".stripMargin,
     "q_revenue_rollup" ->
       s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
          |  $MoneySumValue AS revenue, count(*) AS n_events,
