@@ -75,6 +75,8 @@ object SparkEntry {
       .toDF().orderBy("doc_id")),
     "q_knn_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Sources.table(s, dir, "embeddings"))),
+    "q_knn_batch" -> ((s, dir) =>
+      Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_embedding_neardups" -> ((s, dir) =>
@@ -309,6 +311,23 @@ object SparkEntry {
         |SELECT vec_id,
         |  floor((dot / (sqrt(na) * sqrt(nb))) * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM p ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_batch" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+        |  FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, vec_id,
+        |  floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_stream_funnel" ->
       """SELECT event_type, count(*) AS event_count FROM events
         |WHERE event_type IN ('view', 'click', 'purchase')

@@ -48,6 +48,23 @@ object Similarity {
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** Batched exact KNN: top-k corpus neighbors for each of a (small) set of
+    * query vectors in one pass — queries broadcast against a single corpus
+    * scan, per-query top-k via the bounded-heap [[TopK]] aggregator (k rows
+    * per (query, partition) shuffle, no per-query sort). */
+  def batchKnn(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = embeddings.filter(col("vec_id") >= numQueries)
+      .crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("sim"))
+    TopK.topKPerGroup(scored, "query_id", "sim", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round2(col("sim"), 4).as("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes: `bits` planes of
     * dimension `dim`, components from a splitmix-style integer mix of
     * (seed, plane, component) mapped to [-1, 1). Reproducible everywhere,
