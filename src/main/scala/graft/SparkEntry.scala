@@ -38,6 +38,7 @@ object SparkEntry {
     "q_abandoned_cart_users" -> ev(EventQueries.abandonedCartUsers),
     "q_avg_order_value_daily" -> ev(EventQueries.avgOrderValueDaily),
     "q_daily_active_users" -> ev(EventQueries.dailyActiveUsers),
+    "q_dau_approx" -> ev(EventQueries.dailyActiveUsersApprox(_)),
     "q_daily_topn_sample" -> ev(EventQueries.dailyTopN(_)),
     "q_extract_stats" -> ev(EventQueries.extractStats),
     "q_validate_nulls" -> ev(EventQueries.validateNulls),

@@ -88,6 +88,18 @@ object Multimodal {
     }
   }
 
+  /** Repartitions a media frame so each partition holds ≈ `targetBytes` of
+    * payload — row counts are the wrong unit when payloads span 1 KB to
+    * 1 GB. One cheap stats pass sizes the partition count; hash
+    * distribution on the id column spreads rows. (With extreme per-row
+    * variance, range-partition on cumulative bytes instead.) */
+  def repartitionByBytes(media: DataFrame, idCol: String,
+      byteCol: String, targetBytes: Long): DataFrame = {
+    val total = media.agg(sum(col(byteCol))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    media.repartition(parts, col(idCol))
+  }
+
   /** Metadata-only projection computed declaratively (no decode): byte
     * size per payload — the query pattern that must prune the binary column
     * at scan time when metadata is materialized columnar. */

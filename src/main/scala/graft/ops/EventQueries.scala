@@ -89,6 +89,16 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** DAU via HyperLogLog++ sketches — the at-scale alternative to A9's
+    * exact distinct: constant memory per (day, type) group regardless of
+    * cardinality, mergeable across partitions (and across days for rollups).
+    * ~2% standard error; no oracle (approximation), accuracy pinned by
+    * spec. */
+  def dailyActiveUsersApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(day, col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_dau"))
+      .orderBy(col("event_date").desc, col("event_type"))
+
   /** Per-day earliest-N sample via ranking window
     * (`reference:airflow_docker/dags/ecomm_pipeline/extractor.py:117-124`,
     * the per-day 10k cap). `event_id` tiebreak makes tied timestamps

@@ -59,6 +59,29 @@ object Sinks {
   def overwrite(result: DataFrame, path: String): Unit =
     result.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Streaming warehouse layering (`reference:README.md:36-40,162-176`,
+    * ST7): per micro-batch, append the raw events into the date-partitioned
+    * RAW layer and fully refresh a REPORTING aggregate from the accumulated
+    * RAW data — the Kafka→Snowflake-connector→RAW + TRUNCATE/INSERT
+    * reporting pattern, expressed as one foreachBatch sink. Returns the
+    * handle; callers own `processAllAvailable`/`stop`. */
+  def streamToWarehouse(events: DataFrame, rawPath: String,
+      reportingPath: String, checkpoint: String,
+      reporting: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.withColumn("event_date", to_date(col("ts")))
+          .write.mode(SaveMode.Append)
+          .partitionBy("event_date").parquet(rawPath)
+        val raw = batch.sparkSession.read.parquet(rawPath)
+          .drop("event_date")
+        reporting(raw).write.mode(SaveMode.Overwrite).parquet(reportingPath)
+      }
+      .start()
+
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning
     * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once
