@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{Pipeline, ReplayCheckpoint}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractMonth runs csv -> clean -> cap -> parquet with stats and cursor") {
+    val dir = Files.createTempDirectory("graft-pipe")
+    val csv = dir.resolve("2019-11.csv")
+    Files.writeString(csv,
+      """event_time,event_type,product_id,category_id,category_code,brand,price,user_id,user_session
+        |2019-11-01 09:00:00 UTC,view,1001,2001,electronics.phone,apple,100.50,u1,s1
+        |2019-11-01 09:00:01 UTC,cart,1002,2001,,,,u1,s1
+        |2019-11-01 09:00:02 UTC,purchase,1001,2001,electronics.phone,apple,100.50,u1,s1
+        |2019-11-02 10:00:00 UTC,view,1003,2002,apparel.shoes,nike,55.00,u2,s2
+        |""".stripMargin)
+    val out = dir.resolve("out").toString
+    val ck = dir.resolve("ck.json").toString
+    val r1 = Pipeline.extractMonth(spark, csv.toString, out, ck,
+      month = "2019-11", capPerDay = 2)
+    assert(r1 == Pipeline.ExtractResult(out, 3L, 2L, "2019-11")) // day1 capped at 2
+    val written = spark.read.parquet(out)
+    assert(written.count() == 3)
+    assert(written.schema("price").dataType.typeName == "double")
+    // null price imputed, null brand passed through
+    val cartRow = written.filter($"event_type" === "cart").collect().head
+    assert(cartRow.getAs[Double]("price") == 0.0)
+    assert(cartRow.getAs[Any]("brand") == null)
+    // cursor advanced
+    assert(ReplayCheckpoint.load(ck, ReplayCheckpoint("?", -1)) ==
+      ReplayCheckpoint("2019-11", 3L))
+    // same month again: offset accumulates
+    Pipeline.extractMonth(spark, csv.toString, out, ck, "2019-11", 2)
+    assert(ReplayCheckpoint.load(ck, ReplayCheckpoint("?", -1)).offset == 6L)
+    // month rotation resets the offset
+    Pipeline.extractMonth(spark, csv.toString, out, ck, "2019-12", 2)
+    val rotated = ReplayCheckpoint.load(ck, ReplayCheckpoint("?", -1))
+    assert(rotated == ReplayCheckpoint("2019-12", 3L))
+  }
+
+  test("custom expressions register for SQL use") {
+    GraftFunctions.register(spark)
+    val sims = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS norm2
+        |FROM parquet.`/root/testdata/sf0.001/embeddings.parquet`
+        |ORDER BY vec_id LIMIT 3""".stripMargin)
+      .as[(Long, Double)].collect()
+    assert(sims.length == 3 && sims.forall(_._2 > 0.0))
+    val nsh = spark.sql(
+      "SELECT size(shingle_hashes('a b c d')) AS n").as[Int].head()
+    assert(nsh == 2)
+  }
+}
