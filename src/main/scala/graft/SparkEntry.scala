@@ -39,6 +39,7 @@ object SparkEntry {
     "q_avg_order_value_daily" -> ev(EventQueries.avgOrderValueDaily),
     "q_daily_active_users" -> ev(EventQueries.dailyActiveUsers),
     "q_dau_approx" -> ev(EventQueries.dailyActiveUsersApprox(_)),
+    "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_daily_topn_sample" -> ev(EventQueries.dailyTopN(_)),
     "q_extract_stats" -> ev(EventQueries.extractStats),
     "q_validate_nulls" -> ev(EventQueries.validateNulls),
@@ -160,6 +161,17 @@ object SparkEntry {
         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
         |  || '}' AS kafka_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_user_retention" ->
+      """SELECT 'retained' AS cohort, user_id FROM (
+        |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+        |UNION ALL
+        |SELECT 'churned' AS cohort, user_id FROM (
+        |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+        |ORDER BY cohort, user_id""".stripMargin,
     "q_asof_last_purchase" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (

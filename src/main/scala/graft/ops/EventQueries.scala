@@ -89,6 +89,23 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** User retention cohorts via set operations (the category absent from
+    * the reference — SURVEY §2.7): users active in both halves of the
+    * observation window (INTERSECT), and first-half users who churned
+    * (EXCEPT), as one labeled union. Catalyst plans both as aggregations/
+    * anti-joins on the deduped key — no full materialized sets. */
+  def userRetention(events: DataFrame, splitDate: String = "2024-01-15"): DataFrame = {
+    val firstHalf = events.filter(col("ts") < lit(splitDate).cast("timestamp"))
+      .select(col("user_id"))
+    val secondHalf = events.filter(col("ts") >= lit(splitDate).cast("timestamp"))
+      .select(col("user_id"))
+    val retained = firstHalf.intersect(secondHalf)
+      .select(lit("retained").as("cohort"), col("user_id"))
+    val churned = firstHalf.except(secondHalf)
+      .select(lit("churned").as("cohort"), col("user_id"))
+    retained.unionAll(churned).orderBy("cohort", "user_id")
+  }
+
   /** DAU via HyperLogLog++ sketches — the at-scale alternative to A9's
     * exact distinct: constant memory per (day, type) group regardless of
     * cardinality, mergeable across partitions (and across days for rollups).
