@@ -40,6 +40,9 @@ object SparkEntry {
     "q_daily_active_users" -> ev(EventQueries.dailyActiveUsers),
     "q_dau_approx" -> ev(EventQueries.dailyActiveUsersApprox(_)),
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
+    "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
+    "q_dau_pivot" -> ev(EventQueries.dauPivot),
+    "q_revenue_gapfill" -> ev(WindowedQueries.revenueGapfill),
     "q_daily_topn_sample" -> ev(EventQueries.dailyTopN(_)),
     "q_extract_stats" -> ev(EventQueries.extractStats),
     "q_validate_nulls" -> ev(EventQueries.validateNulls),
@@ -161,6 +164,28 @@ object SparkEntry {
         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
         |  || '}' AS kafka_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_price_quantiles" ->
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+        |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dau_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
+        |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
+        |  count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
+        |  count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_revenue_gapfill" ->
+      s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
+         |s AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+         |        CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS event_date FROM b),
+         |d AS (SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS rev
+         |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT s.event_date, coalesce(d.rev, 0.0) AS total_revenue
+         |FROM s LEFT JOIN d USING (event_date) ORDER BY 1""".stripMargin,
     "q_user_retention" ->
       """SELECT 'retained' AS cohort, user_id FROM (
         |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'

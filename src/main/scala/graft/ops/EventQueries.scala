@@ -89,6 +89,28 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** Exact price quantiles per event type (ordered-set aggregates): p50/p90/
+    * p99 with linear interpolation. Exact percentile sorts per group —
+    * at extreme cardinality swap for approx_percentile (sketch-mergeable);
+    * the exact form is required for the oracle hash. */
+  def priceQuantiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        round2(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round2(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round2(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** DAU wide: one row per day, one exact-distinct column per event type
+    * (pivot). The type domain is explicit, so Catalyst plans a single
+    * aggregate pass — no per-type scans. */
+  def dauPivot(events: DataFrame): DataFrame =
+    events.groupBy(day)
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(countDistinct(col("user_id")))
+      .na.fill(0L)
+      .orderBy("event_date")
+
   /** User retention cohorts via set operations (the category absent from
     * the reference — SURVEY §2.7): users active in both halves of the
     * observation window (INTERSECT), and first-half users who churned

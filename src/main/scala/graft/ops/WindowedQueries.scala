@@ -30,6 +30,25 @@ object WindowedQueries {
         col("n_events"), col("duration_us"))
       .orderBy("user_id", "session_start")
 
+  /** Gap-filled daily revenue: a generated date spine (min..max event day)
+    * left-joined with per-day purchase revenue, missing days filled with
+    * 0.0 — the time-series normalization every downstream
+    * window/forecasting step assumes. The spine is bounded by days, so the
+    * cross-SF cost is the broadcast of one tiny generated relation. */
+  def revenueGapfill(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(moneySum(col("value")).as("rev"))
+    val spine = events
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as("event_date"))
+    spine.join(daily, Seq("event_date"), "left")
+      .select(col("event_date"),
+        coalesce(col("rev"), lit(0.0)).as("total_revenue"))
+      .orderBy("event_date")
+  }
+
   /** Daily revenue with running total, 7-day moving average, and
     * day-over-day delta. Frame sums run over the exact decimal per-day
     * revenue (order-fixed frames + exact accumulator = engine-exact);

@@ -48,6 +48,19 @@ class WindowedQueriesSpec extends SparkSpec {
     assert(day2.getAs[Double]("delta_revenue") == -5.5)
   }
 
+  test("revenueGapfill fills missing days with zero") {
+    val sparse = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0),
+      (2L, ts("2024-01-04 10:00:00"), 1L, "purchase", 5.0),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 0.0)) // day3: no purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = WindowedQueries.revenueGapfill(sparse)
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(got.map(_._1.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(got.map(_._2) == Seq(10.0, 0.0, 0.0, 5.0))
+  }
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
