@@ -84,6 +84,8 @@ object SparkEntry {
       Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
+    "q_ivf_knn" -> ((s, dir) =>
+      Similarity.ivfTopK(Sources.table(s, dir, "embeddings"))),
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
     "q_asof_last_purchase" -> ev(ops.AsOfJoin.lastPurchaseAsOfView),

@@ -114,6 +114,57 @@ object Similarity {
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** IVF (inverted-file) approximate KNN: a k-means coarse quantizer
+    * partitions the corpus into cells; a query exactly scans only the
+    * `nProbe` cells whose centroids are nearest — the standard
+    * billion-vector ANN layout (cells ≈ partition pruning for vectors).
+    *
+    * Training uses MLlib KMeans with a fixed seed (deterministic);
+    * assignment is a 16-way crossJoin + `min_by` reduce, codegen'd
+    * end-to-end via [[VecDotProduct]] (at extreme scale, swap for a fused
+    * argmin expression to avoid the k-way row blowup before the reduce). */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embeddings.withColumn("features",
+      array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+      .fit(featured)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid"))
+    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame =
+      df.crossJoin(centroids)
+        .select(col(idCol), col("cell"),
+          (-dot(col("embedding"), col("centroid")) /
+            (norm(col("embedding")) * norm(col("centroid")))).as("negsim"))
+        .groupBy(idCol)
+        .agg(collect_list(struct(col("negsim"), col("cell"))).as("cs"))
+        .select(col(idCol), slice(array_sort(col("cs")), 1, n).as("cs"))
+        .select(col(idCol), explode(col("cs.cell")).as("cell"))
+    val assigned = embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        (-dot(col("embedding"), col("centroid"))).as("negdot"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("embedding")), col("negdot")).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        col("b.embedding").as("embedding"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+    val probeCells = nearestCells(q, "vec_id", nProbe)
+      .select(col("cell")).distinct()
+    val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(qEmb)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
+  }
+
   /** All-pairs embedding near-dups above a cosine threshold, LSH-bucketed:
     * exact cosine only within same-signature buckets (the scale path for
     * embedding-based corpus dedup; raise `bits` to shrink buckets). */

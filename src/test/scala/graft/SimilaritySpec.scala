@@ -50,6 +50,16 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact approx=$approx")
   }
 
+  test("ivfTopK keeps high recall vs exact top-k on real embeddings") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val exact = Similarity.cosineTopK(emb, 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, k = 10, cells = 8, nProbe = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact intersect ivf).size >= 6,
+      s"recall too low: exact=$exact ivf=$ivf")
+  }
+
   test("embeddingNearDups finds the planted near-identical pair") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.999, dim = dim)
       .as[(Long, Long, Double)].collect()
