@@ -42,6 +42,7 @@ object SparkEntry {
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
     "q_dau_pivot" -> ev(EventQueries.dauPivot),
+    "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
     "q_revenue_gapfill" -> ev(WindowedQueries.revenueGapfill),
     "q_daily_topn_sample" -> ev(EventQueries.dailyTopN(_)),
     "q_extract_stats" -> ev(EventQueries.extractStats),
@@ -180,6 +181,18 @@ object SparkEntry {
         |  count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
         |  count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dau_unpivot" ->
+      """WITH w AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
+        |    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
+        |    count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
+        |    count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
+        |  FROM events GROUP BY 1)
+        |SELECT event_date, event_type, dau FROM w
+        |UNPIVOT (dau FOR event_type IN ("view", click, purchase, signup, error))
+        |ORDER BY event_date, event_type""".stripMargin,
     "q_revenue_gapfill" ->
       s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
          |s AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),

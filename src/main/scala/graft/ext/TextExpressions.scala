@@ -66,8 +66,71 @@ case class ShingleHashes(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass stopword-argmax language guess: counts per-list stopword
+  * occurrences in a single tokenize pass and returns the label of the
+  * highest-scoring list (ties favor earlier lists), or `fallback` when no
+  * list scores. The per-language lambda formulation pays one interpreted
+  * eval per token PER LANGUAGE and would be re-evaluated per reference;
+  * returning the final label keeps the expression referenced exactly once.
+  * Decision logic matches the oracle's CASE over per-list occurrence
+  * counts. */
+case class LangGuess(child: Expression, lists: Seq[Seq[String]],
+    labels: Seq[String], fallback: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(lists.length == labels.length)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "lang_guess"
+
+  private val Space = UTF8String.fromString(" ")
+  @transient private lazy val labelStrings =
+    labels.map(UTF8String.fromString).toArray
+  @transient private lazy val fallbackString = UTF8String.fromString(fallback)
+  // word -> indices of the lists containing it (a word may be in several)
+  @transient private lazy val wordLists: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    lists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val counts = new Array[Int](lists.length)
+    var i = 0
+    while (i < tokens.length) {
+      val hit = wordLists.get(tokens(i))
+      if (hit != null) { var j = 0; while (j < hit.length) { counts(hit(j)) += 1; j += 1 } }
+      i += 1
+    }
+    var best = -1
+    var bestCount = 0
+    i = 0
+    while (i < counts.length) {
+      if (counts(i) > bestCount) { best = i; bestCount = counts(i) }
+      i += 1
+    }
+    if (best < 0) fallbackString else labelStrings(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct hashed `width`-token shingles of a text column. */
   def shingleHashes(text: Column, width: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), width))
+
+  /** Stopword-argmax language label for a text column. */
+  def langGuess(text: Column, lists: Seq[Seq[String]], labels: Seq[String],
+      fallback: String): Column =
+    ColumnBridge.column(LangGuess(ColumnBridge.expression(text), lists,
+      labels, fallback))
 }

@@ -71,18 +71,14 @@ object TextOps {
     * to `zh`; otherwise argmax of per-language stopword hit counts with a
     * fixed tie order (en > de > es > fr), `und` when nothing matches.
     * Integer scoring — no float comparisons — so the decision is identical
-    * across engines and partitionings. */
-  def langIdExpr(text: Column): Column = {
-    val toks = tokens(text)
-    val (en, de, es, fr) = (hits(toks, StopEn), hits(toks, StopDe),
-      hits(toks, StopEs), hits(toks, StopFr))
+    * across engines and partitionings. Counting is one
+    * [[TextExpressions.stopwordCounts]] pass (the per-language lambda
+    * formulation pays one interpreted eval per token per language). */
+  def langIdExpr(text: Column): Column =
     when(text.rlike("[一-鿿]"), "zh")
-      .when(en >= de && en >= es && en >= fr && en > 0, "en")
-      .when(de >= es && de >= fr && de > 0, "de")
-      .when(es >= fr && es > 0, "es")
-      .when(fr > 0, "fr")
-      .otherwise("und")
-  }
+      .otherwise(TextExpressions.langGuess(text,
+        Seq(StopEn, StopDe, StopEs, StopFr),
+        Seq("en", "de", "es", "fr"), fallback = "und"))
 
   /** Confusion-matrix counts of predicted vs labeled language. */
   def langIdEval(documents: DataFrame): DataFrame =

@@ -49,6 +49,10 @@ object Event {
     * `cart` — see FIXTURES.md §2). */
   val testdataFunnelTypes: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Full event-type domain of the driver testdata. */
+  val testdataTypes: Seq[String] =
+    Seq("view", "click", "purchase", "signup", "error")
+
   /** Maps the driver testdata `events` table
     * (`event_id, ts, user_id, event_type, value, props`) onto the canonical
     * column names used by the reference-parity queries. `user_id` doubles as

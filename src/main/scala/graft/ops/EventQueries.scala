@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, LongType}
 
 import graft.Exprs._
+import graft.model.Event
 
 /** The reference's analytical query surface (SURVEY.md §2.4–§2.6, §2.11),
   * re-expressed as declarative DataFrame transforms over the driver
@@ -110,6 +111,15 @@ object EventQueries {
       .agg(countDistinct(col("user_id")))
       .na.fill(0L)
       .orderBy("event_date")
+
+  /** Long-form DAU from the wide pivot (unpivot/melt): includes explicit
+    * zero rows for (day, type) combos with no activity — the normalization
+    * step between wide exports and long analytics tables. */
+  def dauUnpivot(events: DataFrame): DataFrame =
+    dauPivot(events)
+      .unpivot(Array(col("event_date")),
+        Event.testdataTypes.map(col).toArray, "event_type", "dau")
+      .orderBy("event_date", "event_type")
 
   /** User retention cohorts via set operations (the category absent from
     * the reference — SURVEY §2.7): users active in both halves of the
