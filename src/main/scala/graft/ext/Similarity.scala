@@ -127,10 +127,12 @@ object Similarity {
       cells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // train the quantizer on a deterministic ~1/3 subsample, few iterations
+    // — centroid quality barely moves, training cost does
     val featured = embeddings.withColumn("features",
       array_to_vector(col("embedding")))
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
-      .fit(featured)
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5)
+      .fit(featured.filter(col("vec_id") % 3 === 0))
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centroids = broadcast(model.clusterCenters.zipWithIndex.map {
