@@ -90,6 +90,7 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
     "q_asof_last_purchase" -> ev(ops.AsOfJoin.lastPurchaseAsOfView),
+    "q_view_purchase_30m" -> ev(ops.AsOfJoin.viewToPurchaseWithin(_)),
     "q_funnel_conversions" -> ((s, dir) => {
       import s.implicits._
       StreamingQueries.toConversionInput(Sources.events(s, dir))
@@ -212,6 +213,14 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
         |ORDER BY cohort, user_id""".stripMargin,
+    "q_view_purchase_30m" ->
+      """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS attributed_pairs
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_last_purchase" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   * respond to the usual salting of the window partition key.
   */
 object AsOfJoin {
+  /** Banded range join: (view, purchase) pairs of the same user with
+    * `view.ts <= purchase.ts <= view.ts + window`, counted per purchase
+    * day. A naive inequality join is quadratic per user; here both sides
+    * key on (user, time-bucket) with the purchase side exploded into the
+    * two buckets its window can reach, so the equi-join prunes candidates
+    * to ±1 bucket before the exact range filter — the standard
+    * interval-join banding, linear in events for a fixed window. */
+  def viewToPurchaseWithin(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    val bucket = expr(s"unix_micros(ts) div ${bucketUs}L")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), bucket.as("bucket"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        explode(array(bucket, bucket - 1)).as("bucket"))
+    views.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("purchase_ts") >= col("view_ts") &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")) <= bucketUs)
+      .groupBy(to_date(col("purchase_ts")).as("event_date"))
+      .agg(count(lit(1)).as("attributed_pairs"))
+      .orderBy("event_date")
+  }
   /** Attaches the latest prior (or same-instant) purchase per user to every
     * view event: (event_id, user_id, ts, last_purchase_value nullable,
     * us_since_purchase nullable). Rights at identical (user, ts) are

@@ -9,6 +9,21 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("banded range join counts pairs across bucket boundaries") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:29:00"), 1L, "purchase", 5.0, "{}"),  // in window
+      (3L, ts("2024-01-01 10:31:00"), 1L, "purchase", 5.0, "{}"),  // 31m: out
+      (4L, ts("2024-01-01 10:30:00"), 1L, "purchase", 5.0, "{}"),  // exactly 30m: in
+      (5L, ts("2024-01-01 11:59:00"), 2L, "view", 0.0, "{}"),
+      (6L, ts("2024-01-01 12:01:00"), 2L, "purchase", 1.0, "{}"),  // crosses bucket
+      (7L, ts("2024-01-01 09:59:00"), 3L, "purchase", 1.0, "{}"))  // before any view
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.AsOfJoin.viewToPurchaseWithin(events)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got == Seq((java.sql.Date.valueOf("2024-01-01"), 3L)))
+  }
+
   test("asof picks the latest prior-or-equal purchase per user") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 1L, "purchase", 10.0, "{}"),
