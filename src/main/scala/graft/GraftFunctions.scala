@@ -12,12 +12,29 @@ import graft.ext.{ShingleHashes, VecDotProduct}
   * `spark.sql.extensions=graft.GraftExtensions` builder-time hook.
   */
 object GraftFunctions {
+  private[graft] def vecDotBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
+    VecDotProduct(exprs(0), exprs(1))
+  }
+
+  /** `shingle_hashes(text[, width])` — width must be a foldable int. */
+  private[graft] def shingleHashesBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(text) => ShingleHashes(text, 3)
+      case Seq(text, Literal(w: Int, _)) => ShingleHashes(text, w)
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes takes (text[, int literal width]), got ${other.length} args")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("vec_dot",
-      exprs => VecDotProduct(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs.head, 3), "scala_udf")
+      shingleHashesBuilder, "scala_udf")
   }
 }
 
@@ -27,9 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     e.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),
-      exprs => VecDotProduct(exprs(0), exprs(1))))
+      GraftFunctions.vecDotBuilder))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      exprs => ShingleHashes(exprs.head, 3)))
+      GraftFunctions.shingleHashesBuilder))
   }
 }

@@ -243,7 +243,7 @@ object SparkEntry {
          |ORDER BY gid DESC, event_type, event_date""".stripMargin,
     "q_sessionization" ->
       """WITH x AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              > INTERVAL 30 MINUTE
@@ -251,7 +251,7 @@ object SparkEntry {
         |  FROM events),
         |y AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,

@@ -95,7 +95,8 @@ object Multimodal {
     * variance, range-partition on cumulative bytes instead.) */
   def repartitionByBytes(media: DataFrame, idCol: String,
       byteCol: String, targetBytes: Long): DataFrame = {
-    val total = media.agg(sum(col(byteCol))).head().getLong(0)
+    val total = media.agg(coalesce(sum(col(byteCol)), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     media.repartition(parts, col(idCol))
   }

@@ -147,9 +147,14 @@ object Similarity {
         .agg(collect_list(struct(col("negsim"), col("cell"))).as("cs"))
         .select(col(idCol), slice(array_sort(col("cs")), 1, n).as("cs"))
         .select(col(idCol), explode(col("cs.cell")).as("cell"))
+    // assignment and probing use the SAME metric (cosine) — mixing raw dot
+    // for assignment with cosine for probing loses neighbors when vector
+    // norms vary (corpus norm is constant per row, so dividing by the
+    // centroid norm is what makes the argmax cosine-consistent)
     val assigned = embeddings.crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("cell"),
-        (-dot(col("embedding"), col("centroid"))).as("negdot"))
+        (-dot(col("embedding"), col("centroid")) / norm(col("centroid")))
+          .as("negdot"))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cell"), col("embedding")), col("negdot")).as("b"))
       .select(col("vec_id"), col("b.cell").as("cell"),

@@ -44,7 +44,8 @@ object EventQueries {
     events.filter(col("event_type") === "purchase")
       .groupBy(get_json_object(col("props"), "$.k").as("category"))
       .agg(moneySum(col("value")).as("revenue"))
-      .orderBy(col("revenue").desc, col("category"))
+      // nulls-last to match DuckDB's ASC default (Spark defaults nulls-first)
+      .orderBy(col("revenue").desc, col("category").asc_nulls_last)
       .limit(k)
 
   /** Conversion funnel counts

@@ -34,6 +34,7 @@ object Skew {
   def distinctCountSpread(df: DataFrame, keyCols: Seq[String],
       valueCol: String, resultName: String): DataFrame =
     df.select((keyCols :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull) // countDistinct ignores NULLs; match it
       .distinct()
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(resultName))

@@ -14,9 +14,11 @@ import graft.Exprs._
   * Spark-first.
   */
 object WindowedQueries {
-  /** Per-user sessionization with Spark's native `session_window` (gap
-    * closes a session when the next event is ≥ `gap` away; window end is
-    * exclusive). The grouping shuffles once on user_id and merges windows
+  /** Per-user sessionization with Spark's native `session_window`: an event
+    * exactly `gap` after its predecessor still merges into the session;
+    * only strictly-greater gaps split (boundary pinned by spec and mirrored
+    * with `>` in the oracle). The grouping shuffles once on user_id and
+    * merges windows
     * per user — the 100 TB-friendly formulation (state per user bounded by
     * open sessions, no global sort; contrast with a gaps-and-islands
     * window-function rewrite, which is how the oracle mirrors it). */
