@@ -108,7 +108,11 @@ object SparkEntry {
     "q_stream_dau" -> ((s, dir) =>
       StreamingQueries.countDailyActiveUsers(
         StreamingQueries.runStream(s, dir, "stream_dau", "append")(
-          StreamingQueries.dedupDailyUsers))))
+          StreamingQueries.dedupDailyUsers))),
+    "q_stream_attribution" -> ((s, dir) =>
+      StreamingQueries.countAttributionPairs(
+        StreamingQueries.runStream(s, dir, "stream_attr", "append")(
+          StreamingQueries.streamAttributionPairs(_)))))
 
   // DuckDB mirrors. Numeric discipline (see graft.Exprs): money sums via
   // DECIMAL(18,6); double rounding via floor(x*s+0.5)/s — both bit-equal
@@ -400,5 +404,13 @@ object SparkEntry {
     "q_stream_dau" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  count(DISTINCT user_id) AS daily_active_users
-        |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin,
+    "q_stream_attribution" ->
+      """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS attributed_pairs
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -84,6 +84,33 @@ object StreamingQueries {
       .agg(count(lit(1)).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** Stream-stream interval self-join (the hardest reference-relevant
+    * streaming operator): views joined to same-user purchases arriving
+    * within `windowMinutes` — the streaming twin of
+    * [[graft.ops.AsOfJoin.viewToPurchaseWithin]]. Both sides carry
+    * watermarks + the time-range condition, so Spark bounds each side's
+    * state to the interval plus the watermark delay and evicts beyond it —
+    * state stays proportional to the in-flight window at any stream length.
+    * Inner joins emit eagerly on match (watermarks govern eviction only). */
+  def streamAttributionPairs(events: DataFrame,
+      windowMinutes: Int = 30, delay: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    views.join(purchases, expr(
+      s"""v_user = p_user AND purchase_ts >= view_ts
+         |AND purchase_ts <= view_ts + interval $windowMinutes minutes""".stripMargin))
+  }
+
+  /** Batch finisher: per-day pair counts over the materialized join. */
+  def countAttributionPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy(to_date(col("purchase_ts")).as("event_date"))
+      .agg(count(lit(1)).as("attributed_pairs"))
+      .orderBy("event_date")
+
   /** Projects the events table onto [[FunnelState.In]]'s columns. */
   def toConversionInput(events: DataFrame): DataFrame =
     events.select(col("event_id"), col("ts"), col("user_id"),

@@ -53,6 +53,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries.countAttributionPairs(
+      StreamingQueries.runStream(spark, dir, "t_attr", "append")(
+        StreamingQueries.streamAttributionPairs(_)))
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val batch = graft.ops.AsOfJoin.viewToPurchaseWithin(
+        ingest.Sources.events(spark, dir))
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup + batch count equals batch exact distinct") {
     val dir = sf("sf0.001")
     val streamed = StreamingQueries.countDailyActiveUsers(
