@@ -38,11 +38,19 @@ object StreamingQueries {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
     val ck = Files.createTempDirectory(s"graft-ck-$name").toString
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ck)
-      .start()
+    // stateful operators allocate one state store per shuffle partition per
+    // side; at local scale the per-store fixed cost dominates — run the
+    // micro-batches with a small state partition count (baked into the
+    // fresh per-run checkpoint, so no cross-run conflict)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
   }
