@@ -86,6 +86,21 @@ object StreamingQueries {
         col("user_id"))
       .dropDuplicates("event_date", "event_type", "user_id")
 
+  /** Watermark-bounded streaming dedup: first-seen (day, type, user) rows,
+    * with dedup state EVICTED once the watermark passes `delay` beyond an
+    * entry's event time — the production-shaped variant of
+    * [[dedupDailyUsers]] (whose exact-parity state grows unboundedly). A
+    * duplicate arriving after its original's state is evicted is re-emitted:
+    * bounded state trades exactly-once dedup for eventual dedup, which the
+    * overwrite-style reporting finisher tolerates. */
+  def dedupDailyUsersBounded(events: DataFrame,
+      delay: String = "2 days"): DataFrame =
+    events.withWatermark("ts", delay)
+      .select(col("ts"), to_date(col("ts")).as("event_date"),
+        col("event_type"), col("user_id"))
+      .dropDuplicatesWithinWatermark("event_date", "event_type", "user_id")
+      .drop("ts")
+
   /** Batch finisher for [[dedupDailyUsers]]' materialized output. */
   def countDailyActiveUsers(deduped: DataFrame): DataFrame =
     deduped.groupBy("event_date", "event_type")

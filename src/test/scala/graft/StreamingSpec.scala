@@ -53,6 +53,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup matches exact dedup for in-window data") {
+    val dir = sf("sf0.001")
+    val bounded = StreamingQueries.countDailyActiveUsers(
+      StreamingQueries.runStream(spark, dir, "t_dau_wm", "append")(
+        StreamingQueries.dedupDailyUsersBounded(_, delay = "60 days")))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val exact = EventQueries.dailyActiveUsers(
+        ingest.Sources.events(spark, dir))
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    assert(bounded == exact)
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     val dir = sf("sf0.001")
     val streamed = StreamingQueries.countAttributionPairs(
