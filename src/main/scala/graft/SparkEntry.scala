@@ -51,6 +51,7 @@ object SparkEntry {
     "q_validate_max_date" -> ev(EventQueries.validateMaxDate),
     "q_kafka_envelope" -> ev(Sinks.kafkaEnvelope),
     "q_revenue_rollup" -> ev(EventQueries.revenueRollup),
+    "q_revenue_grouping_sets" -> ev(EventQueries.revenueGroupingSets),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     // ---- join/agg coverage on the star schema ----
@@ -245,6 +246,14 @@ object SparkEntry {
          |FROM events WHERE event_type IN ('view', 'click', 'purchase')
          |GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
          |ORDER BY gid DESC, event_type, event_date""".stripMargin,
+    "q_revenue_grouping_sets" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
+         |  $MoneySumValue AS revenue, count(*) AS n_events,
+         |  GROUPING(event_type, CAST(ts AS DATE)) AS gid
+         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+         |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+         |  (event_type), (CAST(ts AS DATE)))
+         |ORDER BY gid, event_type, event_date""".stripMargin,
     "q_sessionization" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

@@ -205,6 +205,20 @@ object EventQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid").desc, col("event_type"), col("event_date"))
 
+  /** Arbitrary grouping sets — (type, day), (type), (day) — in one Expand +
+    * aggregate pass; unlike rollup this includes the non-prefix (day)-only
+    * subtotal. */
+  def revenueGroupingSets(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_type"), day, col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("event_date")),
+          Seq(col("event_type")), Seq(col("event_date"))),
+        col("event_type"), col("event_date"))
+      .agg(moneySum(col("value")).as("revenue"), count(lit(1)).as("n_events"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("event_date"))
+
   // ---- data-quality validations (reference:airflow_docker/dags/ecomm_pipeline/snowflake.py) ----
 
   /** Count of rows with any key column null (`snowflake.py:27-36`). */

@@ -82,6 +82,34 @@ object Sinks {
       }
       .start()
 
+  /** CDC-style upsert into a parquet path: keep target rows whose key has
+    * no update (anti-join), union the updates, swap atomically via a
+    * temp-dir rename (plain parquet has no ACID merge; the rewrite is the
+    * no-table-format equivalent of MERGE INTO). At scale, partition the
+    * target by a key prefix and rewrite only affected partitions. */
+  def upsertParquet(updates: DataFrame, path: String,
+      keyCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = updates.sparkSession
+    val target = Paths.get(path)
+    val merged =
+      if (Files.exists(target)) {
+        val existing = spark.read.parquet(path)
+        existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(updates)
+      } else updates
+    val tmp = path + ".upsert-tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: the write above has already fully materialized (no lazy reads
+    // of `path` remain), so the delete+rename is safe
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.delete(p))
+    }
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning
     * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once

@@ -46,6 +46,18 @@ class WarehouseSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertParquet replaces matching keys and appends new ones") {
+    val path = Files.createTempDirectory("graft-upsert").toString + "/t"
+    Sinks.upsertParquet(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
+    Sinks.upsertParquet(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), path, Seq("k"))
+    val got = spark.read.parquet(path).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // idempotent re-apply
+    Sinks.upsertParquet(Seq((3L, "c")).toDF("k", "v"), path, Seq("k"))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("approximate DAU stays within the configured error of exact") {
     val ev = Sources.events(spark, sf("sf0.01"))
     val approx = EventQueries.dailyActiveUsersApprox(ev)
