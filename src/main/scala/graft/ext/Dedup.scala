@@ -73,17 +73,14 @@ object Dedup {
       .limit(k)
   }
 
-  /** MinHash signatures as `numHashes` codegen'd min-aggregates over the
-    * exploded hashed-shingle stream (one shuffle on doc_id). Interpreted
-    * higher-order functions are deliberately avoided on this hot path —
-    * explode + hash aggregate stays inside WholeStageCodegen. Output:
-    * (doc_id, m0..m{n-1}). */
-  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = hashedShingles(documents)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signatures via the single mergeable [[MinHashSignature]]
+    * aggregate over the exploded hashed-shingle stream: one shuffle on
+    * doc_id, one fixed-width buffer per (doc, partition) in the partial
+    * phase. Output: (doc_id, sig array<long>[numHashes]). */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    hashedShingles(documents)
+      .groupBy("doc_id")
+      .agg(MinHashAggregate.minhashSig(col("h"), numHashes).as("sig"))
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
@@ -100,8 +97,7 @@ object Dedup {
     // one 64-bit bucket per band: xxhash64 over the band's signature slice
     val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
-          xxhash64((lit(b) +: (0 until rows).map(j =>
-            col(s"m${b * rows + j}"))): _*)): _*)))
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
