@@ -87,7 +87,7 @@ object Similarity {
   def signSignature(emb: Column, dim: Int, bits: Int, seed: Long): Column = {
     val planes = hyperplanes(dim, bits, seed)
     val bitCols = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(emb, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
