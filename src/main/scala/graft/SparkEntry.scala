@@ -76,6 +76,7 @@ object SparkEntry {
     "q_doc_quality" -> docs(TextOps.qualityScores),
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
+    "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
       Multimodal.attachMedia(Sources.table(s, dir, "documents")))
@@ -372,6 +373,23 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * (n.n + 1) / (dfreq.df + 1) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+        |ranked AS (
+        |  SELECT doc_id, term, w,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, floor(w * 10000 + 0.5) / 10000 AS weight
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,

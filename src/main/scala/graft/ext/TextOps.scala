@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -87,6 +88,35 @@ object TextOps {
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted_lang")
+
+  /** Top-k terms per document by a TF-IDF-style weight,
+    * `tf * (N+1)/(df+1)` — a rational idf instead of the logarithmic one so
+    * the weight is exact integer arithmetic in IEEE doubles (identical in
+    * any engine; `ln` implementations differ at the ulp and would make
+    * rank boundaries engine-dependent). Rankings are the same as log-idf's
+    * for fixed tf (both strictly decreasing in df).
+    *
+    * Plan: explode → two hash aggregates (term frequency, document
+    * frequency) → broadcast-joined corpus size → per-doc rank window with
+    * the window-group-limit pushdown. */
+  def topTermsPerDoc(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("w",
+        col("tf").cast("double") * (col("n") + 1) / (col("df") + 1))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(byDoc).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round2(col("w"), 4).as("weight"))
+      .orderBy("doc_id", "rnk")
+  }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
