@@ -83,6 +83,8 @@ object SparkEntry {
       .toDF().orderBy("doc_id")),
     "q_knn_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Sources.table(s, dir, "embeddings"))),
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))),
     "q_knn_batch" -> ((s, dir) =>
       Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
@@ -404,6 +406,15 @@ object SparkEntry {
         |SELECT vec_id,
         |  floor((dot / (sqrt(na) * sqrt(nb))) * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM p ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+    "q_label_centroids" ->
+      """WITH c AS (
+        |  SELECT label, t.i AS pos,
+        |    floor((sum(CAST(embedding[t.i] AS DOUBLE)) / count(*)) * 1000000 + 0.5)
+        |      / 1000000 AS m
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT label, array_agg(m ORDER BY pos) AS centroid
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

@@ -65,6 +65,22 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding centroids (mean pooling): explode to
+    * (label, position, component), aggregate per cell, reassemble ordered
+    * arrays. The explode keeps the aggregation a plain codegen'd hash
+    * aggregate — no per-group vector state — and the cell sums are the only
+    * shuffle. Component means ride the engine-agnostic rounding since
+    * float-sum order varies by partitioning. */
+  def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round2(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+      .select(col("label"), col("cs.m").as("centroid"))
+      .orderBy("label")
+
   /** Deterministic pseudo-random unit-ish hyperplanes: `bits` planes of
     * dimension `dim`, components from a splitmix-style integer mix of
     * (seed, plane, component) mapped to [-1, 1). Reproducible everywhere,
