@@ -71,7 +71,7 @@ object Similarity {
     * aggregate — no per-group vector state — and the cell sums are the only
     * shuffle. Component means ride the engine-agnostic rounding since
     * float-sum order varies by partitioning. */
-  def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
+  def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")

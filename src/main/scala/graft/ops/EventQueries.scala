@@ -109,11 +109,15 @@ object EventQueries {
       val idx = lit(p) * (col("n") - 1).cast("double")
       val lo = floor(idx)
       val frac = idx - lo
-      // ties at the bracketing ranks carry equal values, so sum of the two
-      // (or one, when frac == 0) contributions is order-independent
-      sum(when(col("rn") === lo, col("value") * (lit(1.0) - frac))
-        .when(col("rn") === ceil(idx) && frac > 0, col("value") * frac)
-        .otherwise(lit(0.0)))
+      // ties at the bracketing ranks carry equal values, so each one-row
+      // sum below is order-independent. Interpolate as lo + frac*(hi - lo)
+      // — the exact expression the builtin percentile and DuckDB's
+      // quantile_cont evaluate — so the result is bit-identical to the
+      // oracle (lo*(1-frac) + hi*frac can differ in the last ulp).
+      val vLo = sum(when(col("rn") === lo, col("value")).otherwise(lit(0.0)))
+      val vHi =
+        sum(when(col("rn") === ceil(idx), col("value")).otherwise(lit(0.0)))
+      vLo + max(frac) * (vHi - vLo)
     }
     ranked.groupBy("event_type")
       .agg(round2(q(0.5), 4).as("p50"), round2(q(0.9), 4).as("p90"),

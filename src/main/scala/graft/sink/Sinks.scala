@@ -83,13 +83,22 @@ object Sinks {
       .start()
 
   /** CDC-style upsert into a parquet path: keep target rows whose key has
-    * no update (anti-join), union the updates, swap atomically via a
-    * temp-dir rename (plain parquet has no ACID merge; the rewrite is the
-    * no-table-format equivalent of MERGE INTO). At scale, partition the
-    * target by a key prefix and rewrite only affected partitions. */
+    * no update (anti-join), union the updates, swap via two renames
+    * (target → backup, tmp → target; plain parquet has no ACID merge — the
+    * rewrite is the no-table-format equivalent of MERGE INTO). A crash
+    * between the renames leaves both the old data (backup dir) and the new
+    * (tmp dir) on disk; nothing is deleted until the new data is live. At
+    * scale, partition the target by a key prefix and rewrite only affected
+    * partitions. */
   def upsertParquet(updates: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def deleteRecursively(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
     val spark = updates.sparkSession
     val target = Paths.get(path)
     val merged =
@@ -98,16 +107,17 @@ object Sinks {
         existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(updates)
       } else updates
-    val tmp = path + ".upsert-tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmp = Paths.get(path + ".upsert-tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap: the write above has already fully materialized (no lazy reads
-    // of `path` remain), so the delete+rename is safe
-    if (Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.delete(p))
-    }
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    // of `path` remain). Move the old data aside, move the new data in,
+    // only then delete the old — the target is never the sole copy removed.
+    val backup = Paths.get(path + ".upsert-old")
+    if (Files.exists(backup)) deleteRecursively(backup)
+    if (Files.exists(target))
+      Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(backup)) deleteRecursively(backup)
   }
 
   /** Bucketed + sorted table: two tables bucketed on the same key join
