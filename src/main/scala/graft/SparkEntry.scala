@@ -77,6 +77,7 @@ object SparkEntry {
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
+    "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
       Multimodal.attachMedia(Sources.table(s, dir, "documents")))
@@ -375,6 +376,11 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "q_train_test_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |            THEN 'train' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf

@@ -118,6 +118,24 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Deterministic train/test assignment: first hex digit of md5(doc_id)
+    * < 'c' → train (12/16 = 75%), else test. Hash-based splitting is the
+    * only assignment that survives reprocessing at 100 TB — stable under
+    * re-partitioning, re-runs, and incremental additions, unlike
+    * `rand()`-based sampling (and md5-of-decimal-string is reproducible in
+    * any engine, so the split itself is oracle-checkable). */
+  def splitExpr(id: Column): Column =
+    when(substring(md5(id.cast("string")), 1, 1) < "c", "train")
+      .otherwise("test")
+
+  /** Per-(split, lang) corpus composition after deterministic splitting. */
+  def trainTestSplit(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(splitExpr(col("doc_id")).as("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
     * vocabulary — the cheapest useful near-dup fingerprint that stays
