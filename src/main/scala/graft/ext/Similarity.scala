@@ -188,11 +188,15 @@ object Similarity {
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
 
-  /** All-pairs embedding near-dups above a cosine threshold, LSH-bucketed:
-    * exact cosine only within same-signature buckets (the scale path for
-    * embedding-based corpus dedup; raise `bits` to shrink buckets). */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.9,
-      dim: Int = 64, bits: Int = 8, seed: Long = 42L): DataFrame = {
+  /** Embedding near-dup candidates, LSH-bucketed: exact cosine only within
+    * same-signature buckets (the scale path for embedding-based corpus
+    * dedup; raise `bits` to shrink buckets), thresholded and capped to the
+    * `topPairs` most similar. With a high threshold this is the dedup
+    * filter; the default floor of 0.0 reports the closest bucketed pairs
+    * even on corpora with no true near-duplicates. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.0,
+      topPairs: Int = 20, dim: Int = 64, bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
     val signed = embeddings.select(col("vec_id"), col("embedding"),
       signSignature(col("embedding"), dim, bits, seed).as("sig"))
     signed.as("a").join(signed.as("b"),
@@ -200,7 +204,8 @@ object Similarity {
       .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
         cosine(col("a.embedding"), col("b.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
+      .orderBy(col("sim").desc, col("vec1"), col("vec2"))
+      .limit(topPairs)
       .select(col("vec1"), col("vec2"), round2(col("sim"), 4).as("cosine_sim"))
-      .orderBy("vec1", "vec2")
   }
 }
