@@ -23,7 +23,7 @@ object GraftProperties extends Properties("graft") {
   private val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
   private val genEvent: Gen[(Long, Long, String, Double)] = for {
-    offMin <- Gen.choose(0L, 5L * 24 * 60) // 5 days of minutes
+    offMin <- Gen.choose(0L, 25L * 24 * 60) // 25 days of minutes
     user <- Gen.choose(1L, 8L)
     tpe <- Gen.oneOf("view", "click", "purchase", "signup", "error")
     cents <- Gen.choose(0L, 100000L)
@@ -95,5 +95,41 @@ object GraftProperties extends Properties("graft") {
   property("validateCount matches the frame size") =
     forAll(genEvents) { rows =>
       EventQueries.validateCount(toDf(rows)).as[Long].head() == rows.length
+    }
+
+  property("quantiles are ordered and bracketed by the group extremes") =
+    forAll(genEvents) { rows =>
+      EventQueries.priceQuantiles(toDf(rows)).collect().forall { r =>
+        val (p50, p90, p99) = (r.getAs[Double]("p50"),
+          r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+        val vals = rows.filter(_._3 == r.getAs[String]("event_type")).map(_._4)
+        p50 <= p90 && p90 <= p99 &&
+          p50 >= vals.min - 0.01 && p99 <= vals.max + 0.01
+      }
+    }
+
+  property("gapfill spans min..max day contiguously and preserves totals") =
+    forAll(genEvents) { rows =>
+      val out = WindowedQueries.revenueGapfill(toDf(rows))
+        .as[(java.sql.Date, Double)].collect()
+      val days = out.map(_._1.toString)
+      val contiguous = days.sorted.toSeq == days.toSeq &&
+        days.length == (java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(days.head),
+          java.time.LocalDate.parse(days.last)) + 1)
+      val total = rows.filter(_._3 == "purchase").map(_._4).sum
+      contiguous && math.abs(out.map(_._2).sum - total) <=
+        0.005 * (out.length + 1)
+    }
+
+  property("retention cohorts are disjoint and cover first-half users") =
+    forAll(genEvents) { rows =>
+      val out = EventQueries.userRetention(toDf(rows))
+        .as[(String, Long)].collect()
+      val retained = out.filter(_._1 == "retained").map(_._2).toSet
+      val churned = out.filter(_._1 == "churned").map(_._2).toSet
+      val firstHalf = rows.filter(_._1 < 14L * 24 * 60).map(_._2).toSet
+      retained.intersect(churned).isEmpty &&
+        (retained union churned) == firstHalf
     }
 }
