@@ -44,6 +44,20 @@ object Sources {
   def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Registers every testdata table as a session temp view plus the
+    * reference's landing-view name (`view_kafka_ecommerce_stream` →
+    * normalized events; `reference:airflow_docker/dags/utils/
+    * snowflake_refresh.py:12`, SURVEY S10) so the whole surface is
+    * `spark.sql`-addressable. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+    events(spark, sfDir).createOrReplaceTempView("events")
+    events(spark, sfDir)
+      .createOrReplaceTempView("view_kafka_ecommerce_stream")
+  }
+
   /** Parses a Kafka-shaped frame (`key: string, value: string`) back into
     * typed events — the inverse of [[graft.sink.Sinks.kafkaEnvelope]];
     * stands in for `readStream.format("kafka")` + `from_json`

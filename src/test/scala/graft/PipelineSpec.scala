@@ -41,6 +41,21 @@ class PipelineSpec extends SparkSpec {
     assert(rotated == ReplayCheckpoint("2019-12", 3L))
   }
 
+  test("registered views make the surface spark.sql-addressable") {
+    ingest.Sources.registerViews(spark, sf("sf0.001"))
+    val viaSql = spark.sql(
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+        |FROM view_kafka_ecommerce_stream
+        |WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(java.sql.Date, Double)].collect().toSeq
+    val viaApi = graft.ops.EventQueries.dailyRevenue(
+        ingest.Sources.events(spark, sf("sf0.001")))
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(viaSql == viaApi)
+    assert(spark.sql("SELECT count(*) FROM lineitem").as[Long].head() > 0)
+  }
+
   test("custom expressions register for SQL use") {
     GraftFunctions.register(spark)
     val sims = spark.sql(
