@@ -78,6 +78,7 @@ object SparkEntry {
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
+    "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
       Multimodal.attachMedia(Sources.table(s, dir, "documents")))
@@ -376,6 +377,13 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q_train_test_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
         |            THEN 'train' ELSE 'test' END AS split,

@@ -136,6 +136,22 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Deterministic stratified sample: the `perStratum` docs with the
+    * smallest md5(doc_id) per language — hash-ordering is a uniform draw
+    * without replacement that is reproducible under any partitioning and
+    * engine (the rand()-free sibling of [[splitExpr]]). Plans as a window
+    * group limit: each partition forwards at most `perStratum` rows per
+    * stratum before the shuffle. */
+  def stratifiedSample(documents: DataFrame, perStratum: Int = 5): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= perStratum)
+      .orderBy("lang", "rn")
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
     * vocabulary — the cheapest useful near-dup fingerprint that stays
