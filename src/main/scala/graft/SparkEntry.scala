@@ -50,6 +50,8 @@ object SparkEntry {
     "q_validate_count" -> ev(EventQueries.validateCount),
     "q_validate_max_date" -> ev(EventQueries.validateMaxDate),
     "q_kafka_envelope" -> ev(Sinks.kafkaEnvelope),
+    "q_avro_envelope" -> ev(e =>
+      Sources.fromAvroEnvelope(Sinks.avroEnvelope(e)).orderBy("event_id")),
     "q_revenue_rollup" -> ev(EventQueries.revenueRollup),
     "q_revenue_grouping_sets" -> ev(EventQueries.revenueGroupingSets),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
@@ -177,6 +179,12 @@ object SparkEntry {
         |  || ',"event_type":"' || event_type
         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
         |  || '}' AS kafka_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // encode∘decode = identity over the AVRO wire format; the oracle is the
+    // plain projection, so any envelope corruption breaks the hash
+    "q_avro_envelope" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value AS price
         |FROM events ORDER BY event_id""".stripMargin,
     "q_price_quantiles" ->
       """SELECT event_type,
@@ -421,14 +429,11 @@ object SparkEntry {
         |  floor((dot / (sqrt(na) * sqrt(nb))) * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM p ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
     "q_label_centroids" ->
-      """WITH c AS (
-        |  SELECT label, t.i AS pos,
-        |    floor((sum(CAST(embedding[t.i] AS DOUBLE)) / count(*)) * 1000000 + 0.5)
-        |      / 1000000 AS m
-        |  FROM embeddings, generate_series(1, 64) t(i)
-        |  GROUP BY 1, 2)
-        |SELECT label, array_agg(m ORDER BY pos) AS centroid
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT label, t.i AS pos,
+        |  floor((sum(CAST(embedding[t.i] AS DOUBLE)) / count(*)) * 1000000 + 0.5)
+        |    / 1000000 AS m
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

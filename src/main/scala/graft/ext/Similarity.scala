@@ -65,17 +65,26 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Per-label embedding centroids (mean pooling): explode to
-    * (label, position, component), aggregate per cell, reassemble ordered
-    * arrays. The explode keeps the aggregation a plain codegen'd hash
-    * aggregate — no per-group vector state — and the cell sums are the only
-    * shuffle. Component means ride the engine-agnostic rounding since
-    * float-sum order varies by partitioning. */
+  /** Per-label embedding centroids (mean pooling) in long format: one row
+    * per (label, pos) cell with the component mean `m`. Explode keeps the
+    * aggregation a plain codegen'd hash aggregate — no per-group vector
+    * state — and the cell sums are the only shuffle. Component means ride
+    * the engine-agnostic rounding since float-sum order varies by
+    * partitioning. `pos` is 1-based (bigint) to line up with SQL engines'
+    * 1-based array indexing. Long format is the checked/oracled shape;
+    * [[labelCentroidArrays]] reassembles arrays for consumers. */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
       .agg(round2(sum(col("x").cast("double")) / count(lit(1)), 6).as("m"))
+      .orderBy("label", "pos")
+
+  /** Convenience reassembly of [[labelCentroids]] into one ordered
+    * `centroid: array<double>` row per label (unchecked — array columns are
+    * not hash-comparable by the driver's oracle harness). */
+  def labelCentroidArrays(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
       .select(col("label"), col("cs.m").as("centroid"))

@@ -65,4 +65,13 @@ object Sources {
     * environment, so the envelope codec is exercised over files/memory). */
   def fromKafkaEnvelope(envelope: DataFrame, eventSchema: StructType): DataFrame =
     envelope.select(from_json(col("value"), eventSchema).as("e")).select("e.*")
+
+  /** Decodes the AVRO envelope (`kafka_value: binary`) back to typed fields
+    * — the inverse of [[graft.sink.Sinks.avroEnvelope]] (SURVEY S7); stands
+    * in for `from_avro` over the processed topic (the spark-avro connector
+    * module is absent from this environment; the wire format is identical). */
+  def fromAvroEnvelope(envelope: DataFrame): DataFrame =
+    envelope
+      .select(graft.ext.AvroEnvelope.decode(col("kafka_value")).as("e"))
+      .select("e.*")
 }

@@ -45,6 +45,19 @@ object Sinks {
         col("event_id"), col("event_type"), col("user_id"),
         col("value").as("price"), col("props"))).as("value"))
 
+  /** AVRO envelope for the aggregated/processed topic (SURVEY S7; the
+    * reference's PROCESSED topic is AVRO, `reference:README.md:39,216`):
+    * Kafka-shaped (key, binary value) frame with the value in real Avro
+    * binary wire format via [[graft.ext.AvroEnvelope]]. Byte-deterministic:
+    * timestamps ride as epoch micros, no doubles are stringified. */
+  def avroEnvelope(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id").cast(StringType).as("kafka_key"),
+      graft.ext.AvroEnvelope.encode(
+        col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("value")).as("kafka_value"))
+
   /** Date-partitioned parquet layer (the Snowflake "partitioned by event
     * timestamps" layout, `reference:README.md:40`): downstream day-range
     * predicates prune whole directories (`PruneFileSourcePartitions`). */

@@ -51,6 +51,27 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(math.abs(sumBack - sumOrig) < 1e-6)
   }
 
+  test("avro envelope round-trips byte-deterministically") {
+    val events = Sources.events(spark, sf("sf0.001"))
+    val env = Sinks.avroEnvelope(events)
+    // byte determinism: two independent encodes produce identical bytes
+    val h1 = env.select(md5(col("kafka_value")).as("h"))
+      .as[String].collect().sorted.toSeq
+    val h2 = Sinks.avroEnvelope(events).select(md5(col("kafka_value")).as("h"))
+      .as[String].collect().sorted.toSeq
+    assert(h1 == h2)
+    // encode ∘ decode = identity on every field
+    val back = Sources.fromAvroEnvelope(env)
+    val orig = events.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value").as("price"))
+    assert(back.count() == events.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // real Avro wire format: record of 2 varint longs + varint long +
+    // length-prefixed string + 8-byte double — envelope must be compact
+    val maxLen = env.select(max(length(col("kafka_value")))).as[Int].head()
+    assert(maxLen < 64, s"envelope unexpectedly large: $maxLen bytes")
+  }
+
   test("date-partitioned sink writes prunable layout") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = Sources.events(spark, sf("sf0.001"))

@@ -60,6 +60,30 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact ivf=$ivf")
   }
 
+  test("labelCentroids long format matches driver-side means; arrays reassemble") {
+    val labelled = emb.withColumn("label",
+      org.apache.spark.sql.functions.expr("CAST(vec_id % 3 AS STRING)"))
+    val got = Similarity.labelCentroids(labelled)
+      .as[(String, Long, Double)].collect()
+    // long shape: one row per (label, 1-based pos), totally ordered
+    assert(got.length == 3 * dim)
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      (for (l <- 0 to 2; p <- 1 to dim) yield (l.toString, p.toLong)))
+    val all = labelled.as[(Long, Array[Float], String)].collect()
+    got.foreach { case (l, pos, m) =>
+      val members = all.filter(_._3 == l)
+      val want = members.map(_._2(pos.toInt - 1).toDouble).sum / members.length
+      assert(math.abs(m - want) < 1e-6, s"cell ($l, $pos)")
+    }
+    val arrays = Similarity.labelCentroidArrays(labelled)
+      .as[(String, Array[Double])].collect()
+    assert(arrays.length == 3 && arrays.forall(_._2.length == dim))
+    arrays.foreach { case (l, arr) =>
+      got.filter(_._1 == l).foreach { case (_, pos, m) =>
+        assert(arr(pos.toInt - 1) == m) }
+    }
+  }
+
   test("embeddingNearDups finds the planted near-identical pair") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.999, dim = dim)
       .as[(Long, Long, Double)].collect()
