@@ -22,19 +22,24 @@ object Bench {
       // a plain count() would let Catalyst prune the very work being timed.
       // Two runs, min taken: steady-state per-query time (first touch of an
       // operator family pays JIT/codegen warmup in the shared JVM).
+      // A failed run is reported as -1, never as a near-zero success.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1.0
+        }
       }
-      val t = math.min(once(), once())
+      val a = once()
+      val t = if (a < 0) -1.0 else { val b = once(); if (b < 0) -1.0 else math.min(a, b) }
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_dau_approx" -> ev(EventQueries.dailyActiveUsersApprox(_)),
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
+    "q_price_quantiles_sketch" -> ev(EventQueries.priceQuantilesSketch(_)),
     "q_dau_pivot" -> ev(EventQueries.dauPivot),
     "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
     "q_revenue_gapfill" -> ev(WindowedQueries.revenueGapfill),
@@ -104,7 +105,8 @@ object SparkEntry {
       StreamingQueries.toConversionInput(Sources.events(s, dir))
         .transform(df => graft.streaming.FunnelState.conversions(s,
           df.as[graft.streaming.FunnelState.In]).toDF())
-        .orderBy("user_id", "purchaseAt")
+        // full tiebreak: one user can convert twice within a timestamp tick
+        .orderBy("user_id", "purchaseAt", "viewAt", "purchaseValue")
     }),
     // ---- streaming twins (Structured Streaming over a file stream) ----
     "q_stream_funnel" -> ((s, dir) =>
@@ -116,7 +118,7 @@ object SparkEntry {
     "q_stream_dau" -> ((s, dir) =>
       StreamingQueries.countDailyActiveUsers(
         StreamingQueries.runStream(s, dir, "stream_dau", "append")(
-          StreamingQueries.dedupDailyUsers))),
+          StreamingQueries.dedupDailyUsersBounded(_)))),
     "q_stream_attribution" -> ((s, dir) =>
       StreamingQueries.countAttributionPairs(
         StreamingQueries.runStream(s, dir, "stream_attr", "append")(

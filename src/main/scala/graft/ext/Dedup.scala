@@ -51,13 +51,29 @@ object Dedup {
       explode(TextExpressions.shingleHashes(col("text"), width)).as("h"))
 
   /** Exact n-gram Jaccard: top-k most-similar document pairs. Intersections
-    * come from a shingle-hash-keyed self-join (group sizes bounded by
-    * shingle frequency); the division is int/int in IEEE doubles, so
-    * ordering is engine-exact. */
-  def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20): DataFrame = {
-    val sh = hashedShingles(documents).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    * come from a shingle-hash-keyed self-join; the division is int/int in
+    * IEEE doubles, so ordering is engine-exact.
+    *
+    * The self-join's per-shingle cost is quadratic in the shingle's document
+    * frequency — a stop-phrase shingle in F docs emits F² candidate rows,
+    * unbounded at corpus scale. `maxShingleDf` drops shingles present in
+    * more than that many documents BEFORE the join (they carry ~no Jaccard
+    * signal); sizes are computed on the same kept universe so numerator and
+    * denominator stay consistent, and the DuckDB oracle applies the
+    * identical cap. No caching: the self-join's two identical exchanges on
+    * `h` collapse into one shuffle (ReusedExchange), and the remaining
+    * recompute is a cheap pruned scan + codegen'd hash projection — the
+    * shape that survives a corpus too big for executor storage (and leaks
+    * nothing into long-lived sessions). */
+  def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh = hashedShingles(documents)
+    val kept = sh.join(
+      sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("h"),
+      Seq("h"), "left_semi")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("common"))
@@ -92,7 +108,9 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sh = hashedShingles(documents).cache()
+    // uncached (see ngramJaccardTopPairs): recompute-from-pruned-scan beats
+    // pinning the exploded shingle stream in executor storage at scale
+    val sh = hashedShingles(documents)
     val sig = minhashSignatures(documents, numHashes)
     // one 64-bit bucket per band: xxhash64 over the band's signature slice
     val banded = sig.select(col("doc_id"),

@@ -25,6 +25,13 @@ object Pipeline {
     val capped = Cleaning.capPerDay(cleaned, capPerDay, "product_id")
     capped.persist()
     try {
+      // C2 (`reference:ecommerce_pipeline_dag.py:43-44`): an empty extract
+      // aborts before any write/produce step, surfaced as an exception for
+      // the scheduler's retry policy. `isEmpty` is a limit-1 probe on the
+      // cached frame — not a full count.
+      if (capped.isEmpty)
+        throw new IllegalStateException(
+          s"empty extract for month $month from $csvPath")
       // stats before write, served from cache (C1: persist across actions)
       val stats = capped.groupBy(col("event_date"))
         .agg(count(lit(1)).as("event_count"))

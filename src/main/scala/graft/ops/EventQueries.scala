@@ -97,8 +97,11 @@ object EventQueries {
     * group plus a conditional sum — each percentile touches exactly the two
     * bracketing rows, so the cost is one sort per group, not the per-group
     * hash-map the builtin exact `percentile` builds (10× cheaper at bench
-    * scale). At extreme cardinality swap for approx_percentile
-    * (sketch-mergeable); exact values are required for the oracle hash. */
+    * scale). SCALE CEILING: the per-type window sorts each group through a
+    * single task — at most 5 concurrent tasks for the 5-value key — so this
+    * exact path exists for oracle parity; the production path at high
+    * cardinality is [[priceQuantilesSketch]] (mergeable sketches, no
+    * ceiling). */
   def priceQuantiles(events: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wOrd = Window.partitionBy("event_type").orderBy("value")
@@ -124,6 +127,22 @@ object EventQueries {
         round2(q(0.99), 4).as("p99"))
       .orderBy("event_type")
   }
+
+  /** Sketch-based quantiles — the 100 TB path for [[priceQuantiles]]: the
+    * exact variant sorts every row of an event_type through ONE task
+    * (`Window.partitionBy` on a 5-value key caps parallelism at 5 no matter
+    * the cluster size), while `approx_percentile` builds a mergeable
+    * KLL-style sketch per partition and merges sketches on the single
+    * group-key shuffle — map-side partials, bounded memory, parallelism
+    * follows the input. Rank error ≤ n/accuracy. No oracle (approximate by
+    * construction); error is bounded against the exact variant in spec. */
+  def priceQuantilesSketch(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        round2(percentile_approx(col("value"), lit(0.5), lit(accuracy)), 4).as("p50"),
+        round2(percentile_approx(col("value"), lit(0.9), lit(accuracy)), 4).as("p90"),
+        round2(percentile_approx(col("value"), lit(0.99), lit(accuracy)), 4).as("p99"))
+      .orderBy("event_type")
 
   /** DAU wide: one row per day, one exact-distinct column per event type
     * (pivot). Dedup-then-count: a first distinct on (day, type, user)

@@ -28,6 +28,18 @@ object FunnelState {
   case class Conversion(user_id: Long, viewAt: Timestamp,
       purchaseAt: Timestamp, secondsToConvert: Long, purchaseValue: Double)
 
+  /** Microseconds since epoch: `getTime` alone truncates to milliseconds,
+    * which mis-orders same-ms events and corrupts emitted timestamps (the
+    * testdata carries microsecond components). */
+  private[streaming] def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private[streaming] def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def update(idleTimeoutMs: Long)(userId: Long, events: Iterator[In],
       state: GroupState[UserFunnel]): Iterator[Conversion] = {
     if (state.hasTimedOut) {
@@ -36,16 +48,16 @@ object FunnelState {
     }
     var s = state.getOption.getOrElse(UserFunnel(None, None))
     val out = Seq.newBuilder[Conversion]
-    // process in event order within the batch
-    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val t = e.ts.getTime
+    // process in event order within the batch (microsecond precision)
+    events.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+      val t = micros(e.ts)
       e.event_type match {
         case "view" if s.viewAt.isEmpty => s = s.copy(viewAt = Some(t))
         case "click" if s.viewAt.isDefined && s.clickAt.isEmpty =>
           s = s.copy(clickAt = Some(t))
         case "purchase" if s.clickAt.isDefined =>
-          out += Conversion(userId, new Timestamp(s.viewAt.get),
-            new Timestamp(t), (t - s.viewAt.get) / 1000L, e.value)
+          out += Conversion(userId, toTimestamp(s.viewAt.get),
+            toTimestamp(t), (t - s.viewAt.get) / 1000000L, e.value)
           s = UserFunnel(None, None) // reset after conversion
         case _ => ()
       }
