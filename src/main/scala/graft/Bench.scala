@@ -17,6 +17,15 @@ object Bench {
     try SparkEntry.queries.get("q_validate_count")
       .foreach(f => f(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // Calibration probe: the SAME fixed query, timed steady-state (min of
+    // 3) — a data-independent constant that scales with machine/sandbox
+    // contention, so cross-round totals can be normalized against it (a
+    // noisy host inflates calibration and queries alike).
+    val calibration = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val results = SparkEntry.queries.map { case (name, fn) =>
       // materialize the FULL physical plan (projections, sorts, limits):
       // a plain count() would let Catalyst prune the very work being timed.
@@ -39,7 +48,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration":$calibration,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -115,9 +115,17 @@ object SparkEntry {
     "q_stream_daily_revenue" -> ((s, dir) =>
       StreamingQueries.runCompleteMode(s, dir, "stream_daily_revenue")(
         StreamingQueries.dailyRevenueWindowed).orderBy("event_date")),
+    // exact first-seen dedup for the hash-checked entry: the bounded
+    // (watermark-evicting) variant can re-emit a duplicate that arrives
+    // after its state was evicted, so its exact match is batch-order-
+    // dependent — it ships as the separate unchecked production query below
     "q_stream_dau" -> ((s, dir) =>
       StreamingQueries.countDailyActiveUsers(
         StreamingQueries.runStream(s, dir, "stream_dau", "append")(
+          StreamingQueries.dedupDailyUsers))),
+    "q_stream_dau_bounded" -> ((s, dir) =>
+      StreamingQueries.countDailyActiveUsers(
+        StreamingQueries.runStream(s, dir, "stream_dau_b", "append")(
           StreamingQueries.dedupDailyUsersBounded(_)))),
     "q_stream_attribution" -> ((s, dir) =>
       StreamingQueries.countAttributionPairs(
@@ -334,16 +342,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    // `kept` mirrors Spark's maxShingleDf document-frequency cap (=1000,
+    // Dedup.ngramJaccardTopPairs' default): both engines drop shingles in
+    // >1000 docs BEFORE sizes/intersections, so the hash gate holds even
+    // when a corpus actually hits the cap
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |              WHERE len(string_split(text, ' ')) >= 3))),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
+        |    USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc1, doc2,
         |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard

@@ -9,7 +9,7 @@ import org.apache.avro.util.Utf8
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -64,11 +64,16 @@ object AvroEnvelope {
     ColumnBridge.column(AvroEnvelopeDecode(ColumnBridge.expression(bytes)))
 }
 
-/** (event_id, ts_us, user_id, event_type, price) → Avro binary record. */
+/** (event_id, ts_us, user_id, event_type, price) → Avro binary record.
+  * Input types are enforced at ANALYSIS time (`ExpectsInputTypes`), so a
+  * mistyped column (int event_id, decimal price, …) fails with a proper
+  * analysis error instead of a ClassCastException inside eval. */
 case class AvroEnvelopeEncode(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with ExpectsInputTypes with CodegenFallback {
   require(children.length == 5, "envelope has exactly 5 fields")
 
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, LongType, LongType, StringType, DoubleType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "avro_envelope_encode"
@@ -101,10 +106,12 @@ case class AvroEnvelopeEncode(children: Seq[Expression])
 }
 
 /** Avro binary record → struct(event_id, ts_us, user_id, event_type,
-  * price); the inverse of [[AvroEnvelopeEncode]]. */
+  * price); the inverse of [[AvroEnvelopeEncode]]. Non-binary input is an
+  * analysis-time error (`ExpectsInputTypes`). */
 case class AvroEnvelopeDecode(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = AvroEnvelope.decodedType
   override def prettyName: String = "avro_envelope_decode"
 

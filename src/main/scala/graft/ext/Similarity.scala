@@ -139,54 +139,64 @@ object Similarity {
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
 
-  /** IVF (inverted-file) approximate KNN: a k-means coarse quantizer
-    * partitions the corpus into cells; a query exactly scans only the
-    * `nProbe` cells whose centroids are nearest — the standard
-    * billion-vector ANN layout (cells ≈ partition pruning for vectors).
-    *
-    * Training uses MLlib KMeans with a fixed seed (deterministic);
-    * assignment is a 16-way crossJoin + `min_by` reduce, codegen'd
-    * end-to-end via [[VecDotProduct]] (at extreme scale, swap for a fused
-    * argmin expression to avoid the k-way row blowup before the reduce). */
-  def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
-      cells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** Trains the IVF coarse quantizer ONCE — the builder step, separate from
+    * querying: MLlib KMeans (fixed seed, deterministic) over a deterministic
+    * ~1/3 subsample with few iterations (centroid quality barely moves,
+    * training cost does). Returns plain float arrays so callers persist them
+    * (a table, a file, a literal in the serving plan) and serving never
+    * re-runs the iterative driver-coordinated fit. */
+  def trainIvfCentroids(embeddings: DataFrame, cells: Int = 16,
+      seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // train the quantizer on a deterministic ~1/3 subsample, few iterations
-    // — centroid quality barely moves, training cost does
     val featured = embeddings.withColumn("features",
       array_to_vector(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5)
       .fit(featured.filter(col("vec_id") % 3 === 0))
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val centroids = broadcast(model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid"))
-    def nearestCells(df: DataFrame, idCol: String, n: Int): DataFrame =
-      df.crossJoin(centroids)
-        .select(col(idCol), col("cell"),
-          (-dot(col("embedding"), col("centroid")) /
-            (norm(col("embedding")) * norm(col("centroid")))).as("negsim"))
-        .groupBy(idCol)
-        .agg(collect_list(struct(col("negsim"), col("cell"))).as("cs"))
-        .select(col(idCol), slice(array_sort(col("cs")), 1, n).as("cs"))
-        .select(col(idCol), explode(col("cs.cell")).as("cell"))
-    // assignment and probing use the SAME metric (cosine) — mixing raw dot
-    // for assignment with cosine for probing loses neighbors when vector
-    // norms vary (corpus norm is constant per row, so dividing by the
-    // centroid norm is what makes the argmax cosine-consistent)
-    val assigned = embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        (-dot(col("embedding"), col("centroid")) / norm(col("centroid")))
-          .as("negdot"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cell"), col("embedding")), col("negdot")).as("b"))
-      .select(col("vec_id"), col("b.cell").as("cell"),
-        col("b.embedding").as("embedding"))
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** All cells scored against `emb` as ONE `array<struct(negdot, cell)>`
+    * expression over centroid literals: `array_min` of it is the fused
+    * nearest-cell argmin (ties break to the lowest cell id), `array_sort` +
+    * `slice` of it is the nProbe probe list. Centroid norms are driver-side
+    * constants (same index-order double accumulation as [[VecDotProduct]]),
+    * so each cell costs exactly one codegen'd dot product per row — no
+    * crossJoin, no cells× row fan-out, no shuffle. Dividing by the centroid
+    * norm (not the row norm, constant per row) is what makes the argmin
+    * cosine-consistent. */
+  private def cellScores(emb: Column, centroids: Array[Array[Float]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.toIndexedSeq.map(lit): _*)
+      val cNorm = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      struct((-dot(emb, cCol) / lit(cNorm)).as("negdot"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+
+  /** Corpus → (vec_id, embedding, cell): a single narrow projection — the
+    * plan between the scan and the cell column has no join/expand/generate
+    * (asserted in SimilaritySpec), so assignment scales as one map pass. */
+  def assignCells(embeddings: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      array_min(cellScores(col("embedding"), centroids)).getField("cell")
+        .as("cell"))
+
+  /** IVF (inverted-file) approximate KNN against a PRE-TRAINED quantizer: a
+    * k-means coarse quantizer partitions the corpus into cells; a query
+    * exactly scans only the `nProbe` cells whose centroids are nearest — the
+    * standard billion-vector ANN layout (cells ≈ partition pruning for
+    * vectors). Assignment and probing use the SAME metric (cosine): mixing
+    * raw dot for assignment with cosine for probing loses neighbors when
+    * vector norms vary. */
+  def ivfTopK(embeddings: DataFrame, centroids: Array[Array[Float]],
+      queryVecId: Long, k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignCells(embeddings, centroids)
     val q = embeddings.filter(col("vec_id") === queryVecId)
-    val probeCells = nearestCells(q, "vec_id", nProbe)
-      .select(col("cell")).distinct()
+    val probeCells = q
+      .select(explode(slice(
+        transform(array_sort(cellScores(col("embedding"), centroids)),
+          s => s.getField("cell")), 1, nProbe)).as("cell"))
+      .distinct()
     val qEmb = broadcast(q.select(col("embedding").as("q_emb")))
     assigned.join(broadcast(probeCells), "cell")
       .filter(col("vec_id") =!= queryVecId)
@@ -196,6 +206,14 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
+
+  /** Convenience overload that trains inline — demo/test parity with the
+    * pre-split signature. Production serving calls [[trainIvfCentroids]]
+    * once, persists the centroids, and uses the pre-trained overload. */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+      cells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopK(embeddings, trainIvfCentroids(embeddings, cells, seed),
+      queryVecId, k, nProbe)
 
   /** Embedding near-dup candidates, LSH-bucketed: exact cosine only within
     * same-signature buckets (the scale path for embedding-based corpus

@@ -1,10 +1,15 @@
 package graft.ext
 
-import scala.collection.mutable
+import java.nio.ByteBuffer
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
 
 /** Bounded top-k aggregation (SURVEY §7.3's "bounded top-k heap"): keeps the
   * k best (score, id) pairs per group in a fixed-size heap on each
@@ -13,55 +18,138 @@ import org.apache.spark.sql.functions._
   * instead of a full per-group sort (the window row_number formulation
   * sorts every candidate row).
   *
+  * The buffer is a pair of primitive arrays forming a binary min-heap on
+  * (score asc, id desc) — root is the weakest kept pair — serialized as a
+  * flat `4 + 16·n`-byte frame (the same mergeable-sketch shape as
+  * [[MinHashSignature]]); no boxed pairs, no Kryo round-trips on partial
+  * merges (the cost the previous `Aggregator[PriorityQueue]` formulation
+  * paid on every exchange row).
+  *
   * Ordering is (score desc, id asc) with the id tiebreak, making results
   * deterministic under any partitioning.
   */
-object TopK {
-  type Pair = (Double, Long) // (score, id)
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
 
-  private final class TopKAgg(k: Int)
-      extends Aggregator[Pair, mutable.PriorityQueue[Pair], Seq[Pair]] {
-    // min-heap on (score asc, id desc): the root is the weakest entry
-    private val ord: Ordering[Pair] =
-      Ordering.by[Pair, (Double, Long)] { case (s, id) => (-s, id) }
+  // is (s1, i1) a WORSE pair than (s2, i2) under (score desc, id asc)?
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
 
-    override def zero: mutable.PriorityQueue[Pair] =
-      mutable.PriorityQueue.empty[Pair](ord)
-
-    private def push(b: mutable.PriorityQueue[Pair], p: Pair) = {
-      if (b.size < k) b.enqueue(p)
-      else if (ord.lt(p, b.head)) { b.dequeue(); b.enqueue(p) }
-      b
+  def push(s: Double, id: Long): Unit =
+    if (n < k) {
+      scores(n) = s; ids(n) = id; n += 1
+      var i = n - 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) { swap(i, p); i = p }
+        else i = 0
+      }
+    } else if (k > 0 && worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < n && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
     }
 
-    override def reduce(b: mutable.PriorityQueue[Pair], p: Pair) = push(b, p)
-    override def merge(a: mutable.PriorityQueue[Pair],
-        b: mutable.PriorityQueue[Pair]) = { b.foreach(push(a, _)); a }
-    override def finish(b: mutable.PriorityQueue[Pair]): Seq[Pair] =
-      b.toSeq.sortBy { case (s, id) => (-s, id) }
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[Pair]] =
-      Encoders.kryo[mutable.PriorityQueue[Pair]]
-    override def outputEncoder: Encoder[Seq[Pair]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Pair]]()
+  private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
-  /** Per-group top-k over `(groupCol, scoreCol, idCol)`: one row per
-    * (group, rank) with rank 1..k by score desc, id tiebreak. */
-  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
-      idCol: String, k: Int): DataFrame = {
-    val agg = new TopKAgg(k).toColumn
-    val pairs = df.select(col(groupCol).as("g"),
-        struct(col(scoreCol).cast("double").as("_1"),
-          col(idCol).cast("long").as("_2")).as("p"))
-    import pairs.sparkSession.implicits._
-    pairs.as[(Long, (Double, Long))]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("topk"))
-      .toDF("g", "topk")
-      .select(col("g").as(groupCol),
-        posexplode(col("topk")).as(Seq("rank0", "e")))
-      .select(col(groupCol), (col("rank0") + 1).cast("long").as("rank"),
-        col("e._2").as(idCol), col("e._1").as(scoreCol))
+  /** Kept pairs best-first: (score desc, id asc). */
+  def sorted(): Array[(Double, Long)] =
+    Array.tabulate(n)(i => (scores(i), ids(i)))
+      .sortBy { case (s, id) => (-s, id) }
+}
+
+/** (score, id) → the k best pairs as `array<struct(score, id)>`, best
+  * first. */
+case class TopKPairs(scoreExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+  require(k > 0, "top-k needs k > 0")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k_pairs"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      buf.push(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
   }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b.n) { a.push(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.sorted().map { case (s, id) =>
+      InternalRow(s, id): Any
+    })
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble()
+      val id = bb.getLong()
+      buf.push(s, id)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopK {
+  /** Per-group top-k over `(groupCol, scoreCol, idCol)`: one row per
+    * (group, rank) with rank 1..k by score desc, id tiebreak. Plain
+    * `groupBy.agg` — the aggregate partials are the bounded buffers, so the
+    * exchange carries ≤ k pairs per (group, partition). */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(ColumnBridge.column(TopKPairs(
+          ColumnBridge.expression(col(scoreCol).cast("double")),
+          ColumnBridge.expression(col(idCol).cast("long")), k)
+        .toAggregateExpression()).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(col(groupCol), (col("rank0") + 1).cast("long").as("rank"),
+        col("e.id").as(idCol), col("e.score").as(scoreCol))
 }

@@ -26,9 +26,19 @@ object StreamingQueries {
     * source wants a directory, so the single parquet file is symlinked into
     * a fresh temp dir; the checkpoint dir is likewise per-call temp (WAL +
     * state parity with `reference:extractor.py:25-41`'s resumable cursor,
-    * ST4). */
+    * ST4).
+    *
+    * `trigger` (ST5): `None` = ASAP micro-batches drained by
+    * `processAllAvailable` (the verify/test harness shape); pass
+    * `Some(Trigger.AvailableNow())` for a bounded run or
+    * `Some(Trigger.ProcessingTime("5 minutes"))` for the reference's
+    * 5-minute freshness SLO (`reference:README.md:51`) — the production
+    * sink twin [[graft.sink.Sinks.streamToWarehouse]] defaults to the
+    * latter. */
   def runStream(spark: SparkSession, sfDir: String, name: String,
-      mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+      mode: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      transform: DataFrame => DataFrame): DataFrame = {
     val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
@@ -45,12 +55,13 @@ object StreamingQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try transform(stream).writeStream
-        .outputMode(mode)
-        .format("memory").queryName(name)
-        .option("checkpointLocation", ck)
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val writer = transform(stream).writeStream
+          .outputMode(mode)
+          .format("memory").queryName(name)
+          .option("checkpointLocation", ck)
+        trigger.fold(writer)(writer.trigger).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
   }
