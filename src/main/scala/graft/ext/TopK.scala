@@ -34,8 +34,14 @@ final class TopKBuffer(val k: Int) {
   var n = 0
 
   // is (s1, i1) a WORSE pair than (s2, i2) under (score desc, id asc)?
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // java.lang.Double.compare is a total order (NaN > +Inf, matching Spark's
+  // sort semantics) — strict IEEE comparisons would strand a NaN that lands
+  // in an under-full heap, since NaN compares false both ways and could
+  // never be evicted.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   def push(s: Double, id: Long): Unit =
     if (n < k) {
@@ -65,10 +71,12 @@ final class TopKBuffer(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
-  /** Kept pairs best-first: (score desc, id asc). */
+  /** Kept pairs best-first: (score desc, id asc) under the same total
+    * order as eviction (NaN sorts as the largest score, like Spark's
+    * descending sort). */
   def sorted(): Array[(Double, Long)] =
     Array.tabulate(n)(i => (scores(i), ids(i)))
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((s1, i1), (s2, i2)) => worse(s2, i2, s1, i1) }
 }
 
 /** (score, id) → the k best pairs as `array<struct(score, id)>`, best

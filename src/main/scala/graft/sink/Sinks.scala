@@ -92,23 +92,42 @@ object Sinks {
     *
     * Incremental contract: `reporting` must key its output by an
     * `event_date` column derived from the input rows' `ts` (any per-day
-    * group-by qualifies, e.g. [[graft.ops.EventQueries.dailyRevenue]]).
-    * The per-batch driver `collect()` is the distinct day list only —
-    * bounded by the batch's event-time span, never by data volume.
+    * group-by qualifies, e.g. [[graft.ops.EventQueries.dailyRevenue]]) —
+    * validated eagerly against an empty frame before the stream starts, so
+    * a non-conforming aggregate fails at call time with a clear message,
+    * not mid-stream inside `foreachBatch`. Both modes write day-keyed
+    * REPORTING output date-partitioned, so toggling `incremental` never
+    * mixes layouts under `reportingPath`; note the partitioned read-back
+    * surfaces `event_date` as the LAST column — select by name, not
+    * position. The per-batch driver `collect()` is the distinct day
+    * list only — bounded by the batch's event-time span, never by volume.
     *
-    * `trigger` defaults to the reference's 5-minute freshness SLO
-    * (`reference:README.md:51`, ST5); tests pass an explicit fast trigger. */
+    * `trigger = None` runs micro-batches as fast as they arrive (the
+    * processAllAvailable test shape); production passes
+    * `Some(Trigger.ProcessingTime("5 minutes"))` for the reference's
+    * freshness SLO (`reference:README.md:51`, ST5). */
   def streamToWarehouse(events: DataFrame, rawPath: String,
       reportingPath: String, checkpoint: String,
       reporting: DataFrame => DataFrame,
       incremental: Boolean = true,
-      trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 minutes"))
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (incremental) {
+      // schema-only dry run: reporting() over an empty day-stamped frame
+      val probe = events.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), events.schema)
+        .withColumn("event_date", to_date(col("ts")))
+      require(reporting(probe).columns.contains("event_date"),
+        "incremental streamToWarehouse requires the reporting aggregate to " +
+          "key its output by an 'event_date' column (group by " +
+          "to_date(col(\"ts\"))); pass incremental = false for aggregates " +
+          "that are not per-day decomposable")
+    }
+    val writer = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
+    trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val stamped = batch.withColumn("event_date", to_date(col("ts")))
@@ -129,10 +148,17 @@ object Sinks {
           }
         } else {
           val raw = spark.read.parquet(rawPath).drop("event_date")
-          reporting(raw).write.mode(SaveMode.Overwrite).parquet(reportingPath)
+          val full = reporting(raw)
+          // keep the on-disk layout identical to incremental mode for
+          // day-keyed aggregates, so toggling modes never mixes layouts
+          val w = full.write.mode(SaveMode.Overwrite)
+          if (full.columns.contains("event_date"))
+            w.partitionBy("event_date").parquet(reportingPath)
+          else w.parquet(reportingPath)
         }
       }
       .start()
+  }
 
   /** CDC-style upsert into a parquet path: keep target rows whose key has
     * no update (anti-join), union the updates, swap via two renames

@@ -32,9 +32,9 @@ object StreamingQueries {
     * `processAllAvailable` (the verify/test harness shape); pass
     * `Some(Trigger.AvailableNow())` for a bounded run or
     * `Some(Trigger.ProcessingTime("5 minutes"))` for the reference's
-    * 5-minute freshness SLO (`reference:README.md:51`) — the production
-    * sink twin [[graft.sink.Sinks.streamToWarehouse]] defaults to the
-    * latter. */
+    * 5-minute freshness SLO (`reference:README.md:51`); the sink twin
+    * [[graft.sink.Sinks.streamToWarehouse]] takes the same opt-in
+    * parameter. */
   def runStream(spark: SparkSession, sfDir: String, name: String,
       mode: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(

@@ -16,6 +16,11 @@ class WarehouseSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // the partitioned read-back surfaces event_date LAST — select by name
+  private def reportingMap(path: String): Map[java.sql.Date, Double] =
+    spark.read.parquet(path).select("event_date", "total_revenue")
+      .as[(java.sql.Date, Double)].collect().toMap
+
   test("streamToWarehouse appends RAW and refreshes REPORTING per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PropEvent]
@@ -30,20 +35,58 @@ class WarehouseSpec extends SparkSpec {
         PropEvent(2, ts("2024-01-01 11:00:00"), 2, "view", 1.0, "{}"))
       q.processAllAvailable()
       assert(spark.read.parquet(raw).count() == 2)
-      val rev1 = spark.read.parquet(rep)
-        .as[(java.sql.Date, Double)].collect().toMap
-      assert(rev1(java.sql.Date.valueOf("2024-01-01")) == 10.0)
+      assert(reportingMap(rep)(java.sql.Date.valueOf("2024-01-01")) == 10.0)
       // second batch: RAW appends, REPORTING reflects the full history
       mem.addData(
         PropEvent(3, ts("2024-01-02 09:00:00"), 1, "purchase", 5.5, "{}"))
       q.processAllAvailable()
       assert(spark.read.parquet(raw).count() == 3)
-      val rev2 = spark.read.parquet(rep)
-        .as[(java.sql.Date, Double)].collect().toMap
-      assert(rev2 == Map(
+      assert(reportingMap(rep) == Map(
         java.sql.Date.valueOf("2024-01-01") -> 10.0,
         java.sql.Date.valueOf("2024-01-02") -> 5.5))
     } finally q.stop()
+  }
+
+  test("incremental refresh input does not grow as RAW history accumulates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PropEvent]
+    val raw = Files.createTempDirectory("graft-raw2").toString
+    val rep = Files.createTempDirectory("graft-rep2").toString
+    val ck = Files.createTempDirectory("graft-whck2").toString
+    // tracks records actually read from files between marks; incremental
+    // refresh should read only the micro-batch's day partitions, so the
+    // per-batch read stays flat while RAW grows batch over batch
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val q = Sinks.streamToWarehouse(mem.toDF(), raw, rep, ck,
+      EventQueries.dailyRevenue)
+    try {
+      val perBatch = (1 to 4).map { day =>
+        mem.addData(
+          PropEvent(day * 10L, ts(f"2024-01-$day%02d 10:00:00"), 1, "purchase", 1.0, "{}"),
+          PropEvent(day * 10L + 1, ts(f"2024-01-$day%02d 11:00:00"), 2, "purchase", 2.0, "{}"),
+          PropEvent(day * 10L + 2, ts(f"2024-01-$day%02d 12:00:00"), 3, "view", 9.0, "{}"))
+        read.set(0L)
+        q.processAllAvailable()
+        org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
+        read.get()
+      }
+      // 12 RAW rows on disk by batch 4, but batch 4 still reads only its
+      // own day (3 rows + stream/day-list re-reads) — a full-history
+      // refresh would make the series grow by ≥3 rows per batch
+      assert(spark.read.parquet(raw).count() == 12)
+      assert(perBatch.last < perBatch.head + 3,
+        s"per-batch input grew with history: $perBatch")
+      assert(reportingMap(rep).values.sum == 4 * 3.0)
+    } finally {
+      q.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("upsertParquet replaces matching keys and appends new ones") {
