@@ -26,24 +26,31 @@ object Bench {
       spark.range(2000000L).selectExpr("sum(id * 2)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // materialize the FULL physical plan (projections, sorts, limits):
-      // a plain count() would let Catalyst prune the very work being timed.
-      // Two runs, min taken: steady-state per-query time (first touch of an
-      // operator family pays JIT/codegen warmup in the shared JVM).
-      // A failed run is reported as -1, never as a near-zero success.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-          -1.0
-        }
+    // materialize the FULL physical plan (projections, sorts, limits):
+    // a plain count() would let Catalyst prune the very work being timed.
+    // A failed run is reported as -1, never as a near-zero success.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+        -1.0
       }
-      val a = once()
-      val t = if (a < 0) -1.0 else { val b = once(); if (b < 0) -1.0 else math.min(a, b) }
-      name -> t
     }
+    // Two INTERLEAVED passes over the whole suite, per-query min: pass 1
+    // absorbs JIT/codegen warmup (first touch of each operator family in
+    // the shared JVM), pass 2 is steady state. Interleaving — rather than
+    // back-to-back runs of the same query — separates a query's two
+    // samples by the full suite duration, so a transient host-contention
+    // window (the r02/r04 pattern: one query's min inflated 5-20× with an
+    // unchanged calibration probe) cannot poison both samples of one query.
+    val names = SparkEntry.queries.keys.toSeq
+    val pass1 = names.map(n => n -> once(n, SparkEntry.queries(n))).toMap
+    val results = names.map { n =>
+      val a = pass1(n)
+      val t = if (a < 0) -1.0 else { val b = once(n, SparkEntry.queries(n)); if (b < 0) -1.0 else math.min(a, b) }
+      n -> t
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)

@@ -249,6 +249,35 @@ object SparkEntry {
         | AND p.ts >= v.ts
         | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the reset-on-purchase state machine, unrolled as a recursive CTE:
+    // each segment is (first view after cursor) → (first click after it) →
+    // (first purchase after it); the cursor jumps to the converting
+    // purchase. Non-converting purchases / repeat views / early clicks
+    // never advance the machine, so scoping each LATERAL probe to the next
+    // matching event reproduces FunnelState.update exactly.
+    "q_funnel_conversions" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |conv(user_id, cur, view_ts, purch_ts, purch_value) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
+        |         CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  UNION ALL
+        |  SELECT c.user_id, p.rn, v.ts, p.ts, p.value
+        |  FROM conv c
+        |  CROSS JOIN LATERAL (SELECT e.rn, e.ts FROM ev e WHERE e.user_id = c.user_id
+        |    AND e.event_type = 'view' AND e.rn > c.cur ORDER BY e.rn LIMIT 1) v
+        |  CROSS JOIN LATERAL (SELECT e.rn FROM ev e WHERE e.user_id = c.user_id
+        |    AND e.event_type = 'click' AND e.rn > v.rn ORDER BY e.rn LIMIT 1) k
+        |  CROSS JOIN LATERAL (SELECT e.rn, e.ts, e.value FROM ev e WHERE e.user_id = c.user_id
+        |    AND e.event_type = 'purchase' AND e.rn > k.rn ORDER BY e.rn LIMIT 1) p)
+        |SELECT user_id, view_ts AS viewAt, purch_ts AS purchaseAt,
+        |  (epoch_us(purch_ts) - epoch_us(view_ts)) // 1000000 AS secondsToConvert,
+        |  purch_value AS purchaseValue
+        |FROM conv WHERE purch_ts IS NOT NULL
+        |ORDER BY user_id, purchaseAt, viewAt, purchaseValue""".stripMargin,
     "q_asof_last_purchase" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (

@@ -34,14 +34,19 @@ final class TopKBuffer(val k: Int) {
   var n = 0
 
   // is (s1, i1) a WORSE pair than (s2, i2) under (score desc, id asc)?
-  // java.lang.Double.compare is a total order (NaN > +Inf, matching Spark's
-  // sort semantics) — strict IEEE comparisons would strand a NaN that lands
-  // in an under-full heap, since NaN compares false both ways and could
-  // never be evicted.
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
-    c < 0 || (c == 0 && i1 > i2)
-  }
+  // IEEE == first: ±0.0 compare equal (Spark's nanSafeCompareDoubles and
+  // DuckDB agree) and resolve via the id tiebreak — Double.compare alone
+  // would order -0.0 < 0.0 and diverge from a window-function oracle at a
+  // k-boundary tie. NaN fails ==, falling through to Double.compare, whose
+  // total order (NaN > +Inf, matching Spark's sort semantics) also evicts a
+  // NaN stranded in an under-full heap; compare(NaN, NaN) == 0 still ends
+  // at the id tiebreak.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    if (s1 == s2) i1 > i2
+    else {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
   def push(s: Double, id: Long): Unit =
     if (n < k) {

@@ -113,10 +113,14 @@ object Sinks {
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (incremental) {
-      // schema-only dry run: reporting() over an empty day-stamped frame
+      // schema-only dry run over an empty frame with EXACTLY the runtime
+      // shape: both foreachBatch branches call reporting() on frames whose
+      // event_date column has been dropped (the RAW read-back minus the
+      // partition column ≡ events.schema), so the probe must not add one —
+      // a reporting fn leaning on a pre-stamped event_date would otherwise
+      // pass here and then throw mid-stream.
       val probe = events.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), events.schema)
-        .withColumn("event_date", to_date(col("ts")))
       require(reporting(probe).columns.contains("event_date"),
         "incremental streamToWarehouse requires the reporting aggregate to " +
           "key its output by an 'event_date' column (group by " +

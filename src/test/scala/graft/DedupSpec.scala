@@ -38,6 +38,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._2 == 2L && p._3 > 0.5))
   }
 
+  test("ngramJaccardTopPairs self-join reuses one shingle exchange") {
+    // lock in the plan shape: the self-join's two identical exchanges on
+    // `h` must collapse into ONE shuffle (ReusedExchange) — a refactor
+    // that breaks reuse doubles the shingle shuffle at scale. AQE defers
+    // reuse to stage materialization, so assert on the static plan where
+    // ReuseExchangeAndSubquery applies at planning time.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.ngramJaccardTopPairs(
+        graft.ingest.Sources.table(spark, sf("sf0.001"), "documents"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"no ReusedExchange in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("minhashNearDups finds planted near-dups with exact jaccard attached") {
     val got = Dedup.minhashNearDups(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect()

@@ -74,6 +74,30 @@ class EventQueriesSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("priceQuantilesSketch stays within the rank-error bound of exact") {
+    val ev = graft.ingest.Sources.events(spark, sf("sf0.01"))
+    val sketch = EventQueries.priceQuantilesSketch(ev)
+      .as[(String, Double, Double, Double)].collect()
+    val byType = ev.select("event_type", "value").as[(String, Double)]
+      .collect().groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (t, p50, p90, p99) =>
+      val vs = byType(t)
+      val n = vs.length
+      // scaladoc contract: rank error ≤ n/accuracy (accuracy = 10000);
+      // +1 rank covers the exact path's interpolation between brackets,
+      // 1e-4 covers the shared 4dp rounding of both variants
+      val slack = n / 10000 + 1
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (p, got) =>
+        val target = p * (n - 1)
+        val lo = vs(math.max(0, math.floor(target).toInt - slack))
+        val hi = vs(math.min(n - 1, math.ceil(target).toInt + slack))
+        assert(got >= lo - 1e-4 && got <= hi + 1e-4,
+          s"$t p$p: $got outside rank-bound [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val plan = EventQueries.dailyRevenue(
       ingest.Sources.events(spark, sf("sf0.001")))

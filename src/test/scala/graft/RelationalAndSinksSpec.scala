@@ -34,6 +34,33 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
   }
 
+  test("topOrders applies the segment broadcast join upstream of the fact shuffle") {
+    // lock in the round-2 join-reorder win (4.5s → 0.9s): the segment
+    // filter must prune orders BEFORE the only real shuffle
+    // (orders ⋈ lineitem); filtering after it would shuffle the whole
+    // fact table for rows that are then discarded. Hint-only broadcasts
+    // (threshold -1) so the fact join keeps its at-scale shuffle shape
+    // even on sf0.001 inputs.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = RelationalQueries.topOrders(
+        Sources.table(spark, sf("sf0.001"), "lineitem"),
+        Sources.table(spark, sf("sf0.001"), "orders"),
+        Sources.table(spark, sf("sf0.001"), "customer"))
+        .queryExecution.executedPlan.toString
+      val shuffleJoin = Seq("SortMergeJoin", "ShuffledHashJoin")
+        .map(plan.indexOf).filter(_ >= 0).minOption
+      val bcastJoin = plan.indexOf("BroadcastHashJoin")
+      assert(shuffleJoin.isDefined, s"no shuffle join in:\n$plan")
+      assert(bcastJoin >= 0, s"no broadcast segment join in:\n$plan")
+      // tree prints top-down: the broadcast join line must sit BELOW the
+      // shuffle join line, i.e. inside one of its inputs
+      assert(shuffleJoin.get < bcastJoin,
+        s"segment broadcast join is downstream of the fact shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kafka envelope round-trips through from_json") {
     val events = Sources.events(spark, sf("sf0.001"))
     val env = Sinks.jsonEnvelope(events)

@@ -89,6 +89,32 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("incremental probe rejects reporting fns at call time, probe shape matches runtime") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PropEvent]
+    def dirs() = (Files.createTempDirectory("graft-p").toString,
+      Files.createTempDirectory("graft-p").toString,
+      Files.createTempDirectory("graft-p").toString)
+    // a reporting fn that leans on a pre-stamped event_date input column
+    // must fail when streamToWarehouse is CALLED (probe), not mid-stream
+    // inside foreachBatch: the runtime input has event_date dropped
+    val (r1, p1, c1) = dirs()
+    intercept[Exception] {
+      Sinks.streamToWarehouse(mem.toDF(), r1, p1, c1,
+        ev => ev.groupBy(col("event_date"))
+          .agg(sum("value").as("total_revenue")))
+    }
+    // a fn with no event_date output at all fails the require with the
+    // clear message
+    val (r2, p2, c2) = dirs()
+    val e = intercept[IllegalArgumentException] {
+      Sinks.streamToWarehouse(mem.toDF(), r2, p2, c2,
+        ev => ev.groupBy(col("event_type"))
+          .agg(sum("value").as("total_revenue")))
+    }
+    assert(e.getMessage.contains("event_date"))
+  }
+
   test("upsertParquet replaces matching keys and appends new ones") {
     val path = Files.createTempDirectory("graft-upsert").toString + "/t"
     Sinks.upsertParquet(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, Seq("k"))
