@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextOps}
 import graft.ingest.Sources
 import graft.ops.{EventQueries, RelationalQueries, WindowedQueries}
 import graft.sink.Sinks
@@ -77,6 +77,11 @@ object SparkEntry {
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
     "q_doc_quality" -> docs(TextOps.qualityScores),
+    "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
+    // benchmark split by id residue: docs with doc_id % 25 == 0 play the
+    // eval set, the rest the training corpus
+    "q_contamination" -> docs(d => Decontaminate.contaminationReport(
+      d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
@@ -136,6 +141,20 @@ object SparkEntry {
   // DECIMAL(18,6); double rounding via floor(x*s+0.5)/s — both bit-equal
   // across engines.
   private val MoneySumValue = Exprs.moneySumSql("value")
+  // shared by q_doc_quality and q_quality_filter (no ORDER BY: callers add
+  // their own)
+  private val DocQualitySelect =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  floor((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 100 + 0.5) / 100 AS avg_word_len,
+      |  floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
+      |  floor((CAST(len(list_filter(string_split(text, ' '),
+      |           w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
+      |FROM documents""".stripMargin
   private val Rev = "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
@@ -400,17 +419,36 @@ object SparkEntry {
         |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_doc_quality" ->
-      """SELECT doc_id, n_chars,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  floor((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |         / len(string_split(text, ' '))) * 100 + 0.5) / 100 AS avg_word_len,
-        |  floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
-        |  floor((CAST(len(list_filter(string_split(text, ' '),
-        |           w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS DOUBLE)
-        |         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio,
-        |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"$DocQualitySelect ORDER BY doc_id",
+    // same rounded scores as q_doc_quality, compared against the
+    // qualityFilter thresholds (15 tokens / 0.3 diversity / 0.02 stopword)
+    "q_quality_filter" ->
+      s"""WITH q AS ($DocQualitySelect)
+         |SELECT doc_id,
+         |  n_tokens < 15 AS too_short,
+         |  lexical_diversity < 0.3 AS low_diversity,
+         |  stopword_ratio < 0.02 AS low_stopword,
+         |  NOT (n_tokens < 15 OR lexical_diversity < 0.3
+         |       OR stopword_ratio < 0.02) AS kept
+         |FROM q ORDER BY doc_id""".stripMargin,
+    // string shingles mirror Spark's hashed shingles (collision-free at
+    // these set sizes, same argument as q_ngram_jaccard); bench = docs with
+    // doc_id % 25 == 0, corpus = the rest, contamination = set containment
+    // of the doc's distinct trigrams in the benchmark trigram union
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3))),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  count(b.shingle) AS n_hits,
+        |  floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+        |    / 1000000 AS contamination
+        |FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
+        |LEFT JOIN bench b USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (SELECT lang,
         |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS en,

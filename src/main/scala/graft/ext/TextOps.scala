@@ -59,6 +59,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // per-row rule expressions (too_short, low_diversity, low_stopword),
+  // shared by the report and the filter. Thresholds compare the 4dp-rounded
+  // scores — the exact values the oracle computes — so the booleans are
+  // engine-identical.
+  private def qualityFlags(minTokens: Int, minDiversity: Double,
+      minStopword: Double): Seq[Column] = {
+    val toks = tokens(col("text"))
+    Seq(
+      size(toks).cast(LongType) < minTokens,
+      round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        < minDiversity,
+      round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
+        size(toks), 4) < minStopword)
+  }
+
+  /** Rule-based quality gate (the Gopher-style cheap-filter pass a
+    * pretraining pipeline applies before dedup): one boolean per rule plus
+    * the combined keep decision, so downstream can both filter and report
+    * per-rule drop rates. Single per-row pass over the corpus; no second
+    * scan per rule, no aggregation. */
+  def qualityFilter(documents: DataFrame, minTokens: Int = 15,
+      minDiversity: Double = 0.3, minStopword: Double = 0.02): DataFrame = {
+    val Seq(short, lowDiv, lowStop) =
+      qualityFlags(minTokens, minDiversity, minStopword)
+    documents
+      .select(col("doc_id"), short.as("too_short"),
+        lowDiv.as("low_diversity"), lowStop.as("low_stopword"))
+      .withColumn("kept",
+        !col("too_short") && !col("low_diversity") && !col("low_stopword"))
+      .orderBy("doc_id")
+  }
+
+  /** The surviving corpus: documents passing every [[qualityFilter]] rule.
+    * The rules are per-row, so this is a pure map-side filter — no join, no
+    * shuffle, pushes down with the scan like any predicate. */
+  def keepClean(documents: DataFrame, minTokens: Int = 15,
+      minDiversity: Double = 0.3, minStopword: Double = 0.02): DataFrame =
+    documents.filter(!qualityFlags(minTokens, minDiversity, minStopword)
+      .reduce(_ || _))
+
   // Minimal stopword marker sets per language (public common-word lists).
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "you")
   val StopDe = Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "eine", "zu")

@@ -202,6 +202,19 @@ object Sinks {
     if (Files.exists(backup)) deleteRecursively(backup)
   }
 
+  /** Range-partitioned, internally sorted layout: `repartitionByRange` +
+    * `sortWithinPartitions` writes files with DISJOINT key ranges, each
+    * internally ordered — so parquet footer min/max stats let a range scan
+    * skip whole files and row groups (the poor-man's clustering a 100 TB
+    * time-series or id-ordered corpus wants; the same idea as Z-order for
+    * one key). Sampling picks balanced boundaries, so file sizes track data
+    * volume even under key skew. */
+  def writeRangeLayout(df: DataFrame, path: String, partitions: Int,
+      cols: String*): Unit =
+    df.repartitionByRange(partitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning
     * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once

@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("decontaminate drops corpus docs overlapping the benchmark set") {
+    import graft.ext.Decontaminate
+    // bench doc = the base text; corpus holds an exact copy (0), a near
+    // copy (2), an unrelated doc (3) and one too short to shingle (4)
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val report = Decontaminate.contaminationReport(corpus, bench)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(report(0L) == 1.0)            // exact copy fully contained
+    assert(report(2L) > 0.5 && report(2L) < 1.0) // near copy mostly contained
+    assert(report(3L) == 0.0)            // unrelated
+    assert(!report.contains(4L))         // too short to shingle
+    val kept = Decontaminate.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept $kept") // short doc kept (no evidence)
+  }
+
   test("minhashNearDups finds planted near-dups with exact jaccard attached") {
     val got = Dedup.minhashNearDups(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect()

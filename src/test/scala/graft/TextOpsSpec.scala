@@ -58,6 +58,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_sentence_marks") == 2L)
   }
 
+  test("qualityFilter flags rules independently; keepClean keeps the survivors") {
+    val long = (1 to 30).map(i => s"the w$i").mkString(" ") // diverse + stopwords
+    val df = Seq(
+      (0L, long),                                   // passes all rules
+      (1L, "tiny doc"),                             // too_short
+      (2L, (1 to 30).map(_ => "the").mkString(" ")), // low_diversity
+      (3L, (1 to 30).map(i => s"w$i").mkString(" "))) // low_stopword
+      .toDF("doc_id", "text")
+    val flags = TextOps.qualityFilter(df)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(flags(0L) == ((false, false, false, true)))
+    assert(flags(1L)._1 && !flags(1L)._4)  // too_short, dropped
+    assert(flags(2L)._2 && !flags(2L)._4)  // low_diversity, dropped
+    assert(flags(3L)._3 && !flags(3L)._4)  // low_stopword, dropped
+    val kept = TextOps.keepClean(df).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L))
+    // keepClean is a pure filter: no join/exchange anywhere in the plan
+    val plan = TextOps.keepClean(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"keepClean should be a map-side filter:\n$plan")
+  }
+
   test("approxSubwordCount adds letter-digit transitions") {
     val df = Seq((0L, "abc1 def plain")).toDF("doc_id", "text")
     val n = df.select(TextOps.approxSubwordCount(col("text")))

@@ -127,6 +127,25 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("writeRangeLayout produces disjoint, internally sorted file ranges") {
+    val path = Files.createTempDirectory("graft-range").toString + "/t"
+    val ev = Sources.events(spark, sf("sf0.001"))
+    Sinks.writeRangeLayout(ev, path, 4, "event_id")
+    // per-file min/max must not overlap — that disjointness is what lets
+    // parquet footer stats skip whole files on a range predicate
+    val spans = spark.read.parquet(path)
+      .select(col("event_id"),
+        input_file_name().as("f"))
+      .groupBy("f").agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlapping file ranges: $a vs $b")
+    }
+    assert(spans.map(s => s._3 - s._2 + 1).sum >= ev.count()) // full coverage
+  }
+
   test("approximate DAU stays within the configured error of exact") {
     val ev = Sources.events(spark, sf("sf0.01"))
     val approx = EventQueries.dailyActiveUsersApprox(ev)
