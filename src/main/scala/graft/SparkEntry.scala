@@ -86,6 +86,9 @@ object SparkEntry {
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
+    "q_domain_mix" -> docs(TextOps.domainMixSample(_,
+      Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
+    "q_sequence_packing" -> docs(TextOps.packSequences(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
@@ -482,6 +485,30 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
+    // 0.75→'c000', 0.5→'8000', default 0.25→'4000'
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c000'
+        |              WHEN 'src2' THEN '8000' ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin,
+    // per-shard (doc_id % 32) prefix sums over id-ordered token counts,
+    // cut into 512-token context windows
+    "q_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  start_tok // 512 AS start_bin, start_tok % 512 AS start_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf

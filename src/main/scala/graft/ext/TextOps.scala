@@ -192,6 +192,50 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  /** Deterministic domain-mixture sampling: keep each document with a
+    * per-source probability by comparing an md5-derived uniform quantile of
+    * its id against the source's rate quantized to 16^4 buckets — the
+    * data-mixing step that turns raw corpus proportions into target
+    * training proportions. Hash-based (like [[splitExpr]]): reproducible
+    * under re-partitioning, incremental re-runs and engines, and a pure
+    * per-row filter — no shuffle, pushes down with the scan. */
+  def domainMixSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    // rate → 4-hex-digit threshold; 'g' sorts above every hex digit, so
+    // rate >= 1 keeps everything
+    def thr(rate: Double): String =
+      if (rate >= 1.0) "g"
+      else f"${math.max(0, (rate * 65536).toInt)}%04x"
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (acc, (src, r)) => when(col("source") === src, lit(thr(r))).otherwise(acc)
+    }
+    documents
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < threshold)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** GPT-style sequence packing: concatenate documents in id order and cut
+    * the token stream into fixed `contextTokens` windows, reporting where
+    * each document lands (start bin + offset). Packing is PER SHARD
+    * (`doc_id % shards`) — each shard's prefix sum is an independent
+    * window, so parallelism is `shards`-wide instead of the one-task global
+    * running sum; that per-shard independence is exactly how trainer data
+    * shards pack in practice. */
+  def packSequences(documents: DataFrame, contextTokens: Int = 512,
+      shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / contextTokens).cast(LongType).as("start_bin"),
+        pmod(col("start_tok"), lit(contextTokens.toLong)).as("start_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
     * vocabulary — the cheapest useful near-dup fingerprint that stays

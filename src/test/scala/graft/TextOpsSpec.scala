@@ -81,6 +81,37 @@ class TextOpsSpec extends SparkSpec {
       s"keepClean should be a map-side filter:\n$plan")
   }
 
+  test("domainMixSample keeps per-source fractions near the target rates") {
+    val docs = graft.ingest.Sources.table(spark, sf("sf0.01"), "documents")
+    val kept = TextOps.domainMixSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), defaultRate = 0.25)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("src0") == 25L)          // rate 1.0 keeps everything
+    assert(!kept.contains("src2"))       // rate 0.0 keeps nothing
+    assert(kept("src1") > 5 && kept("src1") < 20) // ~12.5 of 25 at 0.5
+    // deterministic: identical on re-run
+    val again = TextOps.domainMixSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), defaultRate = 0.25)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("packSequences tiles each shard's token stream without gaps") {
+    val docs = graft.ingest.Sources.table(spark, sf("sf0.001"), "documents")
+    val rows = TextOps.packSequences(docs, contextTokens = 100, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      // within a shard, each doc starts exactly where the previous ended
+      var expected = 0L
+      shardRows.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin * 100 + off == expected, s"doc $id starts at gap")
+        expected += n
+      }
+    }
+  }
+
   test("approxSubwordCount adds letter-digit transitions") {
     val df = Seq((0L, "abc1 def plain")).toDF("doc_id", "text")
     val n = df.select(TextOps.approxSubwordCount(col("text")))
