@@ -26,6 +26,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful stream on the RocksDB state store matches batch results") {
+    // Tuning.rocksDbStateStore is the 100 TB state configuration; prove the
+    // provider actually loads and produces identical results on a stateful
+    // (dedup + agg) query — the conf is read at query start, so setting it
+    // on the shared session scoped to this test is enough
+    Tuning.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = sf("sf0.001")
+      val streamed = StreamingQueries.countDailyActiveUsers(
+        StreamingQueries.runStream(spark, dir, "t_rocks", "append")(
+          StreamingQueries.dedupDailyUsers))
+        .as[(java.sql.Date, String, Long)].collect().toSeq
+      val batch = EventQueries.dailyActiveUsers(
+        ingest.Sources.events(spark, dir))
+        .as[(java.sql.Date, String, Long)].collect().toSeq
+      assert(streamed == batch)
+    } finally Tuning.rocksDbStateStore.keys.foreach(spark.conf.unset)
+  }
+
+  test("shufflePartitions follows data volume with a cluster-width floor") {
+    assert(Tuning.shufflePartitions(0L) == 64)
+    // 100 TB / 256 MB = 409600 partitions
+    assert(Tuning.shufflePartitions(100L << 40) == 409600)
+    // floor dominates when data is small relative to the cluster
+    assert(Tuning.scaleConf(1L << 30, totalCores = 4000)(
+      "spark.sql.shuffle.partitions") == "8000")
+  }
+
   test("windowed revenue with watermark finalizes closed windows and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
