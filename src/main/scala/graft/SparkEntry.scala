@@ -73,6 +73,7 @@ object SparkEntry {
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
+    "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
     "q_minhash_neardups" -> docs(Dedup.minhashNearDups(_)),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
+    "q_pii_scrub" -> docs(TextOps.scrubPii),
     "q_sequence_packing" -> docs(TextOps.packSequences(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
@@ -416,6 +418,39 @@ object SparkEntry {
         |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
         |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    // connected components over the jaccard >= 0.5 pair graph (same
+    // DF-capped pairs as q_ngram_jaccard, same 6dp rounding before the
+    // threshold so both engines draw the identical edge set); min reachable
+    // doc_id labels the cluster, reach cardinality is the component size
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3))),
+        |kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
+        |    USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc1, doc2
+        |  FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
+        |  WHERE floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
+        |          * 1000000 + 0.5) / 1000000 >= 0.5),
+        |e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |      UNION SELECT doc2, doc1 FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
+        |SELECT src AS doc_id, min(node) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -485,6 +520,19 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // generated from the SAME TextOps.PiiPatterns constants the Spark side
+    // compiles, so the two engines can't drift
+    "q_pii_scrub" -> {
+      val scrub = TextOps.PiiPatterns.foldLeft("text") {
+        case (acc, (tag, p)) => s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+      }
+      val counts = TextOps.PiiPatterns
+        .map { case (_, p) => s"len(regexp_extract_all(text, '$p'))" }
+        .mkString(" + ")
+      s"""SELECT doc_id, $scrub AS clean_text,
+         |  CAST($counts AS BIGINT) AS n_pii
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
     // 0.75→'c000', 0.5→'8000', default 0.25→'4000'
     "q_domain_mix" ->

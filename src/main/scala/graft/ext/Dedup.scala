@@ -66,6 +66,14 @@ object Dedup {
     * shape that survives a corpus too big for executor storage (and leaks
     * nothing into long-lived sessions). */
   def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20,
+      maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccardPairs(documents, maxShingleDf)
+      .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
+      .limit(k)
+
+  /** All DF-capped candidate pairs with their exact Jaccard (shared by
+    * [[ngramJaccardTopPairs]] and [[dupClusters]]); `doc1 < doc2`. */
+  def ngramJaccardPairs(documents: DataFrame,
       maxShingleDf: Int = 1000): DataFrame = {
     val sh = hashedShingles(documents)
     val kept = sh.join(
@@ -85,8 +93,55 @@ object Dedup {
       .select(col("doc1"), col("doc2"),
         round2(col("common").cast("double") /
           (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
-      .limit(k)
+  }
+
+  /** Transitive near-dup clusters: connected components over the
+    * jaccard-thresholded pair graph, labeling every clustered doc with the
+    * min doc_id reachable from it (the canonical keeper) plus the
+    * component size. Pairwise dedup misses chains (A≈B≈C with A̸≈C); this
+    * is the step that turns pair lists into drop groups.
+    *
+    * Algorithm: min-label propagation — per round, every vertex takes the
+    * min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup components are shallow: dup
+    * chains, not paths across the corpus). Each round is one
+    * edges⋈labels shuffle + a min aggregate — the scalable Pregel shape —
+    * with `localCheckpoint` truncating the growing plan lineage per round.
+    * Deterministic: min-label is order- and partitioning-independent.
+    * Throws if `maxIters` rounds don't converge (pathological diameter)
+    * rather than returning a half-propagated labeling. */
+  def dupClusters(documents: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, maxShingleDf)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"))
+    val edges = pairs.union(pairs.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nb = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nb"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nb, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nb"), col("old"))).as("label"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    labels
+      .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+          .withColumnRenamed("label", "cl"),
+        col("label") === col("cl"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** MinHash signatures via the single mergeable [[MinHashSignature]]

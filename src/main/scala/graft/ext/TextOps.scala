@@ -192,6 +192,33 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  /** PII patterns shared by [[scrubPii]] and its DuckDB oracle (regular —
+    * no backtracking-dependent constructs — so Java regex and RE2 agree).
+    * Order matters: email first (its local part may contain digits a later
+    * pattern could nibble), then phone, then IPv4. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?\\d[\\d -]{7,}\\d",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** PII scrubbing (training-data compliance pass): replace
+    * emails/phones/IPv4s with `<tag>` placeholders and count the
+    * redactions (counts run per pattern against the ORIGINAL text, so
+    * overlapping matches are each counted). Pure per-row projection — no
+    * shuffle, trivially parallel over splits. */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (tag, p)) => regexp_replace(c, lit(p), lit(s"<$tag>"))
+    }
+    val nPii = PiiPatterns.map { case (_, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0)))
+    }.reduce(_ + _)
+    documents
+      .select(col("doc_id"), scrubbed.as("clean_text"),
+        nPii.cast(LongType).as("n_pii"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic domain-mixture sampling: keep each document with a
     * per-source probability by comparing an md5-derived uniform quantile of
     * its id against the source's rate quantized to 16^4 buckets — the

@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dupClusters groups transitive near-dup chains under the min id") {
+    // chain: 10≈11 and 11≈12 but 10 and 12 differ in two words — pairwise
+    // dedup sees two pairs, clustering must merge all three; 20/21 form an
+    // independent exact-dup pair; 30 is unrelated
+    val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
+    val b = a.split(" ").updated(3, "XX").mkString(" ")
+    val c = b.split(" ").updated(30, "YY").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val df = Seq((10L, a), (11L, b), (12L, c), (20L, other), (21L, other),
+      (30L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupClusters(df)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((10L, 3L)) && got(11L) == ((10L, 3L))
+      && got(12L) == ((10L, 3L)))
+    assert(got(20L) == ((20L, 2L)) && got(21L) == ((20L, 2L)))
+    assert(!got.contains(30L)) // unclustered docs don't appear
+  }
+
   test("decontaminate drops corpus docs overlapping the benchmark set") {
     import graft.ext.Decontaminate
     // bench doc = the base text; corpus holds an exact copy (0), a near

@@ -81,6 +81,21 @@ class TextOpsSpec extends SparkSpec {
       s"keepClean should be a map-side filter:\n$plan")
   }
 
+  test("scrubPii redacts planted emails, phones and IPs with counts") {
+    val df = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or call +1 555 123 4567 now"),
+      (1L, "server at 192.168.1.10 responded"),
+      (2L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._1 == "contact <email> or call <phone> now")
+    assert(got(0L)._2 == 2L)
+    assert(got(1L)._1 == "server at <ipv4> responded")
+    assert(got(1L)._2 == 1L)
+    assert(got(2L) == (("nothing sensitive here", 0L)))
+  }
+
   test("domainMixSample keeps per-source fractions near the target rates") {
     val docs = graft.ingest.Sources.table(spark, sf("sf0.01"), "documents")
     val kept = TextOps.domainMixSample(docs,
