@@ -44,11 +44,12 @@ object Bench {
     // samples by the full suite duration, so a transient host-contention
     // window (the r02/r04 pattern: one query's min inflated 5-20× with an
     // unchanged calibration probe) cannot poison both samples of one query.
-    val names = SparkEntry.queries.keys.toSeq
-    val pass1 = names.map(n => n -> once(n, SparkEntry.queries(n))).toMap
+    val queries = SparkEntry.queries // queries is a def: bind the Map once
+    val names = queries.keys.toSeq
+    val pass1 = names.map(n => n -> once(n, queries(n))).toMap
     val results = names.map { n =>
       val a = pass1(n)
-      val t = if (a < 0) -1.0 else { val b = once(n, SparkEntry.queries(n)); if (b < 0) -1.0 else math.min(a, b) }
+      val t = if (a < 0) -1.0 else { val b = once(n, queries(n)); if (b < 0) -1.0 else math.min(a, b) }
       n -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

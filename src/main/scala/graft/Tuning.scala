@@ -22,8 +22,12 @@ object Tuning {
     * least `floor` (use 2× total cores: every stage fills the cluster with
     * two waves even when AQE coalesces). */
   def shufflePartitions(inputBytes: Long,
-      targetPartitionBytes: Long = 256L << 20, floor: Int = 64): Int =
-    math.max(floor, (inputBytes / math.max(1L, targetPartitionBytes)).toInt)
+      targetPartitionBytes: Long = 256L << 20, floor: Int = 64): Int = {
+    // Long math + clamp: a petabyte-scale input must not Int-overflow into
+    // a tiny partition count (the silent worst case for a sizing helper)
+    val byVolume = inputBytes / math.max(1L, targetPartitionBytes)
+    math.max(floor.toLong, math.min(byVolume, Int.MaxValue.toLong)).toInt
+  }
 
   /** Batch-side scale configs for a cluster with `totalCores` cores
     * processing `inputBytes` per query stage. */

@@ -127,7 +127,7 @@ object Dedup {
       val next = labels.withColumnRenamed("label", "old")
         .join(nb, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("old"), coalesce(col("nb"), col("old"))).as("label"),
+          least(col("old"), col("nb")).as("label"), // least() skips nulls
           col("old"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()

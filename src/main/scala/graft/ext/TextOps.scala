@@ -50,28 +50,32 @@ object TextOps {
         size(toks).cast(LongType).as("n_tokens"),
         round2((col("n_chars") - (size(toks) - lit(1))).cast("double") /
           size(toks), 2).as("avg_word_len"),
-        round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
-          .as("lexical_diversity"),
-        round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
-          size(toks), 4).as("stopword_ratio"),
+        diversityExpr(toks).as("lexical_diversity"),
+        stopwordExpr(toks).as("stopword_ratio"),
         size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
           .cast(LongType).as("n_sentence_marks"))
       .orderBy("doc_id")
   }
 
+  // single Spark-side definition of the two ratio scores, shared by
+  // qualityScores and qualityFlags (the oracle's DocQualitySelect is the
+  // DuckDB twin); 4dp rounding so threshold comparisons are
+  // engine-identical
+  private[ext] def diversityExpr(toks: Column): Column =
+    round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+  private[ext] def stopwordExpr(toks: Column): Column =
+    round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
+      size(toks), 4)
+
   // per-row rule expressions (too_short, low_diversity, low_stopword),
-  // shared by the report and the filter. Thresholds compare the 4dp-rounded
-  // scores — the exact values the oracle computes — so the booleans are
-  // engine-identical.
+  // shared by the report and the filter
   private def qualityFlags(minTokens: Int, minDiversity: Double,
       minStopword: Double): Seq[Column] = {
     val toks = tokens(col("text"))
     Seq(
       size(toks).cast(LongType) < minTokens,
-      round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
-        < minDiversity,
-      round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
-        size(toks), 4) < minStopword)
+      diversityExpr(toks) < minDiversity,
+      stopwordExpr(toks) < minStopword)
   }
 
   /** Rule-based quality gate (the Gopher-style cheap-filter pass a
@@ -193,13 +197,18 @@ object TextOps {
   }
 
   /** PII patterns shared by [[scrubPii]] and its DuckDB oracle (regular —
-    * no backtracking-dependent constructs — so Java regex and RE2 agree).
-    * Order matters: email first (its local part may contain digits a later
-    * pattern could nibble), then phone, then IPv4. */
+    * no backtracking-dependent constructs or lookaround — so Java regex and
+    * RE2 agree). ORDER IS LOAD-BEARING: email first (its local part may
+    * contain digits), then IPv4, then phone LAST — the greedy phone run
+    * ("digits with space/dash separators") would otherwise absorb the
+    * leading octets of an adjacent IP and leave a fragment like ".168.1.10"
+    * unredacted. Phone is deliberately aggressive (a dashed date like
+    * 2026-01-01 is redacted too): for compliance scrubbing, false positives
+    * on digit runs beat leaked numbers. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone" -> "\\+?\\d[\\d -]{7,}\\d",
-    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d -]{6,}\\d")
 
   /** PII scrubbing (training-data compliance pass): replace
     * emails/phones/IPv4s with `<tag>` placeholders and count the

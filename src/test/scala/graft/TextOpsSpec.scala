@@ -85,7 +85,10 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq(
       (0L, "contact bob.smith+x@example.co.uk or call +1 555 123 4567 now"),
       (1L, "server at 192.168.1.10 responded"),
-      (2L, "nothing sensitive here"))
+      (2L, "nothing sensitive here"),
+      // ipv4 must scrub BEFORE phone: a phone-first pass would absorb
+      // "5551234567 192" and leak the ".168.1.10" fragment
+      (3L, "call 5551234567 192.168.1.10"))
       .toDF("doc_id", "text")
     val got = TextOps.scrubPii(df).as[(Long, String, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -94,6 +97,8 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._1 == "server at <ipv4> responded")
     assert(got(1L)._2 == 1L)
     assert(got(2L) == (("nothing sensitive here", 0L)))
+    assert(got(3L)._1 == "call <phone> <ipv4>", got(3L)._1)
+    assert(got(3L)._2 == 2L)
   }
 
   test("domainMixSample keeps per-source fractions near the target rates") {

@@ -143,7 +143,7 @@ class WarehouseSpec extends SparkSpec {
     spans.sliding(2).foreach { case Array(a, b) =>
       assert(a._3 < b._2, s"overlapping file ranges: $a vs $b")
     }
-    assert(spans.map(s => s._3 - s._2 + 1).sum >= ev.count()) // full coverage
+    assert(spark.read.parquet(path).count() == ev.count()) // no rows lost
   }
 
   test("approximate DAU stays within the configured error of exact") {
