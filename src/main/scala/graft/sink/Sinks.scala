@@ -202,6 +202,43 @@ object Sinks {
     if (Files.exists(backup)) deleteRecursively(backup)
   }
 
+  /** Small-file compaction: rewrite a parquet path into files of
+    * ~`targetBytes` each (streaming appends and per-batch writes accumulate
+    * tiny files whose per-file open/footer cost eventually dominates scans
+    * — the standard operational chore at 100 TB). File count follows the
+    * CURRENT on-disk size; the rewrite reuses [[upsertParquet]]'s
+    * backup-then-swap so a crash never leaves the target as the sole
+    * deleted copy. At scale, run per partition directory. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val onDisk = {
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+          .map(Files.size).sum
+      } finally walk.close()
+    }
+    val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes).toInt
+    val tmp = Paths.get(path + ".compact-tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    def deleteRecursively(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    val backup = Paths.get(path + ".compact-old")
+    if (Files.exists(backup)) deleteRecursively(backup)
+    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(backup)
+  }
+
   /** Range-partitioned, internally sorted layout: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, each
     * internally ordered — so parquet footer min/max stats let a range scan

@@ -146,6 +146,22 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == ev.count()) // no rows lost
   }
 
+  test("compact merges small files preserving rows") {
+    val path = Files.createTempDirectory("graft-compact").toString + "/t"
+    val ev = Sources.events(spark, sf("sf0.001"))
+    ev.repartition(16).write.parquet(path) // 16 tiny files
+    def parquetFiles() = {
+      val d = new java.io.File(path)
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles() == 16)
+    Sinks.compact(spark, path, targetBytes = 1L << 30) // everything fits one
+    assert(parquetFiles() == 1, s"expected 1 file, got ${parquetFiles()}")
+    assert(spark.read.parquet(path).count() == ev.count())
+    assert(!new java.io.File(path + ".compact-old").exists())
+    assert(!new java.io.File(path + ".compact-tmp").exists())
+  }
+
   test("approximate DAU stays within the configured error of exact") {
     val ev = Sources.events(spark, sf("sf0.01"))
     val approx = EventQueries.dailyActiveUsersApprox(ev)
