@@ -90,6 +90,7 @@ object SparkEntry {
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     "q_pii_scrub" -> docs(TextOps.scrubPii),
+    "q_repetition" -> docs(TextOps.repetitionScores),
     "q_sequence_packing" -> docs(TextOps.packSequences(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
@@ -520,6 +521,21 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // repeats counted over ALL trigram positions (no DISTINCT in tri);
+    // double division + shared 6dp floor rounding
+    "q_repetition" ->
+      """WITH tri AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3))),
+        |c AS (SELECT doc_id, shingle, count(*) AS cnt FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+        |  floor((1.0 - CAST(count(*) AS DOUBLE) / sum(cnt)) * 1000000 + 0.5)
+        |    / 1000000 AS dup_ratio,
+        |  floor((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1000000 + 0.5)
+        |    / 1000000 AS top_ratio
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // generated from the SAME TextOps.PiiPatterns constants the Spark side
     // compiles, so the two engines can't drift
     "q_pii_scrub" -> {

@@ -111,11 +111,25 @@ object Dedup {
     * Throws if `maxIters` rounds don't converge (pathological diameter)
     * rather than returning a half-propagated labeling. */
   def dupClusters(documents: DataFrame, minJaccard: Double = 0.5,
-      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame = {
-    val pairs = ngramJaccardPairs(documents, maxShingleDf)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc1"), col("doc2"))
-    val edges = pairs.union(pairs.select(col("doc2"), col("doc1")))
+      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame =
+    connectedComponents(
+      ngramJaccardPairs(documents, maxShingleDf)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc1"), col("doc2")),
+      maxIters)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("component_size").as("cluster_size"))
+      .orderBy("doc_id")
+
+  /** Connected components over an undirected edge list (any 2-column long
+    * pair frame): labels every vertex with the min vertex id reachable from
+    * it plus the component size — the graph primitive under
+    * [[dupClusters]], usable for any entity-resolution grouping. Min-label
+    * propagation (see dupClusters scaladoc for the scale argument);
+    * isolated vertices don't appear (an edge list carries none). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.toDF("u", "v")
+    val edges = p.union(p.select(col("v"), col("u")))
       .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
@@ -134,14 +148,13 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
-    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds")
     labels
-      .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .join(labels.groupBy("label").agg(count(lit(1)).as("component_size"))
           .withColumnRenamed("label", "cl"),
         col("label") === col("cl"))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
-      .orderBy("doc_id")
+      .select(col("id"), col("label").as("component"), col("component_size"))
   }
 
   /** MinHash signatures via the single mergeable [[MinHashSignature]]

@@ -122,6 +122,36 @@ object GraftProperties extends Properties("graft") {
         0.005 * (out.length + 1)
     }
 
+  property("connected components agree with union-find ground truth") = {
+    val genEdges = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter(e => e._1 != e._2))
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val got = graft.ext.Dedup.connectedComponents(
+            edges.toDF("u", "v"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .groupBy(find)
+        val expected = members.values.flatMap { vs =>
+          vs.map(v => v -> ((vs.min, vs.size.toLong)))
+        }.toMap
+        got == expected
+      }
+    }
+  }
+
   property("retention cohorts are disjoint and cover first-half users") =
     forAll(genEvents) { rows =>
       val out = EventQueries.userRetention(toDf(rows))

@@ -81,6 +81,23 @@ class TextOpsSpec extends SparkSpec {
       s"keepClean should be a map-side filter:\n$plan")
   }
 
+  test("repetitionScores flags looping text, zero for all-distinct trigrams") {
+    val df = Seq(
+      (0L, "a b a b a b a b"),          // 6 trigrams, 2 distinct, top 3
+      (1L, "one two three four five"),  // all distinct
+      (2L, "x y"))                      // too short
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionScores(df)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((6L, 0.666667, 0.5)))
+    assert(got(1L) == ((3L, 0.0, round2Val(1.0 / 3))))
+    assert(!got.contains(2L))
+  }
+
+  private def round2Val(x: Double): Double =
+    math.floor(x * 1000000 + 0.5) / 1000000
+
   test("scrubPii redacts planted emails, phones and IPs with counts") {
     val df = Seq(
       (0L, "contact bob.smith+x@example.co.uk or call +1 555 123 4567 now"),
