@@ -66,6 +66,64 @@ case class ShingleHashes(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass shingle multiplicity stats: over the NON-distinct stream of
+  * `width`-token shingle hashes, returns
+  * `struct(n_shingles, n_distinct, top_cnt)` — total positions, distinct
+  * shingles, and the count of the most frequent one (the inputs of the
+  * repetition-filter ratios). Null for docs shorter than `width` (no
+  * signal). One tokenize pass + an open-addressed count map per row; the
+  * alternative (posexplode + lead windows + two aggregates) shuffles the
+  * whole TOKEN stream on doc_id — corpus-sized at 100 TB — where this
+  * evaluates map-side and shuffles nothing. */
+case class ShingleCounts(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, s"shingle width must be >= 1, got $width")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_shingles", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_counts"
+
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val n = tokens.length
+    if (n < width) return null
+    val tokenHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens(i)
+      tokenHash(i) =
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    val counts = new java.util.HashMap[java.lang.Long, Array[Int]](n * 2)
+    var distinct = 0L
+    var top = 0
+    i = 0
+    while (i <= n - width) {
+      var h = Seed
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokenHash(i + j), h); j += 1 }
+      var c = counts.get(h)
+      if (c == null) { c = new Array[Int](1); counts.put(h, c); distinct += 1L }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      (n - width + 1).toLong, distinct, top.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass stopword-argmax language guess: counts per-list stopword
   * occurrences in a single tokenize pass and returns the label of the
   * highest-scoring list (ties favor earlier lists), or `fallback` when no
@@ -127,6 +185,11 @@ object TextExpressions {
   /** Distinct hashed `width`-token shingles of a text column. */
   def shingleHashes(text: Column, width: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), width))
+
+  /** struct(n_shingles, n_distinct, top_cnt) over the non-distinct shingle
+    * stream; null for docs shorter than `width`. */
+  def shingleCounts(text: Column, width: Int = 3): Column =
+    ColumnBridge.column(ShingleCounts(ColumnBridge.expression(text), width))
 
   /** Stopword-argmax language label for a text column. */
   def langGuess(text: Column, lists: Seq[Seq[String]], labels: Seq[String],

@@ -200,34 +200,23 @@ object TextOps {
     * per doc, the fraction of word-trigram POSITIONS that are repeats of an
     * earlier trigram (`dup_ratio`) and the share of the single most
     * repeated trigram (`top_ratio`) — boilerplate and looping generations
-    * score high. Trigrams come from posexplode + two `lead` windows
-    * (codegen; the `transform(sequence(...))` lambda formulation is
-    * interpreted and re-splits the text per element — the O(tokens²) trap),
-    * then two hash aggregates; the only shuffle keys are (doc_id, shingle)
-    * then doc_id. Docs shorter than the trigram width drop out. */
-  def repetitionScores(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tri = documents
-      .filter(size(toks) >= 3)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(w))
-      .withColumn("w2", lead(col("w0"), 2).over(w))
-      .filter(col("w2").isNotNull)
+    * score high. One [[TextExpressions.ShingleCounts]] pass per row — no
+    * explode, no shuffle (the posexplode + lead-window formulation shuffles
+    * the whole TOKEN stream on doc_id, corpus-sized at 100 TB; the
+    * `transform(sequence(...))` lambda one is interpreted O(tokens²)).
+    * Docs shorter than the trigram width drop out (null stats). */
+  def repetitionScores(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
-        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("shingle"))
-    tri.groupBy("doc_id", "shingle").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_shingles"), count(lit(1)).as("n_distinct"),
-        max("cnt").as("top_cnt"))
-      .select(col("doc_id"), col("n_shingles"),
+        TextExpressions.shingleCounts(col("text")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n_shingles").as("n_shingles"),
         round2(lit(1.0) -
-          col("n_distinct").cast("double") / col("n_shingles"), 6)
+          col("s.n_distinct").cast("double") / col("s.n_shingles"), 6)
           .as("dup_ratio"),
-        round2(col("top_cnt").cast("double") / col("n_shingles"), 6)
+        round2(col("s.top_cnt").cast("double") / col("s.n_shingles"), 6)
           .as("top_ratio"))
       .orderBy("doc_id")
-  }
 
   /** PII patterns shared by [[scrubPii]] and its DuckDB oracle (regular —
     * no backtracking-dependent constructs or lookaround — so Java regex and

@@ -74,6 +74,16 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(30L)) // unclustered docs don't appear
   }
 
+  test("dupClusters on a corpus with no near-dups returns an empty frame") {
+    val distinctDocs = Seq(
+      (0L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupClusters(distinctDocs)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() == 0)
+  }
+
   test("decontaminate drops corpus docs overlapping the benchmark set") {
     import graft.ext.Decontaminate
     // bench doc = the base text; corpus holds an exact copy (0), a near

@@ -93,6 +93,10 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0L) == ((6L, 0.666667, 0.5)))
     assert(got(1L) == ((3L, 0.0, round2Val(1.0 / 3))))
     assert(!got.contains(2L))
+    // map-side one-pass: no explode, no window, no pre-sort shuffle
+    val plan = TextOps.repetitionScores(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      s"repetitionScores should be a per-row pass:\n$plan")
   }
 
   private def round2Val(x: Double): Double =
