@@ -42,6 +42,8 @@ object SparkEntry {
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
     "q_price_quantiles_sketch" -> ev(EventQueries.priceQuantilesSketch(_)),
+    "q_price_histogram" -> ev(EventQueries.priceHistogram(_)),
+    "q_new_users_daily" -> ev(EventQueries.newUsersDaily),
     "q_dau_pivot" -> ev(EventQueries.dauPivot),
     "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
     "q_revenue_gapfill" -> ev(WindowedQueries.revenueGapfill),
@@ -521,6 +523,28 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // bucket arithmetic is per-row IEEE on exact inputs — identical in both
+    // engines; max clamps to the last bucket, constant types to bucket 0
+    "q_price_histogram" ->
+      """WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+        |       ELSE LEAST(CAST(9 AS BIGINT),
+        |         CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 10)) AS BIGINT))
+        |  END AS bucket,
+        |  count(*) AS n_events
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_new_users_daily" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT event_date, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT event_date, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY event_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY event_date""".stripMargin,
     // repeats counted over ALL trigram positions (no DISTINCT in tri);
     // double division + shared 6dp floor rounding
     "q_repetition" ->

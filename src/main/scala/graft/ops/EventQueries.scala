@@ -144,6 +144,44 @@ object EventQueries {
         round2(percentile_approx(col("value"), lit(0.99), lit(accuracy)), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Equi-width price histogram per event type: `bins` buckets spanning
+    * [min, max] of each type. Stats come from one tiny groupBy (5 rows)
+    * broadcast back onto the stream — NOT a per-type window, which would
+    * sort each type through a single task. The bucket index is per-row
+    * IEEE arithmetic on exact inputs (no aggregation-order dependence), so
+    * it is engine-identical; value == max clamps into the last bucket, and
+    * a constant-valued type degenerates to bucket 0. */
+  def priceHistogram(events: DataFrame, bins: Int = 10): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    events.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col("value") - col("mn")) /
+              ((col("mx") - col("mn")) / bins))))
+          .as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Growth accounting: users by FIRST-seen day, with the cumulative
+    * registered-user count — the new-vs-returning split every analytics
+    * stack wants next to DAU. Two exact integer aggregates; the running
+    * total's unpartitioned window orders only the post-aggregate day rows
+    * (one per day), not the event stream. */
+  def newUsersDaily(events: DataFrame): DataFrame = {
+    val firstSeen = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min("d").as("event_date"))
+    firstSeen.groupBy("event_date")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy("event_date")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("event_date")
+  }
+
   /** DAU wide: one row per day, one exact-distinct column per event type
     * (pivot). Dedup-then-count: a first distinct on (day, type, user)
     * replaces five per-column distinct aggregates (which would Expand the

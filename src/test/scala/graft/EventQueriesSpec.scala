@@ -74,6 +74,25 @@ class EventQueriesSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("priceHistogram buckets cover all rows, max clamps to the top bucket") {
+    val hist = EventQueries.priceHistogram(events)
+      .as[(String, Long, Long)].collect()
+    assert(hist.map(_._3).sum == events.count())
+    hist.foreach { case (_, b, _) => assert(b >= 0 && b <= 9) }
+    // view has a single row (value 5.0): mn == mx → bucket 0
+    assert(hist.filter(_._1 == "view").map(_._2).toSeq == Seq(0L))
+    // purchase max (20.5) lands in bucket 9, not a phantom bucket 10
+    assert(hist.filter(_._1 == "purchase").map(_._2).max == 9L)
+  }
+
+  test("newUsersDaily counts first-seen users with a running total") {
+    val got = EventQueries.newUsersDaily(events)
+      .as[(java.sql.Date, Long, Long)].collect()
+    // users 1,2 first seen day 1; user 3 first seen day 2
+    assert(got.map(r => (r._1.toString, r._2, r._3)).toSeq == Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L)))
+  }
+
   test("priceQuantilesSketch stays within the rank-error bound of exact") {
     val ev = graft.ingest.Sources.events(spark, sf("sf0.01"))
     val sketch = EventQueries.priceQuantilesSketch(ev)
