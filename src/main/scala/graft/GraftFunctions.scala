@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{ShingleHashes, VecDotProduct}
+import graft.ext.{ShingleCounts, ShingleHashes, VecDotProduct}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -30,11 +30,25 @@ object GraftFunctions {
     }
   }
 
+  /** `shingle_counts(text[, width])` — width must be a foldable int. */
+  private[graft] def shingleCountsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(text) => ShingleCounts(text, 3)
+      case Seq(text, Literal(w: Int, _)) => ShingleCounts(text, w)
+      case other => throw new IllegalArgumentException(
+        s"shingle_counts takes (text[, int literal width]), got ${other.length} args")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("shingle_hashes",
       shingleHashesBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_counts",
+      shingleCountsBuilder, "scala_udf")
   }
 }
 
@@ -48,5 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       GraftFunctions.shingleHashesBuilder))
+    e.injectFunction((FunctionIdentifier("shingle_counts"),
+      new ExpressionInfo(classOf[ShingleCounts].getName, "shingle_counts"),
+      GraftFunctions.shingleCountsBuilder))
   }
 }

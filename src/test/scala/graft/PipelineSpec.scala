@@ -67,5 +67,10 @@ class PipelineSpec extends SparkSpec {
     val nsh = spark.sql(
       "SELECT size(shingle_hashes('a b c d')) AS n").as[Int].head()
     assert(nsh == 2)
+    val reps = spark.sql(
+      "SELECT shingle_counts('a b a b a b a b') AS s")
+      .selectExpr("s.n_shingles", "s.n_distinct", "s.top_cnt")
+      .as[(Long, Long, Long)].head()
+    assert(reps == ((6L, 2L, 3L)))
   }
 }
