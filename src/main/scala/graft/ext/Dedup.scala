@@ -227,11 +227,19 @@ object Dedup {
        |    (v, k) -> if(v > 0, shiftleft(1L, k), 0L)),
        |  0L, (acc, x) -> acc | x)""".stripMargin)
 
-  /** SimHash signatures via explode + one codegen'd hash aggregate: hash
-    * each token once, then 64 conditional ±1 sums per doc and a Scala-side
-    * bit-pack — the vectorizable formulation of [[simhashExpr]] (identical
-    * result; the per-row HOF variant stays for expression-level use). */
-  def simhashSignatures(documents: DataFrame): DataFrame = {
+  /** SimHash signatures in ONE map-side pass per document
+    * ([[TextExpressions.SimHash64]]): no explode, no token-stream shuffle —
+    * the previous explode + 64-conditional-sum aggregate shuffled every
+    * token on doc_id, which is corpus-sized at scale. Identical signatures
+    * (votes are commutative sums; spec pins expr ≡ agg ≡ HOF equality). */
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      TextExpressions.simhash64(col("text")).as("sig"))
+
+  /** The explode + aggregate formulation, kept for the three-way
+    * equivalence spec (and as the shape to reach for if a weighted-token
+    * simhash variant ever needs aggregate-side fusion). */
+  private[graft] def simhashSignaturesAgg(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))

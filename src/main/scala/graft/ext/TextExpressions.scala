@@ -124,6 +124,47 @@ case class ShingleCounts(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass SimHash: 64 ±1 votes from each token's xxhash64 bits
+  * (seed 42 — bit-identical to the built-in `xxhash64`), sign vector
+  * packed into one long. The explode + 64-conditional-sum aggregate
+  * formulation shuffles the whole token stream on doc_id (corpus-sized);
+  * this evaluates map-side, one tokenize pass per row. Votes are
+  * commutative sums, so the signature is identical under any evaluation
+  * order — the agg-form ≡ expr-form spec pins the equivalence. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, Seed)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass stopword-argmax language guess: counts per-list stopword
   * occurrences in a single tokenize pass and returns the label of the
   * highest-scoring list (ties favor earlier lists), or `fallback` when no
@@ -190,6 +231,10 @@ object TextExpressions {
     * stream; null for docs shorter than `width`. */
   def shingleCounts(text: Column, width: Int = 3): Column =
     ColumnBridge.column(ShingleCounts(ColumnBridge.expression(text), width))
+
+  /** One-pass 64-bit SimHash signature of a text column. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
   /** Stopword-argmax language label for a text column. */
   def langGuess(text: Column, lists: Seq[Seq[String]], labels: Seq[String],

@@ -122,12 +122,20 @@ class DedupSpec extends SparkSpec {
     assert(far > hamming)
   }
 
-  test("simhashSignatures (agg form) agrees with simhashExpr (HOF form)") {
-    val viaExpr = docs.select($"doc_id", Dedup.simhashExpr("text").as("sig"))
+  test("simhash: one-pass expr ≡ agg form ≡ HOF form, and plans shuffle-free") {
+    val viaHof = docs.select($"doc_id", Dedup.simhashExpr("text").as("sig"))
       .as[(Long, Long)].collect().toMap
-    val viaAgg = Dedup.simhashSignatures(docs)
+    val viaAgg = Dedup.simhashSignaturesAgg(docs)
       .as[(Long, Long)].collect().toMap
-    assert(viaExpr == viaAgg)
+    val viaOnePass = Dedup.simhashSignatures(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaHof == viaAgg)
+    assert(viaOnePass == viaAgg)
+    // the production path must stay a per-row projection
+    val plan = Dedup.simhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"simhashSignatures should be map-side:\n$plan")
   }
 
   test("simhashNearDups reports the exact-dup pair at hamming 0") {
