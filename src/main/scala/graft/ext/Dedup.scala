@@ -157,11 +157,21 @@ object Dedup {
       .select(col("id"), col("label").as("component"), col("component_size"))
   }
 
-  /** MinHash signatures via the single mergeable [[MinHashSignature]]
-    * aggregate over the exploded hashed-shingle stream: one shuffle on
-    * doc_id, one fixed-width buffer per (doc, partition) in the partial
-    * phase. Output: (doc_id, sig array<long>[numHashes]). */
+  /** MinHash signatures in ONE map-side pass per document
+    * ([[TextExpressions.MinHashSig]]): no explode, no (doc_id, shingle)
+    * shuffle. Output: (doc_id, sig array<long>[numHashes]); docs shorter
+    * than the shingle width drop out (null sig), matching the aggregate
+    * path's explode drop. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    documents.select(col("doc_id"),
+        TextExpressions.minhashSig(col("text"), 3, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The mergeable-aggregate formulation over the exploded shingle stream
+    * — the right shape when shingles arrive pre-exploded/streamed rather
+    * than as whole documents; kept spec-equal to the one-pass expression. */
+  private[graft] def minhashSignaturesAgg(documents: DataFrame,
+      numHashes: Int = 32): DataFrame =
     hashedShingles(documents)
       .groupBy("doc_id")
       .agg(MinHashAggregate.minhashSig(col("h"), numHashes).as("sig"))

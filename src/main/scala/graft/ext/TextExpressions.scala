@@ -124,6 +124,61 @@ case class ShingleCounts(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass MinHash: `numHashes` independent minima over the document's
+  * shingle-hash stream, computed per row — tokenize once, rolling-combine
+  * each `width`-token shingle, update the minima
+  * (`XXH64.hashLong(shingle, seed)`, the same family as
+  * [[MinHashSignature]], so the two paths are interchangeable and
+  * spec-pinned equal). Minima are multiset-insensitive, so no dedup set is
+  * needed. Null for docs shorter than `width` (the aggregate path drops
+  * them at the explode — same corpus). The aggregate stays the right shape
+  * when shingles arrive pre-exploded or streamed; for whole documents this
+  * avoids shuffling the (doc_id, shingle-hash) stream entirely. */
+case class MinHashSig(child: Expression, width: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1 && numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val n = tokens.length
+    if (n < width) return null
+    val tokenHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens(i)
+      tokenHash(i) =
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    i = 0
+    while (i <= n - width) {
+      var h = Seed
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokenHash(i + j), h); j += 1 }
+      var s = 0
+      while (s < numHashes) {
+        val m = XXH64.hashLong(h, s)
+        if (m < sig(s)) sig(s) = m
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass SimHash: 64 ±1 votes from each token's xxhash64 bits
   * (seed 42 — bit-identical to the built-in `xxhash64`), sign vector
   * packed into one long. The explode + 64-conditional-sum aggregate
@@ -235,6 +290,12 @@ object TextExpressions {
   /** One-pass 64-bit SimHash signature of a text column. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** One-pass MinHash signature (array<long>[numHashes]); null below
+    * `width` tokens. */
+  def minhashSig(text: Column, width: Int = 3, numHashes: Int = 32): Column =
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(text), width, numHashes))
 
   /** Stopword-argmax language label for a text column. */
   def langGuess(text: Column, lists: Seq[Seq[String]], labels: Seq[String],

@@ -122,6 +122,18 @@ class DedupSpec extends SparkSpec {
     assert(far > hamming)
   }
 
+  test("minhash: one-pass expr ≡ mergeable aggregate, and plans shuffle-free") {
+    val viaExpr = Dedup.minhashSignatures(docs)
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    val viaAgg = Dedup.minhashSignaturesAgg(docs)
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    assert(viaExpr == viaAgg)
+    val plan = Dedup.minhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"minhashSignatures should be map-side:\n$plan")
+  }
+
   test("simhash: one-pass expr ≡ agg form ≡ HOF form, and plans shuffle-free") {
     val viaHof = docs.select($"doc_id", Dedup.simhashExpr("text").as("sig"))
       .as[(Long, Long)].collect().toMap
