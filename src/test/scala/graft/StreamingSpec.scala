@@ -45,6 +45,39 @@ class StreamingSpec extends SparkSpec {
     } finally Tuning.rocksDbStateStore.keys.foreach(spark.conf.unset)
   }
 
+  test("transformWithState funnel matches the flatMapGroupsWithState machine") {
+    // TWS runs only on the RocksDB state store
+    Tuning.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[graft.streaming.FunnelState.In]
+      val q = graft.streaming.FunnelStateTws.conversions(spark, mem.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_tws")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-tws").toString)
+        .start()
+      try {
+        val events = ingest.Sources.events(spark, sf("sf0.001"))
+        val typed = StreamingQueries.toConversionInput(events)
+          .as[graft.streaming.FunnelState.In].collect()
+        mem.addData(typed.toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("t_tws")
+          .as[graft.streaming.FunnelState.Conversion].collect()
+          .sortBy(c => (c.user_id, micros(c.purchaseAt), micros(c.viewAt)))
+        val batch = graft.streaming.FunnelState.conversions(spark,
+            StreamingQueries.toConversionInput(events)
+              .as[graft.streaming.FunnelState.In]).collect()
+          .sortBy(c => (c.user_id, micros(c.purchaseAt), micros(c.viewAt)))
+        assert(streamed.length == batch.length && streamed.sameElements(batch))
+      } finally q.stop()
+    } finally Tuning.rocksDbStateStore.keys.foreach(spark.conf.unset)
+  }
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   test("shufflePartitions follows data volume with a cluster-width floor") {
     assert(Tuning.shufflePartitions(0L) == 64)
     // 100 TB / 256 MB = 409600 partitions
