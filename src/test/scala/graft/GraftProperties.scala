@@ -122,6 +122,22 @@ object GraftProperties extends Properties("graft") {
         0.005 * (out.length + 1)
     }
 
+  property("shingleCounts matches naive trigram multiset counts") = {
+    val genWords = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "ba", "xy")))
+    forAll(genWords) { words =>
+      val text = words.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.ext.TextExpressions.shingleCounts(
+          org.apache.spark.sql.functions.col("text")).as("s"))
+        .selectExpr("s.n_shingles", "s.n_distinct", "s.top_cnt")
+        .as[(Long, Long, Long)].head()
+      val tris = words.sliding(3).map(_.mkString(" ")).toSeq
+      val counts = tris.groupBy(identity).map(_._2.size)
+      got == ((tris.size.toLong, counts.size.toLong, counts.max.toLong))
+    }
+  }
+
   property("connected components agree with union-find ground truth") = {
     val genEdges = Gen.listOfN(12,
       Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
