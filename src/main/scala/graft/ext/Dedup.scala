@@ -131,8 +131,11 @@ object Dedup {
     val p = pairs.toDF("u", "v")
     val edges = p.union(p.select(col("v"), col("u")))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // seed with min(id, min neighbor): one aggregate replaces the
+    // distinct + self-label AND banks the first propagation round
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
