@@ -18,29 +18,30 @@ object GraftFunctions {
     VecDotProduct(exprs(0), exprs(1))
   }
 
-  /** `shingle_hashes(text[, width])` — width must be a foldable int. */
-  private[graft] def shingleHashesBuilder(
+  // shared (text[, int-literal width]) builder for the shingle functions.
+  // The builder runs before constant folding, so only a bare int Literal is
+  // accepted as the width — `1+2` is rejected with the message below.
+  private def widthBuilder(name: String,
+      make: (org.apache.spark.sql.catalyst.expressions.Expression, Int) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     exprs match {
-      case Seq(text) => ShingleHashes(text, 3)
-      case Seq(text, Literal(w: Int, _)) => ShingleHashes(text, w)
+      case Seq(text) => make(text, 3)
+      case Seq(text, Literal(w: Int, _)) => make(text, w)
       case other => throw new IllegalArgumentException(
-        s"shingle_hashes takes (text[, int literal width]), got ${other.length} args")
+        s"$name takes (text[, bare int literal width]), " +
+          s"got ${other.length} args: ${other.mkString(", ")}")
     }
   }
 
-  /** `shingle_counts(text[, width])` — width must be a foldable int. */
-  private[graft] def shingleCountsBuilder(
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    exprs match {
-      case Seq(text) => ShingleCounts(text, 3)
-      case Seq(text, Literal(w: Int, _)) => ShingleCounts(text, w)
-      case other => throw new IllegalArgumentException(
-        s"shingle_counts takes (text[, int literal width]), got ${other.length} args")
-    }
-  }
+  /** `shingle_hashes(text[, width])`. */
+  private[graft] val shingleHashesBuilder =
+    widthBuilder("shingle_hashes", ShingleHashes.apply) _
+
+  /** `shingle_counts(text[, width])`. */
+  private[graft] val shingleCountsBuilder =
+    widthBuilder("shingle_counts", ShingleCounts.apply) _
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -166,9 +166,13 @@ object Dedup {
     * than the shingle width drop out (null sig), matching the aggregate
     * path's explode drop. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
-    documents.select(col("doc_id"),
+    // pre-filter on the CHEAP token-count predicate, not on sig IS NOT
+    // NULL: the optimizer pushes a result-null filter below the project as
+    // Filter(isnotnull(MinHashSig(text))), evaluating the expensive
+    // expression twice per row
+    documents.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
         TextExpressions.minhashSig(col("text"), 3, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
 
   /** The mergeable-aggregate formulation over the exploded shingle stream
     * — the right shape when shingles arrive pre-exploded/streamed rather
@@ -246,8 +250,11 @@ object Dedup {
     * token on doc_id, which is corpus-sized at scale. Identical signatures
     * (votes are commutative sums; spec pins expr ≡ agg ≡ HOF equality). */
   def simhashSignatures(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      TextExpressions.simhash64(col("text")).as("sig"))
+    // null-text docs drop (parity with the agg form's explode drop) —
+    // filtered on the cheap column predicate, never on the sig result
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.simhash64(col("text")).as("sig"))
 
   /** The explode + aggregate formulation, kept for the three-way
     * equivalence spec (and as the shape to reach for if a weighted-token

@@ -206,10 +206,12 @@ object TextOps {
     * `transform(sequence(...))` lambda one is interpreted O(tokens²)).
     * Docs shorter than the trigram width drop out (null stats). */
   def repetitionScores(documents: DataFrame): DataFrame =
+    // pre-filter on the cheap token count — a filter on s IS NOT NULL gets
+    // pushed below the project and evaluates ShingleCounts twice per row
     documents
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         TextExpressions.shingleCounts(col("text")).as("s"))
-      .filter(col("s").isNotNull)
       .select(col("doc_id"), col("s.n_shingles").as("n_shingles"),
         round2(lit(1.0) -
           col("s.n_distinct").cast("double") / col("s.n_shingles"), 6)

@@ -174,13 +174,7 @@ object Sinks {
     * partitions. */
   def upsertParquet(updates: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    def deleteRecursively(p: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = updates.sparkSession
     val target = Paths.get(path)
     val merged =
@@ -208,10 +202,18 @@ object Sinks {
     * — the standard operational chore at 100 TB). File count follows the
     * CURRENT on-disk size; the rewrite reuses [[upsertParquet]]'s
     * backup-then-swap so a crash never leaves the target as the sole
-    * deleted copy. At scale, run per partition directory. */
+    * deleted copy.
+    *
+    * Hive-partitioned layouts (`k=v/` directories, e.g.
+    * [[writeDatePartitioned]] output) are PRESERVED: the inferred
+    * partition columns are re-applied with `partitionBy` on the rewrite.
+    * Flattening them instead would be a correctness hazard — a later
+    * dynamic-partition-overwrite refresh only replaces matching partition
+    * directories, so rows baked into flat files would survive as
+    * duplicates. At scale, run per partition directory. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Paths.get(path)
     val onDisk = {
       val walk = Files.walk(dir)
@@ -222,21 +224,42 @@ object Sinks {
           .map(Files.size).sum
       } finally walk.close()
     }
+    // detect partition levels: descend while a child dir is named k=v
+    val partitionCols = {
+      import scala.jdk.CollectionConverters._
+      val keys = Seq.newBuilder[String]
+      var cur = dir
+      var descend = true
+      while (descend) {
+        val kv = Files.list(cur).iterator().asScala
+          .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        kv match {
+          case Some(p) =>
+            keys += p.getFileName.toString.takeWhile(_ != '=')
+            cur = p
+          case None => descend = false
+        }
+      }
+      keys.result()
+    }
     val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes).toInt
     val tmp = Paths.get(path + ".compact-tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    def deleteRecursively(p: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
+    val writer = spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
     val backup = Paths.get(path + ".compact-old")
     if (Files.exists(backup)) deleteRecursively(backup)
     Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(backup)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally walk.close()
   }
 
   /** Range-partitioned, internally sorted layout: `repartitionByRange` +

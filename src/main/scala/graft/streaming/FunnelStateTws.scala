@@ -1,32 +1,40 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import FunnelState.{micros, toTimestamp, Conversion, In, UserFunnel}
 
 /** Spark 4 `transformWithState` twin of [[FunnelState]]: the same per-user
-  * funnel machine on the modern arbitrary-state API (typed `ValueState`
-  * handles, timer registry, state TTL) instead of
-  * `flatMapGroupsWithState`'s single implicit state slot.
+  * funnel machine on the modern arbitrary-state API — multiple named
+  * `ValueState` variables per key and an explicit timer registry instead of
+  * `flatMapGroupsWithState`'s single implicit state slot and timeout.
   *
-  * Why both exist: TWS is the forward path — it runs ONLY on the RocksDB
-  * state store (see [[graft.Tuning.rocksDbStateStore]]), supports multiple
-  * named state variables per key and native TTL eviction (`TTLConfig`
-  * replaces the manual watermark-timeout dance in
-  * [[FunnelState.update]]) — while `flatMapGroupsWithState` remains the
-  * default-store-compatible fallback. The spec pins stream output ≡ the
-  * fMGWS batch output, so the two stay interchangeable.
+  * State is BOUNDED exactly like the fMGWS machine: each invocation
+  * re-registers an event-time timer at `watermark + idleMs` (deleting the
+  * previous one — TWS timers accumulate, unlike fMGWS's single timeout
+  * slot, so the old timer must be explicitly removed), and
+  * `handleExpiredTimer` clears the user's state — idle users are evicted,
+  * state stays proportional to ACTIVE users. Runs only on the RocksDB
+  * state store (see [[graft.Tuning.rocksDbStateStore]]);
+  * `flatMapGroupsWithState` remains the default-store-compatible fallback.
+  * The spec pins single-batch stream output ≡ the fMGWS batch machine and
+  * separately proves idle eviction.
   */
 object FunnelStateTws {
 
-  class FunnelProcessor extends StatefulProcessor[Long, In, Conversion] {
+  class FunnelProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, In, Conversion] {
     @transient private var state: ValueState[UserFunnel] = _
+    @transient private var timer: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[UserFunnel]("funnel",
         Encoders.product[UserFunnel], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(userId: Long, events: Iterator[In],
         timerValues: TimerValues): Iterator[Conversion] = {
@@ -47,16 +55,35 @@ object FunnelStateTws {
         }
       }
       state.update(s)
+      // slide the idle-eviction timer (watermark 0 = batch/no-watermark
+      // run: no timers, matching FunnelState.update's wm > 0 guard)
+      val wm = timerValues.getCurrentWatermarkInMs()
+      if (wm > 0) {
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        getHandle.registerTimer(wm + idleMs)
+        timer.update(wm + idleMs)
+      }
       out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Conversion] = {
+      state.clear()
+      timer.clear()
+      Iterator.empty
     }
   }
 
-  /** Wires the processor over a streaming typed event set (requires the
-    * RocksDB state store provider). */
-  def conversions(spark: SparkSession, events: Dataset[In]): Dataset[Conversion] = {
+  /** Wires the processor over a streaming typed event set. Requires the
+    * RocksDB state store; for idle eviction the stream needs a watermark
+    * on `ts` upstream (without one, timers never register — the batch-test
+    * shape). */
+  def conversions(spark: SparkSession, events: Dataset[In],
+      idleTimeout: String = "1h"): Dataset[Conversion] = {
     import spark.implicits._
+    val ms = org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleTimeout)
     events.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor, TimeMode.None(),
+      .transformWithState(new FunnelProcessor(ms), TimeMode.EventTime(),
         OutputMode.Append(), Encoders.product[Conversion])
   }
 }

@@ -51,7 +51,8 @@ class StreamingSpec extends SparkSpec {
     try {
       implicit val sqlCtx = spark.sqlContext
       val mem = MemoryStream[graft.streaming.FunnelState.In]
-      val q = graft.streaming.FunnelStateTws.conversions(spark, mem.toDS())
+      val q = graft.streaming.FunnelStateTws.conversions(spark,
+          mem.toDS().withWatermark("ts", "0 seconds"))
         .writeStream.outputMode(OutputMode.Append)
         .format("memory").queryName("t_tws")
         .option("checkpointLocation",
@@ -77,6 +78,38 @@ class StreamingSpec extends SparkSpec {
 
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  test("transformWithState evicts idle funnel state via event-time timers") {
+    Tuning.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.FunnelState.In
+      val mem = MemoryStream[In]
+      val q = graft.streaming.FunnelStateTws.conversions(spark,
+          mem.toDS().withWatermark("ts", "2 hours"), idleTimeout = "1h")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_tws_evict")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-twse").toString)
+        .start()
+      try {
+        def batch(rows: In*): Unit = { mem.addData(rows); q.processAllAvailable() }
+        // b1: user 1 views (watermark still 0: no timer yet)
+        batch(In(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+          In(2, ts("2024-01-01 10:00:00"), 9, "signup", 0.0))
+        // b2: touch user 1 so a timer registers at wm(08:00) + 1h = 09:00
+        batch(In(3, ts("2024-01-01 10:01:00"), 1, "signup", 0.0))
+        // b3 + b4: advance the watermark past the timer -> user 1 evicted
+        batch(In(4, ts("2024-01-01 13:00:00"), 9, "signup", 0.0))
+        batch(In(5, ts("2024-01-01 13:01:00"), 9, "signup", 0.0))
+        // b5: click+purchase would convert IF the old view survived
+        batch(In(6, ts("2024-01-01 13:02:00"), 1, "click", 0.0),
+          In(7, ts("2024-01-01 13:03:00"), 1, "purchase", 42.0))
+        assert(spark.table("t_tws_evict").count() == 0,
+          "idle state must be evicted before the late click/purchase")
+      } finally q.stop()
+    } finally Tuning.rocksDbStateStore.keys.foreach(spark.conf.unset)
+  }
 
   test("shufflePartitions follows data volume with a cluster-width floor") {
     assert(Tuning.shufflePartitions(0L) == 64)

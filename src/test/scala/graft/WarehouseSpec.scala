@@ -162,6 +162,24 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(path + ".compact-tmp").exists())
   }
 
+  test("compact preserves Hive-partitioned layouts") {
+    val path = Files.createTempDirectory("graft-compactp").toString + "/t"
+    val ev = Sources.events(spark, sf("sf0.001"))
+    Sinks.writeDatePartitioned(ev.repartition(8), path)
+    val dirsBefore = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName).toSet
+    assert(dirsBefore.nonEmpty)
+    Sinks.compact(spark, path, targetBytes = 1L << 30)
+    val dirsAfter = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName).toSet
+    // a flattened rewrite would be a correctness hazard: later dynamic
+    // partition overwrites only replace matching k=v dirs
+    assert(dirsAfter == dirsBefore, "partition directories must survive")
+    assert(spark.read.parquet(path).count() == ev.count())
+  }
+
   test("approximate DAU stays within the configured error of exact") {
     val ev = Sources.events(spark, sf("sf0.01"))
     val approx = EventQueries.dailyActiveUsersApprox(ev)
