@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
+    "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
     "q_minhash_neardups" -> docs(Dedup.minhashNearDups(_)),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
@@ -93,6 +94,7 @@ object SparkEntry {
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     "q_pii_scrub" -> docs(TextOps.scrubPii),
     "q_repetition" -> docs(TextOps.repetitionScores),
+    "q_intradoc_dedup" -> docs(TextOps.dedupWithin(_, " ")),
     "q_sequence_packing" -> docs(TextOps.packSequences(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
@@ -164,6 +166,38 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
       |FROM documents""".stripMargin
   private val Rev = "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)"
+  // shared by q_dup_clusters (min-label propagation) and q_dup_clusters_star
+  // (large-star/small-star): both label with the component-min doc_id, so
+  // one reachability oracle hash-checks both
+  private val DupClustersSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3))),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.shingle FROM sh
+      |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
+      |    USING (shingle)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc1, doc2
+      |  FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
+      |  WHERE floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
+      |          * 1000000 + 0.5) / 1000000 >= 0.5),
+      |e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+      |      UNION SELECT doc2, doc1 FROM pairs),
+      |reach(src, node) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
+      |SELECT src AS doc_id, min(node) AS cluster_id,
+      |  CAST(count(*) AS BIGINT) AS cluster_size
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" ->
@@ -424,36 +458,12 @@ object SparkEntry {
     // connected components over the jaccard >= 0.5 pair graph (same
     // DF-capped pairs as q_ngram_jaccard, same 6dp rounding before the
     // threshold so both engines draw the identical edge set); min reachable
-    // doc_id labels the cluster, reach cardinality is the component size
-    "q_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3))),
-        |kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh
-        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
-        |    USING (shingle)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc1, doc2
-        |  FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
-        |  WHERE floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
-        |          * 1000000 + 0.5) / 1000000 >= 0.5),
-        |e AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
-        |      UNION SELECT doc2, doc1 FROM pairs),
-        |reach(src, node) AS (
-        |  SELECT DISTINCT src, src FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src)
-        |SELECT src AS doc_id, min(node) AS cluster_id,
-        |  CAST(count(*) AS BIGINT) AS cluster_size
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // doc_id labels the cluster, reach cardinality is the component size.
+    // The star variant must produce the IDENTICAL labeling (both engines
+    // label with the component min), so it shares the oracle verbatim —
+    // a hash-matched equivalence proof of the two CC algorithms.
+    "q_dup_clusters" -> DupClustersSql,
+    "q_dup_clusters_star" -> DupClustersSql,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -560,6 +570,19 @@ object SparkEntry {
         |  floor((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1000000 + 0.5)
         |    / 1000000 AS top_ratio
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order-preserving first-occurrence dedup: list_position returns the
+    // FIRST index of x, so keeping positions where it equals the element's
+    // own index is exactly keep-first — mirrors DedupUnits' hash-set pass
+    "q_intradoc_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    list_filter(string_split(text, ' '),
+        |      (x, i) -> list_position(string_split(text, ' '), x) = i) AS kept
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_units,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, ' ') AS dedup_text
+        |FROM d ORDER BY doc_id""".stripMargin,
     // generated from the SAME TextOps.PiiPatterns constants the Spark side
     // compiles, so the two engines can't drift
     "q_pii_scrub" -> {

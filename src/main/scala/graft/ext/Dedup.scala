@@ -112,11 +112,26 @@ object Dedup {
     * rather than returning a half-propagated labeling. */
   def dupClusters(documents: DataFrame, minJaccard: Double = 0.5,
       maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame =
-    connectedComponents(
-      ngramJaccardPairs(documents, maxShingleDf)
+    clustersOf(documents, minJaccard, maxShingleDf,
+      connectedComponents(_, maxIters))
+
+  /** [[dupClusters]] on the [[connectedComponentsStar]] scale path —
+    * identical output (both label with the component-min doc_id), different
+    * round complexity: O(log n) alternating-star rounds instead of
+    * O(diameter) propagation rounds. The near-dup graph is usually shallow
+    * (propagation wins on constants), but adversarial corpora produce long
+    * dup CHAINS — template pages each ~0.5-similar to the next — where
+    * diameter grows with the corpus and propagation stops converging. */
+  def dupClustersStar(documents: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame =
+    clustersOf(documents, minJaccard, maxShingleDf,
+      connectedComponentsStar(_, maxIters))
+
+  private def clustersOf(documents: DataFrame, minJaccard: Double,
+      maxShingleDf: Int, cc: DataFrame => DataFrame): DataFrame =
+    cc(ngramJaccardPairs(documents, maxShingleDf)
         .filter(col("jaccard") >= minJaccard)
-        .select(col("doc1"), col("doc2")),
-      maxIters)
+        .select(col("doc1"), col("doc2")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         col("component_size").as("cluster_size"))
       .orderBy("doc_id")
@@ -153,12 +168,101 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds")
+    withComponentSizes(labels)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same output contract as [[connectedComponents]] (min
+    * reachable id + component size; isolated vertices absent), different
+    * convergence: O(log n) rounds regardless of diameter, where min-label
+    * propagation needs O(diameter) rounds. On a 100 TB near-dup graph the
+    * diameter is not under your control — a chain of pairwise-similar
+    * template pages makes propagation unbounded while star contraction
+    * still halves every path each round. Propagation remains cheaper per
+    * round (one shuffle vs three), so [[dupClusters]] defaults to it and
+    * [[dupClustersStar]] exposes this path.
+    *
+    * Each edge is kept once, canonically oriented `u > v`:
+    *  - large-star: every node rewires its LARGER neighbors to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node rewires its smaller-or-equal neighbors (and
+    *    itself) to the minimum of them.
+    * The fixpoint is a forest of stars, each node pointing at its
+    * component's min id. Convergence is detected by an order-independent
+    * edge-set signature (count + xor-fold of xxhash64(u,v)) and then VERIFIED
+    * structurally — the result must be a star forest (no label is itself
+    * relabeled) — so a signature collision cannot return a wrong answer. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+    var edges = p
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // (count, xor-fold of row hashes): permutation-invariant set signature.
+    // XOR instead of sum: overflow-free under ANSI mode; the edge set is
+    // distinct, so no two equal rows can cancel each other out.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // structural fixpoint check: in a star forest no edge target is itself
+    // a source (one cheap semi-join, guards the 2^-64 signature collision)
+    require(edges.as("a")
+        .join(edges.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty,
+      "connectedComponentsStar signature converged on a non-star edge set")
+    withComponentSizes(
+      edges.select(col("u").as("id"), col("v").as("label"))
+        .union(edges.select(col("v"), col("v")).distinct().toDF("id", "label")))
+  }
+
+  /** Large-star: for each node, rewire all strictly-larger neighbors to the
+    * min of its closed neighborhood. Input and output canonical (u > v);
+    * emitted edges (bigNeighbor, min) satisfy min <= node < bigNeighbor. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u").as("c"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("c"), least(col("c"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, col("u") === col("c"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: for each node, rewire its smaller neighbors and itself to
+    * their minimum. Canonical input (u > v) means the group's neighbors are
+    * exactly the smaller ones; emitted (neighbor, min) keeps u > v. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u").as("c")).agg(min(col("v")).as("m"))
+    val rewired = edges.join(mins, col("u") === col("c"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rewired.union(mins.select(col("c").as("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  private def withComponentSizes(labels: DataFrame): DataFrame =
     labels
       .join(labels.groupBy("label").agg(count(lit(1)).as("component_size"))
           .withColumnRenamed("label", "cl"),
         col("label") === col("cl"))
       .select(col("id"), col("label").as("component"), col("component_size"))
-  }
 
   /** MinHash signatures in ONE map-side pass per document
     * ([[TextExpressions.MinHashSig]]): no explode, no (doc_id, shingle)

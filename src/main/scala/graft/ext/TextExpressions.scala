@@ -220,6 +220,44 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Order-preserving intra-document unit dedup: split on `delim`, keep the
+  * FIRST occurrence of each distinct unit, re-join with `delim`. With
+  * `"\n"` this is classic repeated-line removal (the C4/MassiveText
+  * cleanup for boilerplate navigation/footer lines that repeat inside one
+  * page); any other delimiter generalizes it (sentences, tokens). One
+  * O(units) pass per row against the relational formulation
+  * (posexplode + min(pos) + re-collect_list), which shuffles the
+  * corpus-sized unit stream on doc_id twice. Returns the input value
+  * untouched when nothing repeats — the common case pays hashing only,
+  * no string rebuild. */
+case class DedupUnits(child: Expression, delim: String)
+    extends UnaryExpression with CodegenFallback {
+
+  require(delim.nonEmpty, "delimiter must be non-empty")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "dedup_units"
+
+  @transient private lazy val delimiter = UTF8String.fromString(delim)
+
+  override def nullSafeEval(v: Any): Any = {
+    val units = v.asInstanceOf[UTF8String].split(delimiter, -1)
+    val seen = new JHashSet[UTF8String](units.length * 2)
+    val kept = new java.util.ArrayList[UTF8String](units.length)
+    var i = 0
+    while (i < units.length) {
+      if (seen.add(units(i))) kept.add(units(i))
+      i += 1
+    }
+    if (kept.size == units.length) v
+    else UTF8String.concatWs(delimiter,
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass stopword-argmax language guess: counts per-list stopword
   * occurrences in a single tokenize pass and returns the label of the
   * highest-scoring list (ties favor earlier lists), or `fallback` when no
@@ -296,6 +334,10 @@ object TextExpressions {
   def minhashSig(text: Column, width: Int = 3, numHashes: Int = 32): Column =
     ColumnBridge.column(
       MinHashSig(ColumnBridge.expression(text), width, numHashes))
+
+  /** First-occurrence unit dedup of a text column (units = `delim` splits). */
+  def dedupUnits(text: Column, delim: String): Column =
+    ColumnBridge.column(DedupUnits(ColumnBridge.expression(text), delim))
 
   /** Stopword-argmax language label for a text column. */
   def langGuess(text: Column, lists: Seq[Seq[String]], labels: Seq[String],

@@ -220,6 +220,26 @@ object TextOps {
           .as("top_ratio"))
       .orderBy("doc_id")
 
+  /** Intra-document repeated-unit REMOVAL — the companion of
+    * [[repetitionScores]]' detection: keep the FIRST occurrence of each
+    * `delim`-separated unit, preserving order. `"\n"` gives C4-style
+    * repeated-line removal (boilerplate nav/footer lines inside one page);
+    * the documents fixture carries no newlines, so the query surface runs
+    * it at the token level — same operator, smaller unit. One map-side
+    * [[TextExpressions.DedupUnits]] pass per row: no shuffle, no explode,
+    * trivially parallel over splits at any corpus size. */
+  def dedupWithin(documents: DataFrame, delim: String = "\n"): DataFrame = {
+    val pat = java.util.regex.Pattern.quote(delim)
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), pat)).cast("long").as("n_units"),
+        TextExpressions.dedupUnits(col("text"), delim).as("dedup_text"))
+      .select(col("doc_id"), col("n_units"),
+        size(split(col("dedup_text"), pat)).cast("long").as("n_kept"),
+        col("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by [[scrubPii]] and its DuckDB oracle (regular —
     * no backtracking-dependent constructs or lookaround — so Java regex and
     * RE2 agree). ORDER IS LOAD-BEARING: email first (its local part may

@@ -74,6 +74,39 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(30L)) // unclustered docs don't appear
   }
 
+  test("star CC converges on a long chain where propagation hits its bound") {
+    // path graph 0-1-…-80: diameter 80. Min-label propagation moves the
+    // min one hop per round, so 25 rounds can't finish; alternating stars
+    // halve every path per round and converge comfortably inside 25.
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("u", "v")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 25).count()
+    }
+    val got = Dedup.connectedComponentsStar(chain, maxIters = 25)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 81)
+    assert(got.forall(r => r._2 == 0L && r._3 == 81L))
+  }
+
+  test("connectedComponentsStar of an empty edge list is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+  }
+
+  test("dupClustersStar produces the identical clustering to dupClusters") {
+    val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
+    val b = a.split(" ").updated(3, "XX").mkString(" ")
+    val c = b.split(" ").updated(30, "YY").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val df = Seq((10L, a), (11L, b), (12L, c), (20L, other), (21L, other),
+      (30L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val prop = Dedup.dupClusters(df).as[(Long, Long, Long)].collect().toSeq
+    val star = Dedup.dupClustersStar(df).as[(Long, Long, Long)].collect().toSeq
+    assert(star == prop)
+    assert(star.nonEmpty)
+  }
+
   test("dupClusters on a corpus with no near-dups returns an empty frame") {
     val distinctDocs = Seq(
       (0L, (1 to 40).map(i => s"a$i").mkString(" ")),

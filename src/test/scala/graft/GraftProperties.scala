@@ -168,6 +168,50 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("star connected components agree with union-find ground truth") = {
+    val genEdges = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter(e => e._1 != e._2))
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val got = graft.ext.Dedup.connectedComponentsStar(
+            edges.toDF("u", "v"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .groupBy(find)
+        val expected = members.values.flatMap { vs =>
+          vs.map(v => v -> ((vs.min, vs.size.toLong)))
+        }.toMap
+        got == expected
+      }
+    }
+  }
+
+  property("dedupUnits keeps exactly the first occurrence of each unit") = {
+    val genWords = Gen.listOf(Gen.oneOf("a", "b", "cc", "d", "ee", "f"))
+    forAll(genWords) { words =>
+      val text = words.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.ext.TextExpressions.dedupUnits(
+          org.apache.spark.sql.functions.col("text"), " "))
+        .as[String].head()
+      // Scala's distinct is keep-first — the semantics under test
+      got == words.distinct.mkString(" ") ||
+        // empty input: split yields [""], which dedups back to ""
+        (words.isEmpty && got == "")
+    }
+  }
+
   property("retention cohorts are disjoint and cover first-half users") =
     forAll(genEvents) { rows =>
       val out = EventQueries.userRetention(toDf(rows))

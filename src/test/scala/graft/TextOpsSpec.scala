@@ -159,4 +159,23 @@ class TextOpsSpec extends SparkSpec {
       .as[Int].head()
     assert(n == 4) // 3 tokens + 1 transition in "abc1"
   }
+
+  test("dedupWithin removes repeated lines, keeping first occurrences") {
+    val page = Seq("Home | About | Contact", "Real content line one.",
+      "Home | About | Contact", "Another real line.",
+      "Real content line one.", "Footer © 2026").mkString("\n")
+    val clean = Seq("no repeats", "here at all").mkString("\n")
+    val df = Seq((0L, page), (1L, clean)).toDF("doc_id", "text")
+    val byId = TextOps.dedupWithin(df, "\n")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(byId(0L) == ((0L, 6L, 4L, Seq("Home | About | Contact",
+      "Real content line one.", "Another real line.", "Footer © 2026")
+      .mkString("\n"))))
+    assert(byId(1L) == ((1L, 2L, 2L, clean)))
+    // the plan stays a per-row projection (plus the output sort): no
+    // Generate/exchange from any explode-based formulation
+    val plan = TextOps.dedupWithin(df, "\n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"dedupWithin must not explode:\n$plan")
+  }
 }
