@@ -56,7 +56,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"calibration":$calibration,"sf":"$sfDir"}""")
+    // totals LEAD the line and the per-query map trails it, so a
+    // tail-truncated capture still keeps every headline metric; the full
+    // line is also written to bench_results.json as the lossless record
+    // (the r5 artifact lost its leading fields to truncation).
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","queries":$qs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write bench_results.json: $t") }
+    println(line)
     spark.stop()
   }
 }

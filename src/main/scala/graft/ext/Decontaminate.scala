@@ -46,11 +46,16 @@ object Decontaminate {
   /** The cleaned corpus: documents whose contamination is below `threshold`
     * (docs too short to shingle carry no overlap evidence and are kept).
     * Anti-join on the flagged id set — the corpus rows stream through
-    * untouched except for the doc_id probe. */
+    * untouched except for the doc_id probe. Unlike the benchmark shingle
+    * set (small by construction), the flagged set is derived from the
+    * CORPUS side and is not bounded — a heavily contaminated corpus could
+    * flag any fraction of it — so no broadcast hint here: AQE picks
+    * broadcast when the runtime size allows and falls back to a shuffled
+    * join when it doesn't. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
       threshold: Double = 0.5, width: Int = 3): DataFrame =
     corpus.join(
-      broadcast(contaminationReport(corpus, bench, width)
-        .filter(col("contamination") >= threshold).select("doc_id")),
+      contaminationReport(corpus, bench, width)
+        .filter(col("contamination") >= threshold).select("doc_id"),
       Seq("doc_id"), "left_anti")
 }

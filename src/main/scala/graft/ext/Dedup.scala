@@ -141,7 +141,9 @@ object Dedup {
     * it plus the component size — the graph primitive under
     * [[dupClusters]], usable for any entity-resolution grouping. Min-label
     * propagation (see dupClusters scaladoc for the scale argument);
-    * isolated vertices don't appear (an edge list carries none). */
+    * isolated vertices don't appear (an edge list carries none), but a
+    * vertex present ONLY via self-loops does — as a singleton component —
+    * and [[connectedComponentsStar]] makes the same choice. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val p = pairs.toDF("u", "v")
     val edges = p.union(p.select(col("v"), col("u")))
@@ -192,9 +194,15 @@ object Dedup {
     * component's min id. Convergence is detected by an order-independent
     * edge-set signature (count + xor-fold of xxhash64(u,v)) and then VERIFIED
     * structurally — the result must be a star forest (no label is itself
-    * relabeled) — so a signature collision cannot return a wrong answer. */
+    * relabeled) — so a signature collision cannot return a wrong answer.
+    * Self-loops carry no connectivity and are dropped from the contraction,
+    * but a vertex present ONLY via self-loops still appears — as a
+    * singleton component, the same contract as [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val p = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+    val all = pairs.toDF("u", "v")
+    val selfOnly = all.filter(col("u") === col("v"))
+      .select(col("u").as("id")).distinct()
+    val p = all.filter(col("u") =!= col("v"))
     var edges = p
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
@@ -226,9 +234,14 @@ object Dedup {
     require(edges.as("a")
         .join(edges.as("b"), col("a.v") === col("b.u"), "left_semi").isEmpty,
       "connectedComponentsStar signature converged on a non-star edge set")
-    withComponentSizes(
-      edges.select(col("u").as("id"), col("v").as("label"))
-        .union(edges.select(col("v"), col("v")).distinct().toDF("id", "label")))
+    val labeled = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v"), col("v")).distinct().toDF("id", "label"))
+    // self-loop-only vertices: singleton components (contract parity with
+    // connectedComponents); vertices that also have real edges are already
+    // labeled above
+    val singletons = selfOnly.join(labeled, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    withComponentSizes(labeled.union(singletons))
   }
 
   /** Large-star: for each node, rewire all strictly-larger neighbors to the

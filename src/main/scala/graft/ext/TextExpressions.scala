@@ -229,7 +229,13 @@ case class SimHash64(child: Expression)
   * (posexplode + min(pos) + re-collect_list), which shuffles the
   * corpus-sized unit stream on doc_id twice. Returns the input value
   * untouched when nothing repeats — the common case pays hashing only,
-  * no string rebuild. */
+  * no string rebuild.
+  *
+  * The delimiter is LITERAL throughout (`splitSQL`, not the regex-based
+  * `split`): split, re-join, and [[TextOps.dedupWithin]]'s
+  * `Pattern.quote` unit counting all agree for delimiters containing
+  * regex metacharacters — the scaladoc-suggested sentence delimiter `"."`
+  * would otherwise split on every character. */
 case class DedupUnits(child: Expression, delim: String)
     extends UnaryExpression with CodegenFallback {
 
@@ -241,7 +247,7 @@ case class DedupUnits(child: Expression, delim: String)
   @transient private lazy val delimiter = UTF8String.fromString(delim)
 
   override def nullSafeEval(v: Any): Any = {
-    val units = v.asInstanceOf[UTF8String].split(delimiter, -1)
+    val units = v.asInstanceOf[UTF8String].splitSQL(delimiter, -1)
     val seen = new JHashSet[UTF8String](units.length * 2)
     val kept = new java.util.ArrayList[UTF8String](units.length)
     var i = 0

@@ -59,6 +59,31 @@ object RelationalQueries {
       .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** [[revenueByNation]] with the orders ⋈ customer step routed through
+    * [[Skew.saltedJoin]] (buckets=8, salt from o_orderkey): the hot-key
+    * mitigation for when a handful of customers carry a disproportionate
+    * share of orders and the right side is small-but-not-broadcastable.
+    * Result is IDENTICAL to the unsalted query — it shares
+    * `q_revenue_by_nation`'s DuckDB oracle verbatim, so the hash gate is
+    * the salted ≡ unsalted equivalence proof on real data. The Expand
+    * (explode of the salt array) sits on the replicated CUSTOMER side
+    * only — asserted in SkewSpec; salting that fans out the big side
+    * instead would multiply the fact-table shuffle by `buckets`. */
+  def revenueByNationSalted(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, buckets: Int = 8): DataFrame = {
+    val cust = customer.select(col("c_custkey").as("o_custkey"),
+      col("c_nationkey"))
+    val salted = Skew.saltedJoin(
+      orders.select(col("o_orderkey"), col("o_custkey")), cust,
+      "o_custkey", buckets, saltSource = "o_orderkey")
+    lineitem
+      .join(salted, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** TPC-H Q3-style top unshipped-order revenue for one market segment:
     * selective dimension filter broadcast against the fact chain, global
     * top-k.

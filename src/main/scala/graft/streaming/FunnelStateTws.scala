@@ -74,16 +74,25 @@ object FunnelStateTws {
     }
   }
 
-  /** Wires the processor over a streaming typed event set. Requires the
-    * RocksDB state store; for idle eviction the stream needs a watermark
-    * on `ts` upstream (without one, timers never register — the batch-test
-    * shape). */
+  /** Wires the processor over a typed event set, streaming or batch.
+    * Requires the RocksDB state store; for idle eviction the stream needs a
+    * watermark on `ts` upstream. Batch execution carries no event-time
+    * values at all, so the time mode must be `None` there (EventTime is
+    * rejected by the operator) — timers never fire and the machine behaves
+    * exactly like [[FunnelState.update]]'s wm=0 batch path, which is what
+    * the shared `q_funnel_conversions` oracle hash-checks. */
   def conversions(spark: SparkSession, events: Dataset[In],
       idleTimeout: String = "1h"): Dataset[Conversion] = {
     import spark.implicits._
     val ms = org.apache.spark.network.util.JavaUtils.timeStringAsMs(idleTimeout)
+    val timeMode =
+      if (events.isStreaming) TimeMode.EventTime() else TimeMode.None()
+    // batch TWS still loads per-partition state stores, whose loader
+    // reports to a coordinator endpoint only streaming runs register
+    if (!events.isStreaming)
+      org.apache.spark.sql.graft.ColumnBridge.ensureStateStoreCoordinator(spark)
     events.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(ms), TimeMode.EventTime(),
+      .transformWithState(new FunnelProcessor(ms), timeMode,
         OutputMode.Append(), Encoders.product[Conversion])
   }
 }

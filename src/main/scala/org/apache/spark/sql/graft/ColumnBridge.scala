@@ -16,4 +16,17 @@ object ColumnBridge {
     * accumulated by a SparkListener deterministically. */
   def waitForListeners(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** BATCH `transformWithState` loads state stores outside any streaming
+    * query, and store loading reports to the driver's StateStoreCoordinator
+    * RPC endpoint — which is registered lazily by the session's
+    * StreamingQueryManager (`private[sql]`), normally on first stream
+    * start. Touch it so batch TWS works in sessions that never started a
+    * stream (otherwise: CANNOT_LOAD_STATE_STORE / RpcEndpointNotFound). */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.streams match {
+      case m: org.apache.spark.sql.classic.StreamingQueryManager =>
+        m.stateStoreCoordinator
+      case _ => ()
+    }
 }

@@ -93,6 +93,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsStar(empty).count() == 0)
   }
 
+  test("self-loop-only vertices are singleton components in both variants") {
+    // 5 and 7 appear only via self-loops; 2 has a self-loop AND a real edge
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L), (7L, 7L)).toDF("u", "v")
+    val expected = Set((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 1L), (7L, 7L, 1L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(canon(Dedup.connectedComponents(pairs)) == expected)
+    assert(canon(Dedup.connectedComponentsStar(pairs)) == expected)
+  }
+
   test("dupClustersStar produces the identical clustering to dupClusters") {
     val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
     val b = a.split(" ").updated(3, "XX").mkString(" ")

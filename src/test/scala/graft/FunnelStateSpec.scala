@@ -38,6 +38,17 @@ class FunnelStateSpec extends SparkSpec {
         120L, 7.5)))
   }
 
+  test("batch transformWithState matches the fMGWS machine") {
+    // batch TWS: TimeMode.None + the StateStoreCoordinator touch inside
+    // conversions(); RocksDB confs as in the checked query entry
+    Tuning.rocksDbStateStore.foreach { case (k, v) => spark.conf.set(k, v) }
+    val got = graft.streaming.FunnelStateTws.conversions(spark, rows.toDS())
+      .collect().sortBy(c => (c.user_id, c.purchaseAt.getTime)).toSeq
+    val want = FunnelState.conversions(spark, rows.toDS())
+      .collect().sortBy(c => (c.user_id, c.purchaseAt.getTime)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming funnel state machine matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[In]

@@ -178,4 +178,16 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"dedupWithin must not explode:\n$plan")
   }
+
+  test("dedupWithin treats regex-metachar delimiters literally") {
+    // '.' is the scaladoc-suggested sentence delimiter; a regex-based split
+    // would split on EVERY character and disagree with the literal re-join
+    // and the Pattern.quote unit counting
+    val df = Seq((1L, "a.b.a.c"), (2L, "x.x.x"), (3L, "no-dups"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupWithin(df, ".")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L, "a.b.c"), (2L, 3L, 1L, "x"),
+      (3L, 1L, 1L, "no-dups")))
+  }
 }
