@@ -164,17 +164,52 @@ object Sinks {
       .start()
   }
 
+  /** Crash recovery for the backup-then-swap utilities ([[upsertParquet]],
+    * [[compact]], and their partition-scoped variants): a crash between
+    * "move target aside" and "move tmp in" leaves the data ONLY under the
+    * `.{upsert,compact}-old` backup with the target missing. Every swap
+    * entry point calls this first, so the next invocation (or an explicit
+    * operational call) restores the backup before proceeding — readers that
+    * raced the window fail transiently, but no data is ever lost and no
+    * manual surgery is needed. A leftover backup WITH a live target means
+    * the crash happened after the new data went live; it is stale and the
+    * next swap deletes it. */
+  def recoverSwap(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (!Files.exists(target))
+      Seq(".upsert-old", ".compact-old").map(s => Paths.get(path + s))
+        .find(Files.exists(_))
+        .foreach(Files.move(_, target, StandardCopyOption.ATOMIC_MOVE))
+  }
+
+  /** Backup-then-swap of a freshly written `tmp` into `target`: the old
+    * data is never the sole deleted copy (see [[recoverSwap]] for the one
+    * crash window and its recovery). */
+  private def swapReplace(target: java.nio.file.Path,
+      tmp: java.nio.file.Path, backupSuffix: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val backup =
+      target.resolveSibling(target.getFileName.toString + backupSuffix)
+    if (Files.exists(backup)) deleteRecursively(backup)
+    if (Files.exists(target))
+      Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(backup)) deleteRecursively(backup)
+  }
+
   /** CDC-style upsert into a parquet path: keep target rows whose key has
     * no update (anti-join), union the updates, swap via two renames
     * (target → backup, tmp → target; plain parquet has no ACID merge — the
-    * rewrite is the no-table-format equivalent of MERGE INTO). A crash
-    * between the renames leaves both the old data (backup dir) and the new
-    * (tmp dir) on disk; nothing is deleted until the new data is live. At
-    * scale, partition the target by a key prefix and rewrite only affected
-    * partitions. */
+    * rewrite is the no-table-format equivalent of MERGE INTO). Nothing is
+    * deleted until the new data is live; the one crash window is healed by
+    * [[recoverSwap]] on the next call. Per-call cost is O(target) — for a
+    * target that accumulates history, use [[upsertParquetPartitioned]],
+    * which rewrites only the partitions carrying updated keys. */
   def upsertParquet(updates: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
+    recoverSwap(path)
     val spark = updates.sparkSession
     val target = Paths.get(path)
     val merged =
@@ -185,15 +220,67 @@ object Sinks {
       } else updates
     val tmp = Paths.get(path + ".upsert-tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: the write above has already fully materialized (no lazy reads
-    // of `path` remain). Move the old data aside, move the new data in,
-    // only then delete the old — the target is never the sole copy removed.
-    val backup = Paths.get(path + ".upsert-old")
-    if (Files.exists(backup)) deleteRecursively(backup)
-    if (Files.exists(target))
-      Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(backup)) deleteRecursively(backup)
+    // the write above has fully materialized — no lazy reads of `path` remain
+    swapReplace(target, tmp, ".upsert-old")
+  }
+
+  /** Partition-scoped upsert — the at-scale variant of [[upsertParquet]]
+    * for a target partitioned by `partitionCol` (the
+    * [[writeDatePartitioned]] layout): only partition directories that
+    * carry updated keys are rewritten, so per-call cost is O(affected
+    * partitions) and stays constant as history accumulates. Untouched
+    * partition directories keep their files byte-for-byte (asserted in
+    * WarehouseSpec). Each affected directory is replaced with the same
+    * backup-then-swap as the full variant.
+    *
+    * Contract: `updates` carries `partitionCol` (same type as the target's
+    * inferred partition column), and keys are PARTITION-STABLE — a key's
+    * partition value never changes across versions (e.g. a date derived
+    * from the row's immutable event time). A key that migrated partitions
+    * would leave its old row alive in an unaffected directory; detecting
+    * that requires the full-target pass this variant exists to avoid. */
+  def upsertParquetPartitioned(updates: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    require(updates.columns.contains(partitionCol),
+      s"updates must carry the partition column '$partitionCol'")
+    recoverSwap(path)
+    val spark = updates.sparkSession
+    val target = Paths.get(path)
+    if (!Files.exists(target)) {
+      updates.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path)
+      return
+    }
+    // affected partition values: bounded by the update batch's span,
+    // never by target history
+    val affected = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    if (affected.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(affected: _*))
+    val merged = existing
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+    val tmp = Paths.get(path + ".upsert-tmp")
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(tmp.toString)
+    // swap exactly the partition dirs the merged write produced; Spark
+    // formatted the k=v names, so they match the target's layout
+    val tmpDirs = {
+      val ls = Files.list(tmp)
+      try ls.iterator().asScala.toList.filter(p =>
+        Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(partitionCol + "="))
+      finally ls.close()
+    }
+    tmpDirs.foreach { d =>
+      val t = target.resolve(d.getFileName.toString)
+      recoverSwap(t.toString)
+      swapReplace(t, d, ".upsert-old")
+    }
+    deleteRecursively(tmp)
   }
 
   /** Small-file compaction: rewrite a parquet path into files of
@@ -210,29 +297,28 @@ object Sinks {
     * Flattening them instead would be a correctness hazard — a later
     * dynamic-partition-overwrite refresh only replaces matching partition
     * directories, so rows baked into flat files would survive as
-    * duplicates. At scale, run per partition directory. */
+    * duplicates. Per-call cost is O(path); at scale run
+    * [[compactPartitions]], which rewrites one partition directory at a
+    * time and skips already-compact ones. Crash window healed by
+    * [[recoverSwap]] on the next call. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    recoverSwap(path)
     val dir = Paths.get(path)
-    val onDisk = {
-      val walk = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-          .map(Files.size).sum
-      } finally walk.close()
-    }
+    val onDisk = parquetBytes(dir)
     // detect partition levels: descend while a child dir is named k=v
     val partitionCols = {
-      import scala.jdk.CollectionConverters._
       val keys = Seq.newBuilder[String]
       var cur = dir
       var descend = true
       while (descend) {
-        val kv = Files.list(cur).iterator().asScala
-          .find(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        val ls = Files.list(cur)
+        val kv =
+          try ls.iterator().asScala.find(p =>
+            Files.isDirectory(p) && p.getFileName.toString.contains("="))
+          finally ls.close()
         kv match {
           case Some(p) =>
             keys += p.getFileName.toString.takeWhile(_ != '=')
@@ -242,17 +328,72 @@ object Sinks {
       }
       keys.result()
     }
-    val nFiles = math.max(1L, (onDisk + targetBytes - 1) / targetBytes).toInt
+    val nFiles = targetFileCount(onDisk, targetBytes)
     val tmp = Paths.get(path + ".compact-tmp")
     val writer = spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
-    val backup = Paths.get(path + ".compact-old")
-    if (Files.exists(backup)) deleteRecursively(backup)
-    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(backup)
+    swapReplace(dir, tmp, ".compact-old")
+  }
+
+  /** Per-partition-directory compaction — the at-scale driver for
+    * [[compact]] over a Hive-partitioned layout: each LEAF `k=v` directory
+    * is compacted independently, so the rewrite shuffle is bounded by one
+    * partition's volume (not the table's), partitions can be processed
+    * incrementally across calls, and a directory already at its target
+    * file count is SKIPPED untouched (files and mtimes unchanged —
+    * asserted in WarehouseSpec; re-running after a streaming append only
+    * pays for the partitions that actually fragmented). Leaf directories
+    * hold plain parquet files (partition values live in the dir name), so
+    * the per-directory rewrite needs no partitionBy and cannot flatten the
+    * layout. Falls back to [[compact]] when the path has no `k=v`
+    * children. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L << 20): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    def children(p: Path): List[Path] = {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toList finally ls.close()
+    }
+    // leaf partition dirs: k=v-named dirs with no k=v children
+    def leaves(p: Path): List[Path] = {
+      val kv = children(p).filter(c =>
+        Files.isDirectory(c) && c.getFileName.toString.contains("="))
+      if (kv.isEmpty) Nil
+      else kv.flatMap(c => leaves(c) match {
+        case Nil => List(c)
+        case deeper => deeper
+      })
+    }
+    val dirs = leaves(Paths.get(path))
+    if (dirs.isEmpty) { compact(spark, path, targetBytes); return }
+    dirs.foreach { d =>
+      recoverSwap(d.toString)
+      val files = children(d)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      val want = targetFileCount(files.map(Files.size(_)).sum, targetBytes)
+      if (files.length > want) {
+        val tmp = Paths.get(d.toString + ".compact-tmp")
+        spark.read.parquet(d.toString).repartition(want)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapReplace(d, tmp, ".compact-old")
+      }
+    }
+  }
+
+  private def targetFileCount(bytes: Long, targetBytes: Long): Int =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+  private def parquetBytes(dir: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .map(java.nio.file.Files.size).sum
+    finally walk.close()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

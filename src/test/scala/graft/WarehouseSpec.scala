@@ -53,14 +53,20 @@ class WarehouseSpec extends SparkSpec {
     val raw = Files.createTempDirectory("graft-raw2").toString
     val rep = Files.createTempDirectory("graft-rep2").toString
     val ck = Files.createTempDirectory("graft-whck2").toString
-    // tracks records actually read from files between marks; incremental
-    // refresh should read only the micro-batch's day partitions, so the
-    // per-batch read stays flat while RAW grows batch over batch
+    // tracks records AND bytes actually read from files between marks;
+    // incremental refresh should read only the micro-batch's day
+    // partitions, so the per-batch read stays flat while RAW grows batch
+    // over batch — the bytes series is the guard that survives refactors
+    // which keep row counts flat but re-scan history (e.g. a filter that
+    // no longer prunes partitions still reads every file's bytes)
     val read = new java.util.concurrent.atomic.AtomicLong
+    val readBytes = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
+        if (e.taskMetrics != null) {
           read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+          readBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     val q = Sinks.streamToWarehouse(mem.toDF(), raw, rep, ck,
@@ -72,16 +78,21 @@ class WarehouseSpec extends SparkSpec {
           PropEvent(day * 10L + 1, ts(f"2024-01-$day%02d 11:00:00"), 2, "purchase", 2.0, "{}"),
           PropEvent(day * 10L + 2, ts(f"2024-01-$day%02d 12:00:00"), 3, "view", 9.0, "{}"))
         read.set(0L)
+        readBytes.set(0L)
         q.processAllAvailable()
         org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
-        read.get()
+        (read.get(), readBytes.get())
       }
       // 12 RAW rows on disk by batch 4, but batch 4 still reads only its
       // own day (3 rows + stream/day-list re-reads) — a full-history
       // refresh would make the series grow by ≥3 rows per batch
       assert(spark.read.parquet(raw).count() == 12)
-      assert(perBatch.last < perBatch.head + 3,
-        s"per-batch input grew with history: $perBatch")
+      assert(perBatch.last._1 < perBatch.head._1 + 3,
+        s"per-batch input rows grew with history: $perBatch")
+      // bytes: batch 4 reads ~one day's files like batch 1 did; a
+      // full-history re-read would be ~4× batch 1 by now
+      assert(perBatch.last._2 < perBatch.head._2 * 2,
+        s"per-batch input bytes grew with history: $perBatch")
       assert(reportingMap(rep).values.sum == 4 * 3.0)
     } finally {
       q.stop()
@@ -125,6 +136,75 @@ class WarehouseSpec extends SparkSpec {
     // idempotent re-apply
     Sinks.upsertParquet(Seq((3L, "c")).toDF("k", "v"), path, Seq("k"))
     assert(spark.read.parquet(path).count() == 3)
+  }
+
+  private def dirSnapshot(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    assert(d.isDirectory, s"missing partition dir $dir")
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("upsertParquetPartitioned rewrites only partitions carrying updated keys") {
+    val path = Files.createTempDirectory("graft-upsertp").toString + "/t"
+    Sinks.upsertParquetPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"), (4L, "d3", "d"))
+        .toDF("k", "day", "v"),
+      path, Seq("k"), "day")
+    val before2 = dirSnapshot(s"$path/day=d2")
+    val before3 = dirSnapshot(s"$path/day=d3")
+    // update one key in d1, insert a new one there; d2/d3 untouched
+    Sinks.upsertParquetPartitioned(
+      Seq((2L, "d1", "B"), (5L, "d1", "e")).toDF("k", "day", "v"),
+      path, Seq("k"), "day")
+    val got = spark.read.parquet(path).select("k", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "d1", "a"), (2L, "d1", "B"), (5L, "d1", "e"),
+      (3L, "d2", "c"), (4L, "d3", "d")))
+    // untouched partition directories keep their exact files and mtimes —
+    // the O(affected partitions) claim, not just O(correct result)
+    assert(dirSnapshot(s"$path/day=d2") == before2)
+    assert(dirSnapshot(s"$path/day=d3") == before3)
+    assert(!new java.io.File(path + ".upsert-tmp").exists())
+  }
+
+  test("compactPartitions compacts fragmented dirs and skips compact ones") {
+    val path = Files.createTempDirectory("graft-compactpp").toString + "/t"
+    val ev = Sources.events(spark, sf("sf0.001"))
+    Sinks.writeDatePartitioned(ev.repartition(4), path)
+    val total = ev.count()
+    Sinks.compactPartitions(spark, path, targetBytes = 1L << 30)
+    val days = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName).sorted
+    assert(days.length > 1)
+    days.foreach(d => assert(dirSnapshot(s"$path/$d").size == 1))
+    assert(spark.read.parquet(path).count() == total)
+    // fragment ONE day by appending files directly into its leaf dir
+    // (what a per-batch streaming append does), leave the rest compact
+    val fragmented = days.head
+    val others = days.tail.map(d => d -> dirSnapshot(s"$path/$d")).toMap
+    val extra = spark.read.parquet(s"$path/$fragmented")
+    extra.coalesce(1).write.mode("append").parquet(s"$path/$fragmented")
+    val rows = spark.read.parquet(path).count()
+    Sinks.compactPartitions(spark, path, targetBytes = 1L << 30)
+    assert(dirSnapshot(s"$path/$fragmented").size == 1,
+      "fragmented partition must be rewritten")
+    // already-compact partitions are SKIPPED byte-for-byte
+    others.foreach { case (d, snap) => assert(dirSnapshot(s"$path/$d") == snap) }
+    assert(spark.read.parquet(path).count() == rows)
+  }
+
+  test("recoverSwap restores a crashed backup-then-swap") {
+    val root = Files.createTempDirectory("graft-recover").toString
+    val path = root + "/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    // simulate a crash between the two moves: data only under the backup
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".compact-old"))
+    Sinks.recoverSwap(path)
+    assert(spark.read.parquet(path).count() == 1)
+    assert(!new java.io.File(path + ".compact-old").exists())
   }
 
   test("writeRangeLayout produces disjoint, internally sorted file ranges") {
