@@ -100,6 +100,11 @@ object SparkEntry {
     // eval set, the rest the training corpus
     "q_contamination" -> docs(d => Decontaminate.contaminationReport(
       d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
+    // bloom-prefilter twin sharing q_contamination's oracle verbatim: the
+    // sketch path is provably lossless (no false negatives; false
+    // positives die in the exact confirm join)
+    "q_contamination_bloom" -> docs(d => Decontaminate.contaminationReportBloom(
+      d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
@@ -239,6 +244,21 @@ object SparkEntry {
       |SELECT src AS doc_id, min(node) AS cluster_id,
       |  CAST(count(*) AS BIGINT) AS cluster_size
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val ContaminationSql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3))),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |  count(b.shingle) AS n_hits,
+      |  floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+      |    / 1000000 AS contamination
+      |FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
+      |LEFT JOIN bench b USING (shingle)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val FunnelConversionsSql =
     """WITH RECURSIVE ev AS (
@@ -525,21 +545,11 @@ object SparkEntry {
     // string shingles mirror Spark's hashed shingles (collision-free at
     // these set sizes, same argument as q_ngram_jaccard); bench = docs with
     // doc_id % 25 == 0, corpus = the rest, contamination = set containment
-    // of the doc's distinct trigrams in the benchmark trigram union
-    "q_contamination" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3))),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
-        |SELECT s.doc_id, count(*) AS n_shingles,
-        |  count(b.shingle) AS n_hits,
-        |  floor((CAST(count(b.shingle) AS DOUBLE) / count(*)) * 1000000 + 0.5)
-        |    / 1000000 AS contamination
-        |FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
-        |LEFT JOIN bench b USING (shingle)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // of the doc's distinct trigrams in the benchmark trigram union.
+    // Shared verbatim with q_contamination_bloom: the bloom prefilter must
+    // be output-lossless.
+    "q_contamination" -> ContaminationSql,
+    "q_contamination_bloom" -> ContaminationSql,
     "q_lang_id" ->
       """WITH scored AS (SELECT lang,
         |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS en,

@@ -1,9 +1,37 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 import graft.Exprs._
+
+/** `bloom.mightContainLong(h)` as a Catalyst expression over a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]]: the filter rides in the
+  * plan as bytes (shipped once per executor via the task-binary broadcast)
+  * and deserializes once per task (`@transient lazy val`) — a map-side
+  * membership probe with NO false negatives, the sketch half of
+  * [[Decontaminate.contaminationReportBloom]]. Evaluated once per row;
+  * CodegenFallback costs one virtual call against a hash probe. */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
 
 /** Benchmark decontamination — the training-data hygiene step a pretraining
   * pipeline runs before anything ships to a trainer: flag (and drop) corpus
@@ -40,6 +68,50 @@ object Decontaminate {
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         round2(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** [[contaminationReport]] with a Bloom-filter pre-probe — IDENTICAL
+    * output (it shares the DuckDB oracle verbatim: bloom false positives
+    * are removed by an exact confirm join, and Bloom filters have no false
+    * negatives), different scale envelope. The exact variant broadcasts
+    * the benchmark's full distinct shingle-hash set, which stops fitting
+    * when the eval union grows to ~10⁹ shingles (8 GB+ of longs hashed);
+    * here the broadcastable artifact is the SKETCH (~1.2 bytes/element at
+    * 1% fpp — an order of magnitude smaller), probed map-side over the
+    * corpus, and the exact set is only touched by a join whose left side
+    * is the bloom HITS (true hits + fpp·|corpus shingles| false
+    * positives), a sliver of the corpus stream — so neither side ever
+    * broadcasts the exact set nor shuffles the full corpus. The filter is
+    * built with one driver-side aggregation (`stat.bloomFilter`, the same
+    * driver path Spark's runtime-filter injection uses, sized by
+    * `expectedItems ≈ benchSh.count`). Per-doc totals still aggregate the
+    * full shingle stream — that aggregation exists in the exact variant
+    * too. */
+  def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
+      width: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val sh = Dedup.hashedShingles(corpus, width)
+    val benchSh = Dedup.hashedShingles(bench, width).select("h").distinct()
+    val expected = math.max(1L, benchSh.count())
+    val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val mightContain = ColumnBridge.column(
+      BloomMightContainLong(ColumnBridge.expression(col("h")), bytes))
+    // exact confirm: kills the false positives; no broadcast hint — the
+    // candidate side is already sketch-thinned, AQE picks the strategy
+    val hits = sh.filter(mightContain)
+      .join(benchSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round2(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("contamination"))
       .orderBy("doc_id")
   }
 

@@ -145,6 +145,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L), s"kept $kept") // short doc kept (no evidence)
   }
 
+  test("contaminationReportBloom is output-identical to the exact report") {
+    import graft.ext.Decontaminate
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val exact = Decontaminate.contaminationReport(corpus, bench)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // default fpp AND a deliberately terrible one (50% false positives):
+    // the exact confirm join must kill every bloom false positive, so the
+    // output is invariant to the sketch quality
+    Seq(0.01, 0.5).foreach { fpp =>
+      val got = Decontaminate
+        .contaminationReportBloom(corpus, bench, fpp = fpp)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == exact, s"fpp=$fpp diverged")
+    }
+  }
+
   test("minhashNearDups finds planted near-dups with exact jaccard attached") {
     val got = Dedup.minhashNearDups(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect()
