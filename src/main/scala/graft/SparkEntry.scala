@@ -92,6 +92,20 @@ object SparkEntry {
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
     "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
     "q_minhash_neardups" -> docs(Dedup.minhashNearDups(_)),
+    // incremental dedup against a persisted signature index: two
+    // half-corpus increments into a FRESH per-invocation index (repeat
+    // invocations must not accumulate state); no oracle (minhash-estimated
+    // jaccard is hash-dependent) — ground truth via the DedupSpec
+    // two-batch ≡ one-shot equivalence
+    "q_minhash_incremental" -> docs(d => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-mhidx")
+        .toString + "/idx"
+      val first = Dedup.minhashNearDupsIncremental(
+        d.filter(col("doc_id") % 2 === 0), idx)
+      val second = Dedup.minhashNearDupsIncremental(
+        d.filter(col("doc_id") % 2 =!= 0), idx)
+      first.unionByName(second).orderBy("doc1", "doc2")
+    }),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
     "q_doc_quality" -> docs(TextOps.qualityScores),

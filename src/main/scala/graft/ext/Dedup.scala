@@ -300,6 +300,91 @@ object Dedup {
       .groupBy("doc_id")
       .agg(MinHashAggregate.minhashSig(col("h"), numHashes).as("sig"))
 
+  /** Banded LSH buckets from (doc_id, sig) rows: one 64-bit bucket per
+    * band (xxhash64 over the band's signature slice), `bands` rows per
+    * doc. Shared by the batch and incremental near-dup paths. */
+  private def bandedBuckets(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** MinHash-estimated Jaccard: the fraction of equal signature
+    * components — k/numHashes is binary-exact in doubles, so thresholds
+    * compare deterministically. Interpreted HOF, but evaluated only on
+    * CANDIDATE pairs (post-banding), never the corpus stream. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
+
+  /** Incremental near-dup detection against a PERSISTED signature index —
+    * the shape a production pipeline actually runs: a 100 TB corpus is
+    * deduped once, and every daily increment afterwards is compared
+    * against history WITHOUT rescanning it. The index stores one
+    * (doc_id, sig array<long>[numHashes]) row per document ever seen —
+    * ~vanishing vs the corpus (32 longs per doc vs the text) — and each
+    * call:
+    *
+    *  1. signatures the new batch (one-pass [[minhashSignatures]]);
+    *  2. finds candidates batch-vs-batch (band self-join) and
+    *     batch-vs-history — the batch's band buckets are BROADCAST
+    *     against the index scan, so history never shuffles and
+    *     per-increment cost is O(batch + bucket matches);
+    *  3. scores candidates with [[estJaccard]] (signature-estimated —
+    *     history's shingle sets are gone by design, so exact
+    *     verification is not available; raise numHashes to tighten the
+    *     estimate) and keeps pairs ≥ `threshold`;
+    *  4. appends the batch's signatures to the index (results are
+    *     materialized first, so the append cannot feed back).
+    *
+    * Replaying increments is equivalent to one-shot processing: the spec
+    * pins two-batch ≡ one-shot over the union. Returns
+    * (doc1, doc2, est_jaccard), doc1 < doc2, ordered. */
+  def minhashNearDupsIncremental(newDocs: DataFrame, indexPath: String,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val spark = newDocs.sparkSession
+    val newSigs = minhashSignatures(newDocs, numHashes).localCheckpoint(true)
+    val newBands = bandedBuckets(newSigs, numHashes, bands)
+    val hasIndex = java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath))
+    val candSelf = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val cand = (if (hasIndex) {
+      val idxBands =
+        bandedBuckets(spark.read.parquet(indexPath), numHashes, bands)
+      // history side never shuffles: the increment's buckets broadcast
+      val cross = idxBands.as("i").join(broadcast(newBands).as("n"),
+          col("i.band") === col("n.band") &&
+            col("i.bucket") === col("n.bucket") &&
+            col("i.doc_id") =!= col("n.doc_id"))
+        .select(least(col("i.doc_id"), col("n.doc_id")).as("doc1"),
+          greatest(col("i.doc_id"), col("n.doc_id")).as("doc2"))
+      candSelf.union(cross)
+    } else candSelf).distinct()
+    val allSigs =
+      if (hasIndex) spark.read.parquet(indexPath).unionByName(newSigs)
+      else newSigs
+    val result = cand
+      .join(allSigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")),
+        "doc1")
+      .join(allSigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")),
+        "doc2")
+      .select(col("doc1"), col("doc2"),
+        estJaccard(col("sig1"), col("sig2"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc1", "doc2")
+      .localCheckpoint(true) // materialize BEFORE the index append below
+    newSigs.write.mode(SaveMode.Append).parquet(indexPath)
+    result
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
     * numHashes=32 split into 8 bands × 4 rows: docs agreeing on any full
@@ -309,16 +394,11 @@ object Dedup {
     * arrays move. Returns pairs with exact jaccard ≥ `threshold`. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
     // uncached (see ngramJaccardTopPairs): recompute-from-pruned-scan beats
     // pinning the exploded shingle stream in executor storage at scale
     val sh = hashedShingles(documents)
     val sig = minhashSignatures(documents, numHashes)
-    // one 64-bit bucket per band: xxhash64 over the band's signature slice
-    val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedBuckets(sig, numHashes, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&

@@ -145,6 +145,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L), s"kept $kept") // short doc kept (no evidence)
   }
 
+  test("incremental minhash dedup over two batches equals one shot over the union") {
+    def freshIdx() =
+      java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
+    // one-shot: a single increment into an empty index = plain batch LSH
+    val oneShot = Dedup.minhashNearDupsIncremental(docs, freshIdx())
+      .as[(Long, Long, Double)].collect().toSet
+    // incremental: evens first, then odds against the persisted index —
+    // the cross-batch pair (0 exact-dup 1) is only findable via the index
+    val idx = freshIdx()
+    val inc =
+      Dedup.minhashNearDupsIncremental(docs.filter($"doc_id" % 2 === 0), idx)
+        .as[(Long, Long, Double)].collect().toSet ++
+      Dedup.minhashNearDupsIncremental(docs.filter($"doc_id" % 2 =!= 0), idx)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(inc == oneShot && inc.nonEmpty, s"inc=$inc oneShot=$oneShot")
+    // the planted exact dup (0,1) crosses the batch split: est jaccard 1.0
+    assert(inc.contains((0L, 1L, 1.0)))
+  }
+
   test("contaminationReportBloom is output-identical to the exact report") {
     import graft.ext.Decontaminate
     val bench = Seq((100L, base)).toDF("doc_id", "text")
