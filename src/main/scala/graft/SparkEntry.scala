@@ -136,6 +136,10 @@ object SparkEntry {
       .toDF().orderBy("doc_id")),
     "q_knn_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Sources.table(s, dir, "embeddings"))),
+    // int8-quantized serving path; no oracle (quantization rounding is
+    // engine-specific) — recall vs the float path is spec-pinned
+    "q_knn_int8" -> ((s, dir) =>
+      Similarity.cosineTopKInt8(Sources.table(s, dir, "embeddings"))),
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))),
     "q_knn_batch" -> ((s, dir) =>
@@ -181,6 +185,14 @@ object SparkEntry {
     "q_stream_daily_revenue" -> ((s, dir) =>
       StreamingQueries.runCompleteMode(s, dir, "stream_daily_revenue")(
         StreamingQueries.dailyRevenueWindowed).orderBy("event_date")),
+    // streaming session_window twin sharing q_sessionization's oracle
+    // verbatim: native streaming session windows ≡ the batch aggregation
+    // (complete mode: session state merges across micro-batches and every
+    // session is emitted at the end — no watermark-withheld tail)
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamingQueries.runCompleteMode(s, dir, "stream_sessions")(
+        ops.WindowedQueries.sessionize(_))
+        .orderBy("user_id", "session_start")),
     // exact first-seen dedup for the hash-checked entry: the bounded
     // (watermark-evicting) variant can re-emit a duplicate that arrives
     // after its state was evicted, so its exact match is batch-order-
@@ -273,6 +285,26 @@ object SparkEntry {
       |FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
       |LEFT JOIN bench b USING (shingle)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // shared by q_sessionization (batch session_window) and
+  // q_stream_sessions (streaming session_window over the file stream):
+  // the gaps-and-islands rewrite is the engine-independent mirror of both
+  private val SessionizationSql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
 
   private val FunnelConversionsSql =
     """WITH RECURSIVE ev AS (
@@ -446,22 +478,9 @@ object SparkEntry {
          |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
          |  (event_type), (CAST(ts AS DATE)))
          |ORDER BY gid, event_type, event_date""".stripMargin,
-    "q_sessionization" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM x)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "q_sessionization" -> SessionizationSql,
+    // streaming session_window ≡ batch sessionization: shared verbatim
+    "q_stream_sessions" -> SessionizationSql,
     "q_running_revenue" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS event_date,

@@ -60,10 +60,113 @@ case class VecDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two `array<tinyint>` (int8-quantized) columns,
+  * accumulated in long — the serving kernel for quantized ANN: byte loads
+  * and integer multiply-adds instead of float math, on vectors 4× smaller
+  * in storage and scan IO. Codegen'd like [[VecDotProduct]]. Cosine over
+  * symmetric per-vector quantization needs no scales at all (they cancel
+  * in the normalization), which is why this returns the raw integer dot. */
+case class VecDotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_int8"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass symmetric int8 quantization of an `array<float>` vector:
+  * `struct(scale float, q array<tinyint>)` with `scale = max|x|/127` and
+  * `q_i = round(x_i / scale)` (clamped; an all-zero vector quantizes to
+  * scale 0 and zero bytes). 4× smaller embedding storage — the standard
+  * memory/IO lever for billion-vector ANN — with reconstruction error
+  * bounded by scale/2 per component (spec-pinned). A per-element
+  * higher-order-function formulation would re-evaluate interpreted
+  * lambdas per component; this is one virtual call per row. */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale",
+      org.apache.spark.sql.types.FloatType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0f
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = mx / 127.0f
+    val q = new Array[Byte](n)
+    if (scale > 0.0f) {
+      i = 0
+      while (i < n) {
+        val r = math.round(a.getFloat(i) / scale)
+        q(i) = math.max(-127, math.min(127, r)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Column-level dot product backed by [[VecDotProduct]]. Inputs must be
     * `array<float>` columns (embedding vectors). */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Integer dot product over two `array<tinyint>` columns (long). */
+  def vecDotInt8(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotProductInt8(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `struct(scale, q)` int8 quantization of an `array<float>` column. */
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
 }

@@ -60,6 +60,31 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact ivf=$ivf")
   }
 
+  test("int8 quantization bounds reconstruction error by scale/2") {
+    val all = emb.as[(Long, Array[Float])].collect().toMap
+    val q = Similarity.quantizeInt8(emb)
+      .as[(Long, Float, Seq[Byte])].collect()
+    assert(q.length == all.size)
+    q.foreach { case (id, scale, bytes) =>
+      val orig = all(id)
+      assert(bytes.length == orig.length)
+      orig.zip(bytes).foreach { case (x, b) =>
+        assert(math.abs(x - b * scale.toDouble) <= scale / 2.0 + 1e-6,
+          s"vec $id: $x vs ${b * scale}")
+      }
+    }
+  }
+
+  test("int8-quantized KNN recalls the float top-k on real embeddings") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val exact = Similarity.cosineTopK(emb, 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val int8 = Similarity.cosineTopKInt8(emb, 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact intersect int8).size >= 8,
+      s"recall too low: exact=$exact int8=$int8")
+  }
+
   test("labelCentroids long format matches driver-side means; arrays reassemble") {
     val labelled = emb.withColumn("label",
       org.apache.spark.sql.functions.expr("CAST(vec_id % 3 AS STRING)"))
