@@ -42,6 +42,9 @@ object SparkEntry {
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
     "q_top_category_revenue" -> ev(EventQueries.topCategoryRevenue(_)),
+    // approx_top_k heavy hitters — exact below sketch capacity (see
+    // scaladoc), so it rides the hash gate against the plain group-by
+    "q_category_heavyhitters" -> ev(EventQueries.categoryHeavyHitters(_)),
     "q_conversion_funnel" -> ev(EventQueries.conversionFunnel),
     "q_abandoned_cart_users" -> ev(EventQueries.abandonedCartUsers),
     "q_avg_order_value_daily" -> ev(EventQueries.avgOrderValueDaily),
@@ -342,6 +345,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS event_count FROM events
         |WHERE event_type IN ('view', 'click', 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch is below capacity on this data → zero-error → the exact
+    // group-by mirrors it (see EventQueries.categoryHeavyHitters)
+    "q_category_heavyhitters" ->
+      """SELECT json_extract_string(props, '$.k') AS category,
+        |  count(*) AS est_count
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY est_count DESC, category""".stripMargin,
     "q_abandoned_cart_users" ->
       """SELECT CAST(e.ts AS DATE) AS event_date, e.user_id, count(*) AS cart_events
         |FROM events e

@@ -48,6 +48,27 @@ object EventQueries {
       .orderBy(col("revenue").desc, col("category").asc_nulls_last)
       .limit(k)
 
+  /** Approximate category heavy hitters via `approx_top_k` (DataSketches
+    * frequent-items): a mergeable, constant-memory sketch — at 100 TB the
+    * exact alternative shuffles the full key universe, while this
+    * aggregates ~`maxTracked` counters per partition and merges them.
+    * Exactness contract: below capacity the sketch never evicts, so
+    * counts carry the DataSketches ZERO-error guarantee — with
+    * `maxTracked` ≥ the true cardinality this entry is exact and
+    * hash-matches the plain group-by oracle; beyond capacity it degrades
+    * to ±n/maxTracked error (the regime the operator exists for). `k` is
+    * set ≥ cardinality so the sketch's internal top-k boundary (arbitrary
+    * among tied counts) never truncates — the total ordering with its
+    * category tiebreak is applied OUTSIDE the sketch. */
+  def categoryHeavyHitters(events: DataFrame, k: Int = 100,
+      maxTracked: Int = 10000): DataFrame =
+    events.select(get_json_object(col("props"), "$.k").as("category"))
+      .filter(col("category").isNotNull)
+      .agg(expr(s"approx_top_k(category, $k, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.item").as("category"), col("s.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("category"))
+
   /** Conversion funnel counts
     * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:30-39`). */
   def conversionFunnel(events: DataFrame): DataFrame =
