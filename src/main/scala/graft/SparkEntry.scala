@@ -132,6 +132,7 @@ object SparkEntry {
     "q_repetition" -> docs(TextOps.repetitionScores),
     "q_intradoc_dedup" -> docs(TextOps.dedupWithin(_, " ")),
     "q_sequence_packing" -> docs(TextOps.packSequences(_)),
+    "q_doc_chunks" -> docs(TextOps.chunkDocs(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
@@ -713,6 +714,22 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens,
         |  start_tok // 512 AS start_bin, start_tok % 512 AS start_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // integer chunk-start math in both engines (no float ceil); DuckDB
+    // list slice is 1-based inclusive, Spark slice(start, length) — the
+    // bounds below address identical windows
+    "q_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, greatest(0, (len(toks) - 64 + 47) // 48)))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf

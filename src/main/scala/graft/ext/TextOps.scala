@@ -316,6 +316,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed-token chunking with stride overlap — the step that turns
+    * variable-length documents into model-context-sized windows (RAG
+    * passages, pretraining examples with overlap). Chunk `c` covers
+    * tokens `[c*stride, c*stride + chunkTokens)`; the last chunk starts
+    * at `(n - chunkTokens + stride - 1) div stride` (integer math in BOTH
+    * engines — float `ceil` would invite representation drift), so every
+    * token is covered and a doc shorter than one chunk yields exactly
+    * one. Map-side: tokenization happens ONCE into a materialized `toks`
+    * attribute and the per-chunk lambdas capture only that attribute — a
+    * direct `transform(..., slice(split(text), ...))` would re-tokenize
+    * per chunk (the interpreted-HOF re-evaluation trap). The explode
+    * multiplies rows ~n/stride per doc, the intended output shape. */
+  def chunkDocs(documents: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need 1 <= stride <= chunkTokens")
+    documents
+      .filter(size(tokens(col("text"))) >= 1)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(lit(0),
+          expr(s"(size(toks) - $chunkTokens + ${stride - 1}) div $stride"))
+          .cast("int").as("last"),
+        col("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("last")),
+          c => concat_ws(" ",
+            slice(col("toks"), c * stride + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_id"),
+        size(split(col("col"), " ")).cast(LongType).as("n_tokens"),
+        col("col").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
     * vocabulary — the cheapest useful near-dup fingerprint that stays

@@ -179,6 +179,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"dedupWithin must not explode:\n$plan")
   }
 
+  test("chunkDocs covers every token in stride windows") {
+    val toks = (1 to 150).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "short doc"),
+      (3L, (1 to 64).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, chunkTokens = 64, stride = 48)
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = got.groupBy(_._1)
+    // 150 tokens → starts 0, 48, 96; the tail chunk truncates to 54
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq == Seq(64L, 64L, 54L))
+    byDoc(1L).foreach { case (_, c, _, text) =>
+      assert(text == toks.slice(c.toInt * 48,
+        math.min(c.toInt * 48 + 64, 150)).mkString(" "))
+    }
+    // shorter than one chunk → exactly one chunk; exactly one chunk long
+    // → exactly one (the last-start formula lands on 0 both times)
+    assert(byDoc(2L).map(r => (r._2, r._3)).toSeq == Seq((0L, 2L)))
+    assert(byDoc(3L).map(r => (r._2, r._3)).toSeq == Seq((0L, 64L)))
+  }
+
   test("dedupWithin treats regex-metachar delimiters literally") {
     // '.' is the scaladoc-suggested sentence delimiter; a regex-based split
     // would split on EVERY character and disagree with the literal re-join
