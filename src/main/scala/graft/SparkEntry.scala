@@ -93,6 +93,7 @@ object SparkEntry {
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
+    "q_cluster_keepers" -> docs(Dedup.clusterKeepers(_)),
     "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
     "q_minhash_neardups" -> docs(Dedup.minhashNearDups(_)),
     // incremental dedup against a persisted signature index: two
@@ -568,6 +569,15 @@ object SparkEntry {
     // a hash-matched equivalence proof of the two CC algorithms.
     "q_dup_clusters" -> DupClustersSql,
     "q_dup_clusters_star" -> DupClustersSql,
+    // keeper policy over the same reachability clusters: longest member
+    // wins, doc_id tiebreak
+    "q_cluster_keepers" ->
+      s"""SELECT cluster_id, doc_id AS keeper_id, cluster_size FROM (
+         |  SELECT c.cluster_id, c.doc_id, c.cluster_size,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY len(string_split(d.text, ' ')) DESC, c.doc_id) AS rk
+         |  FROM ($DupClustersSql) c JOIN documents d USING (doc_id))
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

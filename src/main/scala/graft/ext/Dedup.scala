@@ -136,6 +136,30 @@ object Dedup {
         col("component_size").as("cluster_size"))
       .orderBy("doc_id")
 
+  /** The DROP decision [[dupClusters]]' cluster list exists for: one row
+    * per near-dup cluster with the KEEPER — the longest member (token
+    * count), ties to the smallest doc_id — and the member count. "Keep
+    * longest" is the usual corpus-dedup policy (the longest variant of a
+    * templated page carries the most content); swap the ordering for any
+    * other quality signal. The ranking shuffles (cluster_id, n_tokens)
+    * pairs only — clusters-sized, not corpus-sized. */
+  def clusterKeepers(documents: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val clusters = dupClusters(documents, minJaccard, maxShingleDf)
+    val sized = clusters.join(
+      documents.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    sized.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** Connected components over an undirected edge list (any 2-column long
     * pair frame): labels every vertex with the min vertex id reachable from
     * it plus the component size — the graph primitive under

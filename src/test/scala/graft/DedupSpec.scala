@@ -145,6 +145,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L), s"kept $kept") // short doc kept (no evidence)
   }
 
+  test("clusterKeepers keeps the longest cluster member, doc_id tiebreak") {
+    // equal lengths → tiebreak to min doc_id (cluster {0,1,2} of the
+    // shared fixture)
+    val equalLen = Dedup.clusterKeepers(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(equalLen == Seq((0L, 0L, 3L)))
+    // a longer near-dup (still jaccard >= 0.5 with base) wins the keeper
+    val longer = base + " extra tokens appended here now"
+    val df2 = Seq((0L, base), (1L, longer)).toDF("doc_id", "text")
+    val got = Dedup.clusterKeepers(df2).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 2L)), s"got $got")
+  }
+
   test("incremental minhash dedup over two batches equals one shot over the union") {
     def freshIdx() =
       java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
