@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{ShingleCounts, ShingleHashes, VecDotProduct}
+import graft.ext.{QuantizeInt8, ShingleCounts, ShingleHashes, SimHash64,
+  VecDotProduct, VecDotProductInt8}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -43,6 +44,27 @@ object GraftFunctions {
   private[graft] val shingleCountsBuilder =
     widthBuilder("shingle_counts", ShingleCounts.apply) _
 
+  private[graft] def vecDotInt8Builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 2,
+      s"vec_dot_int8 takes 2 arguments, got ${exprs.length}")
+    VecDotProductInt8(exprs(0), exprs(1))
+  }
+
+  private[graft] def quantizeInt8Builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 1,
+      s"quantize_int8 takes 1 argument, got ${exprs.length}")
+    QuantizeInt8(exprs(0))
+  }
+
+  private[graft] def simhash64Builder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 1,
+      s"simhash64 takes 1 argument, got ${exprs.length}")
+    SimHash64(exprs(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
@@ -50,6 +72,12 @@ object GraftFunctions {
       shingleHashesBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("shingle_counts",
       shingleCountsBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("vec_dot_int8",
+      vecDotInt8Builder, "scala_udf")
+    registry.createOrReplaceTempFunction("quantize_int8",
+      quantizeInt8Builder, "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64",
+      simhash64Builder, "scala_udf")
   }
 }
 
@@ -66,5 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_counts"),
       new ExpressionInfo(classOf[ShingleCounts].getName, "shingle_counts"),
       GraftFunctions.shingleCountsBuilder))
+    e.injectFunction((FunctionIdentifier("vec_dot_int8"),
+      new ExpressionInfo(classOf[VecDotProductInt8].getName, "vec_dot_int8"),
+      GraftFunctions.vecDotInt8Builder))
+    e.injectFunction((FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      GraftFunctions.quantizeInt8Builder))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      GraftFunctions.simhash64Builder))
   }
 }

@@ -72,5 +72,15 @@ class PipelineSpec extends SparkSpec {
       .selectExpr("s.n_shingles", "s.n_distinct", "s.top_cnt")
       .as[(Long, Long, Long)].head()
     assert(reps == ((6L, 2L, 3L)))
+    // round-6 registrations: int8 quantization kernels + simhash
+    val qd = spark.sql(
+      """SELECT vec_dot_int8(q.s.q, q.s.q) AS n2, q.s.scale AS sc
+        |FROM (SELECT quantize_int8(array(CAST(1.27 AS FLOAT),
+        |  CAST(-1.27 AS FLOAT))) AS s) q""".stripMargin)
+      .as[(Long, Float)].head()
+    assert(qd == ((127L * 127 * 2, 0.01f)))
+    val sh = spark.sql(
+      "SELECT simhash64('a b c') = simhash64('a b c') AS eq").as[Boolean].head()
+    assert(sh)
   }
 }
