@@ -132,6 +132,7 @@ object SparkEntry {
     "q_pii_scrub" -> docs(TextOps.scrubPii),
     "q_repetition" -> docs(TextOps.repetitionScores),
     "q_intradoc_dedup" -> docs(TextOps.dedupWithin(_, " ")),
+    "q_unit_filter" -> docs(TextOps.filterUnits(_)),
     "q_sequence_packing" -> docs(TextOps.packSequences(_)),
     "q_doc_chunks" -> docs(TextOps.chunkDocs(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
@@ -674,6 +675,14 @@ object SparkEntry {
         |  floor((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1000000 + 0.5)
         |    / 1000000 AS top_ratio
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unit_filter" ->
+      """WITH u AS (SELECT doc_id, string_split(text, ' ') AS units
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
+        |  CAST(len(list_filter(units, x -> length(x) >= 2)) AS BIGINT) AS n_kept,
+        |  array_to_string(list_filter(units, x -> length(x) >= 2), ' ')
+        |    AS clean_text
+        |FROM u ORDER BY doc_id""".stripMargin,
     // order-preserving first-occurrence dedup: list_position returns the
     // FIRST index of x, so keeping positions where it equals the element's
     // own index is exactly keep-first — mirrors DedupUnits' hash-set pass

@@ -316,6 +316,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unit-level quality filtering (the C4-style cleanup, generalized):
+    * split on a LITERAL delimiter, drop units shorter than `minChars`
+    * characters (junk tokens at the word level; navigation crumbs and
+    * stray fragments at `delim = "\n"` line level), re-join. Complements
+    * [[dedupWithin]] (which drops repeats; this drops low-content
+    * units). Pure per-row projection; the per-unit lambda captures only
+    * the materialized `units` attribute. Reports n_units/n_kept so the
+    * drop rate is auditable per document. */
+  def filterUnits(documents: DataFrame, delim: String = " ",
+      minChars: Int = 2): DataFrame = {
+    val pat = java.util.regex.Pattern.quote(delim)
+    val kept = filter(col("units"), u => length(u) >= minChars)
+    documents
+      .select(col("doc_id"), split(col("text"), pat).as("units"))
+      .select(col("doc_id"),
+        size(col("units")).cast(LongType).as("n_units"),
+        size(kept).cast(LongType).as("n_kept"),
+        concat_ws(delim, kept).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-token chunking with stride overlap — the step that turns
     * variable-length documents into model-context-sized windows (RAG
     * passages, pretraining examples with overlap). Chunk `c` covers

@@ -212,6 +212,30 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("int8 quantization error is bounded by scale/2 on random vectors") = {
+    val genVec = Gen.nonEmptyListOf(Gen.chooseNum(-1000f, 1000f))
+    forAll(genVec) { xs =>
+      val df = Seq((0L, xs.toArray)).toDF("vec_id", "embedding")
+      val (scale, q) = graft.ext.Similarity.quantizeInt8(df)
+        .select("scale", "qemb").as[(Float, Seq[Byte])].head()
+      xs.zip(q).forall { case (x, b) =>
+        math.abs(x - b * scale.toDouble) <= scale / 2.0 + 1e-6 } &&
+        q.length == xs.length
+    }
+  }
+
+  property("chunkDocs reassembles the document at stride == chunk size") = {
+    val genWords = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd"))
+    forAll(genWords) { words =>
+      // stride == chunkTokens → disjoint windows; concatenating the
+      // ordered chunks must reproduce the token stream exactly
+      val df = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.ext.TextOps.chunkDocs(df, chunkTokens = 3, stride = 3)
+        .orderBy("chunk_id").select("chunk_text").as[String].collect()
+      chunks.flatMap(_.split(" ")).toSeq == words
+    }
+  }
+
   property("retention cohorts are disjoint and cover first-half users") =
     forAll(genEvents) { rows =>
       val out = EventQueries.userRetention(toDf(rows))

@@ -179,6 +179,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"dedupWithin must not explode:\n$plan")
   }
 
+  test("filterUnits drops short units and reports the drop rate") {
+    val df = Seq((1L, "a bb ccc d ee"), (2L, "xx yy")).toDF("doc_id", "text")
+    val got = TextOps.filterUnits(df)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L, "bb ccc ee"), (2L, 2L, 2L, "xx yy")))
+    // line-level variant: the C4 shape
+    val lines = Seq((1L, "Home\nReal content here\nOk")).toDF("doc_id", "text")
+    val lf = TextOps.filterUnits(lines, "\n", minChars = 5)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(lf == ((1L, 3L, 1L, "Real content here")))
+  }
+
   test("chunkDocs covers every token in stride windows") {
     val toks = (1 to 150).map(i => s"t$i")
     val df = Seq((1L, toks.mkString(" ")), (2L, "short doc"),
