@@ -38,6 +38,10 @@ object SparkEntry {
   private val ivfCentroids =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]
 
+  /** Unigram vocabulary cached per sfDir — see [[graft.ext.TextOps.trainUnigramVocab]]. */
+  private val unigramVocab =
+    new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -68,6 +72,7 @@ object SparkEntry {
       Sources.fromAvroEnvelope(Sinks.avroEnvelope(e)).orderBy("event_id")),
     "q_revenue_rollup" -> ev(EventQueries.revenueRollup),
     "q_revenue_grouping_sets" -> ev(EventQueries.revenueGroupingSets),
+    "q_revenue_cube" -> ev(EventQueries.revenueCube),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     // ---- join/agg coverage on the star schema ----
@@ -92,6 +97,7 @@ object SparkEntry {
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
+    "q_dup_ngram_spans" -> docs(Dedup.dupNgramSpans(_)),
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
     "q_cluster_keepers" -> docs(Dedup.clusterKeepers(_)),
     "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
@@ -125,6 +131,14 @@ object SparkEntry {
       d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
+    // train-once/serve-many unigram LM familiarity: the vocabulary is a
+    // per-dataset trained artifact (same cache discipline as ivfCentroids)
+    "q_unigram_familiarity" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val (vt, vc) = unigramVocab.getOrElseUpdate(dir,
+        TextOps.trainUnigramVocab(d))
+      TextOps.unigramFamiliarity(d, vt, vc)
+    }),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
@@ -199,6 +213,13 @@ object SparkEntry {
       StreamingQueries.runCompleteMode(s, dir, "stream_sessions")(
         ops.WindowedQueries.sessionize(_))
         .orderBy("user_id", "session_start")),
+    // stream-static dimension join: streamed purchases ⋈ broadcast static
+    // customer, hash-matched against the batch join SQL
+    "q_stream_segment_revenue" -> ((s, dir) => {
+      val cust = Sources.table(s, dir, "customer")
+      StreamingQueries.runCompleteMode(s, dir, "stream_segment_rev")(
+        StreamingQueries.segmentRevenue(_, cust)).orderBy("segment")
+    }),
     // exact first-seen dedup for the hash-checked entry: the bounded
     // (watermark-evicting) variant can re-emit a duplicate that arrives
     // after its state was evicted, so its exact match is batch-order-
@@ -491,6 +512,13 @@ object SparkEntry {
          |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
          |  (event_type), (CAST(ts AS DATE)))
          |ORDER BY gid, event_type, event_date""".stripMargin,
+    "q_revenue_cube" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
+         |  $MoneySumValue AS revenue, count(*) AS n_events,
+         |  GROUPING(event_type, CAST(ts AS DATE)) AS gid
+         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+         |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+         |ORDER BY gid, event_type, event_date""".stripMargin,
     "q_sessionization" -> SessionizationSql,
     // streaming session_window ≡ batch sessionization: shared verbatim
     "q_stream_sessions" -> SessionizationSql,
@@ -561,6 +589,48 @@ object SparkEntry {
         |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
         |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    // span-level duplicate detection: string 5-grams mirror Spark's hashed
+    // positional windows (collision-free at these sizes, same argument as
+    // q_ngram_jaccard); covered tokens via gaps-and-islands over duplicated
+    // window starts — min(gap, width) newly covered per start
+    "q_dup_ngram_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 5))),
+        |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM w)
+        |        GROUP BY sh HAVING count(*) >= 2),
+        |gaps AS (SELECT doc_id,
+        |           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |         FROM w WHERE sh IN (SELECT sh FROM dup)),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |          CAST(sum(CASE WHEN gap IS NULL THEN 5
+        |                        ELSE LEAST(gap, 5) END) AS BIGINT) AS n_dup_tokens
+        |        FROM gaps GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.n_tokens - 4 AS n_windows,
+        |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+        |  floor(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens * 100 + 0.5) / 100
+        |    AS dup_token_share
+        |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 5) t
+        |LEFT JOIN cov c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // trained unigram vocab (count >= 2, top 65536 by count desc / token
+    // asc) scored per doc; exact integers until the single final division
+    "q_unigram_familiarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        |          HAVING count(*) >= 2 ORDER BY cnt DESC, tok LIMIT 65536),
+        |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+        |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
+        |       FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov, vocab_sum,
+        |  floor(CAST(vocab_sum AS DOUBLE) / n_tokens * 100 + 0.5) / 100 AS familiarity
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // connected components over the jaccard >= 0.5 pair graph (same
     // DF-capped pairs as q_ngram_jaccard, same 6dp rounding before the
     // threshold so both engines draw the identical edge set); min reachable
@@ -810,6 +880,14 @@ object SparkEntry {
     "q_stream_daily_revenue" ->
       s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
          |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-static join twin: the streamed broadcast-enriched aggregate
+    // must hash-match the plain batch join SQL
+    "q_stream_segment_revenue" ->
+      s"""SELECT c.c_mktsegment AS segment, $MoneySumValue AS revenue,
+         |  count(*) AS n_purchases
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |WHERE e.event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dau" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  count(DISTINCT user_id) AS daily_active_users

@@ -116,6 +116,61 @@ object Dedup {
         (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
   }
 
+  /** Span-level duplicate detection (the distributed shape of the
+    * suffix-array substring dedup of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):
+    * per document, the count of `width`-token windows that also occur in
+    * at least `minDocFreq - 1` OTHER documents, and the number of token
+    * positions those duplicated windows cover (overlapping windows merged
+    * — the gaps-and-islands sum: a window starting `gap` after the
+    * previous duplicated start adds `min(gap, width)` newly covered
+    * tokens). Document-level dedup (Jaccard/MinHash) misses boilerplate
+    * SPANS inside otherwise-unique documents; this measures exactly that,
+    * and `dup_token_share` is the drop/trim signal.
+    *
+    * Scale: cross-doc window matching inherently compares every window —
+    * the same corpus-sized pass a suffix array makes — but each window
+    * ships as ONE 8-byte rolling hash from the one-pass
+    * [[TextExpressions.shinglePosHashes]] expression (never text), the
+    * duplicated-hash set is found with a map-side-partial count aggregate,
+    * and everything after the semi-join is bounded by duplicated windows
+    * only. The per-doc span merge is a window function over duplicated
+    * starts — dup-windows-sized, not corpus-sized. Intra-doc repeats
+    * don't count as duplication (the doc-frequency is over DISTINCT docs),
+    * but once a window IS cross-doc-duplicated, every occurrence of it in
+    * a doc is flagged (all its copies are removable). */
+  def dupNgramSpans(documents: DataFrame, width: Int = 5,
+      minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = documents.select(col("doc_id"),
+      posexplode(TextExpressions.shinglePosHashes(col("text"), width))
+        .as(Seq("pos", "h")))
+    // window hashes present in >= minDocFreq distinct docs
+    val dupH = wins.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("h")
+    val gap = col("pos") - lag("pos", 1).over(
+      Window.partitionBy("doc_id").orderBy("pos"))
+    val cover = wins.join(dupH, Seq("h"), "left_semi")
+      .withColumn("newly", coalesce(least(gap, lit(width)), lit(width)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("newly")).cast("long").as("n_dup_tokens"))
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= width)
+      .withColumn("n_windows", col("n_tokens") - (width - 1))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_token_share",
+        round2(col("n_dup_tokens").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** Transitive near-dup clusters: connected components over the
     * jaccard-thresholded pair graph, labeling every clustered doc with the
     * min doc_id reachable from it (the canonical keeper) plus the

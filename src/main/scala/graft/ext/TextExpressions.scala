@@ -66,6 +66,52 @@ case class ShingleHashes(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass POSITIONAL shingle hashing: the hash of every `width`-token
+  * window in document order (array index = window start position), NOT
+  * deduplicated — the input of span-level duplicate detection, where
+  * [[ShingleHashes]]' distinct set would lose the positions the span
+  * arithmetic needs. Same tokenize-once + rolling-combine evaluation and
+  * the same hash function as [[ShingleHashes]], so the two expressions'
+  * hash universes are interchangeable. Empty array below `width` tokens. */
+case class ShinglePosHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, s"shingle width must be >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pos_hashes"
+
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val n = tokens.length
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val tokenHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens(i)
+      tokenHash(i) =
+        XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+      i += 1
+    }
+    val out = new Array[Long](n - width + 1)
+    i = 0
+    while (i <= n - width) {
+      var h = Seed
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokenHash(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass shingle multiplicity stats: over the NON-distinct stream of
   * `width`-token shingle hashes, returns
   * `struct(n_shingles, n_distinct, top_cnt)` — total positions, distinct
@@ -321,10 +367,75 @@ case class LangGuess(child: Expression, lists: Seq[Seq[String]],
     copy(child = newChild)
 }
 
+/** One-pass scoring of a document against a TRAINED unigram vocabulary
+  * (token → corpus count): returns `struct(n_tokens, n_oov, vocab_sum)` —
+  * total whitespace tokens, tokens absent from the vocabulary, and the sum
+  * of the corpus counts of the in-vocabulary tokens. The CCNet-style
+  * "train a cheap LM on the corpus, score every document against it"
+  * quality signal, with the train/serve split of the IVF quantizer: the
+  * vocabulary is a bounded trained artifact baked into the expression
+  * (≤ maxVocab entries — broadcastable by construction via the task
+  * binary), and serving is a single map-side tokenize pass, exact integer
+  * arithmetic throughout (the familiarity ratio divides ONCE at the end,
+  * in IEEE doubles — engine-exact, unlike a per-token log-prob sum whose
+  * `ln` ulp differences could flip a rounding boundary across engines). */
+case class UnigramFamiliarity(child: Expression, vocabTokens: Seq[String],
+    vocabCounts: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocabTokens.length == vocabCounts.length,
+    s"vocab arrays disagree: ${vocabTokens.length} tokens vs " +
+      s"${vocabCounts.length} counts")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_oov", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("vocab_sum", LongType, nullable = false)))
+  override def prettyName: String = "unigram_familiarity"
+
+  private val Space = UTF8String.fromString(" ")
+  @transient private lazy val vocab: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      vocabTokens.length * 2)
+    var i = 0
+    while (i < vocabTokens.length) {
+      m.put(UTF8String.fromString(vocabTokens(i)), vocabCounts(i))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    var oov = 0L
+    var sum = 0L
+    var i = 0
+    while (i < tokens.length) {
+      val c = vocab.get(tokens(i))
+      if (c == null) oov += 1L else sum += c.longValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(tokens.length.toLong, oov, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct hashed `width`-token shingles of a text column. */
   def shingleHashes(text: Column, width: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), width))
+
+  /** Positional (non-distinct) hashed `width`-token windows. */
+  def shinglePosHashes(text: Column, width: Int = 3): Column =
+    ColumnBridge.column(ShinglePosHashes(ColumnBridge.expression(text), width))
+
+  /** struct(n_tokens, n_oov, vocab_sum) against a trained unigram vocab. */
+  def unigramFamiliarity(text: Column, vocabTokens: Seq[String],
+      vocabCounts: Seq[Long]): Column =
+    ColumnBridge.column(UnigramFamiliarity(ColumnBridge.expression(text),
+      vocabTokens, vocabCounts))
 
   /** struct(n_shingles, n_distinct, top_cnt) over the non-distinct shingle
     * stream; null for docs shorter than `width`. */

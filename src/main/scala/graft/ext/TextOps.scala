@@ -385,4 +385,49 @@ object TextOps {
       .groupBy(fingerprintExpr(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
       .orderBy("keeper_id")
+
+  /** TRAIN step of the unigram-familiarity quality signal: the corpus
+    * token→count table, thresholded at `minCount` occurrences and capped
+    * to the `maxVocab` most frequent tokens (count desc, token asc — fully
+    * deterministic at the cap boundary), collected to driver arrays.
+    *
+    * The word count is the canonical scalable aggregate (map-side partial
+    * aggregation means the shuffle carries distinct-tokens-per-partition,
+    * vocabulary-sized, not corpus-sized) and the collect is AFTER the
+    * limit, so the driver holds ≤ `maxVocab` rows — the same bounded
+    * trained-artifact contract as [[Similarity.trainIvfCentroids]]. */
+  def trainUnigramVocab(documents: DataFrame, minCount: Long = 2,
+      maxVocab: Int = 65536): (Array[String], Array[Long]) = {
+    val rows = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(maxVocab)
+      .collect()
+    (rows.map(_.getString(0)), rows.map(_.getLong(1)))
+  }
+
+  /** SERVE step: per-document familiarity against a trained vocabulary —
+    * CCNet's "score every document with a cheap corpus-trained LM" filter
+    * (Wenzek et al. 2019, arXiv:1911.00359), with avg-corpus-frequency
+    * standing in for LM log-prob so the score is exact integer arithmetic
+    * until ONE final IEEE division (engine-reproducible; a per-token
+    * `ln` sum is not, see [[TextExpressions.UnigramFamiliarity]]). One
+    * map-side tokenize pass per doc, vocabulary riding the task binary;
+    * no shuffle except the output sort. Low familiarity = rare-token soup
+    * (boilerplate IDs, lists, noise); high n_oov = vocabulary mismatch. */
+  def unigramFamiliarity(documents: DataFrame, vocabTokens: Array[String],
+      vocabCounts: Array[Long]): DataFrame =
+    documents
+      .select(col("doc_id"),
+        TextExpressions.unigramFamiliarity(col("text"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabTokens),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabCounts))
+          .as("uf"))
+      .select(col("doc_id"), col("uf.n_tokens").as("n_tokens"),
+        col("uf.n_oov").as("n_oov"), col("uf.vocab_sum").as("vocab_sum"))
+      .withColumn("familiarity",
+        round2(col("vocab_sum").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
 }

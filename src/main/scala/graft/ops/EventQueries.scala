@@ -287,6 +287,18 @@ object EventQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid").desc, col("event_type"), col("event_date"))
 
+  /** Full cube over (event_type, day): every subtotal combination —
+    * (type, day), (type), (day), () — in ONE Expand + hash-aggregate pass
+    * (4 grouping sets ≙ one shuffle, vs four separate aggregations).
+    * Completes the rollup / grouping-sets family: cube is the power set,
+    * rollup the prefix chain, groupingSets the arbitrary subset. */
+  def revenueCube(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .cube(col("event_type"), day)
+      .agg(moneySum(col("value")).as("revenue"), count(lit(1)).as("n_events"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("event_date"))
+
   /** Arbitrary grouping sets — (type, day), (type), (day) — in one Expand +
     * aggregate pass; unlike rollup this includes the non-prefix (day)-only
     * subtotal. */

@@ -118,6 +118,24 @@ object StreamingQueries {
       .agg(count(lit(1)).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
+  /** Stream-static enrichment join — the canonical streaming dimension
+    * lookup: streamed purchase events joined to the STATIC customer
+    * dimension (user_id = c_custkey) and aggregated to revenue per market
+    * segment. Stream-static joins are stateless on the stream side (no
+    * watermark, no join state): Spark re-plans the static side each
+    * micro-batch and, with the explicit broadcast, every batch is a
+    * map-side hash join — the dimension table never shuffles the stream.
+    * At scale the dimension snapshot is the usual slowly-changing copy;
+    * re-planning per batch picks up file-level updates for free. */
+  def segmentRevenue(events: DataFrame, customer: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("value"))
+      .groupBy("segment")
+      .agg(moneySum(col("value")).as("revenue"),
+        count(lit(1)).as("n_purchases"))
+
   /** Stream-stream interval self-join (the hardest reference-relevant
     * streaming operator): views joined to same-user purchases arriving
     * within `windowMinutes` — the streaming twin of

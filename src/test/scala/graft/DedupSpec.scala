@@ -247,4 +247,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
+
+  test("shinglePosHashes: distinct of positional hashes ≡ shingleHashes set") {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, col}
+    import graft.ext.TextExpressions
+    val both = docs.select(
+      array_sort(array_distinct(
+        TextExpressions.shinglePosHashes(col("text"), 3))).as("a"),
+      array_sort(TextExpressions.shingleHashes(col("text"), 3)).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("dupNgramSpans merges overlapping spans; intra-doc repeats don't count") {
+    // docs 10/11 share an 8-token run (4 duplicated width-5 windows whose
+    // overlapping coverage must merge to exactly 8 tokens); doc 13 repeats
+    // a 5-token run INSIDE itself only — doc frequency 1, not duplication
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (10L, s"a1 a2 a3 $shared a4 a5"),
+      (11L, s"b1 $shared b2 b3 b4"),
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (13L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramSpans(d, width = 5)
+      .select("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        "n_dup_tokens", "dup_token_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 13L, 9L, 4L, 8L, 0.62)))
+    assert(out(11L) == ((11L, 12L, 8L, 4L, 8L, 0.67)))
+    assert(out(12L) == ((12L, 10L, 6L, 0L, 0L, 0.0)))
+    assert(out(13L) == ((13L, 11L, 7L, 0L, 0L, 0.0)))
+  }
 }

@@ -182,4 +182,23 @@ class StreamingSpec extends SparkSpec {
       .as[(java.sql.Date, String, Long)].collect().toSeq
     assert(streamed == batch)
   }
+
+  test("stream-static segment revenue: dimension broadcast, batch ≡ stream") {
+    val dir = sf("sf0.001")
+    val ev = ingest.Sources.events(spark, dir)
+    val cust = ingest.Sources.table(spark, dir, "customer")
+    // the batch shape of the per-micro-batch plan: the dimension side must
+    // broadcast (the stream never shuffles for the join)
+    val plan = StreamingQueries.segmentRevenue(ev, cust)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join must broadcast:\n$plan")
+    val streamed = StreamingQueries.runCompleteMode(
+        spark, dir, "t_segment_rev")(StreamingQueries.segmentRevenue(_, cust))
+      .orderBy("segment")
+      .as[(String, Double, Long)].collect().toSeq
+    val batch = StreamingQueries.segmentRevenue(ev, cust).orderBy("segment")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }

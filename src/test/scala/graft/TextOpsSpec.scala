@@ -222,4 +222,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 3L, "a.b.c"), (2L, 3L, 1L, "x"),
       (3L, 1L, 1L, "no-dups")))
   }
+
+  test("trainUnigramVocab thresholds, and caps by count desc / token asc") {
+    val d = Seq((0L, "b b a a c c c"), (1L, "once")).toDF("doc_id", "text")
+    val (vt, vc) = TextOps.trainUnigramVocab(d, minCount = 2, maxVocab = 2)
+    // counts: c=3, a=2, b=2, once=1 → threshold kills 'once', cap keeps
+    // (c,3) then the a/b count tie breaks by token asc → (a,2)
+    assert(vt.toSeq == Seq("c", "a") && vc.toSeq == Seq(3L, 2L))
+  }
+
+  test("unigramFamiliarity: exact OOV counts and vocab-frequency sums") {
+    val d = Seq((0L, "the cat sat"), (1L, "the the dog"),
+      (2L, "rare tokens only")).toDF("doc_id", "text")
+    // corpus counts: the=3 is the only token above minCount=2
+    val (vt, vc) = TextOps.trainUnigramVocab(d, minCount = 2, maxVocab = 10)
+    assert(vt.toSeq == Seq("the") && vc.toSeq == Seq(3L))
+    val out = TextOps.unigramFamiliarity(d, vt, vc)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 3L, 2L, 3L, 1.0)))   // one 'the' → sum 3, 2 oov
+    assert(out(1L) == ((1L, 3L, 1L, 6L, 2.0)))   // two 'the' → sum 6
+    assert(out(2L) == ((2L, 3L, 3L, 0L, 0.0)))   // all oov
+    // serving is one map-side pass: no shuffle except the output sort
+    val plan = TextOps.unigramFamiliarity(d, vt, vc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"unigramFamiliarity must not explode tokens:\n$plan")
+  }
 }
