@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{QuantizeInt8, ShingleCounts, ShingleHashes, SimHash64,
-  VecDotProduct, VecDotProductInt8}
+import graft.ext.{QuantizeInt8, ShingleCounts, ShingleHashes,
+  ShinglePosHashes, SimHash64, VecDotProduct, VecDotProductInt8}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -44,6 +44,10 @@ object GraftFunctions {
   private[graft] val shingleCountsBuilder =
     widthBuilder("shingle_counts", ShingleCounts.apply) _
 
+  /** `shingle_pos_hashes(text[, width])`. */
+  private[graft] val shinglePosHashesBuilder =
+    widthBuilder("shingle_pos_hashes", ShinglePosHashes.apply) _
+
   private[graft] def vecDotInt8Builder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(exprs.length == 2,
@@ -72,6 +76,8 @@ object GraftFunctions {
       shingleHashesBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("shingle_counts",
       shingleCountsBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_pos_hashes",
+      shinglePosHashesBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("vec_dot_int8",
       vecDotInt8Builder, "scala_udf")
     registry.createOrReplaceTempFunction("quantize_int8",
@@ -94,6 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("shingle_counts"),
       new ExpressionInfo(classOf[ShingleCounts].getName, "shingle_counts"),
       GraftFunctions.shingleCountsBuilder))
+    e.injectFunction((FunctionIdentifier("shingle_pos_hashes"),
+      new ExpressionInfo(classOf[ShinglePosHashes].getName, "shingle_pos_hashes"),
+      GraftFunctions.shinglePosHashesBuilder))
     e.injectFunction((FunctionIdentifier("vec_dot_int8"),
       new ExpressionInfo(classOf[VecDotProductInt8].getName, "vec_dot_int8"),
       GraftFunctions.vecDotInt8Builder))

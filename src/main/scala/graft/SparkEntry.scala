@@ -42,6 +42,10 @@ object SparkEntry {
   private val unigramVocab =
     new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
 
+  /** PQ codebooks cached per sfDir — see [[graft.ext.Similarity.trainPqCodebooks]]. */
+  private val pqCodebooks =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -98,6 +102,7 @@ object SparkEntry {
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
     "q_dup_ngram_spans" -> docs(Dedup.dupNgramSpans(_)),
+    "q_dup_span_removal" -> docs(Dedup.removeDupSpans(_)),
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
     "q_cluster_keepers" -> docs(Dedup.clusterKeepers(_)),
     "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
@@ -171,6 +176,15 @@ object SparkEntry {
       Similarity.ivfTopK(emb,
         ivfCentroids.getOrElseUpdate(dir, Similarity.trainIvfCentroids(emb)),
         queryVecId = 0L, k = 10, nProbe = 4)
+    }),
+    // product-quantization ANN: codes are 8 bytes/vector, scoring is ADC
+    // lookups; no oracle (codebook reconstruction error is
+    // training-dependent) — recall vs the exact path is spec-pinned
+    "q_pq_knn" -> ((s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      Similarity.pqTopK(emb,
+        pqCodebooks.getOrElseUpdate(dir, Similarity.trainPqCodebooks(emb)),
+        queryVecId = 0L, k = 10)
     }),
     "q_embedding_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Sources.table(s, dir, "embeddings"))),
@@ -617,6 +631,36 @@ object SparkEntry {
         |      FROM documents WHERE len(string_split(text, ' ')) >= 5) t
         |LEFT JOIN cov c ON t.doc_id = c.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // span REMOVAL under the same window universe: the min-doc_id owner of
+    // a duplicated 5-gram keeps all its occurrences, every other doc drops
+    // every covered token; the cleaned text itself rides the hash gate.
+    // 1-based positions throughout the mirror (Spark is 0-based throughout
+    // its own pipeline; output carries no positions)
+    "q_dup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        |        FROM t WHERE len(toks) >= 5)),
+        |own AS (SELECT sh, min(doc_id) AS owner FROM w GROUP BY sh
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |rem AS (SELECT DISTINCT doc_id, rpos FROM (
+        |          SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 4)) AS rpos
+        |          FROM w JOIN own ON w.sh = own.sh AND w.doc_id <> own.owner)),
+        |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |           FROM (SELECT doc_id, toks,
+        |                   unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+        |       FROM tokpos tp LEFT JOIN rem r
+        |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
+        |       WHERE r.rpos IS NULL GROUP BY 1),
+        |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(nr.n_removed, 0) AS n_removed,
+        |  COALESCE(ct.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+        |LEFT JOIN nr ON d.doc_id = nr.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // trained unigram vocab (count >= 2, top 65536 by count desc / token
     // asc) scored per doc; exact integers until the single final division
     "q_unigram_familiarity" ->

@@ -132,27 +132,48 @@ object Dedup {
     * the same corpus-sized pass a suffix array makes — but each window
     * ships as ONE 8-byte rolling hash from the one-pass
     * [[TextExpressions.shinglePosHashes]] expression (never text), the
-    * duplicated-hash set is found with a map-side-partial count aggregate,
-    * and everything after the semi-join is bounded by duplicated windows
-    * only. The per-doc span merge is a window function over duplicated
+    * cross-doc frequency is computed by window functions over ONE
+    * h-partitioned exchange (see below), and everything downstream of the
+    * frequency filter is bounded by duplicated windows only. The per-doc
+    * span merge is a window function over duplicated
     * starts — dup-windows-sized, not corpus-sized. Intra-doc repeats
     * don't count as duplication (the doc-frequency is over DISTINCT docs),
     * but once a window IS cross-doc-duplicated, every occurrence of it in
     * a doc is flagged (all its copies are removable). */
-  def dupNgramSpans(documents: DataFrame, width: Int = 5,
-      minDocFreq: Int = 2): DataFrame = {
+  /** The shared positional-window stream of [[dupNgramSpans]] and
+    * [[removeDupSpans]]: one row per `width`-token window occurrence
+    * (`doc_id, pos, h`) annotated with `df` (number of DISTINCT docs
+    * containing the window) and `owner` (the min doc_id containing it).
+    * Both annotations are WINDOW functions over one h-partitioned exchange
+    * (the jaccardPairsCore trick): within each h partition ordered by
+    * (doc_id, pos), a row opens a new doc iff the previous row's doc
+    * differs, so the partition-wide sum of those flags is the distinct-doc
+    * count, and the partition-wide min(doc_id) is the owner. One pass, one
+    * shuffle, one evaluation of the shingle expression — vs the naive
+    * distinct→groupBy→semi-join, which shuffles the window stream three
+    * times and re-runs the tokenize+hash scan for the join's probe side. */
+  private def windowFreqStream(documents: DataFrame, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = documents.select(col("doc_id"),
       posexplode(TextExpressions.shinglePosHashes(col("text"), width))
         .as(Seq("pos", "h")))
-    // window hashes present in >= minDocFreq distinct docs
-    val dupH = wins.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
+    val wH = Window.partitionBy("h").orderBy("doc_id", "pos")
+    val prevDoc = lag("doc_id", 1).over(wH)
+    wins
+      .withColumn("opens_doc",
+        (prevDoc.isNull || prevDoc =!= col("doc_id")).cast("long"))
+      .withColumn("df", sum("opens_doc").over(Window.partitionBy("h")))
+      .withColumn("owner", min("doc_id").over(Window.partitionBy("h")))
+  }
+
+  def dupNgramSpans(documents: DataFrame, width: Int = 5,
+      minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupWins = windowFreqStream(documents, width)
       .filter(col("df") >= minDocFreq)
-      .select("h")
     val gap = col("pos") - lag("pos", 1).over(
       Window.partitionBy("doc_id").orderBy("pos"))
-    val cover = wins.join(dupH, Seq("h"), "left_semi")
+    val cover = dupWins
       .withColumn("newly", coalesce(least(gap, lit(width)), lit(width)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_windows"),
@@ -168,6 +189,40 @@ object Dedup {
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
       .withColumn("dup_token_share",
         round2(col("n_dup_tokens").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  /** The transform [[dupNgramSpans]] measures: REMOVE duplicated spans,
+    * keeping one copy corpus-wide (Lee et al. 2021 §4.1 drop exactly one
+    * occurrence; here the keeper is deterministic: the min doc_id
+    * containing the window — the `owner` — keeps ALL its occurrences,
+    * every other doc drops every token covered by a foreign-owned
+    * duplicated window). Output is the cleaned text plus removal
+    * accounting; docs with nothing to remove pass through verbatim, and a
+    * doc that was entirely duplicated collapses to the empty string.
+    *
+    * Scale: the only corpus-sized shuffle is [[windowFreqStream]]'s single
+    * h-exchange; the removal-position expansion (`width` rows per
+    * duplicated window occurrence) and the per-doc position sets are
+    * bounded by duplicated content, and the final join ships one
+    * int-array per AFFECTED doc against the full scan. Token re-assembly
+    * is the one-pass [[TextExpressions.RemoveTokensAt]] expression —
+    * tokenize once, skip flagged indices, re-join. */
+  def removeDupSpans(documents: DataFrame, width: Int = 5,
+      minDocFreq: Int = 2): DataFrame = {
+    val foreign = windowFreqStream(documents, width)
+      .filter(col("df") >= minDocFreq && col("owner") =!= col("doc_id"))
+    val removalSets = foreign
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("rpos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("rpos"))).as("rposs"))
+    documents.join(removalSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        coalesce(size(col("rposs")), lit(0)).cast("long").as("n_removed"),
+        TextExpressions.removeTokensAt(col("text"),
+          coalesce(col("rposs"), lit(Array.empty[Int]))).as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -271,4 +271,101 @@ object Similarity {
       .limit(topPairs)
       .select(col("vec1"), col("vec2"), round2(col("sim"), 4).as("cosine_sim"))
   }
+
+  // ---- product quantization (Jégou et al. 2011) ----
+
+  /** TRAIN: one KMeans codebook per contiguous `dim/m` sub-space, fit on the
+    * deterministic `vec_id % 3 == 0` sample (same discipline as
+    * [[trainIvfCentroids]]; per-subspace seeds keep codebooks independent).
+    * Returns `m × ksub × dim/m` floats — the bounded trained artifact the
+    * serving expressions bake in. */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 16, ksub: Int = 32,
+      seed: Long = 42L): Array[Array[Array[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val sample = embeddings.filter(col("vec_id") % 3 === 0)
+    (0 until m).map { j =>
+      val featured = sample.withColumn("features",
+        array_to_vector(slice(col("embedding"), j * sub + 1, sub)))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5).fit(featured)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+  }
+
+  /** ENCODE: corpus → (vec_id, codes array<tinyint>[m]) — the stored form:
+    * m bytes/vector (32× smaller than 64 floats). One map-side
+    * [[VecExpressions.pqEncode]] pass, no shuffle. */
+  def pqEncode(embeddings: DataFrame,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    embeddings.select(col("vec_id"),
+      VecExpressions.pqEncode(col("embedding"),
+        toSeq3(codebooks)).as("codes"))
+
+  /** SERVE: two-stage PQ top-k — (1) SHORTLIST: the corpus is scanned as
+    * m-byte codes, each scored by m lookups into the per-query ADC table
+    * (built driver-side from the codebooks: m×ksub dot products + squared
+    * norms), keeping the `k × refine` best; (2) RE-RANK: only the
+    * shortlist's full-precision embeddings are fetched (broadcast semi-join
+    * of k·refine ids against the scan) and exactly re-scored. The standard
+    * compressed-storage serving shape (FAISS's IndexPQ + refine): IVF
+    * prunes WHICH vectors to scan, PQ shrinks WHAT the bulk scan reads —
+    * the full-float column is touched for k·refine rows, not the corpus.
+    * Shortlist coverage (codebook reconstruction error) is the only
+    * approximation; recall vs the exact path is spec-pinned. */
+  def pqTopK(embeddings: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queryVecId: Long = 0L, k: Int = 10, refine: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val lut = new Array[Double](m * ksub)
+    val cn2 = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val cent = codebooks(j)(c)
+        var dotQ = 0.0
+        var n2 = 0.0
+        var i = 0
+        while (i < sub) {
+          dotQ += q(j * sub + i).toDouble * cent(i).toDouble
+          n2 += cent(i).toDouble * cent(i).toDouble
+          i += 1
+        }
+        lut(j * ksub + c) = dotQ
+        cn2(j * ksub + c) = n2
+        c += 1
+      }
+      j += 1
+    }
+    val qnorm = math.sqrt(q.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val shortlist = pqEncode(
+        embeddings.filter(col("vec_id") =!= queryVecId), codebooks)
+      .select(col("vec_id"),
+        VecExpressions.pqAdcScore(col("codes"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(lut),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(cn2),
+          qnorm, ksub).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+      .limit(k * refine)
+      .select(col("vec_id"))
+    val qCol = array(q.toIndexedSeq.map(lit): _*)
+    embeddings.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("vec_id"), cosine(col("embedding"), qCol).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
+  }
+
+  private def toSeq3(a: Array[Array[Array[Float]]]): Seq[Seq[Seq[Float]]] = {
+    import scala.collection.immutable.ArraySeq
+    ArraySeq.unsafeWrapArray(a.map(b =>
+      ArraySeq.unsafeWrapArray(b.map(c =>
+        ArraySeq.unsafeWrapArray(c): Seq[Float])): Seq[Seq[Float]]))
+  }
 }

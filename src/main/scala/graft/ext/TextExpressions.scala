@@ -367,6 +367,48 @@ case class LangGuess(child: Expression, lists: Seq[Seq[String]],
     copy(child = newChild)
 }
 
+/** One-pass positional token removal: re-joins the whitespace tokens of
+  * `text` whose 0-based index is NOT in `positions` (an `array<int>`; order
+  * and duplicates don't matter, out-of-range entries are ignored). The
+  * re-assembly step of span-level dedup — tokenize once, flag, skip,
+  * `concatWs` — where a lambda formulation (`filter` over a zipped
+  * index/token array) would pay an interpreted O(positions) membership
+  * scan per token. Returns the empty string when every token is removed. */
+case class RemoveTokensAt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "remove_tokens_at"
+
+  private val Space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(t: Any, p: Any): Any = {
+    val tokens = t.asInstanceOf[UTF8String].split(Space, -1)
+    val positions =
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    if (positions.isEmpty) return t
+    val drop = new Array[Boolean](tokens.length)
+    var i = 0
+    while (i < positions.length) {
+      val idx = positions(i)
+      if (idx >= 0 && idx < tokens.length) drop(idx) = true
+      i += 1
+    }
+    val kept = new java.util.ArrayList[UTF8String](tokens.length)
+    i = 0
+    while (i < tokens.length) {
+      if (!drop(i)) kept.add(tokens(i))
+      i += 1
+    }
+    UTF8String.concatWs(Space,
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** One-pass scoring of a document against a TRAINED unigram vocabulary
   * (token → corpus count): returns `struct(n_tokens, n_oov, vocab_sum)` —
   * total whitespace tokens, tokens absent from the vocabulary, and the sum
@@ -430,6 +472,11 @@ object TextExpressions {
   /** Positional (non-distinct) hashed `width`-token windows. */
   def shinglePosHashes(text: Column, width: Int = 3): Column =
     ColumnBridge.column(ShinglePosHashes(ColumnBridge.expression(text), width))
+
+  /** Tokens of `text` minus the 0-based indices in `positions`, re-joined. */
+  def removeTokensAt(text: Column, positions: Column): Column =
+    ColumnBridge.column(RemoveTokensAt(ColumnBridge.expression(text),
+      ColumnBridge.expression(positions)))
 
   /** struct(n_tokens, n_oov, vocab_sum) against a trained unigram vocab. */
   def unigramFamiliarity(text: Column, vocabTokens: Seq[String],

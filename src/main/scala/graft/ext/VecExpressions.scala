@@ -154,6 +154,98 @@ case class QuantizeInt8(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: maps an `array<float>` vector to `m`
+  * sub-space code bytes — for each contiguous `dim/m`-dim slice, the index
+  * of the nearest (L2, ties to the lowest index) codebook centroid. The
+  * TRAINED codebooks (`m × ksub × dim/m` floats) are constructor data riding
+  * the task binary, exactly like [[graft.ext.UnigramFamiliarity]]'s
+  * vocabulary: train once, serve map-side — one pass per row, no shuffle.
+  * Encoding is the storage-compression step of PQ (Jégou et al. 2011,
+  * "Product quantization for nearest neighbor search"): `m` bytes per
+  * vector instead of `dim` floats. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val centroids = cb(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = a.getFloat(j * sub + i) - cent(i)
+          d += diff.toDouble * diff.toDouble
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) scoring of PQ codes against ONE query: the
+  * approximate cosine `Σ_j lut[j*ksub+code_j] / (sqrt(Σ_j cn2[j*ksub+code_j])
+  * * qnorm)`, where `lut` holds the query-slice·centroid dot products and
+  * `cn2` the centroid squared norms — both computed driver-side per query
+  * (m×ksub doubles, the classic ADC lookup table). Scoring a vector costs
+  * `m` table lookups instead of `dim` multiplies, and only the `m`-byte
+  * codes column is scanned — the full-precision embedding column never
+  * leaves storage. */
+case class PqAdcScore(child: Expression, lut: Seq[Double], cn2: Seq[Double],
+    qnorm: Double, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  @transient private lazy val lutA = lut.toArray
+  @transient private lazy val cn2A = cn2.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var dot = 0.0
+    var n2 = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + codes.getByte(j)
+      dot += lutA(idx)
+      n2 += cn2A(idx)
+      j += 1
+    }
+    val denom = math.sqrt(n2) * qnorm
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Column-level dot product backed by [[VecDotProduct]]. Inputs must be
     * `array<float>` columns (embedding vectors). */
@@ -169,4 +261,14 @@ object VecExpressions {
   /** `struct(scale, q)` int8 quantization of an `array<float>` column. */
   def quantizeInt8(v: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(v)))
+
+  /** PQ code bytes of an `array<float>` column against trained codebooks. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+
+  /** ADC approximate cosine of an `array<tinyint>` PQ-codes column. */
+  def pqAdcScore(codes: Column, lut: Seq[Double], cn2: Seq[Double],
+      qnorm: Double, ksub: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes),
+      lut, cn2, qnorm, ksub))
 }

@@ -279,4 +279,20 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) == ((12L, 10L, 6L, 0L, 0L, 0.0)))
     assert(out(13L) == ((13L, 11L, 7L, 0L, 0L, 0.0)))
   }
+
+  test("removeDupSpans: owner keeps, others drop covered tokens, full dup → empty") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (10L, s"a1 a2 a3 $shared a4 a5"), // owner of every shared window
+      (11L, s"b1 $shared b2 b3 b4"),    // drops the whole s-run
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"), // untouched
+      (14L, shared))                    // entirely duplicated → empty
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, width = 5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 13L, 0L, s"a1 a2 a3 $shared a4 a5")))
+    assert(out(11L) == ((11L, 12L, 8L, "b1 b2 b3 b4")))
+    assert(out(12L) == ((12L, 10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    assert(out(14L) == ((14L, 8L, 8L, "")))
+  }
 }

@@ -82,5 +82,14 @@ class PipelineSpec extends SparkSpec {
     val sh = spark.sql(
       "SELECT simhash64('a b c') = simhash64('a b c') AS eq").as[Boolean].head()
     assert(sh)
+    // positional shingles: non-distinct, ordered; distinct set matches
+    // shingle_hashes on the same text
+    val pos = spark.sql(
+      """SELECT size(shingle_pos_hashes('a b a b', 2)) AS n,
+        |  size(array_distinct(shingle_pos_hashes('a b a b', 2))) AS nd,
+        |  array_sort(array_distinct(shingle_pos_hashes('a b a b', 2)))
+        |    = array_sort(shingle_hashes('a b a b', 2)) AS same""".stripMargin)
+      .as[(Int, Int, Boolean)].head()
+    assert(pos == ((3, 2, true)))
   }
 }

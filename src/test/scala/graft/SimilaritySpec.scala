@@ -114,4 +114,29 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.exists(p => p._1 == 0L && p._2 == 1L))
   }
+
+  test("PQ codes compress to m bytes; shortlist+re-rank keeps recall") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val cb = Similarity.trainPqCodebooks(emb)
+    assert(cb.length == 16 && cb.forall(_.length == 32)
+      && cb.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(emb, cb)
+      .as[(Long, Seq[Byte])].collect()
+    assert(codes.forall(_._2.length == 16))
+    assert(codes.forall(_._2.forall(b => b >= 0 && b < 32)))
+    val exact = Similarity.cosineTopK(emb, 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val pq = Similarity.pqTopK(emb, cb, queryVecId = 0L, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact intersect pq).size >= 8,
+      s"recall too low: exact=$exact pq=$pq")
+    // the ADC shortlist stage is scan→project→top-k (no join before the
+    // TakeOrdered); the only join in the plan is the k·refine re-rank,
+    // and it must broadcast the shortlist side
+    val plan = Similarity.pqTopK(emb, cb, queryVecId = 0L, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject")
+      && plan.contains("BroadcastHashJoin"),
+      s"PQ serving should be ADC top-k + broadcast re-rank:\n$plan")
+  }
 }
