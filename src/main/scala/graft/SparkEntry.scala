@@ -134,6 +134,9 @@ object SparkEntry {
     // positives die in the exact confirm join)
     "q_contamination_bloom" -> docs(d => Decontaminate.contaminationReportBloom(
       d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
+    // span-level variant: scrub the overlapping trigram spans, keep the doc
+    "q_contamination_scrub" -> docs(d => Decontaminate.scrubContaminatedSpans(
+      d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
     "q_lang_id" -> docs(TextOps.langIdEval),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
@@ -719,6 +722,37 @@ object SparkEntry {
     // be output-lossless.
     "q_contamination" -> ContaminationSql,
     "q_contamination_bloom" -> ContaminationSql,
+    // span scrub: same doc_id%25 bench/corpus split and string-trigram
+    // mirror as ContaminationSql; removal positions = union of benchmark-
+    // hit trigram windows, text re-assembled minus those positions
+    // (1-based positions throughout the mirror, outputs carry none)
+    "q_contamination_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bw AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
+        |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |             FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 3)),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS sh
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t WHERE doc_id % 25 <> 0 AND len(toks) >= 3)),
+        |rem AS (SELECT DISTINCT doc_id, rpos FROM (
+        |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS rpos
+        |          FROM w WHERE sh IN (SELECT sh FROM bw))),
+        |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |           FROM (SELECT doc_id, toks,
+        |                   unnest(generate_series(1, len(toks))) AS i
+        |                 FROM t WHERE doc_id % 25 <> 0)),
+        |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+        |       FROM tokpos tp LEFT JOIN rem r
+        |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
+        |       WHERE r.rpos IS NULL GROUP BY 1),
+        |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(nr.n_removed, 0) AS n_removed,
+        |  COALESCE(ct.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+        |LEFT JOIN nr ON d.doc_id = nr.doc_id
+        |WHERE d.doc_id % 25 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (SELECT lang,
         |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS en,

@@ -130,4 +130,43 @@ object Decontaminate {
       contaminationReport(corpus, bench, width)
         .filter(col("contamination") >= threshold).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** Span-level decontamination: instead of DROPPING overlapping documents
+    * ([[decontaminate]]), SCRUB the overlapping `width`-gram spans out of
+    * the text and keep the rest — the right call when eval n-grams are
+    * quotes/boilerplate inside otherwise-clean documents (dropping would
+    * cost the clean 95%). A corpus token is removed iff covered by at
+    * least one window whose hash appears in the benchmark shingle set;
+    * overlapping windows merge (same position-set mechanics as
+    * [[Dedup.removeDupSpans]], same [[TextExpressions.RemoveTokensAt]]
+    * re-assembly).
+    *
+    * Scale: the benchmark set broadcasts (small by construction, the
+    * file-level invariant); the corpus windows are probed MAP-SIDE by the
+    * broadcast semi-join — position expansion, per-doc position sets, and
+    * the final left join are all bounded by contaminated content. No
+    * corpus-sized shuffle at all (cheaper than [[Dedup.removeDupSpans]],
+    * which must exchange once to discover cross-doc frequency — here the
+    * "duplicated set" is given). */
+  def scrubContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      width: Int = 3): DataFrame = {
+    val benchSh = Dedup.hashedShingles(bench, width)
+      .select(col("h")).distinct()
+    val hits = corpus.select(col("doc_id"),
+        posexplode(TextExpressions.shinglePosHashes(col("text"), width))
+          .as(Seq("pos", "h")))
+      .join(broadcast(benchSh), Seq("h"), "left_semi")
+    val removalSets = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("rpos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("rpos"))).as("rposs"))
+    corpus.join(removalSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        coalesce(size(col("rposs")), lit(0)).cast("long").as("n_removed"),
+        TextExpressions.removeTokensAt(col("text"),
+          coalesce(col("rposs"), lit(Array.empty[Int]))).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

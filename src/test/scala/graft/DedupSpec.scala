@@ -145,6 +145,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L), s"kept $kept") // short doc kept (no evidence)
   }
 
+  test("scrubContaminatedSpans removes exactly the benchmark-covered spans") {
+    import graft.ext.Decontaminate
+    val bench = Seq((100L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a1 a2 x1 x2 x3 x4 a3 a4"), // embedded 4-token quote
+      (1L, "b1 b2 b3 b4 b5"),          // clean
+      (2L, "x1 x2 x3 x4"))             // fully contaminated → empty
+      .toDF("doc_id", "text")
+    val out = Decontaminate.scrubContaminatedSpans(corpus, bench)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // bench trigrams: (x1 x2 x3), (x2 x3 x4); doc 0 windows at pos 2,3
+    // cover tokens 2..5 — exactly the 4-token quote, neighbors kept
+    assert(out(0L) == ((0L, 8L, 4L, "a1 a2 a3 a4")))
+    assert(out(1L) == ((1L, 5L, 0L, "b1 b2 b3 b4 b5")))
+    assert(out(2L) == ((2L, 4L, 4L, "")))
+  }
+
   test("clusterKeepers keeps the longest cluster member, doc_id tiebreak") {
     // equal lengths → tiebreak to min doc_id (cluster {0,1,2} of the
     // shared fixture)
