@@ -138,6 +138,9 @@ object SparkEntry {
     "q_contamination_scrub" -> docs(d => Decontaminate.scrubContaminatedSpans(
       d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0))),
     "q_lang_id" -> docs(TextOps.langIdEval),
+    // one-plan curation pipeline: quality gate → exact dedup →
+    // decontamination, per-doc first-failing-stage label
+    "q_curation_report" -> docs(TextOps.curationReport(_)),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)
@@ -722,6 +725,45 @@ object SparkEntry {
     // be output-lossless.
     "q_contamination" -> ContaminationSql,
     "q_contamination_bloom" -> ContaminationSql,
+    // one-plan curation pipeline: quality thresholds, md5 keeper rule and
+    // contamination fraction all mirror their standalone oracles
+    // (q_quality_filter, q_dedup_exact, q_contamination); CASE order = the
+    // pipeline's first-failing-stage label, which also makes it immaterial
+    // that the mirror computes contamination for all corpus docs while
+    // Spark computes it only for quality+dedup survivors (identical
+    // per-doc fraction, unreachable branch for earlier-stage drops)
+    "q_curation_report" ->
+      """WITH q AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
+        |        floor((CAST(len(list_filter(string_split(text, ' '),
+        |                 w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio
+        |      FROM documents WHERE doc_id % 25 <> 0),
+        |qf AS (SELECT doc_id, n_tokens,
+        |         (n_tokens < 15 OR lexical_diversity < 0.3
+        |          OR stopword_ratio < 0.02) AS q_fail FROM q),
+        |surv1 AS (SELECT d.doc_id, d.text FROM documents d
+        |          JOIN qf ON d.doc_id = qf.doc_id WHERE NOT qf.q_fail),
+        |dup AS (SELECT doc_id FROM (
+        |          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+        |            ORDER BY doc_id) AS rk FROM surv1) WHERE rk > 1),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |                   WHERE len(string_split(text, ' ')) >= 3))),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+        |cont AS (SELECT s.doc_id FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
+        |         LEFT JOIN bench b USING (shingle) GROUP BY 1
+        |         HAVING floor((CAST(count(b.shingle) AS DOUBLE) / count(*))
+        |                  * 1000000 + 0.5) / 1000000 >= 0.5)
+        |SELECT qf.doc_id, qf.n_tokens,
+        |  CASE WHEN qf.q_fail THEN 'quality'
+        |       WHEN qf.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+        |       WHEN qf.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |  END AS drop_reason
+        |FROM qf ORDER BY qf.doc_id""".stripMargin,
     // span scrub: same doc_id%25 bench/corpus split and string-trigram
     // mirror as ContaminationSql; removal positions = union of benchmark-
     // hit trigram windows, text re-assembled minus those positions

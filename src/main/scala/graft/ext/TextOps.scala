@@ -103,6 +103,54 @@ object TextOps {
     documents.filter(!qualityFlags(minTokens, minDiversity, minStopword)
       .reduce(_ || _))
 
+  /** End-to-end curation pass in ONE declarative plan — the composition a
+    * pretraining pipeline actually runs, staged in the canonical order so
+    * cheap filters shrink the data before expensive ones see it:
+    * (1) per-row quality gate ([[qualityFilter]] rules); (2) exact dedup
+    * among survivors (md5 group, min-doc_id keeper); (3) benchmark
+    * decontamination among remaining survivors
+    * ([[Decontaminate.contaminationReport]] ≥ `contThreshold`, bench =
+    * the `doc_id % benchResidue == 0` split). Emits every corpus doc with
+    * its `drop_reason` — the FIRST failing stage ('quality' | 'exact_dup'
+    * | 'contaminated') or null for keepers — so drop-rate accounting per
+    * stage falls out of one group-by.
+    *
+    * Stage order is load-bearing for the labels (a low-quality exact dup
+    * reads 'quality') and for cost (the quality gate is a pushed-down
+    * per-row predicate, so dedup hashes and contamination shingles are
+    * computed only for survivors). Catalyst sees the whole composition as
+    * one plan: the corpus scan feeds the gate once, and each stage's
+    * output is the next stage's input without materialization. */
+  def curationReport(documents: DataFrame, benchResidue: Int = 25,
+      contThreshold: Double = 0.5): DataFrame = {
+    val corpus = documents.filter(col("doc_id") % benchResidue =!= 0)
+    val bench = documents.filter(col("doc_id") % benchResidue === 0)
+    val qual = qualityFilter(corpus)
+      .select(col("doc_id"), (!col("kept")).as("q_fail"))
+    val surv1 = corpus.join(
+      qual.filter(!col("q_fail")).select("doc_id"), Seq("doc_id"))
+    val dupIds = surv1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val surv2 = surv1.join(dupIds.select("doc_id"), Seq("doc_id"), "left_anti")
+    val contIds = Decontaminate.contaminationReport(surv2, bench)
+      .filter(col("contamination") >= contThreshold)
+      .select(col("doc_id"), lit(true).as("is_cont"))
+    corpus
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .join(qual, Seq("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .join(contIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("q_fail"), "quality")
+          .when(col("is_dup"), "exact_dup")
+          .when(col("is_cont"), "contaminated").as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
   // Minimal stopword marker sets per language (public common-word lists).
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "you")
   val StopDe = Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "eine", "zu")

@@ -223,6 +223,32 @@ class TextOpsSpec extends SparkSpec {
       (3L, 1L, 1L, "no-dups")))
   }
 
+  test("curationReport labels the FIRST failing stage per doc") {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "you")
+    // stopword-interleaved diverse texts: every trigram contains a
+    // prefix-unique word, so texts with different prefixes share ZERO
+    // trigrams while all passing the quality gate
+    def mk(p: String) = (stops.zipWithIndex.map { case (s, i) => s"$s $p$i" } ++
+      stops.zipWithIndex.map { case (s, i) => s"$s $p${i + 10}" }).mkString(" ")
+    // residue-25 split: doc 0 is the bench doc; the rest are corpus
+    val d = Seq(
+      (0L, mk("b")),  // bench side (excluded from output)
+      (1L, mk("b")),  // corpus copy of the bench text → contaminated
+      (2L, "tiny"),   // quality: too short
+      (3L, mk("v")),  // keeper (first copy wins the dedup)
+      (4L, mk("v")),  // exact dup of 3
+      (26L, mk("u"))) // clean unique doc → keeper
+      .toDF("doc_id", "text")
+    val out = TextOps.curationReport(d)
+      .as[(Long, Long, Option[String])].collect().map(r => r._1 -> r._3).toMap
+    assert(!out.contains(0L))                      // bench doc not reported
+    assert(out(1L) == Some("contaminated"))
+    assert(out(2L) == Some("quality"))
+    assert(out(3L).isEmpty)                        // keeper
+    assert(out(4L) == Some("exact_dup"))
+    assert(out(26L).isEmpty)
+  }
+
   test("trainUnigramVocab thresholds, and caps by count desc / token asc") {
     val d = Seq((0L, "b b a a c c c"), (1L, "once")).toDF("doc_id", "text")
     val (vt, vc) = TextOps.trainUnigramVocab(d, minCount = 2, maxVocab = 2)
