@@ -132,45 +132,57 @@ object Dedup {
     * the same corpus-sized pass a suffix array makes — but each window
     * ships as ONE 8-byte rolling hash from the one-pass
     * [[TextExpressions.shinglePosHashes]] expression (never text), the
-    * cross-doc frequency is computed by window functions over ONE
-    * h-partitioned exchange (see below), and everything downstream of the
-    * frequency filter is bounded by duplicated windows only. The per-doc
+    * cross-doc frequency comes from the skew-spread aggregate+join of
+    * [[dupWindowStream]], and everything downstream of the frequency
+    * filter is bounded by duplicated windows only. The per-doc
     * span merge is a window function over duplicated
     * starts — dup-windows-sized, not corpus-sized. Intra-doc repeats
     * don't count as duplication (the doc-frequency is over DISTINCT docs),
     * but once a window IS cross-doc-duplicated, every occurrence of it in
     * a doc is flagged (all its copies are removable). */
-  /** The shared positional-window stream of [[dupNgramSpans]] and
-    * [[removeDupSpans]]: one row per `width`-token window occurrence
-    * (`doc_id, pos, h`) annotated with `df` (number of DISTINCT docs
-    * containing the window) and `owner` (the min doc_id containing it).
-    * Both annotations are WINDOW functions over one h-partitioned exchange
-    * (the jaccardPairsCore trick): within each h partition ordered by
-    * (doc_id, pos), a row opens a new doc iff the previous row's doc
-    * differs, so the partition-wide sum of those flags is the distinct-doc
-    * count, and the partition-wide min(doc_id) is the owner. One pass, one
-    * shuffle, one evaluation of the shingle expression — vs the naive
-    * distinct→groupBy→semi-join, which shuffles the window stream three
-    * times and re-runs the tokenize+hash scan for the join's probe side. */
-  private def windowFreqStream(documents: DataFrame, width: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = documents.select(col("doc_id"),
+  /** One row per `width`-token window occurrence: `(doc_id, pos, h)` from
+    * a single [[TextExpressions.shinglePosHashes]] pass. */
+  private def windowStream(documents: DataFrame, width: Int): DataFrame =
+    documents.select(col("doc_id"),
       posexplode(TextExpressions.shinglePosHashes(col("text"), width))
         .as(Seq("pos", "h")))
-    val wH = Window.partitionBy("h").orderBy("doc_id", "pos")
-    val prevDoc = lag("doc_id", 1).over(wH)
-    wins
-      .withColumn("opens_doc",
-        (prevDoc.isNull || prevDoc =!= col("doc_id")).cast("long"))
-      .withColumn("df", sum("opens_doc").over(Window.partitionBy("h")))
-      .withColumn("owner", min("doc_id").over(Window.partitionBy("h")))
+
+  /** The shared duplicated-window stream of [[dupNgramSpans]] and
+    * [[removeDupSpans]]: window occurrences `(doc_id, pos, h)` joined to
+    * per-hash stats — `df` (number of DISTINCT docs containing the hash)
+    * and `owner` (the min doc_id containing it) — keeping occurrences with
+    * `df >= minDocFreq`.
+    *
+    * Shape choice is about SKEW, not shuffle count: a window-function
+    * formulation (partitionBy h, the jaccardPairsCore trick) would get
+    * df/owner from one exchange, but it forces EVERY occurrence of a hash
+    * into one task's sort — a boilerplate n-gram present across a 100 TB
+    * corpus stalls that task, and window operators get no AQE skew
+    * handling. Here every step spreads the hot key: the distinct is
+    * hash-partitioned on BOTH (doc_id, h); the per-h count/min aggregate
+    * sees at most one row per h per upstream partition (map-side
+    * partials); and the final occurrences ⋈ stats equi-join is a shape
+    * AQE can skew-split. The price is re-evaluating the tokenize+hash
+    * scan for the join's probe side — a map-side linear pass,
+    * embarrassingly parallel: the safe side of the trade.
+    * (jaccardPairsCore keeps the window form because its SELF-JOIN
+    * co-locates per-shingle rows anyway and its DF cap discards hot
+    * shingles; span detection must KEEP them — hot windows are the most
+    * duplicated content — so the co-location would be self-inflicted and
+    * uncapped.) */
+  private def dupWindowStream(documents: DataFrame, width: Int,
+      minDocFreq: Int): DataFrame = {
+    val stats = windowStream(documents, width)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") >= minDocFreq)
+    windowStream(documents, width).join(stats, Seq("h"))
   }
 
   def dupNgramSpans(documents: DataFrame, width: Int = 5,
       minDocFreq: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dupWins = windowFreqStream(documents, width)
-      .filter(col("df") >= minDocFreq)
+    val dupWins = dupWindowStream(documents, width, minDocFreq)
     val gap = col("pos") - lag("pos", 1).over(
       Window.partitionBy("doc_id").orderBy("pos"))
     val cover = dupWins
@@ -201,8 +213,8 @@ object Dedup {
     * accounting; docs with nothing to remove pass through verbatim, and a
     * doc that was entirely duplicated collapses to the empty string.
     *
-    * Scale: the only corpus-sized shuffle is [[windowFreqStream]]'s single
-    * h-exchange; the removal-position expansion (`width` rows per
+    * Scale: the corpus-sized shuffles are [[dupWindowStream]]'s
+    * skew-spread distinct + join; the removal-position expansion (`width` rows per
     * duplicated window occurrence) and the per-doc position sets are
     * bounded by duplicated content, and the final join ships one
     * int-array per AFFECTED doc against the full scan. Token re-assembly
@@ -210,8 +222,8 @@ object Dedup {
     * tokenize once, skip flagged indices, re-join. */
   def removeDupSpans(documents: DataFrame, width: Int = 5,
       minDocFreq: Int = 2): DataFrame = {
-    val foreign = windowFreqStream(documents, width)
-      .filter(col("df") >= minDocFreq && col("owner") =!= col("doc_id"))
+    val foreign = dupWindowStream(documents, width, minDocFreq)
+      .filter(col("owner") =!= col("doc_id"))
     val removalSets = foreign
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (width - 1))).as("rpos"))
