@@ -46,6 +46,15 @@ object SparkEntry {
   private val pqCodebooks =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]
 
+  /** BPE merges cached per sfDir — see [[graft.ext.TextOps.trainBpeMerges]].
+    * Also read by [[oracleSql]]: `q_bpe_tokens`' mirror is GENERATED from
+    * the learned merges as a replace() chain, which works because
+    * [[Verify]] runs every query (training and caching the merges) BEFORE
+    * it dumps `oracle_sql.json` — the same generated-oracle trick as
+    * `q_pii_scrub`, extended to a data-dependent artifact. */
+  private val bpeMerges =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -141,6 +150,13 @@ object SparkEntry {
     // one-plan curation pipeline: quality gate → exact dedup →
     // decontamination, per-doc first-failing-stage label
     "q_curation_report" -> docs(TextOps.curationReport(_)),
+    // learned BPE tokenizer: merges trained once per dataset on the capped
+    // word-frequency vocab, then one map-side counting pass
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      TextOps.bpeStats(d,
+        bpeMerges.getOrElseUpdate(dir, TextOps.trainBpeMerges(d)))
+    }),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)
@@ -317,6 +333,34 @@ object SparkEntry {
       |SELECT src AS doc_id, min(node) AS cluster_id,
       |  CAST(count(*) AS BIGINT) AS cluster_size
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GENERATED mirror for `q_bpe_tokens` (see [[bpeMerges]]): the trained
+    * merge list rendered as a chain of nested DuckDB `replace()` calls
+    * over the same double-U+001F-separator representation the Spark
+    * expression uses — literally the same algorithm in both engines
+    * (`replace` is left-to-right non-overlapping in both). With no merges
+    * cached yet (oracleSql read before any query ran — not the Verify
+    * order) the chain is empty and the mirror counts codepoints. */
+  private def bpeOracleSql: String = {
+    val merges = bpeMerges.values.headOption.getOrElse(Seq.empty)
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val S = "\u001f"
+    val base = "chr(31) || array_to_string(string_split(tok, ''), " +
+      "chr(31) || chr(31)) || chr(31)"
+    val enc = merges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |enc AS (SELECT doc_id,
+       |          len(string_split($enc, chr(31) || chr(31))) AS n_sub
+       |        FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  floor(CAST(sum(n_sub) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+       |    AS subwords_per_token
+       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private val ContaminationSql =
     """WITH sh AS (
@@ -667,6 +711,10 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
         |LEFT JOIN nr ON d.doc_id = nr.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // learned tokenizer on the hash gate: the mirror below is GENERATED
+    // from the merges trained while the queries ran (Verify order:
+    // queries first, oracle dump second)
+    "q_bpe_tokens" -> bpeOracleSql,
     // trained unigram vocab (count >= 2, top 65536 by count desc / token
     // asc) scored per doc; exact integers until the single final division
     "q_unigram_familiarity" ->

@@ -409,6 +409,85 @@ case class RemoveTokensAt(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Replace-chain BPE subword counting against a TRAINED merge list:
+  * `struct(n_tokens, n_subwords)` — whitespace tokens, and total subword
+  * symbols after applying every merge in rank order to every token.
+  *
+  * Tokens are encoded in the DOUBLE-SEPARATOR representation
+  * `^ s1 ^^ s2 ^^ … sn ^` (writing `^` for U+001F), and each merge
+  * (a,b) is ONE literal left-to-right non-overlapping string replace of
+  * `^a^^b^` with `^ab^`. The doubled
+  * inner separators make this EXACTLY array-BPE: each match consumes one
+  * of the two separators flanking the pair, so an adjacent repeat
+  * (a,b,a,b) still matches again immediately (single separators would be
+  * swallowed by the previous match), and the outer anchors make a symbol
+  * BOUNDARY part of the pattern, so (a,b) can never match inside
+  * ["ca","b"] or ["a","bc"]. Identical replace semantics exist in DuckDB
+  * (`replace()` — verified: continues scanning after each replacement),
+  * which is what lets a LEARNED tokenizer ride the hash gate: the oracle
+  * SQL is generated from the same merge list as one replace() chain.
+  *
+  * Cost: O(merges × token length) per token — the engine-exactness form;
+  * a production encoder keeps a rank heap instead. Counting, not the
+  * subwords themselves, is returned (the budgeting use case). */
+case class BpeSubwordStats(child: Expression, patterns: Seq[String],
+    replacements: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  require(patterns.length == replacements.length)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_subwords", LongType, nullable = false)))
+  override def prettyName: String = "bpe_subword_stats"
+
+  private val Sep = '\u001f'
+  private val SepSep = "\u001f\u001f"
+  @transient private lazy val pats = patterns.toArray
+  @transient private lazy val reps = replacements.toArray
+
+  private def repr(tok: String): String = {
+    val sb = new java.lang.StringBuilder(tok.length * 3 + 2)
+    sb.append(Sep)
+    var i = 0
+    var first = true
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      if (!first) sb.append(SepSep)
+      sb.appendCodePoint(cp)
+      first = false
+      i += Character.charCount(cp)
+    }
+    sb.append(Sep)
+    sb.toString
+  }
+
+  /** Non-overlapping occurrences of the double separator + 1 = symbols. */
+  private def countSymbols(s: String): Long = {
+    var n = 1L
+    var i = s.indexOf(SepSep)
+    while (i >= 0) { n += 1L; i = s.indexOf(SepSep, i + 2) }
+    n
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var nsub = 0L
+    var t = 0
+    while (t < tokens.length) {
+      var s = repr(tokens(t))
+      var m = 0
+      while (m < pats.length) { s = s.replace(pats(m), reps(m)); m += 1 }
+      nsub += countSymbols(s)
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(tokens.length.toLong, nsub)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass scoring of a document against a TRAINED unigram vocabulary
   * (token → corpus count): returns `struct(n_tokens, n_oov, vocab_sum)` —
   * total whitespace tokens, tokens absent from the vocabulary, and the sum
@@ -483,6 +562,12 @@ object TextExpressions {
       vocabCounts: Seq[Long]): Column =
     ColumnBridge.column(UnigramFamiliarity(ColumnBridge.expression(text),
       vocabTokens, vocabCounts))
+
+  /** struct(n_tokens, n_subwords) under a trained BPE replace chain. */
+  def bpeSubwordStats(text: Column, patterns: Seq[String],
+      replacements: Seq[String]): Column =
+    ColumnBridge.column(BpeSubwordStats(ColumnBridge.expression(text),
+      patterns, replacements))
 
   /** struct(n_shingles, n_distinct, top_cnt) over the non-distinct shingle
     * stream; null for docs shorter than `width`. */

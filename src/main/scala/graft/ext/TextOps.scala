@@ -456,6 +456,90 @@ object TextOps {
     (rows.map(_.getString(0)), rows.map(_.getLong(1)))
   }
 
+  /** BPE separator (U+001F): never appears in corpus text (the same
+    * absent-delimiter invariant every shingle oracle relies on). */
+  private val BpeSep = "\u001f"
+
+  /** TRAIN step of the learned BPE tokenizer: classic byte-pair-encoding
+    * merge learning over the capped word-frequency vocabulary
+    * ([[trainUnigramVocab]] — so training cost is bounded by `maxVocab`
+    * regardless of corpus size, the standard practice of training a
+    * tokenizer on a frequency table, not the raw corpus). Per round:
+    * count adjacent symbol pairs weighted by word frequency, merge the
+    * most frequent (ties: lexicographic (a, b) ascending — fully
+    * deterministic), apply left-to-right non-overlapping to every vocab
+    * word, repeat. Returns merges in rank order. Stops early when no
+    * pair repeats. */
+  def trainBpeMerges(documents: DataFrame, numMerges: Int = 50,
+      minCount: Long = 2, maxVocab: Int = 65536): Seq[(String, String)] = {
+    val (words, counts) = trainUnigramVocab(documents, minCount, maxVocab)
+    var syms: Array[Array[String]] = words.map(w =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val w = syms(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val k = (w(j), w(j + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + counts(i))
+          j += 1
+        }
+        i += 1
+      }
+      val repeated = pairCounts.filter(_._2 >= 2)
+      if (repeated.isEmpty) done = true
+      else {
+        val best = repeated.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val (a, b) = best
+        val ab = a + b
+        syms = syms.map { w =>
+          // left-to-right non-overlapping — the replace-chain semantics
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == a && w(j + 1) == b) {
+              out += ab; j += 2
+            } else { out += w(j); j += 1 }
+          }
+          out.toArray
+        }
+        round += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** The (pattern, replacement) replace chain of a merge list — shared by
+    * the serving expression and the GENERATED DuckDB oracle, so both
+    * engines run literally the same algorithm. */
+  def bpeReplaceChain(merges: Seq[(String, String)]): (Seq[String], Seq[String]) =
+    (merges.map { case (a, b) => BpeSep + a + BpeSep + BpeSep + b + BpeSep },
+      merges.map { case (a, b) => BpeSep + a + b + BpeSep })
+
+  /** SERVE step: per-document token/subword counts under the trained
+    * merges — the budgeting numbers an LLM-data pipeline prices corpora
+    * with. One map-side [[TextExpressions.BpeSubwordStats]] pass, merges
+    * riding the task binary; no shuffle besides the output sort. */
+  def bpeStats(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (pats, reps) = bpeReplaceChain(merges)
+    documents
+      .select(col("doc_id"),
+        TextExpressions.bpeSubwordStats(col("text"), pats, reps).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.n_subwords").as("n_subwords"))
+      .withColumn("subwords_per_token",
+        round2(col("n_subwords").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** SERVE step: per-document familiarity against a trained vocabulary —
     * CCNet's "score every document with a cheap corpus-trained LM" filter
     * (Wenzek et al. 2019, arXiv:1911.00359), with avg-corpus-frequency

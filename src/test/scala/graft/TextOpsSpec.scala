@@ -249,6 +249,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(26L).isEmpty)
   }
 
+  test("trainBpeMerges learns classic merges; ties break lexicographically") {
+    val d = Seq((0L, "aa ab aa ab")).toDF("doc_id", "text")
+    // word freqs aa:2 ab:2 → pair counts (a,a):2 (a,b):2 → tie breaks to
+    // (a,a); after applying it only (a,b):2 repeats → second merge
+    val merges = TextOps.trainBpeMerges(d, numMerges = 10, minCount = 1)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+  }
+
+  test("bpeStats counts array-BPE subwords, including adjacent repeats") {
+    val d = Seq((0L, "aa ab aaa b"), (1L, "abab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val out = TextOps.bpeStats(d, merges)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // aa→[aa]; ab→[ab]; aaa→[aa,a] (left-to-right); b→[b] ⇒ 5 subwords
+    assert(out(0L) == ((0L, 4L, 5L, 1.25)))
+    // the adjacent-repeat case the double-separator encoding exists for:
+    // abab → [ab, ab], not [ab, a, b]
+    assert(out(1L) == ((1L, 1L, 2L, 2.0)))
+    // zero merges degenerate to codepoint counting
+    val none = TextOps.bpeStats(d, Seq.empty)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(none(0L) == 8L && none(1L) == 4L)
+  }
+
   test("trainUnigramVocab thresholds, and caps by count desc / token asc") {
     val d = Seq((0L, "b b a a c c c"), (1L, "once")).toDF("doc_id", "text")
     val (vt, vc) = TextOps.trainUnigramVocab(d, minCount = 2, maxVocab = 2)
