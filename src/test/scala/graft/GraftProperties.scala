@@ -246,4 +246,57 @@ object GraftProperties extends Properties("graft") {
       retained.intersect(churned).isEmpty &&
         (retained union churned) == firstHalf
     }
+
+  property("replace-chain BPE equals independent array-BPE") = {
+    // random small-alphabet tokens + random merge lists: the expression's
+    // double-separator replace chain must equal a from-scratch array-BPE
+    // encoder (merge applied left-to-right non-overlapping, in rank order)
+    val genTok = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genText = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, genTok).map(_.mkString(" ")))
+    val genMergeList = Gen.choose(0, 4).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc", "aa"),
+        Gen.oneOf("a", "b", "c", "ab", "bc", "aa")))
+    }
+    def arrayBpe(tok: String, merges: List[(String, String)]): Int = {
+      var syms = tok.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    forAll(genText, genMergeList) { (text, merges) =>
+      val want = text.split(" ", -1).map(t => arrayBpe(t, merges)).sum.toLong
+      val got = graft.ext.TextOps.bpeStats(
+          Seq((0L, text)).toDF("doc_id", "text"), merges)
+        .as[(Long, Long, Long, Double)].head()._3
+      got == want
+    }
+  }
+
+  property("shinglePosHashes positions mirror the sliding-window stream") = {
+    val genWords = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
+    forAll(genWords) { words =>
+      val text = words.mkString(" ")
+      val arr = Seq(Tuple1(text)).toDF("text")
+        .select(graft.ext.TextExpressions.shinglePosHashes(
+          org.apache.spark.sql.functions.col("text"), 3).as("a"))
+        .as[Array[Long]].head()
+      // length = max(0, n-2); equal windows <=> equal hashes (w=3 windows
+      // compared as strings; 64-bit collisions out of generator range)
+      val wins = words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      arr.length == math.max(0, words.length - 2) &&
+        (arr.length < 2 || wins.indices.forall(i => wins.indices.forall(j =>
+          (wins(i) == wins(j)) == (arr(i) == arr(j)))))
+    }
+  }
 }
