@@ -271,7 +271,12 @@ object SparkEntry {
     "q_stream_attribution" -> ((s, dir) =>
       StreamingQueries.countAttributionPairs(
         StreamingQueries.runStream(s, dir, "stream_attr", "append")(
-          StreamingQueries.streamAttributionPairs(_)))))
+          StreamingQueries.streamAttributionPairs(_)))),
+    // streaming text pipeline: stateful exact dedup over a DOCUMENT stream
+    "q_stream_doc_dedup" -> ((s, dir) =>
+      StreamingQueries.countUniqueDocs(
+        StreamingQueries.runTableStream(s, dir, "documents",
+          "stream_doc_dedup", "append")(StreamingQueries.dedupDocs))))
 
   // DuckDB mirrors. Numeric discipline (see graft.Exprs): money sums via
   // DECIMAL(18,6); double rounding via floor(x*s+0.5)/s — both bit-equal
@@ -1056,6 +1061,10 @@ object SparkEntry {
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |WHERE e.event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming first-seen (lang, text) dedup + count ≡ batch distinct
+    "q_stream_doc_dedup" ->
+      """SELECT lang, count(DISTINCT text) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dau" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  count(DISTINCT user_id) AS daily_active_users

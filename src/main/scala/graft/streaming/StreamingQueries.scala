@@ -38,15 +38,24 @@ object StreamingQueries {
   def runStream(spark: SparkSession, sfDir: String, name: String,
       mode: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      transform: DataFrame => DataFrame): DataFrame =
+    runTableStream(spark, sfDir, "events", name, mode, trigger)(df =>
+      transform(graft.ingest.Sources.normalizeEvents(df)))
+
+  /** [[runStream]] generalized to any driver table (the text-pipeline
+    * streams run over `documents`); events callers get the nanos
+    * normalization composed in by [[runStream]]. */
+  def runTableStream(spark: SparkSession, sfDir: String, table: String,
+      name: String, mode: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val path = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"), path)
+    Files.createSymbolicLink(srcDir.resolve(s"$table.parquet"), path)
     val schema = spark.read.parquet(path.toString).schema
-    val stream = graft.ingest.Sources.normalizeEvents(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val ck = Files.createTempDirectory(s"graft-ck-$name").toString
     // stateful operators allocate one state store per shuffle partition per
     // side; at local scale the per-store fixed cost dominates — run the
@@ -117,6 +126,22 @@ object StreamingQueries {
     deduped.groupBy("event_date", "event_type")
       .agg(count(lit(1)).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
+
+  /** Streaming exact dedup of a DOCUMENT stream: first-seen (lang, text)
+    * rows via the stateful dropDuplicates store — the text-pipeline twin
+    * of the event-side [[dedupDailyUsers]], proving the curation ops run
+    * incrementally as documents arrive, not only in batch. Keyed by
+    * (lang, text) so the keeper choice is deterministic regardless of
+    * file/micro-batch arrival order (a global-keeper policy would depend
+    * on which batch a duplicate lands in). At scale the state key should
+    * be md5(text), not text — same first-seen semantics, 16-byte state. */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("text")).dropDuplicates("lang", "text")
+
+  /** Batch finisher for [[dedupDocs]]: unique docs per language. */
+  def countUniqueDocs(deduped: DataFrame): DataFrame =
+    deduped.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      .orderBy("lang")
 
   /** Stream-static enrichment join — the canonical streaming dimension
     * lookup: streamed purchase events joined to the STATIC customer
