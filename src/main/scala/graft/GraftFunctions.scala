@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{QuantizeInt8, ShingleCounts, ShingleHashes,
-  ShinglePosHashes, SimHash64, VecDotProduct, VecDotProductInt8}
+import graft.ext.{QuantizeInt8, RewriteTokenCount, ShingleCounts,
+  ShingleHashes, ShinglePosHashes, SimHash64, TokenCount, VecDotProduct,
+  VecDotProductInt8}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -62,6 +63,13 @@ object GraftFunctions {
     QuantizeInt8(exprs(0))
   }
 
+  private[graft] def tokenCountBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 1,
+      s"token_count takes 1 argument, got ${exprs.length}")
+    TokenCount(exprs(0))
+  }
+
   private[graft] def simhash64Builder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
     require(exprs.length == 1,
@@ -84,6 +92,8 @@ object GraftFunctions {
       quantizeInt8Builder, "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
       simhash64Builder, "scala_udf")
+    registry.createOrReplaceTempFunction("token_count",
+      tokenCountBuilder, "scala_udf")
   }
 }
 
@@ -112,5 +122,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       GraftFunctions.simhash64Builder))
+    e.injectFunction((FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      GraftFunctions.tokenCountBuilder))
+    // plan-wide rewrite: size(split(text, ' ')) → token_count(text); the
+    // oracle gate runs with this extension enabled, so every hash-match
+    // certifies the rewrite's semantics end-to-end
+    e.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

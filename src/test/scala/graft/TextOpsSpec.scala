@@ -249,6 +249,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(26L).isEmpty)
   }
 
+  test("optimizer rewrites size(split(text, ' ')) to token_count plan-wide") {
+    import org.apache.spark.sql.functions.{size, split}
+    // parquet-backed (a LocalRelation would be constant-folded whole)
+    val d = graft.ingest.Sources.table(spark, sf("sf0.001"), "documents")
+    val q = d.select(size(split(col("text"), " ")).as("n"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("token_count") && !opt.contains("split("),
+      s"rewrite did not fire:\n$opt")
+    // exact split semantics preserved, vs a driver-side reference split
+    val got = d.select(col("text"),
+        size(split(col("text"), " ")).as("n"))
+      .as[(String, Int)].collect()
+    assert(got.nonEmpty && got.forall { case (t, n) =>
+      n == t.split(" ", -1).length })
+    // empty-token edges (spaces kept): "a  b c " → 5, "" → 1
+    val local = Seq((0L, "a  b c "), (1L, "")).toDF("doc_id", "text")
+      .select(graft.ext.TokenCount.tokenCount(col("text")).as("n"))
+      .as[Int].collect().sorted.toSeq
+    assert(local == Seq(1, 5))
+    // guard: a non-space separator must NOT be rewritten
+    val other = d.select(size(split(col("text"), ",")).as("n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!other.contains("token_count"), other)
+  }
+
   test("trainBpeMerges learns classic merges; ties break lexicographically") {
     val d = Seq((0L, "aa ab aa ab")).toDF("doc_id", "text")
     // word freqs aa:2 ab:2 → pair counts (a,a):2 (a,b):2 → tie breaks to
