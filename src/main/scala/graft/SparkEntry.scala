@@ -88,6 +88,7 @@ object SparkEntry {
     "q_revenue_cube" -> ev(EventQueries.revenueCube),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
+    "q_sliding_revenue" -> ev(WindowedQueries.slidingRevenue),
     // ---- join/agg coverage on the star schema ----
     "q_pricing_summary" -> ((s, dir) =>
       RelationalQueries.pricingSummary(Sources.table(s, dir, "lineitem"))),
@@ -249,6 +250,11 @@ object SparkEntry {
       StreamingQueries.runCompleteMode(s, dir, "stream_sessions")(
         ops.WindowedQueries.sessionize(_))
         .orderBy("user_id", "session_start")),
+    // streaming hopping windows sharing q_sliding_revenue's oracle
+    // verbatim (batch ≡ stream, the q_stream_sessions pattern)
+    "q_stream_sliding_revenue" -> ((s, dir) =>
+      StreamingQueries.runCompleteMode(s, dir, "stream_sliding_rev")(
+        ops.WindowedQueries.slidingRevenue).orderBy("window_start")),
     // stream-static dimension join: streamed purchases ⋈ broadcast static
     // customer, hash-matched against the batch join SQL
     "q_stream_segment_revenue" -> ((s, dir) => {
@@ -381,6 +387,17 @@ object SparkEntry {
       |FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
       |LEFT JOIN bench b USING (shingle)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // shared by q_sliding_revenue (batch) and q_stream_sliding_revenue
+  // (complete-mode stream): unnest each purchase into its two hopping
+  // windows, then a plain group-by
+  private val SlidingRevenueSql =
+    s"""WITH w AS (SELECT unnest([CAST(ts AS DATE), CAST(ts AS DATE) - 1])
+       |             AS window_start, value
+       |           FROM events WHERE event_type = 'purchase')
+       |SELECT window_start, $MoneySumValue AS revenue,
+       |  count(*) AS n_purchases
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   // shared by q_sessionization (batch session_window) and
   // q_stream_sessions (streaming session_window over the file stream):
@@ -591,6 +608,10 @@ object SparkEntry {
     "q_sessionization" -> SessionizationSql,
     // streaming session_window ≡ batch sessionization: shared verbatim
     "q_stream_sessions" -> SessionizationSql,
+    // hopping 2d/1d windows: every purchase lands in exactly the windows
+    // starting on its day and the day before (epoch-aligned UTC days)
+    "q_sliding_revenue" -> SlidingRevenueSql,
+    "q_stream_sliding_revenue" -> SlidingRevenueSql,
     "q_running_revenue" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS event_date,

@@ -75,4 +75,25 @@ object WindowedQueries {
           .as("delta_revenue"))
       .orderBy("event_date")
   }
+
+  /** HOPPING (sliding) windows — 2-day windows advancing by 1 day, so
+    * every purchase lands in exactly two windows: native
+    * `window(ts, "2 days", "1 day")` (Spark plans one Expand — each row
+    * duplicated per overlapping window — then a plain hash aggregate;
+    * windows align to the epoch in the session timezone, i.e. UTC day
+    * boundaries here). The same transform runs unchanged as a streaming
+    * complete-mode aggregation — `q_stream_sliding_revenue` shares this
+    * query's oracle verbatim, the batch ≡ stream equivalence-proof
+    * pattern of q_sessionization/q_stream_sessions. Unlike the
+    * frame-based 7-day moving average over gap-filled days
+    * ([[runningRevenue]]), hopping windows are the form watermarks can
+    * evict incrementally, which is why both exist. */
+  def slidingRevenue(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(moneySum(col("value")).as("revenue"),
+        count(lit(1)).as("n_purchases"))
+      .select(to_date(col("window.start")).as("window_start"),
+        col("revenue"), col("n_purchases"))
+      .orderBy("window_start")
 }
