@@ -317,8 +317,10 @@ object Similarity {
     * approximation; recall vs the exact path is spec-pinned. */
   def pqTopK(embeddings: DataFrame, codebooks: Array[Array[Array[Float]]],
       queryVecId: Long = 0L, k: Int = 10, refine: Int = 5): DataFrame = {
-    val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qRows = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head(1)
+    require(qRows.nonEmpty, s"query vec_id $queryVecId not found")
+    val q = qRows(0).getSeq[Float](0).toArray
     val m = codebooks.length
     val ksub = codebooks(0).length
     val sub = codebooks(0)(0).length
