@@ -67,6 +67,10 @@ object SparkEntry {
     "q_avg_order_value_daily" -> ev(EventQueries.avgOrderValueDaily),
     "q_daily_active_users" -> ev(EventQueries.dailyActiveUsers),
     "q_dau_approx" -> ev(EventQueries.dailyActiveUsersApprox(_)),
+    // stored-sketch rolling distinct: per-day HLL sketches unioned over a
+    // calendar window frame; no oracle (HLL estimate) — spec-pinned
+    "q_rolling_dau_sketch" -> ev(EventQueries.rollingDauSketch(_)),
+    "q_conversion_latency" -> ev(EventQueries.conversionLatency),
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
     "q_price_quantiles_sketch" -> ev(EventQueries.priceQuantilesSketch(_)),
@@ -555,6 +559,23 @@ object SparkEntry {
         |ORDER BY cohort, user_id""".stripMargin,
     "q_view_purchase_30m" ->
       """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS attributed_pairs
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same banded pair universe as q_view_purchase_30m, aggregated to
+    // latency stats; integer µs until the final divisions (order of
+    // operations mirrored exactly)
+    "q_conversion_latency" ->
+      """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS n_pairs,
+        |  floor(CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+        |    / count(*) / 1000000 * 100 + 0.5) / 100 AS avg_latency_s,
+        |  floor(CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+        |    / 1000000 * 100 + 0.5) / 100 AS min_latency_s,
+        |  floor(CAST(max(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+        |    / 1000000 * 100 + 0.5) / 100 AS max_latency_s
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'

@@ -127,8 +127,10 @@ object TextOps {
     val bench = documents.filter(col("doc_id") % benchResidue === 0)
     val qual = qualityFilter(corpus)
       .select(col("doc_id"), (!col("kept")).as("q_fail"))
-    val surv1 = corpus.join(
-      qual.filter(!col("q_fail")).select("doc_id"), Seq("doc_id"))
+    // the gate is a PER-ROW predicate: apply it directly (pushes to the
+    // scan) rather than via a doc_id self-join against `qual` — `qual` is
+    // only joined once at the end, where the label genuinely needs it
+    val surv1 = keepClean(corpus)
     val dupIds = surv1
       .withColumn("rk", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy("doc_id")))

@@ -30,6 +30,16 @@ object AsOfJoin {
     * to ±1 bucket before the exact range filter — the standard
     * interval-join banding, linear in events for a fixed window. */
   def viewToPurchaseWithin(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    viewPurchasePairs(events, windowMinutes)
+      .groupBy(to_date(col("purchase_ts")).as("event_date"))
+      .agg(count(lit(1)).as("attributed_pairs"))
+      .orderBy("event_date")
+
+  /** The raw (user, view_ts, purchase_ts) pair stream of the banded
+    * interval join — shared by the attribution count above and the
+    * latency stats of [[graft.ops.EventQueries.conversionLatency]]. */
+  def viewPurchasePairs(events: DataFrame,
       windowMinutes: Int = 30): DataFrame = {
     val bucketUs = windowMinutes * 60L * 1000000L
     val bucket = expr(s"unix_micros(ts) div ${bucketUs}L")
@@ -41,9 +51,7 @@ object AsOfJoin {
     views.join(purchases, Seq("user_id", "bucket"))
       .filter(col("purchase_ts") >= col("view_ts") &&
         unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")) <= bucketUs)
-      .groupBy(to_date(col("purchase_ts")).as("event_date"))
-      .agg(count(lit(1)).as("attributed_pairs"))
-      .orderBy("event_date")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"))
   }
   /** Attaches the latest prior (or same-instant) purchase per user to every
     * view event: (event_id, user_id, ts, last_purchase_value nullable,

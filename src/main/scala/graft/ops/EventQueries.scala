@@ -313,6 +313,47 @@ object EventQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("event_type"), col("event_date"))
 
+  /** Rolling `days`-day distinct users from MERGEABLE per-day HLL
+    * sketches — the at-scale DAU/WAU layout: each day's raw events are
+    * scanned ONCE ever (into a tiny DataSketches HLL), and every rolling
+    * window is a union of stored sketches, never a re-scan. The union
+    * runs as a window aggregate over a CALENDAR range frame (unix_date
+    * ordering), so missing days can't misalign the window the way a
+    * rows-based frame would. Estimates carry HLL error (default lgK=12 ⇒
+    * ~1.6% rsd) — no oracle; the spec pins estimates against the exact
+    * rolling distinct. */
+  def rollingDauSketch(events: DataFrame, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val w = Window.orderBy(unix_date(col("event_date")))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    daily.select(col("event_date"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w))
+          .as("rolling_users_est"))
+      .orderBy("event_date")
+  }
+
+  /** Per-day view→purchase conversion latency over the banded interval
+    * join's pair stream ([[AsOfJoin.viewPurchasePairs]]): count, average
+    * and extremes in seconds. Latencies are exact integer microseconds
+    * until the final divisions (IEEE-exact, same operation order as the
+    * mirror), so the stats hash-match. */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val latUs = unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))
+    AsOfJoin.viewPurchasePairs(events)
+      .select(to_date(col("purchase_ts")).as("event_date"),
+        latUs.as("lat_us"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_pairs"),
+        round2(sum(col("lat_us")).cast("double") / count(lit(1)) / 1e6)
+          .as("avg_latency_s"),
+        round2(min(col("lat_us")).cast("double") / 1e6).as("min_latency_s"),
+        round2(max(col("lat_us")).cast("double") / 1e6).as("max_latency_s"))
+      .orderBy("event_date")
+  }
+
   // ---- data-quality validations (reference:airflow_docker/dags/ecomm_pipeline/snowflake.py) ----
 
   /** Count of rows with any key column null (`snowflake.py:27-36`). */

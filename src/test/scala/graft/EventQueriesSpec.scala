@@ -124,4 +124,28 @@ class EventQueriesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
       s"expected pushed filters in:\n$plan")
   }
+
+  test("rolling HLL-union DAU tracks the exact rolling distinct") {
+    val ev = ingest.Sources.events(spark, sf("sf0.001"))
+    val got = EventQueries.rollingDauSketch(ev, days = 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val raw = ev.select(
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("d"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .as[(java.sql.Date, Long)].collect()
+    val exact = raw.map(_._1).distinct.map { d =>
+      val dayUs = d.toLocalDate.toEpochDay
+      d -> raw.filter { case (dd, _) =>
+        val x = dd.toLocalDate.toEpochDay
+        x <= dayUs && x > dayUs - 7
+      }.map(_._2).distinct.length.toLong
+    }.toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val est = got(d)
+      assert(math.abs(est - n) <= math.max(2.0, 0.05 * n),
+        s"$d: estimate $est vs exact $n")
+    }
+  }
 }
