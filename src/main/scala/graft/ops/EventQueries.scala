@@ -321,12 +321,23 @@ object EventQueries {
     * ordering), so missing days can't misalign the window the way a
     * rows-based frame would. Estimates carry HLL error (default lgK=12 ⇒
     * ~1.6% rsd) — no oracle; the spec pins estimates against the exact
-    * rolling distinct. */
+    * rolling distinct. The unpartitioned window runs on the per-day
+    * pre-aggregate — bounded by days, not events (the [[runningRevenue]]
+    * argument). The storage half of the pattern is
+    * [[graft.sink.Sinks.writeDailySketches]]: sketches persist as a
+    * binary column and [[rollingFromSketches]] computes any window from
+    * the stored table without touching raw events. */
   def rollingDauSketch(events: DataFrame, days: Int = 7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    rollingFromSketches(daily, days)
+  }
+
+  /** The serving half over an (event_date, sk binary) sketch table —
+    * inline-built or read back from parquet. */
+  def rollingFromSketches(daily: DataFrame, days: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(unix_date(col("event_date")))
       .rangeBetween(-(days - 1), Window.currentRow)
     daily.select(col("event_date"),

@@ -72,6 +72,19 @@ object Sinks {
   def overwrite(result: DataFrame, path: String): Unit =
     result.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** STORED-AGGREGATE sinks: per-day HLL user sketches persisted as an
+    * (event_date, sk binary) parquet table — the layout that lets any
+    * rolling distinct-user window be computed from kilobytes of stored
+    * sketches ([[graft.ops.EventQueries.rollingFromSketches]]) instead of
+    * re-scanning raw events: each day's events are scanned once, ever.
+    * Mergeability is the whole point — day sketches union into weeks /
+    * months / arbitrary windows with no loss beyond the base HLL error. */
+  def writeDailySketches(events: DataFrame, path: String): Unit =
+    events.groupBy(to_date(col("ts")).as("event_date"))
+      .agg(org.apache.spark.sql.functions.hll_sketch_agg(col("user_id"))
+        .as("sk"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Streaming warehouse layering (`reference:README.md:36-40,162-176`,
     * ST7): per micro-batch, append the raw events into the date-partitioned
     * RAW layer and refresh a REPORTING aggregate — the

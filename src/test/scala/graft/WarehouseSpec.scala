@@ -275,6 +275,21 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("stored day-sketches serve any rolling window without raw events") {
+    val ev = Sources.events(spark, sf("sf0.001"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sketches").toString + "/dau_sk"
+    sink.Sinks.writeDailySketches(ev, path)
+    val stored = spark.read.parquet(path)
+    // kilobytes of state: one small binary sketch per day
+    assert(stored.count() <= 31)
+    val fromStore = EventQueries.rollingFromSketches(stored, days = 7)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val inline = EventQueries.rollingDauSketch(ev, days = 7)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(fromStore == inline && fromStore.nonEmpty)
+  }
+
   test("repartitionByBytes sizes partitions by payload volume") {
     val meta = Multimodal.mediaByteStats(
       Sources.table(spark, sf("sf0.001"), "documents"))
