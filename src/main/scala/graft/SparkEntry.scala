@@ -368,7 +368,9 @@ object SparkEntry {
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |             FROM documents),
        |enc AS (SELECT doc_id,
-       |          len(string_split($enc, chr(31) || chr(31))) AS n_sub
+       |          CASE WHEN tok = '' THEN 1
+       |               ELSE len(string_split($enc, chr(31) || chr(31)))
+       |          END AS n_sub
        |        FROM tok)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
@@ -1103,10 +1105,13 @@ object SparkEntry {
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |WHERE e.event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // streaming first-seen (lang, text) dedup + count ≡ batch distinct
+    // streaming first-seen (lang, text) dedup + count ≡ batch distinct;
+    // count over a DISTINCT subquery, not count(DISTINCT text) — the
+    // latter ignores NULL text while dropDuplicates keeps the null row
     "q_stream_doc_dedup" ->
-      """SELECT lang, count(DISTINCT text) AS n_unique
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT lang, count(*) AS n_unique
+        |FROM (SELECT DISTINCT lang, text FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dau" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  count(DISTINCT user_id) AS daily_active_users

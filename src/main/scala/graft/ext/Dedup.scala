@@ -60,14 +60,14 @@ object Dedup {
     * more than that many documents BEFORE the join (they carry ~no Jaccard
     * signal); sizes are computed on the same kept universe so numerator and
     * denominator stay consistent, and the DuckDB oracle applies the
-    * identical cap. No caching: the DF cap and per-doc size are window
-    * counts in ONE pipeline (not a groupBy+semi-join that recomputes the
-    * shingle stream), the pipeline's per-side recompute under the self-join
-    * collapses into one shuffle (ReusedExchange), and `sz` rides the join
-    * rows (8 bytes) into the grouping keys instead of two corpus-wide
-    * re-joins against a sizes frame — the shape that survives a corpus too
-    * big for executor storage (and leaks nothing into long-lived
-    * sessions). */
+    * identical cap. The cap itself is a skew-spread aggregate + join (see
+    * [[jaccardPairsCore]]'s inline rationale — a per-h window would have
+    * to co-locate the hot shingles it exists to discard); `sz` rides the
+    * join rows (8 bytes) into the grouping keys instead of corpus-wide
+    * re-joins against a sizes frame, and no caching is needed — the
+    * self-join's identical sides collapse into shared shuffles
+    * (ReusedExchange, spec-asserted), and nothing leaks into long-lived
+    * sessions. */
   def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20,
       maxShingleDf: Int = 1000): DataFrame =
     ngramJaccardPairs(documents, maxShingleDf)
@@ -96,15 +96,32 @@ object Dedup {
   private def jaccardPairsCore(documents: DataFrame, maxShingleDf: Int,
       minJaccard: Option[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // DF cap then per-doc size as window counts over the same stream: the
-    // size universe is the CAPPED one (numerator/denominator consistency)
-    val kept = hashedShingles(documents)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxShingleDf).drop("df")
+    // DF cap as a SKEW-SPREAD aggregate + join, not a per-h window: a
+    // window partitionBy(h) must co-locate every occurrence of a hash in
+    // one task's sort BEFORE the cap can drop it — and the hot corpus-wide
+    // shingles the cap exists to discard are exactly the ones that stall
+    // such a task, with no AQE skew relief for window operators. The
+    // aggregate sees ≤1 row per h per upstream partition (hashedShingles
+    // is per-doc distinct, partials combine map-side) and the
+    // occurrences ⋈ capped-stats equi-join is a shape AQE can skew-split;
+    // the probe side re-runs the map-side shingle pass (linear, parallel).
+    // Per-doc size stays a window count, but partitioned by doc_id —
+    // bounded by one document's shingles, not a corpus-wide hash — over
+    // the CAPPED universe (numerator/denominator consistency).
+    val capped = hashedShingles(documents)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("h")
+    val kept = hashedShingles(documents).join(capped, Seq("h"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // the downstream filter accepts round6(j) >= t, i.e. true jaccard
+    // down to t - 5e-7 — so the necessary-size condition must be relaxed
+    // by the SAME rounding window, SCALED by the set size (an absolute
+    // 1e-9 would wrongly prune a borderline pair between ~10^6-shingle
+    // docs whose rounded jaccard still clears t)
     val sizeRatio = minJaccard.map(t =>
       least(col("a.sz"), col("b.sz")).cast("double") >=
-        greatest(col("a.sz"), col("b.sz")) * t - 1e-9)
+        greatest(col("a.sz"), col("b.sz")) * (t - 1e-6))
     val inter = kept.as("a").join(kept.as("b"),
         sizeRatio.foldLeft(
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))(_ && _))
@@ -165,11 +182,10 @@ object Dedup {
     * AQE can skew-split. The price is re-evaluating the tokenize+hash
     * scan for the join's probe side — a map-side linear pass,
     * embarrassingly parallel: the safe side of the trade.
-    * (jaccardPairsCore keeps the window form because its SELF-JOIN
-    * co-locates per-shingle rows anyway and its DF cap discards hot
-    * shingles; span detection must KEEP them — hot windows are the most
-    * duplicated content — so the co-location would be self-inflicted and
-    * uncapped.) */
+    * ([[jaccardPairsCore]] applies the same aggregate+join shape to its
+    * DF cap; span detection additionally must KEEP the hot windows — they
+    * are the most duplicated content — so there is no cap to bound a
+    * window-form sort even in principle.) */
   private def dupWindowStream(documents: DataFrame, width: Int,
       minDocFreq: Int): DataFrame = {
     val stats = windowStream(documents, width)
@@ -514,9 +530,20 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.SaveMode
     val spark = newDocs.sparkSession
-    val newSigs = minhashSignatures(newDocs, numHashes).localCheckpoint(true)
-    val newBands = bandedBuckets(newSigs, numHashes, bands)
     val hasIndex = java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath))
+    // idempotent under at-least-once delivery: a doc_id already in the
+    // index is dropped from the increment BEFORE signing — re-submitting
+    // a batch (retry, re-crawl of an unchanged id) neither duplicates
+    // signature rows in the index nor multiplies candidate-pair rows.
+    // Content UPDATES under a reused id are out of scope (append-only
+    // index); re-ingest updated docs under a new id version.
+    val freshDocs =
+      if (hasIndex)
+        newDocs.join(spark.read.parquet(indexPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else newDocs
+    val newSigs = minhashSignatures(freshDocs, numHashes).localCheckpoint(true)
+    val newBands = bandedBuckets(newSigs, numHashes, bands)
     val candSelf = newBands.as("a").join(newBands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&

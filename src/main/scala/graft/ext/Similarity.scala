@@ -285,6 +285,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val dim = embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(ksub >= 2 && ksub <= 256,
+      s"ksub must be in [2, 256] (codes are stored as one byte), got $ksub")
     val sub = dim / m
     val sample = embeddings.filter(col("vec_id") % 3 === 0)
     (0 until m).map { j =>
@@ -314,7 +316,12 @@ object Similarity {
     * prunes WHICH vectors to scan, PQ shrinks WHAT the bulk scan reads —
     * the full-float column is touched for k·refine rows, not the corpus.
     * Shortlist coverage (codebook reconstruction error) is the only
-    * approximation; recall vs the exact path is spec-pinned. */
+    * approximation; recall vs the exact path is spec-pinned.
+    *
+    * A missing `queryVecId` FAILS here (the ADC table is built driver-side
+    * from the query vector, so absence is detectable up front), whereas
+    * the lazy paths ([[cosineTopK]]/[[cosineTopKInt8]]/[[lshTopK]]) keep
+    * the query distributed and uniformly degrade to an empty result. */
   def pqTopK(embeddings: DataFrame, codebooks: Array[Array[Array[Float]]],
       queryVecId: Long = 0L, k: Int = 10, refine: Int = 5): DataFrame = {
     val qRows = embeddings.filter(col("vec_id") === queryVecId)

@@ -475,10 +475,17 @@ case class BpeSubwordStats(child: Expression, patterns: Seq[String],
     var nsub = 0L
     var t = 0
     while (t < tokens.length) {
-      var s = repr(tokens(t))
-      var m = 0
-      while (m < pats.length) { s = s.replace(pats(m), reps(m)); m += 1 }
-      nsub += countSymbols(s)
+      val tok = tokens(t)
+      // an empty token (consecutive/trailing spaces) is ONE subword —
+      // matching token_count's accounting; its bare "^^" repr would
+      // otherwise read as a spurious two
+      if (tok.isEmpty) nsub += 1L
+      else {
+        var s = repr(tok)
+        var m = 0
+        while (m < pats.length) { s = s.replace(pats(m), reps(m)); m += 1 }
+        nsub += countSymbols(s)
+      }
       t += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(tokens.length.toLong, nsub)

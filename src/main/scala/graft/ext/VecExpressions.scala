@@ -197,7 +197,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best.toByte
+      codes(j) = best.toByte // 128..255 wrap negative; decode is & 0xFF
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
@@ -233,7 +233,10 @@ case class PqAdcScore(child: Expression, lut: Seq[Double], cn2: Seq[Double],
     var n2 = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * ksub + codes.getByte(j)
+      // unsigned decode: codes are stored as bytes, so ksub up to 256
+      // (the canonical PQ setting) round-trips; signed getByte would map
+      // code 128..255 into the previous subspace's LUT slot
+      val idx = j * ksub + (codes.getByte(j) & 0xFF)
       dot += lutA(idx)
       n2 += cn2A(idx)
       j += 1

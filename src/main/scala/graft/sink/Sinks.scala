@@ -196,6 +196,46 @@ object Sinks {
         .foreach(Files.move(_, target, StandardCopyOption.ATOMIC_MOVE))
   }
 
+  /** Heal PER-PARTITION crash leftovers under a partitioned target, at
+    * every `k=v` nesting level: a `<dir>.upsert-old` / `<dir>.compact-old`
+    * child whose real dir is missing is moved back (the crash hit between
+    * the swap's two renames); one whose real dir exists is deleted (the
+    * crash hit after the new data went live but before backup cleanup);
+    * stale `*.upsert-tmp` / `*.compact-tmp` children are deleted (their
+    * rewrite never went live and will be redone). MUST run before any
+    * read of the target: a leftover backup dir would otherwise be parsed
+    * by partition inference as a bogus partition value ("X.upsert-old")
+    * while the real partition's rows are missing — the silent-data-loss
+    * window [[upsertParquetPartitioned]]'s per-partition swaps open
+    * without this. */
+  private def recoverPartitionSwaps(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(root) || !Files.isDirectory(root)) return
+    val kids = {
+      val ls = Files.list(root)
+      try ls.iterator().asScala.toList finally ls.close()
+    }
+    kids.foreach { p =>
+      val name = p.getFileName.toString
+      if (Files.isDirectory(p)) {
+        val backupSuffix =
+          Seq(".upsert-old", ".compact-old").find(name.endsWith)
+        if (backupSuffix.isDefined) {
+          val real = p.resolveSibling(name.dropRight(backupSuffix.get.length))
+          if (!Files.exists(real))
+            Files.move(p, real, StandardCopyOption.ATOMIC_MOVE)
+          else deleteRecursively(p)
+        } else if (name.endsWith(".upsert-tmp") ||
+            name.endsWith(".compact-tmp")) {
+          deleteRecursively(p)
+        } else if (name.contains("=")) {
+          recoverPartitionSwaps(p) // nested partition levels
+        }
+      }
+    }
+  }
+
   /** Backup-then-swap of a freshly written `tmp` into `target`: the old
     * data is never the sole deleted copy (see [[recoverSwap]] for the one
     * crash window and its recovery). */
@@ -261,6 +301,10 @@ object Sinks {
     recoverSwap(path)
     val spark = updates.sparkSession
     val target = Paths.get(path)
+    // heal partition-level crash leftovers BEFORE the target is read —
+    // the read below materializes at the tmp write, long before the
+    // per-partition swap loop's own recoverSwap would run
+    recoverPartitionSwaps(target)
     if (!Files.exists(target)) {
       updates.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(path)
@@ -320,6 +364,9 @@ object Sinks {
     import scala.jdk.CollectionConverters._
     recoverSwap(path)
     val dir = Paths.get(path)
+    // a leftover "k=v.upsert-old" child would satisfy the k=v descent
+    // below and be read as a bogus partition — heal first
+    recoverPartitionSwaps(dir)
     val onDisk = parquetBytes(dir)
     // detect partition levels: descend while a child dir is named k=v
     val partitionCols = {
@@ -370,16 +417,22 @@ object Sinks {
       val ls = Files.list(p)
       try ls.iterator().asScala.toList finally ls.close()
     }
-    // leaf partition dirs: k=v-named dirs with no k=v children
+    // leaf partition dirs: k=v-named dirs with no k=v children (backup /
+    // tmp leftovers are healed above and excluded here — a
+    // "k=v.upsert-old" name contains '=' but is NOT a partition)
     def leaves(p: Path): List[Path] = {
-      val kv = children(p).filter(c =>
-        Files.isDirectory(c) && c.getFileName.toString.contains("="))
+      val kv = children(p).filter { c =>
+        val n = c.getFileName.toString
+        Files.isDirectory(c) && n.contains("=") &&
+          !n.contains(".upsert-") && !n.contains(".compact-")
+      }
       if (kv.isEmpty) Nil
       else kv.flatMap(c => leaves(c) match {
         case Nil => List(c)
         case deeper => deeper
       })
     }
+    recoverPartitionSwaps(Paths.get(path))
     val dirs = leaves(Paths.get(path))
     if (dirs.isEmpty) { compact(spark, path, targetBytes); return }
     dirs.foreach { d =>

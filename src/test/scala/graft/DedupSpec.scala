@@ -192,6 +192,13 @@ class DedupSpec extends SparkSpec {
     assert(inc == oneShot && inc.nonEmpty, s"inc=$inc oneShot=$oneShot")
     // the planted exact dup (0,1) crosses the batch split: est jaccard 1.0
     assert(inc.contains((0L, 1L, 1.0)))
+    // at-least-once delivery: re-submitting an already-indexed batch adds
+    // no signature rows and reports no pairs (nothing fresh to compare)
+    val before = spark.read.parquet(idx).count()
+    val redo =
+      Dedup.minhashNearDupsIncremental(docs.filter($"doc_id" % 2 === 0), idx)
+        .as[(Long, Long, Double)].collect()
+    assert(redo.isEmpty && spark.read.parquet(idx).count() == before)
   }
 
   test("contaminationReportBloom is output-identical to the exact report") {

@@ -296,6 +296,11 @@ class TextOpsSpec extends SparkSpec {
     val none = TextOps.bpeStats(d, Seq.empty)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(none(0L) == 8L && none(1L) == 4L)
+    // empty tokens (consecutive spaces) count ONE subword, like token_count
+    val gaps = TextOps.bpeStats(
+        Seq((0L, "a  b")).toDF("doc_id", "text"), Seq.empty)
+      .as[(Long, Long, Long, Double)].head()
+    assert(gaps == ((0L, 3L, 3L, 1.0)))
   }
 
   test("trainUnigramVocab thresholds, and caps by count desc / token asc") {

@@ -168,6 +168,39 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(path + ".upsert-tmp").exists())
   }
 
+  test("partition-level crash leftovers are healed before the target is read") {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val path = Files.createTempDirectory("graft-upsertc").toString + "/t"
+    Sinks.upsertParquetPartitioned(
+      Seq((1L, "d1", "a"), (2L, "d2", "b"), (3L, "d3", "c"))
+        .toDF("k", "day", "v"),
+      path, Seq("k"), "day")
+    // simulate a crash BETWEEN the swap's two renames on d2: the real dir
+    // is gone, only the backup exists — and the next batch does NOT touch
+    // d2, so only up-front healing can restore it
+    F.move(Paths.get(s"$path/day=d2"), Paths.get(s"$path/day=d2.upsert-old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // and a crash AFTER d3's new data went live but before backup cleanup
+    val d3backup = Paths.get(s"$path/day=d3.compact-old")
+    F.createDirectory(d3backup)
+    Sinks.upsertParquetPartitioned(
+      Seq((1L, "d1", "A")).toDF("k", "day", "v"), path, Seq("k"), "day")
+    val got = spark.read.parquet(path).select("k", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "d1", "A"), (2L, "d2", "b"), (3L, "d3", "c")),
+      s"got $got")
+    assert(F.exists(Paths.get(s"$path/day=d2")))
+    assert(!F.exists(Paths.get(s"$path/day=d2.upsert-old")))
+    assert(!F.exists(d3backup))
+    // compactPartitions heals too and never treats a backup as a leaf
+    F.move(Paths.get(s"$path/day=d2"), Paths.get(s"$path/day=d2.compact-old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Sinks.compactPartitions(spark, path)
+    val after = spark.read.parquet(path).select("k", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(after == got && F.exists(Paths.get(s"$path/day=d2")))
+  }
+
   test("compactPartitions compacts fragmented dirs and skips compact ones") {
     val path = Files.createTempDirectory("graft-compactpp").toString + "/t"
     val ev = Sources.events(spark, sf("sf0.001"))
