@@ -176,6 +176,8 @@ object SparkEntry {
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     "q_pii_scrub" -> docs(TextOps.scrubPii),
+    "q_text_normalize" -> docs(TextOps.normalizeDocs),
+    "q_normalized_dedup" -> docs(TextOps.normalizedDedup),
     "q_repetition" -> docs(TextOps.repetitionScores),
     "q_intradoc_dedup" -> docs(TextOps.dedupWithin(_, " ")),
     "q_unit_filter" -> docs(TextOps.filterUnits(_)),
@@ -995,6 +997,24 @@ object SparkEntry {
       s"""SELECT doc_id, $scrub AS clean_text,
          |  CAST($counts AS BIGINT) AS n_pii
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // generated from the SAME TextOps.NormSteps constants (PiiPatterns
+    // discipline): lower → regex chain ('g') → trim, identical in both
+    "q_text_normalize" -> {
+      val norm = TextOps.NormSteps.foldLeft("lower(text)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""SELECT doc_id, trim($norm) AS norm_text,
+         |  CAST(len(string_split(trim($norm), ' ')) AS BIGINT) AS n_tokens_norm
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_normalized_dedup" -> {
+      val norm = TextOps.NormSteps.foldLeft("lower(text)") {
+        case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""SELECT md5(trim($norm)) AS norm_hash, min(doc_id) AS keeper_id,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
     },
     // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
     // 0.75→'c000', 0.5→'8000', default 0.25→'4000'

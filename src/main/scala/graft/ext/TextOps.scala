@@ -299,6 +299,41 @@ object TextOps {
     * unredacted. Phone is deliberately aggressive (a dashed date like
     * 2026-01-01 is redacted too): for compliance scrubbing, false positives
     * on digit runs beat leaked numbers. */
+  /** Text-normalization steps — (pattern, replacement), applied in order
+    * to the LOWERCASED text and trimmed after; SHARED with the generated
+    * oracle SQL (the [[PiiPatterns]] discipline), so both engines run the
+    * identical regex chain. ASCII-scoped on purpose: unicode case/class
+    * tables differ subtly between engines, ASCII ones don't. */
+  val NormSteps: Seq[(String, String)] = Seq(
+    "[^a-z0-9 ]+" -> " ", // punctuation/symbols → space (post-lower)
+    "  +" -> " ")         // collapse space runs
+
+  /** Canonical normalized form of a text column: lowercase → regex chain →
+    * trim. Pure per-row projection. */
+  def normalizeExpr(text: Column): Column =
+    trim(NormSteps.foldLeft(lower(text)) {
+      case (c, (p, r)) => regexp_replace(c, lit(p), lit(r))
+    })
+
+  /** Normalized view of the corpus: the cleaned text plus its token count
+    * (what downstream dedup/budgeting would consume). */
+  def normalizeDocs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), normalizeExpr(col("text")).as("norm_text"))
+      .withColumn("n_tokens_norm",
+        size(tokens(col("norm_text"))).cast(LongType))
+      .orderBy("doc_id")
+
+  /** Exact dedup AFTER normalization — catches the case/punctuation/
+    * whitespace variants plain [[Dedup.exactDedup]] misses (the usual
+    * first escalation before shingle-based near-dup). Same digest-only
+    * shuffle: md5 of the normalized form, never the text. */
+  def normalizedDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(normalizeExpr(col("text"))).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper_id")
+
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",

@@ -274,6 +274,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!other.contains("token_count"), other)
   }
 
+  test("normalizedDedup groups case/punctuation variants under one keeper") {
+    val d = Seq(
+      (0L, "Hello, World!"),
+      (1L, "hello   world"),
+      (2L, "HELLO-WORLD"),
+      (3L, "different text"),
+      (4L, "!!!"))                       // all punctuation → empty form
+      .toDF("doc_id", "text")
+    val norm = TextOps.normalizeDocs(d)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(norm(0L) == (("hello world", 2L)))
+    assert(norm(1L) == (("hello world", 2L)))
+    assert(norm(2L) == (("hello world", 2L)))
+    assert(norm(4L) == (("", 1L)))       // split("") = [""] — 1, both engines
+    val groups = TextOps.normalizedDedup(d)
+      .select("keeper_id", "n_docs").as[(Long, Long)].collect().toMap
+    assert(groups(0L) == 3L && groups(3L) == 1L && groups(4L) == 1L)
+  }
+
   test("trainBpeMerges learns classic merges; ties break lexicographically") {
     val d = Seq((0L, "aa ab aa ab")).toDF("doc_id", "text")
     // word freqs aa:2 ab:2 → pair counts (a,a):2 (a,b):2 → tie breaks to
