@@ -121,6 +121,10 @@ object SparkEntry {
     "q_cluster_keepers" -> docs(Dedup.clusterKeepers(_)),
     "q_dup_clusters_star" -> docs(Dedup.dupClustersStar(_)),
     "q_minhash_neardups" -> docs(Dedup.minhashNearDups(_)),
+    // the 100 TB clustering path: LSH candidate edges (exact-verified) →
+    // connected components; no oracle (banding recall is hash-dependent)
+    // — spec-pinned against the exact clustering on planted dups
+    "q_dup_clusters_lsh" -> docs(Dedup.dupClustersLsh(_)),
     // incremental dedup against a persisted signature index: two
     // half-corpus increments into a FRESH per-invocation index (repeat
     // invocations must not accumulate state); no oracle (minhash-estimated

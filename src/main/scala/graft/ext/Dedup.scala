@@ -286,6 +286,27 @@ object Dedup {
     clustersOf(documents, minJaccard, maxShingleDf,
       connectedComponentsStar(_, maxIters))
 
+  /** The CLUSTERING path a 100 TB corpus actually runs: component labels
+    * over the MinHash+LSH candidate edges ([[minhashNearDups]] — banded
+    * buckets, never an exact all-shingle self-join) instead of
+    * [[dupClusters]]' exact-Jaccard edge set. Edges carry the exact
+    * verified jaccard (LSH only proposes; the slim shingle joins confirm),
+    * so the only approximation vs [[dupClusters]] is banding RECALL — a
+    * pair whose bands never collide is missed; with 8 bands × 4 rows the
+    * miss probability at j=0.5 is (1-0.5⁴)⁸ ≈ 0.6 per pair but drops
+    * steeply (j=0.8: 0.03, exact dup: 0) — raise bands for higher recall.
+    * Output contract matches [[dupClusters]]; no oracle (hash-dependent
+    * candidate set) — the spec pins it against the exact clustering on
+    * planted dups. */
+  def dupClustersLsh(documents: DataFrame, minJaccard: Double = 0.5,
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 25): DataFrame =
+    connectedComponents(
+        minhashNearDups(documents, numHashes, bands, minJaccard)
+          .select(col("doc1"), col("doc2")), maxIters)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("component_size").as("cluster_size"))
+      .orderBy("doc_id")
+
   private def clustersOf(documents: DataFrame, minJaccard: Double,
       maxShingleDf: Int, cc: DataFrame => DataFrame): DataFrame =
     cc(ngramJaccardPairsAtLeast(documents, minJaccard, maxShingleDf)

@@ -103,6 +103,18 @@ class DedupSpec extends SparkSpec {
     assert(canon(Dedup.connectedComponentsStar(pairs)) == expected)
   }
 
+  test("dupClustersLsh recovers the exact clustering on planted dups") {
+    // exact dup (0,1) + near dup (2): all three land in one cluster via
+    // LSH edges exactly as via exact-jaccard edges (planted dups are well
+    // above threshold, where banding recall → 1)
+    val lsh = Dedup.dupClustersLsh(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Dedup.dupClusters(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lsh == exact && lsh.contains(0L) && lsh(0L)._2 >= 2L,
+      s"lsh=$lsh exact=$exact")
+  }
+
   test("dupClustersStar produces the identical clustering to dupClusters") {
     val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
     val b = a.split(" ").updated(3, "XX").mkString(" ")
