@@ -385,6 +385,17 @@ object SparkEntry {
        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The DuckDB rendering of [[TextOps.normalizeExpr]], generated ONCE
+    * from the shared NormSteps constants and referenced by both
+    * normalization oracles (the MoneySumValue discipline — two inline
+    * copies could silently diverge). */
+  private val NormSqlExpr = {
+    val chain = TextOps.NormSteps.foldLeft("lower(text)") {
+      case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"trim($chain)"
+  }
+
   private val ContaminationSql =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -1004,22 +1015,14 @@ object SparkEntry {
     },
     // generated from the SAME TextOps.NormSteps constants (PiiPatterns
     // discipline): lower → regex chain ('g') → trim, identical in both
-    "q_text_normalize" -> {
-      val norm = TextOps.NormSteps.foldLeft("lower(text)") {
-        case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
-      }
-      s"""SELECT doc_id, trim($norm) AS norm_text,
-         |  CAST(len(string_split(trim($norm), ' ')) AS BIGINT) AS n_tokens_norm
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "q_normalized_dedup" -> {
-      val norm = TextOps.NormSteps.foldLeft("lower(text)") {
-        case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
-      }
-      s"""SELECT md5(trim($norm)) AS norm_hash, min(doc_id) AS keeper_id,
+    "q_text_normalize" ->
+      s"""SELECT doc_id, $NormSqlExpr AS norm_text,
+         |  CAST(len(string_split($NormSqlExpr, ' ')) AS BIGINT) AS n_tokens_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_normalized_dedup" ->
+      s"""SELECT md5($NormSqlExpr) AS norm_hash, min(doc_id) AS keeper_id,
          |  count(*) AS n_docs
-         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
-    },
+         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
     // 0.75→'c000', 0.5→'8000', default 0.25→'4000'
     "q_domain_mix" ->

@@ -287,33 +287,42 @@ object Dedup {
       connectedComponentsStar(_, maxIters))
 
   /** The CLUSTERING path a 100 TB corpus actually runs: component labels
-    * over the MinHash+LSH candidate edges ([[minhashNearDups]] — banded
-    * buckets, never an exact all-shingle self-join) instead of
+    * over the MinHash+LSH candidate edges ([[minhashNearDupPairs]] —
+    * banded buckets, never an exact all-shingle self-join) instead of
     * [[dupClusters]]' exact-Jaccard edge set. Edges carry the exact
-    * verified jaccard (LSH only proposes; the slim shingle joins confirm),
-    * so the only approximation vs [[dupClusters]] is banding RECALL — a
-    * pair whose bands never collide is missed; with 8 bands × 4 rows the
+    * verified jaccard (LSH only proposes; the slim shingle joins confirm).
+    * Two documented divergences from [[dupClusters]]: (1) banding RECALL —
+    * a pair whose bands never collide is missed; with 8 bands × 4 rows the
     * miss probability at j=0.5 is (1-0.5⁴)⁸ ≈ 0.6 per pair but drops
-    * steeply (j=0.8: 0.03, exact dup: 0) — raise bands for higher recall.
-    * Output contract matches [[dupClusters]]; no oracle (hash-dependent
-    * candidate set) — the spec pins it against the exact clustering on
-    * planted dups. */
+    * steeply (j=0.8: 0.03, exact dup: 0) — raise bands for higher recall;
+    * (2) the verification universe is UNCAPPED — [[dupClusters]] computes
+    * jaccard over the DF-capped shingle set, so on a corpus where the cap
+    * binds, borderline edges can differ in either direction (on such
+    * corpora the bucket fan-out, bounded by band collisions rather than a
+    * DF cap, is also this path's skew exposure). Output schema and
+    * labeling match [[labelClusters]] exactly (shared code); no oracle
+    * (hash-dependent candidate set) — the spec pins it against the exact
+    * clustering on planted dups. */
   def dupClustersLsh(documents: DataFrame, minJaccard: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, maxIters: Int = 25): DataFrame =
-    connectedComponents(
-        minhashNearDups(documents, numHashes, bands, minJaccard)
-          .select(col("doc1"), col("doc2")), maxIters)
+    labelClusters(
+      minhashNearDupPairs(documents, numHashes, bands, minJaccard),
+      connectedComponents(_, maxIters))
+
+  /** (doc1, doc2) edge frame → the (doc_id, cluster_id, cluster_size)
+    * output contract, via the given connected-components algorithm —
+    * shared by every clustering entry point so the contract lives once. */
+  private def labelClusters(edges: DataFrame,
+      cc: DataFrame => DataFrame): DataFrame =
+    cc(edges.select(col("doc1"), col("doc2")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         col("component_size").as("cluster_size"))
       .orderBy("doc_id")
 
   private def clustersOf(documents: DataFrame, minJaccard: Double,
       maxShingleDf: Int, cc: DataFrame => DataFrame): DataFrame =
-    cc(ngramJaccardPairsAtLeast(documents, minJaccard, maxShingleDf)
-        .select(col("doc1"), col("doc2")))
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        col("component_size").as("cluster_size"))
-      .orderBy("doc_id")
+    labelClusters(
+      ngramJaccardPairsAtLeast(documents, minJaccard, maxShingleDf), cc)
 
   /** The DROP decision [[dupClusters]]' cluster list exists for: one row
     * per near-dup cluster with the KEEPER — the longest member (token
@@ -605,8 +614,16 @@ object Dedup {
     * band become candidates (prob ≈ 1-(1-j^4)^8, steep around j≈0.5). Only
     * (long, long) rows ever shuffle: band buckets for candidate generation,
     * hashed shingles for the exact verification — no document text or
-    * arrays move. Returns pairs with exact jaccard ≥ `threshold`. */
+    * arrays move. Returns pairs with exact jaccard ≥ `threshold`,
+    * globally ordered; [[minhashNearDupPairs]] is the unsorted core for
+    * compositions (clustering) that reshuffle anyway. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    minhashNearDupPairs(documents, numHashes, bands, threshold)
+      .orderBy("doc1", "doc2")
+
+  /** [[minhashNearDups]] without the output sort. */
+  def minhashNearDupPairs(documents: DataFrame, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     // uncached (see ngramJaccardTopPairs): recompute-from-pruned-scan beats
     // pinning the exploded shingle stream in executor storage at scale
@@ -634,7 +651,6 @@ object Dedup {
         round2(col("common").cast("double") /
           (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc1"), col("doc2"))
   }
 
   /** 64-bit SimHash of the token multiset: per bit, majority vote of the

@@ -299,6 +299,15 @@ object TextOps {
     * unredacted. Phone is deliberately aggressive (a dashed date like
     * 2026-01-01 is redacted too): for compliance scrubbing, false positives
     * on digit runs beat leaked numbers. */
+  /** Normalized view of the corpus: the cleaned text plus its token count
+    * (what downstream dedup/budgeting would consume). */
+  def normalizeDocs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), normalizeExpr(col("text")).as("norm_text"))
+      .withColumn("n_tokens_norm",
+        size(tokens(col("norm_text"))).cast(LongType))
+      .orderBy("doc_id")
+
   /** Text-normalization steps — (pattern, replacement), applied in order
     * to the LOWERCASED text and trimmed after; SHARED with the generated
     * oracle SQL (the [[PiiPatterns]] discipline), so both engines run the
@@ -314,15 +323,6 @@ object TextOps {
     trim(NormSteps.foldLeft(lower(text)) {
       case (c, (p, r)) => regexp_replace(c, lit(p), lit(r))
     })
-
-  /** Normalized view of the corpus: the cleaned text plus its token count
-    * (what downstream dedup/budgeting would consume). */
-  def normalizeDocs(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), normalizeExpr(col("text")).as("norm_text"))
-      .withColumn("n_tokens_norm",
-        size(tokens(col("norm_text"))).cast(LongType))
-      .orderBy("doc_id")
 
   /** Exact dedup AFTER normalization — catches the case/punctuation/
     * whitespace variants plain [[Dedup.exactDedup]] misses (the usual
