@@ -27,6 +27,16 @@ object SparkEntry {
   private def ev(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.events(s, dir))
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   private def docs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.table(s, dir, "documents"))
 
@@ -54,6 +64,14 @@ object SparkEntry {
     * `q_pii_scrub`, extended to a data-dependent artifact. */
   private val bpeMerges =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+
+  /** The sfDir whose merges [[bpeOracleSql]] renders: set by every
+    * `q_bpe_tokens` evaluation, so the generated mirror is keyed to the
+    * dataset under verification even if one long-lived JVM evaluated the
+    * query for several sfDirs (an arbitrary TrieMap entry could embed a
+    * different dataset's merge list). */
+  private val lastBpeDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
@@ -131,13 +149,19 @@ object SparkEntry {
     // jaccard is hash-dependent) — ground truth via the DedupSpec
     // two-batch ≡ one-shot equivalence
     "q_minhash_incremental" -> docs(d => {
-      val idx = java.nio.file.Files.createTempDirectory("graft-mhidx")
-        .toString + "/idx"
-      val first = Dedup.minhashNearDupsIncremental(
-        d.filter(col("doc_id") % 2 === 0), idx)
-      val second = Dedup.minhashNearDupsIncremental(
-        d.filter(col("doc_id") % 2 =!= 0), idx)
-      first.unionByName(second).orderBy("doc1", "doc2")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mhidx")
+      val idx = tmp.toString + "/idx"
+      try {
+        // both increments are eagerly materialized (localCheckpoint) inside
+        // minhashNearDupsIncremental, so the index is dead once `second`
+        // returns — delete it here rather than leaking a copy per
+        // invocation (Bench runs every entry twice, Verify once more)
+        val first = Dedup.minhashNearDupsIncremental(
+          d.filter(col("doc_id") % 2 === 0), idx)
+        val second = Dedup.minhashNearDupsIncremental(
+          d.filter(col("doc_id") % 2 =!= 0), idx)
+        first.unionByName(second).orderBy("doc1", "doc2")
+      } finally deleteRecursively(tmp)
     }),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
@@ -163,6 +187,7 @@ object SparkEntry {
     // word-frequency vocab, then one map-side counting pass
     "q_bpe_tokens" -> ((s, dir) => {
       val d = Sources.table(s, dir, "documents")
+      lastBpeDir.set(dir)
       TextOps.bpeStats(d,
         bpeMerges.getOrElseUpdate(dir, TextOps.trainBpeMerges(d)))
     }),
@@ -363,7 +388,8 @@ object SparkEntry {
     * cached yet (oracleSql read before any query ran — not the Verify
     * order) the chain is empty and the mirror counts codepoints. */
   private def bpeOracleSql: String = {
-    val merges = bpeMerges.values.headOption.getOrElse(Seq.empty)
+    val merges = Option(lastBpeDir.get).flatMap(bpeMerges.get)
+      .getOrElse(Seq.empty)
     def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
     val S = "\u001f"
     val base = "chr(31) || array_to_string(string_split(tok, ''), " +
@@ -390,7 +416,9 @@ object SparkEntry {
     * normalization oracles (the MoneySumValue discipline — two inline
     * copies could silently diverge). */
   private val NormSqlExpr = {
-    val chain = TextOps.NormSteps.foldLeft("lower(text)") {
+    val (prePat, preRep) = TextOps.NormPreStep
+    val base = s"lower(regexp_replace(text, '$prePat', '$preRep', 'g'))"
+    val chain = TextOps.NormSteps.foldLeft(base) {
       case (acc, (p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
     }
     s"trim($chain)"

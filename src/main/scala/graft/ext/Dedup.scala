@@ -292,9 +292,14 @@ object Dedup {
     * [[dupClusters]]' exact-Jaccard edge set. Edges carry the exact
     * verified jaccard (LSH only proposes; the slim shingle joins confirm).
     * Two documented divergences from [[dupClusters]]: (1) banding RECALL —
-    * a pair whose bands never collide is missed; with 8 bands × 4 rows the
-    * miss probability at j=0.5 is (1-0.5⁴)⁸ ≈ 0.6 per pair but drops
-    * steeply (j=0.8: 0.03, exact dup: 0) — raise bands for higher recall;
+    * a pair whose bands never collide is missed; the default 16 bands × 2
+    * rows is chosen so recall HOLDS AT THE ADVERTISED THRESHOLD: the miss
+    * probability at j=0.5 is (1-0.5²)¹⁶ ≈ 0.01 (j=0.4: 0.06, exact dup: 0)
+    * — versus ≈0.6 at j=0.5 for the 8×4 banding, which is only safe well
+    * above threshold. The price of the flatter S-curve is more low-j
+    * candidates (a j=0.1 pair collides with p ≈ 0.15 vs ≈ 0.001), all of
+    * which die in the exact verification joins — a verification-cost /
+    * recall trade, spec-pinned at j≈0.5 on a planted grid;
     * (2) the verification universe is UNCAPPED — [[dupClusters]] computes
     * jaccard over the DF-capped shingle set, so on a corpus where the cap
     * binds, borderline edges can differ in either direction (on such
@@ -304,7 +309,7 @@ object Dedup {
     * (hash-dependent candidate set) — the spec pins it against the exact
     * clustering on planted dups. */
   def dupClustersLsh(documents: DataFrame, minJaccard: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 25): DataFrame =
+      numHashes: Int = 32, bands: Int = 16, maxIters: Int = 25): DataFrame =
     labelClusters(
       minhashNearDupPairs(documents, numHashes, bands, minJaccard),
       connectedComponents(_, maxIters))
@@ -556,7 +561,7 @@ object Dedup {
     * pins two-batch ≡ one-shot over the union. Returns
     * (doc1, doc2, est_jaccard), doc1 < doc2, ordered. */
   def minhashNearDupsIncremental(newDocs: DataFrame, indexPath: String,
-      numHashes: Int = 32, bands: Int = 8,
+      numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.SaveMode
     val spark = newDocs.sparkSession
@@ -610,21 +615,23 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
-    * numHashes=32 split into 8 bands × 4 rows: docs agreeing on any full
-    * band become candidates (prob ≈ 1-(1-j^4)^8, steep around j≈0.5). Only
-    * (long, long) rows ever shuffle: band buckets for candidate generation,
-    * hashed shingles for the exact verification — no document text or
-    * arrays move. Returns pairs with exact jaccard ≥ `threshold`,
-    * globally ordered; [[minhashNearDupPairs]] is the unsorted core for
-    * compositions (clustering) that reshuffle anyway. */
+    * numHashes=32 split into 16 bands × 2 rows: docs agreeing on any full
+    * band become candidates (prob ≈ 1-(1-j²)¹⁶ — recall ≈ 0.99 at the
+    * default j=0.5 threshold; see [[dupClustersLsh]] for the banding-choice
+    * math and the verification-cost trade). Only (long, long) rows ever
+    * shuffle: band buckets for candidate generation, hashed shingles for
+    * the exact verification — no document text or arrays move. Returns
+    * pairs with exact jaccard ≥ `threshold`, globally ordered;
+    * [[minhashNearDupPairs]] is the unsorted core for compositions
+    * (clustering) that reshuffle anyway. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+      bands: Int = 16, threshold: Double = 0.5): DataFrame =
     minhashNearDupPairs(documents, numHashes, bands, threshold)
       .orderBy("doc1", "doc2")
 
   /** [[minhashNearDups]] without the output sort. */
   def minhashNearDupPairs(documents: DataFrame, numHashes: Int = 32,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     // uncached (see ngramJaccardTopPairs): recompute-from-pruned-scan beats
     // pinning the exploded shingle stream in executor storage at scale
     val sh = hashedShingles(documents)

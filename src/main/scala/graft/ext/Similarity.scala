@@ -292,8 +292,16 @@ object Similarity {
     (0 until m).map { j =>
       val featured = sample.withColumn("features",
         array_to_vector(slice(col("embedding"), j * sub + 1, sub)))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5).fit(featured)
-        .clusterCenters.map(_.toArray.map(_.toFloat))
+      val centers = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+        .fit(featured).clusterCenters.map(_.toArray.map(_.toFloat))
+      // serving ([[pqTopK]]) indexes a FLAT m×ksub ADC table assuming every
+      // codebook has exactly ksub rows; KMeans can return fewer centers when
+      // the sample has fewer distinct sub-vectors — enforce at train time so
+      // a ragged codebook fails here, not as a mis-indexed lookup later
+      require(centers.length == ksub,
+        s"subspace $j trained ${centers.length} centers, expected $ksub — " +
+          "sample has too few distinct sub-vectors; lower ksub")
+      centers
     }.toArray
   }
 

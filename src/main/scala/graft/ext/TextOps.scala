@@ -308,19 +308,30 @@ object TextOps {
         size(tokens(col("norm_text"))).cast(LongType))
       .orderBy("doc_id")
 
+  /** Pre-lowercase scrub SHARED with the generated oracle: non-ASCII runs
+    * → space BEFORE `lower()`, because lowercasing itself is the one
+    * non-ASCII-safe step — Java's full case mapping (Spark) and utf8proc's
+    * simple mapping (DuckDB) disagree on characters like U+0130 'İ'
+    * ('i'+U+0307 vs 'i'), which would desynchronize the downstream regex
+    * chain. After this step both engines lowercase pure ASCII, where they
+    * agree exactly. */
+  val NormPreStep: (String, String) = "[^\\x00-\\x7f]+" -> " "
+
   /** Text-normalization steps — (pattern, replacement), applied in order
     * to the LOWERCASED text and trimmed after; SHARED with the generated
     * oracle SQL (the [[PiiPatterns]] discipline), so both engines run the
     * identical regex chain. ASCII-scoped on purpose: unicode case/class
-    * tables differ subtly between engines, ASCII ones don't. */
+    * tables differ subtly between engines, ASCII ones don't — and
+    * [[NormPreStep]] guarantees the input IS ASCII by this point. */
   val NormSteps: Seq[(String, String)] = Seq(
     "[^a-z0-9 ]+" -> " ", // punctuation/symbols → space (post-lower)
     "  +" -> " ")         // collapse space runs
 
-  /** Canonical normalized form of a text column: lowercase → regex chain →
-    * trim. Pure per-row projection. */
+  /** Canonical normalized form of a text column: non-ASCII scrub →
+    * lowercase → regex chain → trim. Pure per-row projection. */
   def normalizeExpr(text: Column): Column =
-    trim(NormSteps.foldLeft(lower(text)) {
+    trim(NormSteps.foldLeft(lower(
+      regexp_replace(text, lit(NormPreStep._1), lit(NormPreStep._2)))) {
       case (c, (p, r)) => regexp_replace(c, lit(p), lit(r))
     })
 

@@ -138,10 +138,13 @@ object StreamingQueries {
   def dedupDocs(docs: DataFrame): DataFrame =
     docs.select(col("lang"), col("text")).dropDuplicates("lang", "text")
 
-  /** Batch finisher for [[dedupDocs]]: unique docs per language. */
+  /** Batch finisher for [[dedupDocs]]: unique docs per language. Null
+    * ordering pinned to NULLS LAST — Spark's ascending default is NULLS
+    * FIRST while DuckDB's is NULLS LAST, so a null `lang` would otherwise
+    * break the row-order hash match without changing the aggregate. */
   def countUniqueDocs(deduped: DataFrame): DataFrame =
     deduped.groupBy("lang").agg(count(lit(1)).as("n_unique"))
-      .orderBy("lang")
+      .orderBy(col("lang").asc_nulls_last)
 
   /** Stream-static enrichment join — the canonical streaming dimension
     * lookup: streamed purchase events joined to the STATIC customer

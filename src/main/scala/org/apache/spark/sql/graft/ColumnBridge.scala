@@ -7,8 +7,30 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Spark 4 made Column ↔ catalyst Expression conversions `private[sql]`
   * (column-node decoupling). This bridge lives inside the `sql` package
   * namespace to expose exactly the two conversions custom expressions need
-  * — the standard technique for third-party Catalyst extensions. */
+  * — the standard technique for third-party Catalyst extensions.
+  *
+  * VERSION-PINNED: this is the repo's only private-API surface, and each
+  * member leans on an internal that a Spark upgrade may move —
+  *  - `ExpressionUtils.column/expression` (`private[sql]`, classic module);
+  *  - `SparkContext.listenerBus` (`private[spark]`);
+  *  - `classic.StreamingQueryManager.stateStoreCoordinator` (`private[sql]`,
+  *    lazily registers the coordinator RPC endpoint batch TWS needs).
+  * [[assertPinnedSparkVersion]] runs at object init (and is asserted in
+  * ColumnBridgeSpec), so a version bump fails loudly HERE with a pointer to
+  * this list instead of as a MethodNotFound deep inside a query. */
 object ColumnBridge {
+  /** The Spark minor line the three internals above were verified against. */
+  val PinnedSparkLine = "4.1."
+
+  def assertPinnedSparkVersion(): Unit =
+    require(org.apache.spark.SPARK_VERSION.startsWith(PinnedSparkLine),
+      s"ColumnBridge is pinned to Spark $PinnedSparkLine* but this is " +
+        s"${org.apache.spark.SPARK_VERSION}: re-verify ExpressionUtils." +
+        "column/expression, SparkContext.listenerBus and classic." +
+        "StreamingQueryManager.stateStoreCoordinator, then bump " +
+        "PinnedSparkLine")
+
+  assertPinnedSparkVersion()
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

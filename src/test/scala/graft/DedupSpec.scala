@@ -115,6 +115,31 @@ class DedupSpec extends SparkSpec {
       s"lsh=$lsh exact=$exact")
   }
 
+  test("dupClustersLsh default banding holds recall AT the j=0.5 threshold") {
+    // 40 independent planted pairs, each with exact trigram jaccard 0.5:
+    // 40 shared tokens (38 common trigrams) + 19 unique tokens per side
+    // (57 trigrams each → j = 38/(2·57-38) = 0.5). The old 8×4 banding
+    // missed ≈60% of pairs at the threshold; the 16×2 default must find
+    // ≥90% (expected miss ≈1% per pair, deterministic under fixed hashes).
+    val pairs = (0 until 40).map { i =>
+      val shared = (1 to 40).map(t => s"p${i}s$t").mkString(" ")
+      val ua = (1 to 19).map(t => s"p${i}a$t").mkString(" ")
+      val ub = (1 to 19).map(t => s"p${i}b$t").mkString(" ")
+      (2L * i, s"$shared $ua", 2L * i + 1, s"$shared $ub")
+    }
+    val df = pairs.flatMap { case (ia, ta, ib, tb) => Seq((ia, ta), (ib, tb)) }
+      .toDF("doc_id", "text")
+    // ground truth: the exact path clusters every planted pair
+    val exact = Dedup.dupClusters(df, minJaccard = 0.5)
+    assert(exact.count() == 80L)
+    val lsh = Dedup.dupClustersLsh(df, minJaccard = 0.5)
+      .as[(Long, Long, Long)].collect()
+    val found = lsh.count(r => r._2 == (r._1 / 2) * 2 && r._3 == 2L)
+    assert(lsh.forall(r => r._2 == (r._1 / 2) * 2 && r._3 == 2L),
+      s"cross-pair edge leaked: ${lsh.mkString(",")}")
+    assert(found >= 72, s"recall ${found / 2}/40 below 0.9 at j=0.5")
+  }
+
   test("dupClustersStar produces the identical clustering to dupClusters") {
     val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
     val b = a.split(" ").updated(3, "XX").mkString(" ")
@@ -211,6 +236,23 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashNearDupsIncremental(docs.filter($"doc_id" % 2 === 0), idx)
         .as[(Long, Long, Double)].collect()
     assert(redo.isEmpty && spark.read.parquet(idx).count() == before)
+  }
+
+  test("q_minhash_incremental leaves no temp index directory behind") {
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def mhidxDirs(): Int = {
+      val ls = java.nio.file.Files.list(tmpRoot)
+      try ls.iterator().asScala
+        .count(_.getFileName.toString.startsWith("graft-mhidx"))
+      finally ls.close()
+    }
+    val before = mhidxDirs()
+    val out = SparkEntry.queries("q_minhash_incremental")(spark, sf("sf0.001"))
+    assert(out.count() > 0)
+    // the entry deletes its per-invocation index eagerly (results are
+    // localCheckpointed first), so repeated Bench/Verify runs leave /tmp flat
+    assert(mhidxDirs() == before, "q_minhash_incremental leaked its index dir")
   }
 
   test("contaminationReportBloom is output-identical to the exact report") {

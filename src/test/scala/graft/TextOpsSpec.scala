@@ -274,6 +274,19 @@ class TextOpsSpec extends SparkSpec {
     assert(!other.contains("token_count"), other)
   }
 
+  test("normalization scrubs non-ASCII BEFORE lowercasing (engine parity)") {
+    // U+0130 'İ' is the canonical engine-splitter: Java's full case mapping
+    // lowers it to 'i' + U+0307 while utf8proc's simple mapping gives 'i' —
+    // NormPreStep must remove it (and all non-ASCII) before lower() ever
+    // sees it, so both engines only lowercase ASCII
+    val d = Seq((0L, "İstanbul Şehir"), (1L, "café BAR"))
+      .toDF("doc_id", "text")
+    val norm = TextOps.normalizeDocs(d)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(norm(0L) == "stanbul ehir", norm)
+    assert(norm(1L) == "caf bar", norm)
+  }
+
   test("normalizedDedup groups case/punctuation variants under one keeper") {
     val d = Seq(
       (0L, "Hello, World!"),
