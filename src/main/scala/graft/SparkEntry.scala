@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextOps}
 import graft.ingest.Sources
 import graft.ops.{EventQueries, RelationalQueries, WindowedQueries}
-import graft.sink.Sinks
+import graft.sink.{ArtifactStore, Sinks}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §2.11 (query inventory) and §7 (plan).
@@ -44,7 +44,11 @@ object SparkEntry {
     * ([[Similarity.trainIvfCentroids]], an iterative KMeans fit) runs ONCE
     * per dataset and every subsequent `q_ivf_knn` invocation is pure
     * serving — the production split where centroids are a persisted
-    * artifact, not a per-query computation. */
+    * artifact, not a per-query computation. The TrieMaps below are the L1
+    * process cache; [[graft.sink.ArtifactStore]] is the durable L2 (names
+    * encode the training hyperparameters), so a FRESH JVM also serves
+    * without re-running any KMeans/vocab fit — zero-training load is
+    * spec-proven in ArtifactStoreSpec. */
   private val ivfCentroids =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]
 
@@ -189,7 +193,9 @@ object SparkEntry {
       val d = Sources.table(s, dir, "documents")
       lastBpeDir.set(dir)
       TextOps.bpeStats(d,
-        bpeMerges.getOrElseUpdate(dir, TextOps.trainBpeMerges(d)))
+        bpeMerges.getOrElseUpdate(dir,
+          ArtifactStore.bpeMerges(s, dir, "bpe-n50-m2-v65536")(
+            TextOps.trainBpeMerges(d))))
     }),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
@@ -197,7 +203,8 @@ object SparkEntry {
     "q_unigram_familiarity" -> ((s, dir) => {
       val d = Sources.table(s, dir, "documents")
       val (vt, vc) = unigramVocab.getOrElseUpdate(dir,
-        TextOps.trainUnigramVocab(d))
+        ArtifactStore.unigramVocab(s, dir, "univocab-m2-v65536")(
+          TextOps.trainUnigramVocab(d)))
       TextOps.unigramFamiliarity(d, vt, vc)
     }),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
@@ -232,7 +239,9 @@ object SparkEntry {
     "q_ivf_knn" -> ((s, dir) => {
       val emb = Sources.table(s, dir, "embeddings")
       Similarity.ivfTopK(emb,
-        ivfCentroids.getOrElseUpdate(dir, Similarity.trainIvfCentroids(emb)),
+        ivfCentroids.getOrElseUpdate(dir,
+          ArtifactStore.ivfCentroids(s, dir, "ivf-c16-s42")(
+            Similarity.trainIvfCentroids(emb))),
         queryVecId = 0L, k = 10, nProbe = 4)
     }),
     // product-quantization ANN: codes are 8 bytes/vector, scoring is ADC
@@ -241,7 +250,9 @@ object SparkEntry {
     "q_pq_knn" -> ((s, dir) => {
       val emb = Sources.table(s, dir, "embeddings")
       Similarity.pqTopK(emb,
-        pqCodebooks.getOrElseUpdate(dir, Similarity.trainPqCodebooks(emb)),
+        pqCodebooks.getOrElseUpdate(dir,
+          ArtifactStore.pqCodebooks(s, dir, "pq-m16-k32-s42")(
+            Similarity.trainPqCodebooks(emb))),
         queryVecId = 0L, k = 10)
     }),
     "q_embedding_neardups" -> ((s, dir) =>
@@ -284,6 +295,17 @@ object SparkEntry {
     "q_stream_sessions" -> ((s, dir) =>
       StreamingQueries.runCompleteMode(s, dir, "stream_sessions")(
         ops.WindowedQueries.sessionize(_))
+        .orderBy("user_id", "session_start")),
+    // the PRODUCTION streaming-session configuration: watermark + append
+    // mode, sessions finalized deterministically by a far-future sentinel
+    // batch (see runAppendFinalized) — shares q_sessionization's oracle
+    // verbatim, so the hash gate proves append-finalization ≡ batch
+    "q_stream_sessions_append" -> ((s, dir) =>
+      StreamingQueries.runAppendFinalized(s, dir, "stream_sessions_append")(
+        StreamingQueries.sessionizeAppend(_))
+        // batch-side defensive sentinel filter (cannot affect the stream's
+        // watermark; the in-stream form would push below it — see scaladoc)
+        .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")),
     // streaming hopping windows sharing q_sliding_revenue's oracle
     // verbatim (batch ≡ stream, the q_stream_sessions pattern)
@@ -676,6 +698,8 @@ object SparkEntry {
     "q_sessionization" -> SessionizationSql,
     // streaming session_window ≡ batch sessionization: shared verbatim
     "q_stream_sessions" -> SessionizationSql,
+    // watermark + append-mode finalization ≡ batch: shared verbatim
+    "q_stream_sessions_append" -> SessionizationSql,
     // hopping 2d/1d windows: every purchase lands in exactly the windows
     // starting on its day and the day before (epoch-aligned UTC days)
     "q_sliding_revenue" -> SlidingRevenueSql,

@@ -86,11 +86,13 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Streaming warehouse layering (`reference:README.md:36-40,162-176`,
-    * ST7): per micro-batch, append the raw events into the date-partitioned
+    * ST7): per micro-batch, land the raw events into the date-partitioned
     * RAW layer and refresh a REPORTING aggregate — the
     * Kafka→Snowflake-connector→RAW + reporting pattern, expressed as one
-    * foreachBatch sink. Returns the handle; callers own
-    * `processAllAvailable`/`stop`.
+    * foreachBatch sink (the batch body is [[warehouseBatch]], whose
+    * batch-replay idempotence makes restart-from-checkpoint
+    * exactly-once-observable — both spec-proven in WarehouseSpec). Returns
+    * the handle; callers own `processAllAvailable`/`stop`.
     *
     * Refresh is PARTITION-SCOPED by default (`incremental = true`): only the
     * `event_date` partitions present in the micro-batch are recomputed —
@@ -145,36 +147,60 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
     trigger.foreach(writer.trigger)
     writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val stamped = batch.withColumn("event_date", to_date(col("ts")))
-        stamped.write.mode(SaveMode.Append)
-          .partitionBy("event_date").parquet(rawPath)
-        if (incremental) {
-          val days = stamped.select("event_date").distinct()
-            .collect().map(_.getDate(0))
-          if (days.nonEmpty) {
-            val affected = spark.read.parquet(rawPath)
-              .filter(col("event_date").isin(days.toIndexedSeq: _*))
-              .drop("event_date")
-            reporting(affected)
-              .write.mode(SaveMode.Overwrite)
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("event_date")
-              .parquet(reportingPath)
-          }
-        } else {
-          val raw = spark.read.parquet(rawPath).drop("event_date")
-          val full = reporting(raw)
-          // keep the on-disk layout identical to incremental mode for
-          // day-keyed aggregates, so toggling modes never mixes layouts
-          val w = full.write.mode(SaveMode.Overwrite)
-          if (full.columns.contains("event_date"))
-            w.partitionBy("event_date").parquet(reportingPath)
-          else w.parquet(reportingPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
+          incremental)
       }
       .start()
+  }
+
+  /** The per-micro-batch body of [[streamToWarehouse]], public so the
+    * replay contract is directly testable: re-running a batchId is
+    * IDEMPOTENT end to end, which is what turns foreachBatch's native
+    * at-least-once into exactly-once-observable across crash/restart.
+    *
+    *  - RAW: each batch lands under `event_date=D/ingest_batch=B`
+    *    partitions via DYNAMIC partition overwrite — a replayed batch
+    *    REPLACES exactly its own (day, batch) directories (including a
+    *    crashed attempt's partial files) instead of appending duplicates.
+    *    Day-predicate pruning is untouched (`event_date` stays the leading
+    *    partition level); readers that reassemble events drop both
+    *    partition columns.
+    *  - REPORTING: recomputed FROM RAW (never from the in-flight batch) and
+    *    day-overwritten, so it converges to a pure function of RAW no
+    *    matter how many times a batch replays. */
+  def warehouseBatch(batch: DataFrame, batchId: Long, rawPath: String,
+      reportingPath: String, reporting: DataFrame => DataFrame,
+      incremental: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val stamped = batch.withColumn("event_date", to_date(col("ts")))
+      .withColumn("ingest_batch", lit(batchId))
+    stamped.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date", "ingest_batch").parquet(rawPath)
+    if (incremental) {
+      val days = stamped.select("event_date").distinct()
+        .collect().map(_.getDate(0))
+      if (days.nonEmpty) {
+        val affected = spark.read.parquet(rawPath)
+          .filter(col("event_date").isin(days.toIndexedSeq: _*))
+          .drop("event_date", "ingest_batch")
+        reporting(affected)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date")
+          .parquet(reportingPath)
+      }
+    } else {
+      val raw = spark.read.parquet(rawPath).drop("event_date", "ingest_batch")
+      val full = reporting(raw)
+      // keep the on-disk layout identical to incremental mode for
+      // day-keyed aggregates, so toggling modes never mixes layouts
+      val w = full.write.mode(SaveMode.Overwrite)
+      if (full.columns.contains("event_date"))
+        w.partitionBy("event_date").parquet(reportingPath)
+      else w.parquet(reportingPath)
+    }
   }
 
   /** Crash recovery for the backup-then-swap utilities ([[upsertParquet]],

@@ -79,6 +79,89 @@ object StreamingQueries {
       transform: DataFrame => DataFrame): DataFrame =
     runStream(spark, sfDir, name, "complete")(transform)
 
+  /** [[runStream]] in APPEND mode with SENTINEL-FINALIZED output — the
+    * production streaming configuration (watermark + append) made
+    * deterministic over a bounded input: after the real events file is
+    * fully processed, a single far-future sentinel row (year 2100,
+    * `user_id = -1`) arrives as a LATER micro-batch, advancing the global
+    * event-time watermark past every real session/window end, so append
+    * mode emits every real group exactly once and the no-data flush batch
+    * drains the state. The sentinel's own group is never finalized (the
+    * watermark cannot pass its end) and stays withheld in state —
+    * transforms additionally filter `user_id = -1` defensively.
+    *
+    * Two-phase by construction (processAllAvailable between files): if the
+    * sentinel instead raced into the FIRST batch, the watermark would jump
+    * to 2100 and every real row in later batches would be dropped as late
+    * — ordering the phases is what makes the finalization sound. */
+  def runAppendFinalized(spark: SparkSession, sfDir: String, name: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = Files.createTempDirectory(s"graft-src-$name")
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"), path)
+    val raw = spark.read.parquet(path.toString)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val ck = Files.createTempDirectory(s"graft-ck-$name").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try transform(graft.ingest.Sources.normalizeEvents(stream)).writeStream
+        .outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable()
+      // 2100-01-01T00:00:00Z in the raw file's ns-long encoding
+      val sentinelNs = 4102444800000000000L
+      val outDir = Files.createTempDirectory(s"graft-sent-$name")
+      raw.limit(1)
+        .withColumn("ts", lit(sentinelNs))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/out")
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(java.nio.file.Paths.get(s"$outDir/out"))
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      }
+      Files.move(part, srcDir.resolve("zz-sentinel.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Append-mode twin of [[graft.ops.WindowedQueries.sessionize]]: the
+    * IDENTICAL `session_window` aggregation preceded by a watermark (append
+    * mode requires one to know when a session can no longer grow) and
+    * without the output sort (unsupported on append streams — callers sort
+    * the materialized result). Run under [[runAppendFinalized]] it shares
+    * `q_sessionization`'s DuckDB oracle verbatim: the hash gate proves the
+    * PRODUCTION configuration (watermark + append finalization) emits
+    * exactly the batch sessions.
+    *
+    * Deliberately NO in-stream sentinel filter: a `user_id != -1` predicate
+    * here is on a grouping key, so Catalyst pushes it below the aggregation
+    * AND below `EventTimeWatermark` into the parquet scan — the sentinel
+    * row would be dropped before the watermark tracker ever sees it and
+    * nothing would finalize (observed, not hypothetical). The sentinel
+    * needs no filter anyway: its session end (2100 + gap) is forever above
+    * the watermark, so append mode never emits it; [[runAppendFinalized]]
+    * callers may still filter the MATERIALIZED output defensively. */
+  def sessionizeAppend(events: DataFrame,
+      gap: String = "30 minutes", delay: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_us"))
+
   /** Streaming conversion funnel (ST3 twin of A6). */
   def funnelCounts(events: DataFrame): DataFrame =
     events.filter(col("event_type").isin("view", "click", "purchase"))

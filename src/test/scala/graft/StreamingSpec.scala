@@ -26,6 +26,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("append-mode watermarked sessions equal batch sessionization") {
+    // the production streaming-session configuration: watermark + append,
+    // finalized by the sentinel batch — must emit exactly the batch
+    // sessions (q_stream_sessions_append shares the batch oracle verbatim;
+    // this is the in-suite twin of that hash gate)
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries
+      .runAppendFinalized(spark, dir, "t_sess_append")(
+        StreamingQueries.sessionizeAppend(_))
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Long, Long)].collect().toSeq
+    val batch = ops.WindowedQueries.sessionize(
+        ingest.Sources.events(spark, dir))
+      .as[(Long, Timestamp, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful stream on the RocksDB state store matches batch results") {
     // Tuning.rocksDbStateStore is the 100 TB state configuration; prove the
     // provider actually loads and produces identical results on a stateful

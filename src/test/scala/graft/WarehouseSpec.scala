@@ -100,6 +100,102 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("warehouseBatch replay is idempotent, including over a torn attempt") {
+    // the exactly-once-observable core: re-running a batchId REPLACES its
+    // own (day, batch) raw partitions instead of appending — so foreachBatch
+    // replay after a crash (its native at-least-once) cannot duplicate
+    val raw = Files.createTempDirectory("graft-raw-rp").toString
+    val rep = Files.createTempDirectory("graft-rep-rp").toString
+    val b0 = Seq(
+      PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+      PropEvent(2, ts("2024-01-01 11:00:00"), 2, "view", 1.0, "{}")).toDF()
+    val b1 = Seq(
+      PropEvent(3, ts("2024-01-01 12:00:00"), 3, "purchase", 2.5, "{}"),
+      PropEvent(4, ts("2024-01-02 09:00:00"), 1, "purchase", 5.0, "{}")).toDF()
+    def rawRows() = spark.read.parquet(raw)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Sinks.warehouseBatch(b0, 0L, raw, rep, EventQueries.dailyRevenue)
+    val afterB0 = rawRows()
+    // straight replay of batch 0 (e.g. commit-log write crashed): no change
+    Sinks.warehouseBatch(b0, 0L, raw, rep, EventQueries.dailyRevenue)
+    assert(rawRows() == afterB0, "replayed batch duplicated raw rows")
+    // TORN attempt of batch 1: crashed after writing only a subset of its
+    // rows; the replay with the full batch must REPLACE the partial
+    Sinks.warehouseBatch(b1.limit(1), 1L, raw, rep, EventQueries.dailyRevenue)
+    Sinks.warehouseBatch(b1, 1L, raw, rep, EventQueries.dailyRevenue)
+    assert(rawRows() == Seq(1L, 2L, 3L, 4L),
+      s"torn batch-1 attempt not healed: ${rawRows()}")
+    // reporting is a pure function of RAW after any replay sequence
+    assert(reportingMap(rep) == Map(
+      java.sql.Date.valueOf("2024-01-01") -> 12.5,
+      java.sql.Date.valueOf("2024-01-02") -> 5.0))
+  }
+
+  test("restart from the checkpoint converges to the uninterrupted run (ST4)") {
+    // four single-file micro-batches; run A sees all four uninterrupted;
+    // run B processes two, is stopped, and a NEW query resumes from the
+    // same checkpoint with all four present — final RAW and REPORTING must
+    // match run A exactly, with no batch double-applied (counts exact)
+    val events = (1 to 4).flatMap { day =>
+      Seq(
+        PropEvent(day * 10L, ts(f"2024-01-$day%02d 10:00:00"), 1, "purchase",
+          day.toDouble, "{}"),
+        PropEvent(day * 10L + 1, ts(f"2024-01-$day%02d 11:00:00"), 2, "view",
+          9.0, "{}"))
+    }
+    def writeFile(dir: String, name: String, rows: Seq[PropEvent]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val out = Files.createTempDirectory("graft-rsf").toString + "/out"
+      rows.toDF().coalesce(1).write.parquet(out)
+      val ls = Files.list(java.nio.file.Paths.get(out))
+      val part =
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      Files.move(part, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    val schema = events.take(1).toDF().schema
+    def runOver(srcDir: String, raw: String, rep: String,
+        ck: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = Sinks.streamToWarehouse(stream, raw, rep, ck,
+        EventQueries.dailyRevenue)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run A: uninterrupted over all four files
+    val srcA = Files.createTempDirectory("graft-rs-srcA").toString
+    (0 until 4).foreach(i =>
+      writeFile(srcA, f"f$i%02d.parquet", events.slice(i * 2, i * 2 + 2)))
+    val (rawA, repA, ckA) = (
+      Files.createTempDirectory("graft-rs-rawA").toString,
+      Files.createTempDirectory("graft-rs-repA").toString,
+      Files.createTempDirectory("graft-rs-ckA").toString)
+    runOver(srcA, rawA, repA, ckA)
+    // run B: two files, stop, two more files, RESUME from the checkpoint
+    val srcB = Files.createTempDirectory("graft-rs-srcB").toString
+    (0 until 2).foreach(i =>
+      writeFile(srcB, f"f$i%02d.parquet", events.slice(i * 2, i * 2 + 2)))
+    val (rawB, repB, ckB) = (
+      Files.createTempDirectory("graft-rs-rawB").toString,
+      Files.createTempDirectory("graft-rs-repB").toString,
+      Files.createTempDirectory("graft-rs-ckB").toString)
+    runOver(srcB, rawB, repB, ckB)
+    assert(spark.read.parquet(rawB).count() == 4, "pre-restart raw rows")
+    (2 until 4).foreach(i =>
+      writeFile(srcB, f"f$i%02d.parquet", events.slice(i * 2, i * 2 + 2)))
+    runOver(srcB, rawB, repB, ckB) // fresh query, same checkpoint
+    def rawSet(p: String) = spark.read.parquet(p)
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect().sorted.toSeq
+    assert(spark.read.parquet(rawB).count() == 8,
+      "restart double-applied or skipped a batch")
+    assert(rawSet(rawB) == rawSet(rawA))
+    assert(reportingMap(repB) == reportingMap(repA))
+    assert(reportingMap(repA) == (1 to 4).map(d =>
+      java.sql.Date.valueOf(f"2024-01-$d%02d") -> d.toDouble).toMap)
+  }
+
   test("incremental probe rejects reporting fns at call time, probe shape matches runtime") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PropEvent]
