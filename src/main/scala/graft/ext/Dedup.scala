@@ -554,28 +554,56 @@ object Dedup {
     *     history's shingle sets are gone by design, so exact
     *     verification is not available; raise numHashes to tighten the
     *     estimate) and keeps pairs ≥ `threshold`;
-    *  4. appends the batch's signatures to the index (results are
-    *     materialized first, so the append cannot feed back).
+    *  4. commits the batch's signatures to the index ATOMICALLY (results
+    *     are materialized first, so the commit cannot feed back).
+    *
+    * CRASH CONTRACT (single writer; spec-pinned in DedupSpec):
+    *  - The index is a directory of per-batch parquet subdirs. Each commit
+    *    stages under a dot-prefixed dir (invisible to Spark's file listing)
+    *    and goes live with ONE atomic rename — the index is never torn: a
+    *    crash leaves it either without the batch (the stale stage is swept
+    *    on the next call) or with the complete batch.
+    *  - Crash BEFORE the rename → re-running the batch is a plain retry:
+    *    the anti-join sees none of its docs, so the rerun ≡ first run.
+    *  - Crash AFTER the rename but before the caller persisted the returned
+    *    pairs → re-run with `reemit = true`: the batch's docs are treated
+    *    as fresh for PAIR EMISSION (regenerating exactly the lost report)
+    *    while the signature commit stays deduplicated by doc_id — the index
+    *    never accumulates duplicate rows no matter how often a batch
+    *    replays.
     *
     * Replaying increments is equivalent to one-shot processing: the spec
     * pins two-batch ≡ one-shot over the union. Returns
     * (doc1, doc2, est_jaccard), doc1 < doc2, ordered. */
   def minhashNearDupsIncremental(newDocs: DataFrame, indexPath: String,
       numHashes: Int = 32, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.SaveMode
+      threshold: Double = 0.5, reemit: Boolean = false): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = newDocs.sparkSession
-    val hasIndex = java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath))
+    val root = Paths.get(indexPath)
+    // sweep stale stage dirs (a crash between write and rename): invisible
+    // to reads, but disk residue — single-writer contract makes this safe
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(root)
+      val stale =
+        try ls.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith(".stage-"))
+        finally ls.close()
+      stale.foreach(deleteTree)
+    }
+    val hasIndex = readSigIndexOpt(spark, indexPath).isDefined
+    def index() = readSigIndex(spark, indexPath)
     // idempotent under at-least-once delivery: a doc_id already in the
     // index is dropped from the increment BEFORE signing — re-submitting
     // a batch (retry, re-crawl of an unchanged id) neither duplicates
     // signature rows in the index nor multiplies candidate-pair rows.
-    // Content UPDATES under a reused id are out of scope (append-only
-    // index); re-ingest updated docs under a new id version.
+    // `reemit` keeps indexed docs ONLY for pair emission (crash recovery,
+    // see contract above). Content UPDATES under a reused id are out of
+    // scope (append-only index); re-ingest updated docs under a new id.
     val freshDocs =
-      if (hasIndex)
-        newDocs.join(spark.read.parquet(indexPath).select("doc_id"),
-          Seq("doc_id"), "left_anti")
+      if (hasIndex && !reemit)
+        newDocs.join(index().select("doc_id"), Seq("doc_id"), "left_anti")
       else newDocs
     val newSigs = minhashSignatures(freshDocs, numHashes).localCheckpoint(true)
     val newBands = bandedBuckets(newSigs, numHashes, bands)
@@ -585,8 +613,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
     val cand = (if (hasIndex) {
-      val idxBands =
-        bandedBuckets(spark.read.parquet(indexPath), numHashes, bands)
+      val idxBands = bandedBuckets(index(), numHashes, bands)
       // history side never shuffles: the increment's buckets broadcast
       val cross = idxBands.as("i").join(broadcast(newBands).as("n"),
           col("i.band") === col("n.band") &&
@@ -596,9 +623,11 @@ object Dedup {
           greatest(col("i.doc_id"), col("n.doc_id")).as("doc2"))
       candSelf.union(cross)
     } else candSelf).distinct()
+    // under reemit the batch's sigs exist on BOTH sides — dedup by doc_id
+    // (signatures are deterministic, so the copies are identical)
     val allSigs =
-      if (hasIndex) spark.read.parquet(indexPath).unionByName(newSigs)
-      else newSigs
+      (if (hasIndex) index().unionByName(newSigs) else newSigs)
+        .dropDuplicates("doc_id")
     val result = cand
       .join(allSigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")),
         "doc1")
@@ -608,9 +637,56 @@ object Dedup {
         estJaccard(col("sig1"), col("sig2"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .orderBy("doc1", "doc2")
-      .localCheckpoint(true) // materialize BEFORE the index append below
-    newSigs.write.mode(SaveMode.Append).parquet(indexPath)
+      .localCheckpoint(true) // materialize BEFORE the index commit below
+    // atomic commit: stage (dot-dir, invisible) → one rename; only sigs
+    // not already indexed are written, so replays never duplicate rows
+    val toCommit =
+      if (hasIndex)
+        newSigs.join(index().select("doc_id"), Seq("doc_id"), "left_anti")
+      else newSigs
+    if (!toCommit.isEmpty) {
+      val id = java.util.UUID.randomUUID().toString
+      val stage = root.resolve(s".stage-$id")
+      toCommit.write.mode("overwrite").parquet(stage.toString)
+      Files.move(stage, root.resolve(s"b-$id"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     result
+  }
+
+  /** Read the signature index committed by [[minhashNearDupsIncremental]]:
+    * per-batch parquet subdirs under `indexPath` (recursive lookup;
+    * dot/underscore-prefixed staging dirs are invisible by Spark's listing
+    * rules). Also reads the flat single-table layout. */
+  def readSigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    readSigIndexOpt(spark, indexPath).getOrElse(
+      throw new IllegalStateException(s"no signature index at $indexPath"))
+
+  private def readSigIndexOpt(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(indexPath)
+    if (!Files.isDirectory(root)) return None
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(root)
+    val visible =
+      try ls.iterator().asScala.toList.filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+      finally ls.close()
+    if (visible.isEmpty) None
+    else Some(spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexPath))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.

@@ -231,11 +231,43 @@ class DedupSpec extends SparkSpec {
     assert(inc.contains((0L, 1L, 1.0)))
     // at-least-once delivery: re-submitting an already-indexed batch adds
     // no signature rows and reports no pairs (nothing fresh to compare)
-    val before = spark.read.parquet(idx).count()
+    val before = Dedup.readSigIndex(spark, idx).count()
     val redo =
       Dedup.minhashNearDupsIncremental(docs.filter($"doc_id" % 2 === 0), idx)
         .as[(Long, Long, Double)].collect()
-    assert(redo.isEmpty && spark.read.parquet(idx).count() == before)
+    assert(redo.isEmpty && Dedup.readSigIndex(spark, idx).count() == before)
+  }
+
+  test("incremental index crash contract: atomic commits, reemit recovery") {
+    def freshIdx() =
+      java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 =!= 0)
+    // crash BEFORE the commit rename: a stale .stage dir must be invisible
+    // to reads and swept by the next call — the batch replays as new
+    val idx = freshIdx()
+    Dedup.minhashNearDupsIncremental(evens, idx).collect()
+    val stale = java.nio.file.Paths.get(idx, ".stage-crashed")
+    odds.limit(1).write.parquet(stale.toString) // torn half-written stage
+    val sigCount = Dedup.readSigIndex(spark, idx).count()
+    val pairs2 = Dedup.minhashNearDupsIncremental(odds, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs2.contains((0L, 1L, 1.0)), s"cross-batch dup lost: $pairs2")
+    assert(!java.nio.file.Files.exists(stale), "stale stage not swept")
+    assert(Dedup.readSigIndex(spark, idx).count() > sigCount)
+    // crash AFTER the commit but before the caller persisted the pairs:
+    // reemit=true regenerates the batch's exact pair report while the
+    // index stays byte-flat (no duplicate signature rows)
+    val committed = Dedup.readSigIndex(spark, idx).count()
+    val reemitted = Dedup
+      .minhashNearDupsIncremental(odds, idx, reemit = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reemitted == pairs2, s"reemit != original: $reemitted vs $pairs2")
+    assert(Dedup.readSigIndex(spark, idx).count() == committed,
+      "reemit duplicated signature rows")
+    // and a reemit replay is itself idempotent
+    assert(Dedup.minhashNearDupsIncremental(odds, idx, reemit = true)
+      .as[(Long, Long, Double)].collect().toSet == pairs2)
   }
 
   test("q_minhash_incremental leaves no temp index directory behind") {
