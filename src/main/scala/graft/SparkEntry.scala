@@ -208,6 +208,9 @@ object SparkEntry {
       TextOps.unigramFamiliarity(d, vt, vc)
     }),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
+    // token-budget curation: best-quality docs until the budget is spent;
+    // decomposed prefix sum (bounded score buckets + boundary-only window)
+    "q_token_budget" -> docs(TextOps.tokenBudgetSelect(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
@@ -234,6 +237,10 @@ object SparkEntry {
       Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))),
     "q_knn_batch" -> ((s, dir) =>
       Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
+    // the all-kNN map (nearest neighbor of EVERY vector): exact all-pairs
+    // baseline with bounded-heap per-group top-k
+    "q_knn_all" -> ((s, dir) =>
+      Similarity.allNearestNeighbors(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_ivf_knn" -> ((s, dir) => {
@@ -307,6 +314,15 @@ object SparkEntry {
         // watermark; the in-stream form would push below it — see scaladoc)
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")),
+    // the production daily-revenue stream: watermark + APPEND-mode 1-day
+    // tumbling windows, sentinel-finalized — shares q_daily_revenue's
+    // oracle verbatim (the q_stream_sessions_append pattern); the sentinel
+    // window (year 2100) is never emitted, filtered batch-side anyway
+    "q_stream_daily_revenue_append" -> ((s, dir) =>
+      StreamingQueries.runAppendFinalized(s, dir, "stream_daily_rev_append")(
+        StreamingQueries.windowedRevenue(_, delay = "0 seconds"))
+        .filter(col("event_date") < lit("2099-01-01").cast("date"))
+        .orderBy("event_date")),
     // streaming hopping windows sharing q_sliding_revenue's oracle
     // verbatim (batch ≡ stream, the q_stream_sessions pattern)
     "q_stream_sliding_revenue" -> ((s, dir) =>
@@ -516,10 +532,16 @@ object SparkEntry {
       |FROM conv WHERE purch_ts IS NOT NULL
       |ORDER BY user_id, purchaseAt, viewAt, purchaseValue""".stripMargin
 
+  // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
+  // (watermark + append-mode tumbling windows, sentinel-finalized): the
+  // production streaming configuration must hash-match the batch SQL
+  private val DailyRevenueSql =
+    s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
+       |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_daily_revenue" ->
-      s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
-         |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_daily_revenue" -> DailyRevenueSql,
+    "q_stream_daily_revenue_append" -> DailyRevenueSql,
     "q_top_category_revenue" ->
       s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
          |FROM events WHERE event_type = 'purchase'
@@ -1152,6 +1174,42 @@ object SparkEntry {
         |    / 1000000 AS m
         |FROM embeddings, generate_series(1, 64) t(i)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // all-kNN map: every vector's nearest neighbor; the window mirror of
+    // the bounded-heap TopK (same tiebreak: sim desc, nn_id asc)
+    "q_knn_all" ->
+      """WITH s AS (
+        |  SELECT q.vec_id, c.vec_id AS nn_id,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+        |  FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+        |  WHERE q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nn_id, dot / (sqrt(na) * sqrt(nb)) AS sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nn_id) AS rank
+        |  FROM s)
+        |SELECT vec_id, rank, nn_id,
+        |  floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
+        |FROM r WHERE rank <= 1 ORDER BY vec_id, rank""".stripMargin,
+    // token-budget selection: the mirror is the NAIVE single-window prefix
+    // sum the Spark side decomposes (bounded buckets + boundary window) —
+    // the hash gate proves the decomposition ≡ the global running total
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 20000
+        |ORDER BY quality DESC, doc_id""".stripMargin,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

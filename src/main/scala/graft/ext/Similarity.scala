@@ -215,6 +215,28 @@ object Similarity {
     ivfTopK(embeddings, trainIvfCentroids(embeddings, cells, seed),
       queryVecId, k, nProbe)
 
+  /** Exact nearest-neighbor MAP: the top-k corpus neighbors of EVERY
+    * vector — the all-kNN structure semantic-dedup (SemDeDup-style keeper
+    * picking) and corpus-diversity audits consume. All-pairs by
+    * construction: this is the EXACT baseline, deliberately quadratic in
+    * the corpus — but the per-group state is a bounded [[TopK]] heap, so
+    * the only corpus-sized cost is the broadcast-nested-loop pair stream
+    * itself (k rows per (vector, partition) shuffle, no per-vector sort).
+    * At 100 TB the same output comes from [[lshTopK]]/[[ivfTopK]] per
+    * query; run THIS on a sampled or bucketed subset. */
+  def allNearestNeighbors(embeddings: DataFrame, k: Int = 1): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))
+    val scored = embeddings.crossJoin(broadcast(c))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("embedding"), col("c_emb")).as("sim"))
+    TopK.topKPerGroup(scored, "vec_id", "sim", "nn_id", k)
+      .select(col("vec_id"), col("rank"), col("nn_id"),
+        round2(col("sim"), 4).as("cosine_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Per-vector symmetric int8 quantization of the embedding column:
     * (vec_id, label, scale, qemb array<tinyint>) — 4× smaller storage and
     * scan IO, the standard memory lever for billion-vector corpora. One

@@ -246,6 +246,52 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  /** Token-budget curation — keep the highest-QUALITY documents until a
+    * token budget is exhausted (the "best N tokens" selection every
+    * fixed-compute training run starts from): docs ordered by lexical
+    * diversity (4dp, the [[qualityScores]] metric) descending with doc_id
+    * tiebreak, kept while the running token total stays ≤ `budget`.
+    *
+    * Scale: the naive form is a prefix sum over one global ORDER BY — an
+    * unpartitioned window that drags the corpus into a single task. Here
+    * the prefix sum DECOMPOSES over the bounded score domain: (1) per-score
+    * token sums (map-side-combined hash aggregate; ≤ 10001 distinct 4dp
+    * scores, so the frame is bounded like runningRevenue's per-day frame);
+    * (2) a cumsum over that bounded frame decides full buckets; (3) ONLY
+    * the single boundary bucket's docs need a per-doc running sum — a
+    * window partitioned by one score value over one bucket's docs,
+    * filtered before the window (worst case, a corpus-constant score,
+    * degrades to the naive form — on real corpora the boundary bucket is
+    * tiny). Output: selected docs ordered by (quality desc, doc_id). */
+  def tokenBudgetSelect(documents: DataFrame,
+      budget: Long = 20000L): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("quality"))
+    val buckets = scored.groupBy("quality")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets
+      .withColumn("cum_incl", sum(col("bucket_tokens")).over(wq))
+      .withColumn("cum_before", col("cum_incl") - col("bucket_tokens"))
+      .select(col("quality"), col("cum_incl"), col("cum_before"))
+    val joined = scored.join(broadcast(cum), Seq("quality"))
+    val fullKept = joined.filter(col("cum_incl") <= budget)
+    val wb = Window.partitionBy("quality").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = joined
+      .filter(col("cum_before") < budget && col("cum_incl") > budget)
+      .withColumn("run", sum(col("n_tokens")).over(wb))
+      .filter(col("cum_before") + col("run") <= budget)
+    fullKept.select(col("doc_id"), col("n_tokens"), col("quality"))
+      .unionByName(
+        boundaryKept.select(col("doc_id"), col("n_tokens"), col("quality")))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
   /** Intra-document repetition signals (the Gopher/C4 repetition filter):
     * per doc, the fraction of word-trigram POSITIONS that are repeats of an
     * earlier trigram (`dup_ratio`) and the share of the single most

@@ -115,12 +115,16 @@ object StreamingQueries {
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
-      // 2100-01-01T00:00:00Z in the raw file's ns-long encoding
+      // 2100-01-01T00:00:00Z in the raw file's ns-long encoding; the
+      // sentinel is typed as a purchase so transforms that pre-filter on
+      // event_type (e.g. windowed revenue) still let it reach the
+      // watermark tracker — a filtered-out sentinel advances nothing
       val sentinelNs = 4102444800000000000L
       val outDir = Files.createTempDirectory(s"graft-sent-$name")
       raw.limit(1)
         .withColumn("ts", lit(sentinelNs))
         .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("purchase"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/out")
       val part = {
         import scala.jdk.CollectionConverters._

@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._1 == 1L && got.head._2 > 0.9999)
   }
 
+  test("allNearestNeighbors matches a driver-side all-pairs brute force") {
+    val got = Similarity.allNearestNeighbors(emb, k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    val all = emb.as[(Long, Array[Float])].collect()
+    val want = all.map { case (id, v) =>
+      id -> all.filter(_._1 != id)
+        .map { case (cid, cv) => (cid, cosScala(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nn, sim)) =>
+      assert(nn == want(id)._1, s"vec $id: nn $nn != ${want(id)._1}")
+      assert(math.abs(sim - want(id)._2) < 1e-4)
+    }
+    // the planted near-identical pair must be mutual nearest neighbors
+    assert(got(0L)._1 == 1L && got(1L)._1 == 0L)
+  }
+
   test("lshTopK keeps high recall vs exact top-k") {
     val exact = Similarity.cosineTopK(emb, 0L, k = 5)
       .as[(Long, Double)].collect().map(_._1).toSet

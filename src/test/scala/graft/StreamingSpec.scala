@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.ops.EventQueries
@@ -40,6 +41,20 @@ class StreamingSpec extends SparkSpec {
     val batch = ops.WindowedQueries.sessionize(
         ingest.Sources.events(spark, dir))
       .as[(Long, Timestamp, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("append-mode watermarked daily revenue equals the batch aggregate") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries
+      .runAppendFinalized(spark, dir, "t_rev_append")(
+        StreamingQueries.windowedRevenue(_, delay = "0 seconds"))
+      .filter(col("event_date") < lit("2099-01-01").cast("date"))
+      .orderBy("event_date")
+      .as[(java.sql.Date, Double)].collect().toSeq
+    val batch = EventQueries.dailyRevenue(ingest.Sources.events(spark, dir))
+      .as[(java.sql.Date, Double)].collect().toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }

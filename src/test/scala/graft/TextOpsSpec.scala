@@ -274,6 +274,30 @@ class TextOpsSpec extends SparkSpec {
     assert(!other.contains("token_count"), other)
   }
 
+  test("tokenBudgetSelect keeps best-quality docs to the budget, boundary exact") {
+    // qualities: doc 0/1 → 1.0 (all-distinct), docs 2,3,4 → 0.5, doc 5 low;
+    // budget 10: bucket 1.0 fully fits (4+4=8); boundary bucket 0.5 admits
+    // only doc 2 (8+2=10 ≤ 10, then 10+2 > 10) — the mid-bucket cut
+    val d = Seq(
+      (0L, "a b c d"),          // 4 tokens, q=1.0
+      (1L, "e f g h"),          // 4 tokens, q=1.0
+      (2L, "x x"),              // 2 tokens, q=0.5
+      (3L, "y y"),              // 2 tokens, q=0.5
+      (4L, "z z"),              // 2 tokens, q=0.5
+      (5L, "w w w w"))          // 4 tokens, q=0.25
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenBudgetSelect(d, budget = 10L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 4L, 1.0), (1L, 4L, 1.0), (2L, 2L, 0.5)),
+      s"got $got")
+    // exact-fit edge: budget 8 keeps exactly the full top bucket
+    val fit = TextOps.tokenBudgetSelect(d, budget = 8L)
+      .as[(Long, Long, Double)].collect().map(_._1).toSeq
+    assert(fit == Seq(0L, 1L))
+    // a budget below the first doc keeps nothing
+    assert(TextOps.tokenBudgetSelect(d, budget = 3L).count() == 0)
+  }
+
   test("normalization scrubs non-ASCII BEFORE lowercasing (engine parity)") {
     // U+0130 'İ' is the canonical engine-splitter: Java's full case mapping
     // lowers it to 'i' + U+0307 while utf8proc's simple mapping gives 'i' —
