@@ -351,6 +351,15 @@ object SparkEntry {
       StreamingQueries.countAttributionPairs(
         StreamingQueries.runStream(s, dir, "stream_attr", "append")(
           StreamingQueries.streamAttributionPairs(_)))),
+    // the streaming NEGATION query: watermarked LEFT OUTER stream-stream
+    // interval join — unmatched views emit only when the watermark proves
+    // no purchase can still match, so this entry runs sentinel-finalized
+    // and hash-matches the batch NOT EXISTS oracle
+    "q_stream_abandoned_views" -> ((s, dir) =>
+      StreamingQueries.countAbandonedViews(
+        StreamingQueries.runAppendFinalized(s, dir, "stream_abandoned")(
+          StreamingQueries.streamAbandonedViews(_))
+          .filter(col("view_ts") < lit("2099-01-01").cast("timestamp")))),
     // streaming text pipeline: stateful exact dedup over a DOCUMENT stream
     "q_stream_doc_dedup" -> ((s, dir) =>
       StreamingQueries.countUniqueDocs(
@@ -1260,5 +1269,17 @@ object SparkEntry {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts
         | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the outer-join negation of q_stream_attribution: views with NO
+    // same-user purchase in the interval — the streaming left-outer join's
+    // eviction-driven emission must reproduce the batch NOT EXISTS
+    "q_stream_abandoned_views" ->
+      """SELECT CAST(v.ts AS DATE) AS event_date, count(*) AS abandoned_views
+        |FROM events v
+        |WHERE v.event_type = 'view' AND NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.ts >= v.ts
+        |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000)
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -115,16 +115,25 @@ object StreamingQueries {
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
-      // 2100-01-01T00:00:00Z in the raw file's ns-long encoding; the
-      // sentinel is typed as a purchase so transforms that pre-filter on
-      // event_type (e.g. windowed revenue) still let it reach the
-      // watermark tracker — a filtered-out sentinel advances nothing
+      // 2100-01-01T00:00:00Z in the raw file's ns-long encoding. TWO
+      // sentinel rows, one per funnel side ('view' then 'purchase' 10 days
+      // later): transforms pre-filter on event_type, and a filtered-out
+      // sentinel advances nothing — a stream-stream join derives one
+      // watermark node per side and the query's global watermark is their
+      // MIN, so BOTH sides need a surviving sentinel. The two are 10 days
+      // apart (never interval-joinable) and single-typed, so neither can
+      // match or merge with anything; their own groups/windows sit forever
+      // above the watermark and are never emitted.
       val sentinelNs = 4102444800000000000L
       val outDir = Files.createTempDirectory(s"graft-sent-$name")
-      raw.limit(1)
-        .withColumn("ts", lit(sentinelNs))
+      val base = raw.limit(1)
+      base.withColumn("ts", lit(sentinelNs))
         .withColumn("user_id", lit(-1L))
-        .withColumn("event_type", lit("purchase"))
+        .withColumn("event_type", lit("view"))
+        .unionByName(base
+          .withColumn("ts", lit(sentinelNs + 864000L * 1000000000L))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("purchase")))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/out")
       val part = {
         import scala.jdk.CollectionConverters._
@@ -276,6 +285,43 @@ object StreamingQueries {
   def countAttributionPairs(pairs: DataFrame): DataFrame =
     pairs.groupBy(to_date(col("purchase_ts")).as("event_date"))
       .agg(count(lit(1)).as("attributed_pairs"))
+      .orderBy("event_date")
+
+  /** Watermarked stream-stream LEFT OUTER interval join — the streaming
+    * negation query ([[streamAttributionPairs]] finds views that converted;
+    * this finds views that did NOT): views left-joined to same-user
+    * purchases within `windowMinutes`, keeping only the null-extended
+    * (unmatched) rows. Outer-join semantics are what make this a genuinely
+    * different operator: an unmatched view can only be emitted once the
+    * watermark proves no matching purchase can still arrive (view_ts +
+    * window + delay below the global watermark), so emission is
+    * EVICTION-DRIVEN — the state bound is the same as the inner join's,
+    * but correctness now depends on watermark finalization, which is why
+    * the checked entry runs under [[runAppendFinalized]] (both sides need
+    * a sentinel: the global watermark is the min across the two sides'
+    * watermark nodes). A view matched by ≥1 purchase emits only matched
+    * rows (filtered here); an abandoned view emits exactly one null row. */
+  def streamAbandonedViews(events: DataFrame, windowMinutes: Int = 30,
+      delay: String = "0 seconds"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    views.join(purchases, expr(
+        s"""v_user = p_user AND purchase_ts >= view_ts
+           |AND purchase_ts <= view_ts + interval $windowMinutes minutes"""
+          .stripMargin), "left_outer")
+      .filter(col("purchase_ts").isNull)
+      .select(col("v_user").as("user_id"), col("view_ts"))
+  }
+
+  /** Batch finisher for [[streamAbandonedViews]]: per-day abandoned-view
+    * counts over the materialized unmatched rows. */
+  def countAbandonedViews(unmatched: DataFrame): DataFrame =
+    unmatched.groupBy(to_date(col("view_ts")).as("event_date"))
+      .agg(count(lit(1)).as("abandoned_views"))
       .orderBy("event_date")
 
   /** Projects the events table onto [[FunnelState.In]]'s columns. */

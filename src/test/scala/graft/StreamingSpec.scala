@@ -36,6 +36,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = StreamingQueries
       .runAppendFinalized(spark, dir, "t_sess_append")(
         StreamingQueries.sessionizeAppend(_))
+      .filter(col("user_id") =!= -1L) // the earlier sentinel's session IS
+      // finalized by the later one's watermark — batch-side filter, always
       .orderBy("user_id", "session_start")
       .as[(Long, Timestamp, Long, Long)].collect().toSeq
     val batch = ops.WindowedQueries.sessionize(
@@ -190,6 +192,32 @@ class StreamingSpec extends SparkSpec {
         ingest.Sources.events(spark, dir))
       .as[(java.sql.Date, String, Long)].collect().toSeq
     assert(bounded == exact)
+  }
+
+  test("left-outer interval join: abandoned views equal the batch NOT EXISTS") {
+    val dir = sf("sf0.001")
+    val streamed = StreamingQueries.countAbandonedViews(
+        StreamingQueries.runAppendFinalized(spark, dir, "t_abandoned")(
+          StreamingQueries.streamAbandonedViews(_))
+          .filter(col("view_ts") < lit("2099-01-01").cast("timestamp")))
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val ev = ingest.Sources.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batch = views.join(purchases,
+        org.apache.spark.sql.functions.expr(
+          """v_user = p_user AND purchase_ts >= view_ts
+            |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin),
+        "left_anti")
+      .groupBy(org.apache.spark.sql.functions.to_date(col("view_ts"))
+        .as("event_date"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("abandoned_views"))
+      .orderBy("event_date")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("stream-stream interval join matches the batch banded range join") {
