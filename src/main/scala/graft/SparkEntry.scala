@@ -113,6 +113,7 @@ object SparkEntry {
     "q_revenue_grouping_sets" -> ev(EventQueries.revenueGroupingSets),
     "q_revenue_cube" -> ev(EventQueries.revenueCube),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
+    "q_session_stats" -> ev(WindowedQueries.sessionStats(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     "q_sliding_revenue" -> ev(WindowedQueries.slidingRevenue),
     // ---- join/agg coverage on the star schema ----
@@ -727,6 +728,16 @@ object SparkEntry {
          |GROUP BY CUBE (event_type, CAST(ts AS DATE))
          |ORDER BY gid, event_type, event_date""".stripMargin,
     "q_sessionization" -> SessionizationSql,
+    // per-day rollup OVER the shared sessionization CTE (composition on
+    // the hash gate: the stats inherit the session boundary semantics)
+    "q_session_stats" ->
+      s"""SELECT CAST(session_start AS DATE) AS event_date,
+         |  count(*) AS n_sessions,
+         |  floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+         |    AS avg_events,
+         |  max(duration_us) AS max_duration_us
+         |FROM ($SessionizationSql)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming session_window ≡ batch sessionization: shared verbatim
     "q_stream_sessions" -> SessionizationSql,
     // watermark + append-mode finalization ≡ batch: shared verbatim

@@ -32,6 +32,20 @@ object WindowedQueries {
         col("n_events"), col("duration_us"))
       .orderBy("user_id", "session_start")
 
+  /** Per-day session statistics composed over [[sessionize]]: sessions
+    * starting each day with count, mean events per session, and the
+    * longest duration — the engagement rollup a product dashboard reads
+    * off the session table. The input aggregate is sessions-sized (not
+    * events-sized) before this per-day group-by. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionize(events, gap)
+      .groupBy(to_date(col("session_start")).as("event_date"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round2(sum(col("n_events")).cast(DoubleType) / count(lit(1)))
+          .as("avg_events"),
+        max(col("duration_us")).as("max_duration_us"))
+      .orderBy("event_date")
+
   /** Gap-filled daily revenue: a generated date spine (min..max event day)
     * left-joined with per-day purchase revenue, missing days filled with
     * 0.0 — the time-series normalization every downstream

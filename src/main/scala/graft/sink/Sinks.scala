@@ -508,6 +508,39 @@ object Sinks {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bit-interleaved Z-ORDER key of two non-negative long columns: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1 (`bits` low bits
+    * each, 2·bits total). Locality in EITHER input maps to locality in the
+    * key, which is the property [[writeZOrdered]] exploits. Generated as a
+    * fold of shift/mask built-ins — one codegen'd projection, no UDF. */
+  def zorderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int = 21)
+      : org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Z-ordered layout over TWO dimensions — the multi-column sibling of
+    * [[writeRangeLayout]]: range-partition + sort by the interleaved
+    * [[zorderKey]], so each file (and row group) covers a small rectangle
+    * in (a, b) space and parquet min/max stats let a pushed predicate on
+    * EITHER column skip most row groups. A single-key sort gives perfect
+    * skipping on that key and none on the other; Z-order trades a little
+    * of the first for a lot of the second — the standard lakehouse layout
+    * for a 100 TB table queried by two independent keys (e.g. user and
+    * day). Inputs must be non-negative and fit in `bits` bits; the key is
+    * layout-only and not written. */
+  def writeZOrdered(df: DataFrame, path: String, partitions: Int,
+      colA: String, colB: String, bits: Int = 21): Unit =
+    df.withColumn("_zkey", zorderKey(col(colA), col(colB), bits))
+      .repartitionByRange(partitions, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning
     * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once

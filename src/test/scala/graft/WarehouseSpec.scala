@@ -336,6 +336,62 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(path + ".compact-old").exists())
   }
 
+  test("zorderKey interleaves bits exactly (scala reference parity)") {
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L),
+      (123456L, 654321L), ((1L << 21) - 1, (1L << 21) - 1))
+    val got = cases.toDF("a", "b")
+      .select(Sinks.zorderKey(col("a"), col("b"), 21).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b, 21) })
+  }
+
+  test("z-ordered layout skips row groups on BOTH dimensions (measured)") {
+    // the claim behind writeZOrdered: one layout, pushed-predicate skipping
+    // on EITHER key — vs a single-key sort, which skips on its key only.
+    // Measured via per-scan parquet recordsRead (small files = one row
+    // group each, so row-group skipping ≈ file skipping).
+    val ev = Sources.events(spark, sf("sf0.01"))
+      .select(col("user_id"), unix_micros(col("ts"))
+        .divide(86400000000L).cast("long").as("day"), col("value"))
+    val total = ev.count()
+    val zPath = Files.createTempDirectory("graft-z").toString + "/z"
+    val dayPath = Files.createTempDirectory("graft-z").toString + "/day"
+    Sinks.writeZOrdered(ev, zPath, partitions = 16, "user_id", "day")
+    Sinks.writeRangeLayout(ev, dayPath, 16, "day")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    def recordsFor(path: String, pred: org.apache.spark.sql.Column): Long = {
+      read.set(0L)
+      spark.read.parquet(path).filter(pred).count()
+      org.apache.spark.sql.graft.ColumnBridge
+        .waitForListeners(spark.sparkContext)
+      read.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val someUser = ev.select("user_id").head().getLong(0)
+      val someDay = ev.select("day").head().getLong(0)
+      val zUser = recordsFor(zPath, col("user_id") === someUser)
+      val zDay = recordsFor(zPath, col("day") === someDay)
+      val dayUser = recordsFor(dayPath, col("user_id") === someUser)
+      // z-layout: BOTH point predicates skip most of the table
+      assert(zUser < total * 7 / 10, s"z user query read $zUser of $total")
+      assert(zDay < total * 7 / 10, s"z day query read $zDay of $total")
+      // single-key (day) layout: the user predicate skips ~nothing — the
+      // failure mode z-order exists to fix (every file spans all users)
+      assert(dayUser > total * 9 / 10,
+        s"day-sorted layout unexpectedly skipped for user: $dayUser/$total")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("writeRangeLayout produces disjoint, internally sorted file ranges") {
     val path = Files.createTempDirectory("graft-range").toString + "/t"
     val ev = Sources.events(spark, sf("sf0.001"))
