@@ -225,12 +225,19 @@ object Similarity {
     * At 100 TB the same output comes from [[lshTopK]]/[[ivfTopK]] per
     * query; run THIS on a sampled or bucketed subset. */
   def allNearestNeighbors(embeddings: DataFrame, k: Int = 1): DataFrame = {
-    val c = embeddings
-      .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))
-    val scored = embeddings.crossJoin(broadcast(c))
+    // norms ride each SIDE's projection (below the join, evaluated once
+    // per row — the broadcast side materializes its projection before
+    // shipping), so a candidate pair costs ONE dot product, not three;
+    // numerically identical to cosine() (same sqrt(dot(x,x)) accumulation)
+    val q = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("q_n"))
+    val c = embeddings.select(col("vec_id").as("nn_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"))
+    val scored = q.crossJoin(broadcast(c))
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
-        cosine(col("embedding"), col("c_emb")).as("sim"))
+        (dot(col("embedding"), col("c_emb")) / (col("q_n") * col("c_n")))
+          .as("sim"))
     TopK.topKPerGroup(scored, "vec_id", "sim", "nn_id", k)
       .select(col("vec_id"), col("rank"), col("nn_id"),
         round2(col("sim"), 4).as("cosine_sim"))
