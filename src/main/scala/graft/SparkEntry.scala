@@ -212,6 +212,8 @@ object SparkEntry {
     // token-budget curation: best-quality docs until the budget is spent;
     // decomposed prefix sum (bounded score buckets + boundary-only window)
     "q_token_budget" -> docs(TextOps.tokenBudgetSelect(_)),
+    // multilingual balancing: an independent budget per language
+    "q_token_budget_by_lang" -> docs(TextOps.tokenBudgetByLang(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
@@ -1230,6 +1232,22 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 20000
         |ORDER BY quality DESC, doc_id""".stripMargin,
+    // the per-language variant: the running total restarts per lang
+    "q_token_budget_by_lang" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens, quality,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 5000
+        |ORDER BY lang, quality DESC, doc_id""".stripMargin,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

@@ -264,32 +264,47 @@ object TextOps {
     * degrades to the naive form — on real corpora the boundary bucket is
     * tiny). Output: selected docs ordered by (quality desc, doc_id). */
   def tokenBudgetSelect(documents: DataFrame,
-      budget: Long = 20000L): DataFrame = {
+      budget: Long = 20000L): DataFrame =
+    budgetCore(documents, budget, Nil)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+
+  /** [[tokenBudgetSelect]] with an INDEPENDENT budget per language — the
+    * multilingual balancing pass (per-language token quotas are how mixed
+    * corpora keep low-resource languages from being crowded out). Same
+    * decomposed prefix sum, bucketed by (lang, quality); the per-lang
+    * bucket frame windows partition by lang, so no global sort appears. */
+  def tokenBudgetByLang(documents: DataFrame,
+      budgetPerLang: Long = 5000L): DataFrame =
+    budgetCore(documents, budgetPerLang, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("lang"), col("quality").desc, col("doc_id"))
+
+  private def budgetCore(documents: DataFrame, budget: Long,
+      groupCols: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = documents.select(col("doc_id"),
+    val g = groupCols.map(col)
+    val scored = documents.select(col("doc_id") +: g ++: Seq(
       size(toks).cast(LongType).as("n_tokens"),
       round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
-        .as("quality"))
-    val buckets = scored.groupBy("quality")
+        .as("quality")): _*)
+    val buckets = scored.groupBy(g :+ col("quality"): _*)
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
-    val wq = Window.orderBy(col("quality").desc)
+    val wq = Window.partitionBy(g: _*).orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = buckets
       .withColumn("cum_incl", sum(col("bucket_tokens")).over(wq))
       .withColumn("cum_before", col("cum_incl") - col("bucket_tokens"))
-      .select(col("quality"), col("cum_incl"), col("cum_before"))
-    val joined = scored.join(broadcast(cum), Seq("quality"))
+      .select(g ++ Seq(col("quality"), col("cum_incl"), col("cum_before")): _*)
+    val joined = scored.join(broadcast(cum), groupCols :+ "quality")
     val fullKept = joined.filter(col("cum_incl") <= budget)
-    val wb = Window.partitionBy("quality").orderBy("doc_id")
+    val wb = Window.partitionBy(g :+ col("quality"): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundaryKept = joined
       .filter(col("cum_before") < budget && col("cum_incl") > budget)
       .withColumn("run", sum(col("n_tokens")).over(wb))
       .filter(col("cum_before") + col("run") <= budget)
-    fullKept.select(col("doc_id"), col("n_tokens"), col("quality"))
-      .unionByName(
-        boundaryKept.select(col("doc_id"), col("n_tokens"), col("quality")))
-      .orderBy(col("quality").desc, col("doc_id"))
+    fullKept.unionByName(boundaryKept.drop("run"))
   }
 
   /** Intra-document repetition signals (the Gopher/C4 repetition filter):

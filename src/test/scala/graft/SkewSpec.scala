@@ -126,6 +126,78 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join (the equi-join skew escape hatch)") {
+    // the Dedup scaladocs lean on "the occurrences ⋈ stats equi-join is a
+    // shape AQE can skew-split" — demonstrate it: one key holds ~all fact
+    // rows; with thresholds scaled to local data sizes, AQE must mark the
+    // skewed SMJ partition split (isSkew=true in the plan)
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.range(40000)
+        .select(when(col("id") % 10 =!= 0, lit(7L))
+          .otherwise(col("id") % 1000).as("k"), // ~90% of rows on key 7
+          col("id").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS queryExecution (count() would plan a separate one and
+      // leave this plan un-finalized: AQE marks skew only in the final plan)
+      assert(joined.collect().length == 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew="),
+        s"AQE did not mark a skew split:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("runtime bloom filter injects on a selective dim filter (scan pre-prune)") {
+    // the other 100 TB join lever: a selective predicate on the dimension
+    // side turns into a bloom_filter_might_contain pre-filter on the FACT
+    // scan, discarding non-joining rows before the shuffle. Thresholds
+    // scaled to local parquet sizes; broadcast disabled so the rule (which
+    // targets shuffle joins) applies.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rtf").toString
+    spark.range(100000)
+      .select((col("id") % 5000).as("k"), md5(col("id").cast("string")).as("payload"))
+      .write.parquet(s"$dir/fact")
+    spark.range(5000)
+      .select(col("id").as("k"), (col("id") % 97).as("cat"))
+      .write.parquet(s"$dir/dim")
+    val prev = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 3)
+      val joined = fact.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and it is not just planned — the filtered join still answers right:
+      // 52 dim keys (id % 97 == 3 in [0, 5000)) × 20 fact rows per key
+      assert(joined.count() == 52L * 20L)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("distinctCountSpread equals countDistinct") {
     val ev = Sources.events(spark, sf("sf0.001"))
       .withColumn("event_date", to_date(col("ts")))

@@ -298,6 +298,20 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.tokenBudgetSelect(d, budget = 3L).count() == 0)
   }
 
+  test("tokenBudgetByLang restarts the running total per language") {
+    val d = Seq(
+      (0L, "en", "a b c d"),   // q=1.0, 4 toks
+      (1L, "en", "x x x x"),   // q=0.25, 4 toks
+      (2L, "de", "p q r"),     // q=1.0, 3 toks
+      (3L, "de", "m m m m m")) // q=0.2, 5 toks
+      .toDF("doc_id", "lang", "text")
+    // budget 6 per lang: en keeps only doc 0 (4; +4 > 6); de keeps only
+    // doc 2 (3; +5 > 6) — each language spends its OWN budget
+    val got = TextOps.tokenBudgetByLang(d, budgetPerLang = 6L)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, "de", 3L, 1.0), (0L, "en", 4L, 1.0)), s"got $got")
+  }
+
   test("normalization scrubs non-ASCII BEFORE lowercasing (engine parity)") {
     // U+0130 'İ' is the canonical engine-splitter: Java's full case mapping
     // lowers it to 'i' + U+0307 while utf8proc's simple mapping gives 'i' —
