@@ -102,6 +102,12 @@ object SparkEntry {
     "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
     "q_revenue_gapfill" -> ev(WindowedQueries.revenueGapfill),
     "q_daily_topn_sample" -> ev(EventQueries.dailyTopN(_)),
+    // distributed global ordinals (no single-task window sort): the hash
+    // gate proves offset+local ≡ the mirror's global row_number
+    "q_global_rownum" -> ev(e =>
+      ops.Ordinals.globalRowNumbers(e, Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("rn"))
+        .orderBy("rn")),
     "q_extract_stats" -> ev(EventQueries.extractStats),
     "q_validate_nulls" -> ev(EventQueries.validateNulls),
     "q_validate_count" -> ev(EventQueries.validateCount),
@@ -595,6 +601,10 @@ object SparkEntry {
     "q_extract_stats" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS event_count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_global_rownum" ->
+      """SELECT event_id,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY rn""".stripMargin,
     "q_validate_nulls" ->
       """SELECT count(*) AS null_violations FROM events
         |WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL""".stripMargin,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL ordinal assignment — `row_number() OVER (ORDER BY …)`
+  * without the single-task sort that window formulation forces (Spark puts
+  * an unpartitioned window's entire input into one partition; at 100 TB
+  * that is the job).
+  *
+  * Shape: range-repartition on the (total) sort key, number rows within
+  * each partition independently, then add per-partition offsets computed
+  * from a bounded per-partition count frame:
+  *
+  *  1. `repartitionByRange` + `sortWithinPartitions` on the sort key —
+  *     partitions hold DISJOINT key ranges, each internally ordered;
+  *  2. per-partition local `row_number` — a window PARTITIONED BY the
+  *     physical partition id, so every partition numbers its own rows in
+  *     parallel (bounded by one partition's rows, never the table);
+  *  3. offsets: per-partition counts (one row per partition) cumsum'd over
+  *     the tiny partition-id frame and broadcast back.
+  *
+  * The result is EXACTLY the global row_number by the sort key — sampling
+  * variance in the range boundaries moves rows between partitions but
+  * never changes `offset + local` (proven by the oracle hash gate and a
+  * partitioning-perturbation spec). The sort key must be a TOTAL order
+  * (append a unique tiebreak column): ties that straddled a range
+  * boundary would otherwise be numbered by physical placement.
+  */
+object Ordinals {
+  def globalRowNumbers(df: DataFrame, sortCols: Seq[Column],
+      idColName: String = "rn", partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = row_number().over(
+      Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
+    val numbered = parted.withColumn("_local", local)
+    // one row per partition; the cumsum window frame is bounded by the
+    // partition COUNT (like runningRevenue's per-day frame), not the data
+    val offsets = numbered.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    numbered.join(broadcast(offsets), "_pid")
+      .withColumn(idColName, (col("_offset") + col("_local")).cast("long"))
+      .drop("_pid", "_local", "_offset")
+  }
+}
