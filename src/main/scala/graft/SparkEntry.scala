@@ -176,6 +176,8 @@ object SparkEntry {
     }),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
+    // the dataset card: per-(source, lang) docs/tokens/diversity/dup rollup
+    "q_corpus_card" -> docs(TextOps.corpusCard),
     "q_doc_quality" -> docs(TextOps.qualityScores),
     "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
     // benchmark split by id residue: docs with doc_id % 25 == 0 play the
@@ -244,6 +246,9 @@ object SparkEntry {
       Similarity.cosineTopKInt8(Sources.table(s, dir, "embeddings"))),
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))),
+    // embedding-space outlier scores: similarity to the own-label centroid
+    "q_centroid_sim" -> ((s, dir) =>
+      Similarity.centroidSimilarity(Sources.table(s, dir, "embeddings"))),
     "q_knn_batch" -> ((s, dir) =>
       Similarity.batchKnn(Sources.table(s, dir, "embeddings"))),
     // the all-kNN map (nearest neighbor of EVERY vector): exact all-pairs
@@ -924,6 +929,18 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corpus_card" ->
+      """WITH s AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS q,
+        |    md5(text) AS digest
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_toks) AS n_tokens,
+        |  floor(avg(q) * 10000 + 0.5) / 10000 AS avg_diversity,
+        |  count(*) - count(DISTINCT digest) AS n_exact_dups
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_doc_quality" ->
       s"$DocQualitySelect ORDER BY doc_id",
     // same rounded scores as q_doc_quality, compared against the
@@ -1258,6 +1275,27 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 5000
         |ORDER BY lang, quality DESC, doc_id""".stripMargin,
+    // both engines score against the ROUNDED 6dp centroids (the
+    // q_label_centroids values), so the centroid aggregation's float-sum
+    // order is already pinned; the remaining exposure is the per-vector
+    // 64-term sums — the same accepted class as every KNN mirror
+    "q_centroid_sim" ->
+      """WITH cent AS (
+        |  SELECT label, t.i AS pos,
+        |    floor((sum(CAST(embedding[t.i] AS DOUBLE)) / count(*)) * 1000000 + 0.5)
+        |      / 1000000 AS m
+        |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        |s AS (
+        |  SELECT e.vec_id, e.label,
+        |    sum(CAST(e.embedding[c.pos] AS DOUBLE) * c.m) AS dot,
+        |    sum(CAST(e.embedding[c.pos] AS DOUBLE)
+        |        * CAST(e.embedding[c.pos] AS DOUBLE)) AS nv,
+        |    sum(c.m * c.m) AS nc
+        |  FROM embeddings e JOIN cent c ON e.label = c.label
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  floor(dot / (sqrt(nv) * sqrt(nc)) * 10000 + 0.5) / 10000 AS centroid_sim
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

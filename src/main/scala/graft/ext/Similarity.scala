@@ -90,6 +90,34 @@ object Similarity {
       .select(col("label"), col("cs.m").as("centroid"))
       .orderBy("label")
 
+  /** Per-vector similarity to its OWN label centroid — the embedding-space
+    * outlier/quality score (vectors far from their class centroid are
+    * mislabeled or noisy; the standard embedding-side curation filter).
+    * Long-format throughout so both the centroid aggregation and the
+    * per-vector sums stay plain codegen'd hash aggregates: cells join the
+    * (labels × dim)-sized ROUNDED centroid frame (broadcast), then one
+    * keyed sum per vector — no per-group vector state, no UDF. Both
+    * engines compute from the same 6dp-rounded centroid components, so
+    * the only cross-engine float exposure is the accepted sum-order class
+    * every KNN mirror already rides. */
+  def centroidSimilarity(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroids(embeddings)
+    val cells = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("p") + 1).cast("long").as("pos"), col("x").cast("double").as("x"))
+    cells.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("x") * col("m")).as("dot"),
+        sum(col("x") * col("x")).as("nv"),
+        sum(col("m") * col("m")).as("nc"))
+      .select(col("vec_id"), col("label"),
+        round2(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 4)
+          .as("centroid_sim"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes: `bits` planes of
     * dimension `dim`, components from a splitmix-style integer mix of
     * (seed, plane, component) mapped to [-1, 1). Reproducible everywhere,

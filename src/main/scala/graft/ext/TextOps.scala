@@ -307,6 +307,27 @@ object TextOps {
     fullKept.unionByName(boundaryKept.drop("run"))
   }
 
+  /** Dataset-card rollup — the per-(source, language) summary a corpus
+    * release ships: document and token counts, mean lexical diversity,
+    * and the exact-duplicate count (docs minus distinct text digests).
+    * One pass + one hash aggregate; the distinct-digest count shuffles
+    * 16-byte digests, never text. */
+  def corpusCard(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("source"), col("lang"),
+        size(toks).cast(LongType).as("n_toks"),
+        round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("q"),
+        md5(col("text")).as("digest"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round2(avg(col("q")), 4).as("avg_diversity"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
+      .orderBy("source", "lang")
+  }
+
   /** Intra-document repetition signals (the Gopher/C4 repetition filter):
     * per doc, the fraction of word-trigram POSITIONS that are repeats of an
     * earlier trigram (`dup_ratio`) and the share of the single most

@@ -128,6 +128,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidSimilarity: a single-member label's vector IS its centroid") {
+    val df = Seq(
+      (0L, vec(1), 7),  // label 7: two near-identical members
+      (1L, vec(1).map(x => x + 0.001f), 7),
+      (2L, vec(5), 9))  // label 9: singleton — centroid == the vector
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidSimilarity(df)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(2L) == 1.0, s"singleton centroid sim: ${got(2L)}")
+    assert(got(0L) > 0.999 && got(1L) > 0.999, got)
+  }
+
   test("embeddingNearDups finds the planted near-identical pair") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.999, dim = dim)
       .as[(Long, Long, Double)].collect()
