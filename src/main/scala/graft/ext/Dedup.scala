@@ -314,6 +314,26 @@ object Dedup {
       minhashNearDupPairs(documents, numHashes, bands, minJaccard),
       connectedComponents(_, maxIters))
 
+  /** Incremental cluster MAINTENANCE — merge a new batch's near-dup edges
+    * into an existing clustering without re-clustering history: the
+    * standing labels re-enter as star edges (doc → its cluster label),
+    * which encode exactly the components they came from, and the union
+    * with the new edges re-converges under star contraction. Because the
+    * existing components are ALREADY stars, rounds are spent only on
+    * chains created by the new edges — per-increment cost is O(new edges +
+    * touched components), not the corpus. Pairs with
+    * [[minhashNearDupsIncremental]] (which produces exactly the
+    * batch-self + batch-vs-history edge stream this consumes); the spec
+    * pins incremental ≡ one-shot, including NEW docs bridging two
+    * previously-separate components. Output contract = [[dupClusters]]:
+    * min reachable doc_id labels, component sizes; singleton label rows
+    * (doc_id == cluster_id with no surviving edge) stay singletons. */
+  def mergeClusterLabels(labels: DataFrame, newEdges: DataFrame): DataFrame =
+    labelClusters(
+      labels.select(col("doc_id").as("doc1"), col("cluster_id").as("doc2"))
+        .unionByName(newEdges.select(col("doc1"), col("doc2"))),
+      connectedComponentsStar(_))
+
   /** (doc1, doc2) edge frame → the (doc_id, cluster_id, cluster_size)
     * output contract, via the given connected-components algorithm —
     * shared by every clustering entry point so the contract lives once. */

@@ -238,6 +238,45 @@ class DedupSpec extends SparkSpec {
     assert(redo.isEmpty && Dedup.readSigIndex(spark, idx).count() == before)
   }
 
+  test("mergeClusterLabels: incremental clustering equals one-shot, bridges merge") {
+    // batch 1: docs 0 and 2 are near-dups of a base but NOT of each other
+    // strongly enough... construct explicitly: 0≈1≈2 chain where the
+    // BRIDGE (doc 1) arrives in batch 2 — merging two standing components;
+    // 10/11 an existing dup pair joined by new dup 12; 20 stays singleton
+    val a = (1 to 40).map(i => s"m${i % 17}").mkString(" ")
+    val b = a.split(" ").updated(3, "XX").mkString(" ")     // a≈b
+    val c = b.split(" ").updated(30, "YY").mkString(" ")    // b≈c, a̸≈c? (two edits — still ≥0.5 on trigrams, fine either way)
+    val dup = (1 to 40).map(i => s"d$i").mkString(" ")
+    val lone = (1 to 40).map(i => s"z$i").mkString(" ")
+    val batch1 = Seq((0L, a), (2L, c), (10L, dup), (11L, dup), (20L, lone))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((1L, b), (12L, dup)).toDF("doc_id", "text")
+    val full = batch1.unionByName(batch2)
+    // standing labels from batch 1 (plus singletons for unclustered docs,
+    // as a real pipeline would persist: every doc gets a label row)
+    val clustered1 = Dedup.dupClusters(batch1)
+    val standing = batch1.select($"doc_id")
+      .join(clustered1, Seq("doc_id"), "left")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.coalesce($"cluster_id", $"doc_id")
+          .as("cluster_id"))
+    // the new batch's edge stream: every exact-Jaccard edge touching batch 2
+    val b2Ids = Set(1L, 12L)
+    val newEdges = Dedup.ngramJaccardPairsAtLeast(full, 0.5)
+      .filter($"doc1".isin(b2Ids.toSeq: _*) || $"doc2".isin(b2Ids.toSeq: _*))
+    val inc = Dedup.mergeClusterLabels(standing, newEdges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val oneShot = Dedup.dupClusters(full)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // every one-shot cluster member carries the same label incrementally;
+    // docs the one-shot run leaves unclustered are singletons here (the
+    // standing-label rows keep them), never mislabeled
+    assert(oneShot.forall { case (id, lbl) => inc.get(id).contains(lbl) },
+      s"inc=$inc oneShot=$oneShot")
+    assert(inc(10L) == 10L && inc(12L) == 10L, "new dup missed its cluster")
+    assert(inc(20L) == 20L, "singleton lost")
+  }
+
   test("incremental index crash contract: atomic commits, reemit recovery") {
     def freshIdx() =
       java.nio.file.Files.createTempDirectory("graft-idx").toString + "/idx"

@@ -282,6 +282,50 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("globalRowNumbers equals sorted zipWithIndex on random frames") = {
+    val genRows = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 20L) // few keys → many ties straddle boundaries
+      v <- Gen.choose(0L, 1000000L)
+    } yield (k, v))
+    forAll(genRows) { rows =>
+      import org.apache.spark.sql.functions.col
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "uid")
+      val got = graft.ops.Ordinals
+        .globalRowNumbers(df, Seq(col("k"), col("uid")))
+        .select("uid", "rn").as[(Long, Long)].collect().toMap
+      val want = rows.zipWithIndex
+        .map { case ((k, _), i) => (k, i.toLong) }
+        .sortBy { case (k, uid) => (k, uid) }
+        .zipWithIndex.map { case ((_, uid), rn) => uid -> (rn + 1L) }.toMap
+      got == want
+    }
+  }
+
+  property("tokenBudgetSelect equals the naive prefix filter on random docs") = {
+    val genDocs = Gen.nonEmptyListOf(Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    forAll(genDocs, Gen.choose(0L, 40L)) { (texts, budget) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextOps.tokenBudgetSelect(df, budget)
+        .select("doc_id").as[Long].collect().toSet
+      // naive: round4 diversity desc, doc_id asc, cumulative ≤ budget
+      def q(t: String) = {
+        val toks = t.split(" ", -1)
+        math.floor(toks.distinct.length.toDouble / toks.length * 10000 + 0.5) / 10000
+      }
+      val ordered = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.split(" ", -1).length.toLong, q(t)) }
+        .sortBy { case (id, _, quality) => (-quality, id) }
+      val want = ordered
+        .scanLeft((-1L, 0L)) { case ((_, cum), (id, n, _)) => (id, cum + n) }
+        .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+      got == want
+    }
+  }
+
   property("shinglePosHashes positions mirror the sliding-window stream") = {
     val genWords = Gen.choose(1, 10).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
