@@ -378,7 +378,22 @@ object SparkEntry {
     "q_stream_doc_dedup" -> ((s, dir) =>
       StreamingQueries.countUniqueDocs(
         StreamingQueries.runTableStream(s, dir, "documents",
-          "stream_doc_dedup", "append")(StreamingQueries.dedupDocs))))
+          "stream_doc_dedup", "append")(StreamingQueries.dedupDocs))),
+    // streaming decontamination: the documents STREAM probed against the
+    // static benchmark shingle set (stream-static broadcast join, per-doc
+    // aggregation in complete mode) — contaminationReport is reused
+    // verbatim, and the entry shares ContaminationSql with the exact and
+    // bloom variants: a THREE-way shared-oracle proof (batch exact ≡
+    // sketch-prefiltered ≡ incremental-over-a-stream)
+    "q_stream_contamination" -> ((s, dir) => {
+      val bench = Sources.table(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0)
+      StreamingQueries.runTableStream(s, dir, "documents",
+        "stream_contam", "complete")(docs =>
+        Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") % 25 =!= 0), bench))
+        .orderBy("doc_id")
+    }))
 
   // DuckDB mirrors. Numeric discipline (see graft.Exprs): money sums via
   // DECIMAL(18,6); double rounding via floor(x*s+0.5)/s — both bit-equal
@@ -962,6 +977,8 @@ object SparkEntry {
     // be output-lossless.
     "q_contamination" -> ContaminationSql,
     "q_contamination_bloom" -> ContaminationSql,
+    // the streamed corpus probe must reproduce the batch report exactly
+    "q_stream_contamination" -> ContaminationSql,
     // one-plan curation pipeline: quality thresholds, md5 keeper rule and
     // contamination fraction all mirror their standalone oracles
     // (q_quality_filter, q_dedup_exact, q_contamination); CASE order = the
