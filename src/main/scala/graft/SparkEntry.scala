@@ -944,16 +944,19 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // diversity is a RATIO OF INTEGER SUMS (one final division): a mean of
+    // per-doc rounded doubles flipped a 4dp boundary between engines
     "q_corpus_card" ->
       """WITH s AS (SELECT source, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |           / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS q,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct,
         |    md5(text) AS digest
         |  FROM documents)
         |SELECT source, lang, count(*) AS n_docs,
-        |  sum(n_toks) AS n_tokens,
-        |  floor(avg(q) * 10000 + 0.5) / 10000 AS avg_diversity,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  floor((CAST(sum(n_distinct) AS DOUBLE) / sum(n_toks)) * 10000 + 0.5)
+        |    / 10000 AS diversity,
         |  count(*) - count(DISTINCT digest) AS n_exact_dups
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_doc_quality" ->

@@ -308,22 +308,26 @@ object TextOps {
   }
 
   /** Dataset-card rollup — the per-(source, language) summary a corpus
-    * release ships: document and token counts, mean lexical diversity,
-    * and the exact-duplicate count (docs minus distinct text digests).
-    * One pass + one hash aggregate; the distinct-digest count shuffles
+    * release ships: document and token counts, token-weighted lexical
+    * diversity (distinct tokens over total tokens — a RATIO OF INTEGER
+    * SUMS with one final division, so it is engine-exact under any
+    * partitioning; a mean of per-doc rounded doubles is NOT — its float
+    * sum order flipped a 4dp boundary between engines at sf0.001), and
+    * the exact-duplicate count (docs minus distinct text digests). One
+    * pass + one hash aggregate; the distinct-digest count shuffles
     * 16-byte digests, never text. */
   def corpusCard(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     documents
       .select(col("source"), col("lang"),
         size(toks).cast(LongType).as("n_toks"),
-        round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
-          .as("q"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
         md5(col("text")).as("digest"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
-        round2(avg(col("q")), 4).as("avg_diversity"),
+        round2(sum(col("n_distinct")).cast("double") / sum(col("n_toks")), 4)
+          .as("diversity"),
         (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
       .orderBy("source", "lang")
   }
