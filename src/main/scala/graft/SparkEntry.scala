@@ -207,6 +207,20 @@ object SparkEntry {
             TextOps.trainBpeMerges(d))))
     }),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
+    // JSONL interchange round-trip: write the corpus as JSON-lines, read
+    // it back, and hash-gate the full text content — decode∘encode =
+    // identity incl. escaping (the q_avro_envelope pattern for the
+    // LLM-corpus interchange format)
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      try {
+        Sinks.writeJsonl(d, s"$tmp/docs")
+        Sources.jsonl(s, s"$tmp/docs", d.schema)
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)
     "q_unigram_familiarity" -> ((s, dir) => {
@@ -1073,6 +1087,10 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    // write∘read through JSONL = identity: the oracle is the plain
+    // projection, so any escaping defect breaks the text hash
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "q_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

@@ -44,6 +44,14 @@ object Sources {
   def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-Lines scan with an explicit schema — the standard LLM-corpus
+    * interchange format (one JSON object per line; `.jsonl.gz` reads
+    * transparently). Schema REQUIRED on purpose: inference is a full extra
+    * pass over 100 TB and silently widens types; splits parallelize
+    * per-line like CSV. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Registers every testdata table as a session temp view plus the
     * reference's landing-view name (`view_kafka_ecommerce_stream` →
     * normalized events; `reference:airflow_docker/dags/utils/

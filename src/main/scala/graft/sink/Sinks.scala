@@ -58,6 +58,14 @@ object Sinks {
         col("event_id"), unix_micros(col("ts")), col("user_id"),
         col("event_type"), col("value")).as("kafka_value"))
 
+  /** JSON-Lines sink — the LLM-corpus interchange format
+    * ([[graft.ingest.Sources.jsonl]] reads it back): one JSON object per
+    * line, full escaping handled by the writer (newlines/quotes/unicode in
+    * text survive the round-trip byte-exactly — hash-gated by
+    * `q_jsonl_roundtrip`). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Date-partitioned parquet layer (the Snowflake "partitioned by event
     * timestamps" layout, `reference:README.md:40`): downstream day-range
     * predicates prune whole directories (`PruneFileSourcePartitions`). */

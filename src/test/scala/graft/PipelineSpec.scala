@@ -41,6 +41,24 @@ class PipelineSpec extends SparkSpec {
     assert(rotated == ReplayCheckpoint("2019-12", 3L))
   }
 
+  test("jsonl round-trip preserves hostile text exactly") {
+    // the interchange format must survive everything a web corpus throws
+    // at JSON: embedded newlines, quotes, backslashes, tabs, unicode,
+    // empty strings and nulls
+    val rows = Seq(
+      (0L, "line1\nline2\r\nline3"),
+      (1L, "quote \" backslash \\ tab\t slash / end"),
+      (2L, "unicode é中文 😀 end"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-jsonl-spec")
+    graft.sink.Sinks.writeJsonl(df, s"$tmp/d")
+    val back = graft.ingest.Sources.jsonl(spark, s"$tmp/d", df.schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == rows)
+  }
+
   test("registered views make the surface spark.sql-addressable") {
     ingest.Sources.registerViews(spark, sf("sf0.001"))
     val viaSql = spark.sql(
