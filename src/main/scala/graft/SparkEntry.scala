@@ -27,15 +27,8 @@ object SparkEntry {
   private def ev(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.events(s, dir))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    Fs.deleteRecursively(p)
 
   private def docs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.table(s, dir, "documents"))

@@ -701,13 +701,8 @@ object Dedup {
       .parquet(indexPath))
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(p)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-    finally walk.close()
-  }
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteRecursively(p)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *

@@ -278,7 +278,8 @@ object TextOps {
       budgetPerLang: Long = 5000L): DataFrame =
     budgetCore(documents, budgetPerLang, Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
-      .orderBy(col("lang"), col("quality").desc, col("doc_id"))
+      // NULLS LAST pinned: DuckDB's ascending default (Spark's is FIRST)
+      .orderBy(col("lang").asc_nulls_last, col("quality").desc, col("doc_id"))
 
   private def budgetCore(documents: DataFrame, budget: Long,
       groupCols: Seq[String]): DataFrame = {
@@ -329,7 +330,8 @@ object TextOps {
         round2(sum(col("n_distinct")).cast("double") / sum(col("n_toks")), 4)
           .as("diversity"),
         (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
-      .orderBy("source", "lang")
+      // NULLS LAST pinned: DuckDB's ascending default (Spark's is FIRST)
+      .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last)
   }
 
   /** Intra-document repetition signals (the Gopher/C4 repetition filter):

@@ -38,7 +38,14 @@ object Ordinals {
       .withColumn("_pid", spark_partition_id())
     val local = row_number().over(
       Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
-    val numbered = parted.withColumn("_local", local)
+    // PINNED: the offsets branch and the join branch below both consume
+    // this frame, and RangePartitioner's boundary sampling is seeded per
+    // physical evaluation — without pinning, correctness would silently
+    // depend on ReuseExchange deduplicating the two subtrees (rows near a
+    // boundary could be numbered against one partitioning and offset by
+    // the other). localCheckpoint materializes ONE partitioning both
+    // branches share (the CC-loop lineage discipline).
+    val numbered = parted.withColumn("_local", local).localCheckpoint(true)
     // one row per partition; the cumsum window frame is bounded by the
     // partition COUNT (like runningRevenue's per-day frame), not the data
     val offsets = numbered.groupBy("_pid")

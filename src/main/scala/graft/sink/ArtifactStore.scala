@@ -32,15 +32,37 @@ object ArtifactStore {
     .orElse(sys.env.get("GRAFT_ARTIFACTS_DIR"))
     .getOrElse("target/graft-artifacts")
 
-  /** One directory per (dataset, artifact): a readable slug plus an md5
-    * prefix so distinct dataset paths can never collide. */
+  /** One directory per (dataset path, dataset CONTENT, artifact): a
+    * readable slug, an md5 of the path, and a fingerprint of the dataset
+    * directory's file inventory (names, sizes, mtimes). The fingerprint is
+    * what makes staleness impossible: regenerating the data at the same
+    * path changes the key, so the next load MISSES and retrains instead of
+    * silently serving artifacts trained on the old data (spec-pinned). */
   private def dirFor(datasetDir: String, name: String): String = {
     val slug = datasetDir.replaceAll("[^A-Za-z0-9.]+", "_")
       .replaceAll("^_+", "").takeRight(40)
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(datasetDir.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
-    s"$root/$slug-$h/$name"
+    s"$root/$slug-$h/$name-${contentFingerprint(datasetDir)}"
+  }
+
+  /** Fingerprint of the dataset dir's top-level file inventory. */
+  private def contentFingerprint(datasetDir: String): String = {
+    val dir = Paths.get(datasetDir)
+    if (!Files.isDirectory(dir)) return "nodata"
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(dir)
+    val inventory =
+      try ls.iterator().asScala.toList
+        .map(p => (p.getFileName.toString, p))
+        .sortBy(_._1)
+        .map { case (n, p) =>
+          s"$n:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}" }
+      finally ls.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(inventory.mkString("|").getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
   }
 
   private def exists(path: String): Boolean =
@@ -65,14 +87,8 @@ object ArtifactStore {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteRecursively(p)
 
   // ---- IVF centroids: rows (i, vec array<float>) ----
 

@@ -150,6 +150,15 @@ object Sinks {
           "to_date(col(\"ts\"))); pass incremental = false for aggregates " +
           "that are not per-day decomposable")
     }
+    // lineage salt: batchIds are CHECKPOINT-scoped, so two pipelines (or a
+    // backfill with a fresh checkpoint) sharing one rawPath would both
+    // count 0,1,2… and the dynamic overwrite would delete each other's
+    // partitions. Deriving the salt from the checkpoint path keeps it
+    // STABLE across restarts of the same pipeline (replay idempotence
+    // intact) while distinct pipelines land under distinct partitions.
+    val lineage = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     val writer = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -157,7 +166,7 @@ object Sinks {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
-          incremental)
+          incremental, lineage)
       }
       .start()
   }
@@ -179,10 +188,15 @@ object Sinks {
     *    matter how many times a batch replays. */
   def warehouseBatch(batch: DataFrame, batchId: Long, rawPath: String,
       reportingPath: String, reporting: DataFrame => DataFrame,
-      incremental: Boolean = true): Unit = {
+      incremental: Boolean = true, lineage: String = ""): Unit = {
     val spark = batch.sparkSession
+    // replay of (lineage, batchId) replaces exactly its own partitions;
+    // distinct lineages (distinct checkpoints on a shared rawPath) never
+    // collide — see streamToWarehouse's salt derivation
+    val batchKey =
+      if (lineage.isEmpty) batchId.toString else s"$lineage-$batchId"
     val stamped = batch.withColumn("event_date", to_date(col("ts")))
-      .withColumn("ingest_batch", lit(batchId))
+      .withColumn("ingest_batch", lit(batchKey))
     stamped.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date", "ingest_batch").parquet(rawPath)
@@ -496,12 +510,8 @@ object Sinks {
     finally walk.close()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(p)
-    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-    finally walk.close()
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteRecursively(p)
 
   /** Range-partitioned, internally sorted layout: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, each

@@ -49,7 +49,10 @@ object StreamingQueries {
       name: String, mode: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
+    // absolute target: a relative sfDir would be stored verbatim in the
+    // symlink and resolve against the /tmp source dir — a dangling link
     val path = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
+      .toAbsolutePath
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
     Files.createSymbolicLink(srcDir.resolve(s"$table.parquet"), path)
@@ -71,7 +74,13 @@ object StreamingQueries {
           .option("checkpointLocation", ck)
         trigger.fold(writer)(writer.trigger).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try { q.processAllAvailable() } finally { q.stop() }
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      // the memory sink holds the rows; the per-run source/checkpoint
+      // dirs are dead — reap them (the q_minhash_incremental discipline)
+      graft.Fs.deleteRecursively(srcDir)
+      graft.Fs.deleteRecursively(ck)
+    }
     spark.table(name)
   }
 
@@ -96,7 +105,9 @@ object StreamingQueries {
     * — ordering the phases is what makes the finalization sound. */
   def runAppendFinalized(spark: SparkSession, sfDir: String, name: String)(
       transform: DataFrame => DataFrame): DataFrame = {
+    // absolute target: see runTableStream's symlink note
     val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      .toAbsolutePath
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"), path)
@@ -104,6 +115,7 @@ object StreamingQueries {
     val stream = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val ck = Files.createTempDirectory(s"graft-ck-$name").toString
+    var outDir: java.nio.file.Path = null
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
@@ -125,7 +137,7 @@ object StreamingQueries {
       // match or merge with anything; their own groups/windows sit forever
       // above the watermark and are never emitted.
       val sentinelNs = 4102444800000000000L
-      val outDir = Files.createTempDirectory(s"graft-sent-$name")
+      outDir = Files.createTempDirectory(s"graft-sent-$name")
       val base = raw.limit(1)
       base.withColumn("ts", lit(sentinelNs))
         .withColumn("user_id", lit(-1L))
@@ -144,7 +156,12 @@ object StreamingQueries {
       }
       Files.move(part, srcDir.resolve("zz-sentinel.parquet"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      graft.Fs.deleteRecursively(srcDir)
+      graft.Fs.deleteRecursively(ck)
+      if (outDir != null) graft.Fs.deleteRecursively(outDir)
+    }
     spark.table(name)
   }
 

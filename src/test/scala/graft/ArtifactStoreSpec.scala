@@ -79,6 +79,23 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("regenerated dataset content invalidates the artifact (no stale serve)") {
+    withTempRoot {
+      val data = java.nio.file.Files.createTempDirectory("graft-as-data")
+      java.nio.file.Files.writeString(data.resolve("documents.parquet"), "v1")
+      var trains = 0
+      def train() = { trains += 1; Seq(("a", "a")) }
+      ArtifactStore.bpeMerges(spark, data.toString, "bpe")(train())
+      ArtifactStore.bpeMerges(spark, data.toString, "bpe")(train())
+      assert(trains == 1, "unchanged dataset must serve from the store")
+      // regenerate the dataset (size change): the content fingerprint moves
+      // and the loader must retrain rather than serve the stale artifact
+      java.nio.file.Files.writeString(data.resolve("documents.parquet"), "v2-longer")
+      ArtifactStore.bpeMerges(spark, data.toString, "bpe")(train())
+      assert(trains == 2, "regenerated dataset served a stale artifact")
+    }
+  }
+
   test("artifacts are keyed by dataset AND name — no cross-contamination") {
     withTempRoot {
       val a = ArtifactStore.bpeMerges(spark, "/data/corpusA", "bpe")(

@@ -131,6 +131,30 @@ class WarehouseSpec extends SparkSpec {
       java.sql.Date.valueOf("2024-01-02") -> 5.0))
   }
 
+  test("two pipelines sharing a rawPath never overwrite each other's batches") {
+    // batchIds are checkpoint-scoped: without the lineage salt, a backfill
+    // with a FRESH checkpoint would replay ingest_batch=0 and the dynamic
+    // overwrite would DELETE the first pipeline's partitions
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Files.createTempDirectory("graft-raw-ln").toString
+    val rep = Files.createTempDirectory("graft-rep-ln").toString
+    def runPipeline(ck: String, rows: Seq[PropEvent]): Unit = {
+      val mem = MemoryStream[PropEvent]
+      val q = Sinks.streamToWarehouse(mem.toDF(), raw, rep, ck,
+        EventQueries.dailyRevenue)
+      try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    runPipeline(Files.createTempDirectory("graft-ck-ln1").toString, Seq(
+      PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}")))
+    runPipeline(Files.createTempDirectory("graft-ck-ln2").toString, Seq(
+      PropEvent(2, ts("2024-01-01 11:00:00"), 2, "purchase", 2.5, "{}")))
+    // both pipelines' batch-0 rows coexist (same day, distinct lineages)
+    val ids = spark.read.parquet(raw).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"lineage collision lost rows: $ids")
+    assert(reportingMap(rep)(java.sql.Date.valueOf("2024-01-01")) == 12.5)
+  }
+
   test("restart from the checkpoint converges to the uninterrupted run (ST4)") {
     // four single-file micro-batches; run A sees all four uninterrupted;
     // run B processes two, is stopped, and a NEW query resumes from the
