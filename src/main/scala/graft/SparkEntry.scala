@@ -232,6 +232,8 @@ object SparkEntry {
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
+    // one-pass per-column profiling (count/null/distinct/length stats)
+    "q_profile_docs" -> docs(ops.Profile.columnProfile),
     "q_pii_scrub" -> docs(TextOps.scrubPii),
     "q_text_normalize" -> docs(TextOps.normalizeDocs),
     "q_normalized_dedup" -> docs(TextOps.normalizedDedup),
@@ -1177,6 +1179,11 @@ object SparkEntry {
       s"""SELECT md5($NormSqlExpr) AS norm_hash, min(doc_id) AS keeper_id,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    // generated from the shared Profile.DocumentCols inventory; distinct
+    // counted over md5 digests IN BOTH ENGINES (equal values ≡ equal
+    // digests → the gate stays exact)
+    "q_profile_docs" ->
+      ops.Profile.profileSql("documents", ops.Profile.DocumentCols),
     // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
     // 0.75→'c000', 0.5→'8000', default 0.25→'4000'
     "q_domain_mix" ->
