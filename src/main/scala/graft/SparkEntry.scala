@@ -234,6 +234,9 @@ object SparkEntry {
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)
     "q_profile_docs" -> docs(ops.Profile.columnProfile),
+    // rebalance to TARGET mixture weights (exact per-source quotas by
+    // md5 order; bucketed decomposition vs the mirror's naive rank)
+    "q_domain_rebalance" -> docs(TextOps.domainRebalance(_, RebalanceWeights)),
     "q_pii_scrub" -> docs(TextOps.scrubPii),
     "q_text_normalize" -> docs(TextOps.normalizeDocs),
     "q_normalized_dedup" -> docs(TextOps.normalizedDedup),
@@ -407,6 +410,11 @@ object SparkEntry {
   // DuckDB mirrors. Numeric discipline (see graft.Exprs): money sums via
   // DECIMAL(18,6); double rounding via floor(x*s+0.5)/s — both bit-equal
   // across engines.
+  /** Target mixture for `q_domain_rebalance` — shared by the Spark plan
+    * and the generated naive-rank mirror ([[TextOps.rebalanceSql]]). */
+  private val RebalanceWeights =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
   private val MoneySumValue = Exprs.moneySumSql("value")
   // shared by q_doc_quality and q_quality_filter (no ORDER BY: callers add
   // their own)
@@ -1184,6 +1192,9 @@ object SparkEntry {
     // digests → the gate stays exact)
     "q_profile_docs" ->
       ops.Profile.profileSql("documents", ops.Profile.DocumentCols),
+    // the NAIVE per-source global rank — the gate proves the bucketed
+    // decomposition equal to it (see TextOps.domainRebalance)
+    "q_domain_rebalance" -> TextOps.rebalanceSql(RebalanceWeights),
     // rate → 4-hex md5-quantile threshold: 1.0→'g' (above all hex),
     // 0.75→'c000', 0.5→'8000', default 0.25→'4000'
     "q_domain_mix" ->

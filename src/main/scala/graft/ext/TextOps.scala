@@ -479,6 +479,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Rebalance the corpus to TARGET mixture weights (the DoReMi /
+    * training-mix step): given per-source weights w_i, keep the largest
+    * total N such that every source can supply its share (N = min_i
+    * n_i / w_i over sources present), then select exactly k_i =
+    * round(w_i · N) documents per source, chosen deterministically by
+    * md5(doc_id) order — reproducible across runs, partitionings and
+    * engines, and stable under corpus growth (a source's selection only
+    * changes where the hash frontier moves).
+    *
+    * Scale shape ([[tokenBudgetSelect]]'s discipline): the naive
+    * formulation is `row_number() OVER (PARTITION BY source ORDER BY
+    * md5)` ≤ k_i — a per-source GLOBAL sort, i.e. one task per source
+    * sorting corpus/|sources| rows with no AQE skew help. Instead the
+    * hash's first two hex digits give 256 ordered buckets per source:
+    * per-(source, bucket) counts cumsum'd over the tiny bucket frame
+    * decide all-kept / all-dropped buckets, and only the ONE boundary
+    * bucket per source (≈ n_i/256 rows) pays a rank window. The oracle
+    * mirror IS the naive formulation — the hash gate certifies the
+    * decomposition exact ([[rebalanceSql]]).
+    *
+    * Weights must be > 0; sources not in `weights` are dropped. */
+  def domainRebalance(documents: DataFrame,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF("source", "wgt")
+    val scored = documents
+      .filter(col("source").isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    // N = min_i n_i / w_i (double; both engines divide the same bits)
+    val cap = counts.join(wdf, "source")
+      .agg(min(col("n") / col("wgt")).as("cap_n"))
+    val ks = wdf.crossJoin(cap).select(col("source"),
+      floor(col("wgt") * col("cap_n") + lit(0.5)).cast(LongType).as("k"))
+    val bucketed = scored.withColumn("b", substring(col("h"), 1, 2))
+    val wq = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.groupBy("source", "b").agg(count(lit(1)).as("bn"))
+      .withColumn("cum_incl", sum(col("bn")).over(wq))
+      .withColumn("cum_before", col("cum_incl") - col("bn"))
+      .join(ks, "source")
+      .select("source", "b", "cum_incl", "cum_before", "k")
+    val joined = bucketed.join(broadcast(cum), Seq("source", "b"))
+    val fullKept = joined.filter(col("cum_incl") <= col("k"))
+    val wb = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+    val boundaryKept = joined
+      .filter(col("cum_before") < col("k") && col("cum_incl") > col("k"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("cum_before") + col("rk") <= col("k"))
+      .drop("rk")
+    fullKept.unionByName(boundaryKept)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror for [[domainRebalance]] — deliberately the NAIVE
+    * global-rank-per-source formulation, so the hash gate proves the
+    * bucketed decomposition equal to it. Generated from the same weight
+    * map; weights rendered via Double.toString (shortest round-trip
+    * form) and CAST AS DOUBLE so both engines hold identical bits. */
+  def rebalanceSql(weights: Map[String, Double]): String = {
+    val w = weights.toSeq.sortBy(_._1)
+    val values = w.map { case (s, r) =>
+      s"('$s', CAST($r AS DOUBLE))" }.mkString(", ")
+    val inList = w.map(s => s"'${s._1}'").mkString(", ")
+    s"""WITH w(source, wgt) AS (VALUES $values),
+       |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |cap AS (SELECT min(n / wgt) AS cap_n FROM c JOIN w USING (source)),
+       |k AS (SELECT w.source, CAST(floor(wgt * cap_n + 0.5) AS BIGINT) AS k
+       |      FROM w CROSS JOIN cap),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      FROM documents WHERE source IN ($inList))
+       |SELECT doc_id, source FROM r JOIN k USING (source) WHERE rn <= k
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** GPT-style sequence packing: concatenate documents in id order and cut
     * the token stream into fixed `contextTokens` windows, reporting where
     * each document lands (start bin + offset). Packing is PER SHARD

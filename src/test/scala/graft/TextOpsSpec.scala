@@ -138,6 +138,33 @@ class TextOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("domainRebalance hits exact per-source quotas at the target mixture") {
+    val docs = graft.ingest.Sources.table(spark, sf("sf0.01"), "documents")
+    val w = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val kept = TextOps.domainRebalance(docs, w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // 25 docs/source → N = min(25/0.4) = 62.5 → quotas round(w_i · 62.5)
+    assert(kept == Map("src0" -> 25L, "src1" -> 19L, "src2" -> 13L,
+      "src3" -> 6L), kept.toString)
+    // bucketed decomposition ≡ the naive per-source global hash rank
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{md5, row_number, when}
+    val naive = docs
+      .filter(col("source").isin(w.keys.toSeq: _*))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("h"), col("doc_id"))))
+      .filter(
+        when(col("source") === "src0", col("rn") <= 25)
+          .when(col("source") === "src1", col("rn") <= 19)
+          .when(col("source") === "src2", col("rn") <= 13)
+          .otherwise(col("rn") <= 6))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = TextOps.domainRebalance(docs, w)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == naive, "decomposed selection diverged from global rank")
+  }
+
   test("packSequences tiles each shard's token stream without gaps") {
     val docs = graft.ingest.Sources.table(spark, sf("sf0.001"), "documents")
     val rows = TextOps.packSequences(docs, contextTokens = 100, shards = 4)
