@@ -73,6 +73,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
+    // drift monitor: days ≥ 1.5σ from the mean, exact-decimal moments
+    "q_revenue_anomalies" -> ev(EventQueries.revenueAnomalies(_)),
     "q_top_category_revenue" -> ev(EventQueries.topCategoryRevenue(_)),
     // approx_top_k heavy hitters — exact below sketch capacity (see
     // scaladoc), so it rides the hash gate against the plain group-by
@@ -597,6 +599,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
+    // z-scores from EXACT DECIMAL(12,2) moments: every double below
+    // derives from identical exact inputs, so both engines compute
+    // identical bits (see EventQueries.revenueAnomalies)
+    "q_revenue_anomalies" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+        |      AS DECIMAL(12,2)) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS DOUBLE) AS s,
+        |    CAST(sum(rev * rev) AS DOUBLE) AS q
+        |  FROM d)
+        |SELECT event_date, CAST(rev AS DOUBLE) AS revenue,
+        |  floor((CAST(rev AS DOUBLE) - s / n) /
+        |    sqrt(q / n - (s / n) * (s / n)) * 100 + 0.5) / 100 AS z
+        |FROM d CROSS JOIN g
+        |WHERE q / n - (s / n) * (s / n) > 0
+        |  AND abs((CAST(rev AS DOUBLE) - s / n) /
+        |    sqrt(q / n - (s / n) * (s / n))) >= 1.5
+        |ORDER BY event_date""".stripMargin,
     "q_top_category_revenue" ->
       s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
          |FROM events WHERE event_type = 'purchase'

@@ -36,6 +36,41 @@ object EventQueries {
       .agg(moneySum(col("value")).as("total_revenue"))
       .orderBy("event_date")
 
+  /** Daily-revenue anomaly flags — the data-drift monitor a pipeline runs
+    * over its own output: days whose revenue sits ≥ `threshold` standard
+    * deviations from the corpus mean.
+    *
+    * Numeric discipline (the hash-gate extension of `moneySum`): the
+    * moments are computed over the EXACT 2dp daily revenues in
+    * DECIMAL(12,2) — sums and sums-of-squares are exact integers in both
+    * engines under any partitioning (a double sum's order-dependence
+    * would flip low bits and with them the z-scores). Only then does the
+    * arithmetic drop to doubles: mean, variance, sqrt and the division
+    * are IEEE ops on IDENTICAL inputs, so both engines produce identical
+    * bits and the ≥-threshold predicate can ride the hash gate.
+    *
+    * Scale shape: one shuffle (the per-day aggregate); the global-moment
+    * aggregate reduces days to ONE row, broadcast back over the daily
+    * frame — no window, no second shuffle of the data. */
+  def revenueAnomalies(events: DataFrame, threshold: Double = 1.5): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(round(exactSum(col("value")), 2).cast("decimal(12,2)").as("rev"))
+    val stats = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("rev")).cast("double").as("s"),
+      sum(col("rev") * col("rev")).cast("double").as("q"))
+    val mean = col("s") / col("n_days")
+    val variance = col("q") / col("n_days") - mean * mean
+    daily.crossJoin(broadcast(stats))
+      .filter(variance > 0)
+      .withColumn("z", (col("rev").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_date"), col("rev").cast("double").as("revenue"),
+        round2(col("z"), 2).as("z"))
+      .orderBy("event_date")
+  }
+
   /** Top-15 revenue categories (`reference:README.md:95-97`, dashboard tile).
     * The testdata has no category column; the JSON `props.k` attribute
     * stands in, which also exercises JSON extraction (SURVEY §1.1's only

@@ -30,6 +30,29 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(10.0, 20.75))
   }
 
+  test("revenueAnomalies flags only the planted spike day") {
+    // 10 quiet days at ~10 plus one 1000.0 spike: only the spike sits
+    // ≥ 1.5σ from the mean (the quiet days huddle well inside 1σ)
+    val rows = (1 to 10).map { d =>
+      (d.toLong, ts(f"2024-01-$d%02d 10:00:00"), 1L, "purchase",
+        10.0 + d * 0.01, "{}")
+    } :+ ((11L, ts("2024-01-11 10:00:00"), 1L, "purchase", 1000.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.revenueAnomalies(df)
+      .as[(java.sql.Date, Double, Double)].collect()
+    assert(got.map(_._1.toString).toSeq == Seq("2024-01-11"), got.toSeq)
+    assert(got.head._2 == 1000.0)
+    assert(got.head._3 > 3.0, s"spike z was ${got.head._3}")
+  }
+
+  test("revenueAnomalies on a constant series flags nothing (zero variance)") {
+    val rows = (1 to 5).map { d =>
+      (d.toLong, ts(f"2024-01-$d%02d 10:00:00"), 1L, "purchase", 10.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventQueries.revenueAnomalies(df).count() == 0L)
+  }
+
   test("conversionFunnel excludes non-funnel event types") {
     val got = EventQueries.conversionFunnel(events)
       .as[(String, Long)].collect().toMap
