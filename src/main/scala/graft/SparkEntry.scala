@@ -229,6 +229,9 @@ object SparkEntry {
     // token-budget curation: best-quality docs until the budget is spent;
     // decomposed prefix sum (bounded score buckets + boundary-only window)
     "q_token_budget" -> docs(TextOps.tokenBudgetSelect(_)),
+    // the threshold-picking report: per-score doc/token counts with the
+    // running kept-share were the cut set just below that score
+    "q_quality_yield" -> docs(TextOps.qualityYieldCurve),
     // multilingual balancing: an independent budget per language
     "q_token_budget_by_lang" -> docs(TextOps.tokenBudgetByLang(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
@@ -1317,6 +1320,29 @@ object SparkEntry {
     // token-budget selection: the mirror is the NAIVE single-window prefix
     // sum the Spark side decomposes (bounded buckets + boundary window) —
     // the hash gate proves the decomposition ≡ the global running total
+    // bounded-frame cumsum over ≤10001 score buckets; cum_share is a
+    // ratio of exact integer sums with one final division
+    "q_quality_yield" ->
+      """WITH s AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS quality
+        |  FROM documents),
+        |b AS (
+        |  SELECT quality, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT quality, n_docs, bucket_tokens,
+        |    CAST(sum(bucket_tokens) OVER (ORDER BY quality DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(bucket_tokens) OVER () AS BIGINT) AS total_tokens
+        |  FROM b)
+        |SELECT quality, n_docs, bucket_tokens, cum_tokens,
+        |  floor(cum_tokens * 1.0 / total_tokens * 10000 + 0.5) / 10000
+        |    AS cum_share
+        |FROM c ORDER BY quality DESC""".stripMargin,
     "q_token_budget" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -479,6 +479,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality→token yield curve — the report a curation pass reads to PICK
+    * its threshold: one row per (4dp) quality score, descending, with the
+    * bucket's doc/token counts, the running token total, and the share of
+    * the corpus kept if the threshold were set just below that score.
+    *
+    * Scale shape: one aggregate collapses the corpus to ≤ 10001 score
+    * buckets; the cumsum window is unpartitioned but runs over THAT
+    * bounded frame (the [[tokenBudgetSelect]] argument — bounded by score
+    * cardinality, never the data), and the grand total joins back as one
+    * broadcast row. `cum_share` is a ratio of exact integer sums with one
+    * final division (the [[corpusCard]] discipline). */
+  def qualityYieldCurve(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      size(toks).cast(LongType).as("n_tokens"),
+      round2(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("quality"))
+    val buckets = scored.groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bucket_tokens"))
+    val wq = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = buckets.agg(sum(col("bucket_tokens")).as("total_tokens"))
+    buckets
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wq))
+      .crossJoin(broadcast(totals))
+      .select(col("quality"), col("n_docs"), col("bucket_tokens"),
+        col("cum_tokens"),
+        round2(col("cum_tokens").cast("double") / col("total_tokens"), 4)
+          .as("cum_share"))
+      .orderBy(col("quality").desc)
+  }
+
   /** Rebalance the corpus to TARGET mixture weights (the DoReMi /
     * training-mix step): given per-source weights w_i, keep the largest
     * total N such that every source can supply its share (N = min_i

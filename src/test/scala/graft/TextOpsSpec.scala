@@ -138,6 +138,19 @@ class TextOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("qualityYieldCurve: monotone cumsum ending at share 1.0") {
+    val docs = graft.ingest.Sources.table(spark, sf("sf0.001"), "documents")
+    val rows = TextOps.qualityYieldCurve(docs)
+      .as[(Double, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // descending quality, strictly increasing cum, last share = 1.0
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 == rows.map(_._3).sum, "cum must end at the total")
+    assert(rows.last._5 == 1.0)
+    assert(rows.map(_._2).sum == docs.count())
+  }
+
   test("domainRebalance hits exact per-source quotas at the target mixture") {
     val docs = graft.ingest.Sources.table(spark, sf("sf0.01"), "documents")
     val w = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
