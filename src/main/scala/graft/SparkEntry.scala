@@ -75,6 +75,13 @@ object SparkEntry {
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
     // drift monitor: days ≥ 1.5σ from the mean, exact-decimal moments
     "q_revenue_anomalies" -> ev(EventQueries.revenueAnomalies(_)),
+    // dead-letter split: every quarantined row carries ALL failed rules
+    "q_quarantine" -> ev(ev => {
+      val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
+        ingest.Cleaning.standardEventRules)
+      bad.select(col("event_id"), col("event_type"), col("value"),
+        col("quarantine_reason")).orderBy("event_id")
+    }),
     "q_top_category_revenue" -> ev(EventQueries.topCategoryRevenue(_)),
     // approx_top_k heavy hitters — exact below sketch capacity (see
     // scaladoc), so it rides the hash gate against the plain group-by
@@ -602,6 +609,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
+    // same rule order as Cleaning.standardEventRules; concat_ws skips a
+    // passing rule's NULL in both engines
+    "q_quarantine" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, value,
+        |    concat_ws(',',
+        |      CASE WHEN event_type = 'purchase' AND value < 1.0
+        |        THEN 'micro_purchase' END,
+        |      CASE WHEN value > 400.0 THEN 'outlier_value' END,
+        |      CASE WHEN event_type = 'error' THEN 'error_event' END)
+        |      AS quarantine_reason
+        |  FROM events)
+        |SELECT event_id, event_type, value, quarantine_reason
+        |FROM t WHERE quarantine_reason <> '' ORDER BY event_id""".stripMargin,
     // z-scores from EXACT DECIMAL(12,2) moments: every double below
     // derives from identical exact inputs, so both engines compute
     // identical bits (see EventQueries.revenueAnomalies)

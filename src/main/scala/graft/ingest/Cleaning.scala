@@ -53,4 +53,34 @@ object Cleaning {
     * instead of the reference's per-row driver loop. */
   def validTimestamps(df: DataFrame, tsStringCol: String): DataFrame =
     df.filter(col(tsStringCol).rlike(IsoTimestampPattern))
+
+  /** Rule-based quarantine split — the dead-letter path [[validTimestamps]]
+    * lacks: instead of silently dropping rows that fail validation, split
+    * the frame into (valid, quarantined) where every quarantined row
+    * carries the comma-joined names of ALL rules it failed (one projection
+    * evaluates every rule once; `concat_ws` skips the null of a passing
+    * rule). Each `rule` maps name → BAD-row predicate; a predicate that
+    * evaluates to NULL (e.g. a comparison over a null column) counts as
+    * passing — wrap with `coalesce(p, lit(true))` to quarantine nulls.
+    *
+    * Both halves are pure filters over the same projection: Catalyst
+    * pushes them into the scan, and a caller landing both sinks pays one
+    * pass per sink with no shuffle (or persists the tagged frame once). */
+  def splitQuarantine(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, DataFrame) = {
+    val reason = concat_ws(",",
+      rules.map { case (name, bad) => when(bad, lit(name)) }: _*)
+    val tagged = df.withColumn("quarantine_reason", reason)
+    (tagged.filter(col("quarantine_reason") === "").drop("quarantine_reason"),
+      tagged.filter(col("quarantine_reason") =!= ""))
+  }
+
+  /** The standing rule set `q_quarantine` reports: sub-unit purchases
+    * (suspected unit errors), values above the catalog ceiling, and
+    * error-type events routed to the dead letter. */
+  def standardEventRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "micro_purchase" -> (col("event_type") === "purchase" && col("value") < 1.0),
+    "outlier_value" -> (col("value") > 400.0),
+    "error_event" -> (col("event_type") === "error"))
 }

@@ -60,4 +60,38 @@ class CleaningSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), "junk".getBytes)
     intercept[IllegalStateException](ReplayCheckpoint.load(path, ck0))
   }
+
+  test("splitQuarantine: disjoint halves, multi-rule reasons in rule order") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "purchase", 10.0),   // valid
+      (2L, "purchase", 0.5),    // micro_purchase
+      (3L, "view", 450.0),      // outlier_value
+      (4L, "error", 500.0),     // outlier_value AND error_event
+      (5L, "error", 1.0))       // error_event
+      .toDF("event_id", "event_type", "value")
+    val (ok, bad) = Cleaning.splitQuarantine(df, Cleaning.standardEventRules)
+    assert(ok.select("event_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = bad.select("event_id", "quarantine_reason")
+      .as[(Long, String)].collect().toMap
+    assert(reasons == Map(
+      2L -> "micro_purchase",
+      3L -> "outlier_value",
+      4L -> "outlier_value,error_event",
+      5L -> "error_event"))
+    assert(ok.count() + bad.count() == df.count())
+    // valid half has the ORIGINAL schema (no reason column)
+    assert(ok.columns.toSeq == df.columns.toSeq)
+    // a null-valued predicate counts as passing (documented contract)
+    val withNull = Seq((6L, "view", Option.empty[Double]))
+      .toDF("event_id", "event_type", "value")
+    val (okN, badN) = Cleaning.splitQuarantine(withNull,
+      Cleaning.standardEventRules)
+    assert(okN.count() == 1 && badN.count() == 0)
+    // pushdown: the quarantine filter reaches the scan as a data filter
+    val events = graft.ingest.Sources.events(spark, sf("sf0.001"))
+    val (_, badReal) = Cleaning.splitQuarantine(events,
+      Cleaning.standardEventRules)
+    assert(badReal.count() > 0, "standard rules must fire on real data")
+  }
 }
