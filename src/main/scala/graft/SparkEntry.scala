@@ -82,6 +82,17 @@ object SparkEntry {
       bad.select(col("event_id"), col("event_type"), col("value"),
         col("quarantine_reason")).orderBy("event_id")
     }),
+    // the STREAMING dead letter: the same stateless rule projection over
+    // the event stream (append mode, rows emit per-batch, no state) —
+    // shares q_quarantine's oracle verbatim, so the gate certifies
+    // batch ≡ streamed quarantine
+    "q_stream_quarantine" -> ((s, dir) =>
+      StreamingQueries.runStream(s, dir, "stream_quar", "append")(ev =>
+        ingest.Cleaning.splitQuarantine(ev,
+          ingest.Cleaning.standardEventRules)._2
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("quarantine_reason")))
+        .orderBy("event_id")),
     "q_top_category_revenue" -> ev(EventQueries.topCategoryRevenue(_)),
     // approx_top_k heavy hitters — exact below sketch capacity (see
     // scaladoc), so it rides the hash gate against the plain group-by
@@ -602,6 +613,19 @@ object SparkEntry {
   // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
   // (watermark + append-mode tumbling windows, sentinel-finalized): the
   // production streaming configuration must hash-match the batch SQL
+  private val QuarantineSql =
+    """WITH t AS (
+      |  SELECT event_id, event_type, value,
+      |    concat_ws(',',
+      |      CASE WHEN event_type = 'purchase' AND value < 1.0
+      |        THEN 'micro_purchase' END,
+      |      CASE WHEN value > 400.0 THEN 'outlier_value' END,
+      |      CASE WHEN event_type = 'error' THEN 'error_event' END)
+      |      AS quarantine_reason
+      |  FROM events)
+      |SELECT event_id, event_type, value, quarantine_reason
+      |FROM t WHERE quarantine_reason <> '' ORDER BY event_id""".stripMargin
+
   private val DailyRevenueSql =
     s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
        |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
@@ -610,19 +634,10 @@ object SparkEntry {
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
     // same rule order as Cleaning.standardEventRules; concat_ws skips a
-    // passing rule's NULL in both engines
-    "q_quarantine" ->
-      """WITH t AS (
-        |  SELECT event_id, event_type, value,
-        |    concat_ws(',',
-        |      CASE WHEN event_type = 'purchase' AND value < 1.0
-        |        THEN 'micro_purchase' END,
-        |      CASE WHEN value > 400.0 THEN 'outlier_value' END,
-        |      CASE WHEN event_type = 'error' THEN 'error_event' END)
-        |      AS quarantine_reason
-        |  FROM events)
-        |SELECT event_id, event_type, value, quarantine_reason
-        |FROM t WHERE quarantine_reason <> '' ORDER BY event_id""".stripMargin,
+    // passing rule's NULL in both engines; SHARED by the batch and
+    // streamed quarantine (the gate certifies their equivalence)
+    "q_quarantine" -> QuarantineSql,
+    "q_stream_quarantine" -> QuarantineSql,
     // z-scores from EXACT DECIMAL(12,2) moments: every double below
     // derives from identical exact inputs, so both engines compute
     // identical bits (see EventQueries.revenueAnomalies)
