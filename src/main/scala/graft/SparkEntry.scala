@@ -234,6 +234,26 @@ object SparkEntry {
           .orderBy("doc_id").localCheckpoint(true)
       } finally deleteRecursively(tmp)
     }),
+    // write∘read identity through the OTHER columnar format (full schema)
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+      try {
+        Sinks.writeOrc(d, s"$tmp/docs")
+        Sources.orc(s, s"$tmp/docs").orderBy("doc_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
+    // write∘read identity through the pinned CSV dialect — the
+    // reference's own ingest format, escaping included
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+      try {
+        Sinks.writeCsvTyped(d, s"$tmp/docs")
+        Sources.csvTyped(s, s"$tmp/docs", d.schema)
+          .orderBy("doc_id").localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)
     "q_unigram_familiarity" -> ((s, dir) => {
@@ -1156,6 +1176,12 @@ object SparkEntry {
     // projection, so any escaping defect breaks the text hash
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+    // identity oracles over the full schema: any encode/escape defect in
+    // the ORC or CSV path breaks the hash
+    "q_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

@@ -52,6 +52,22 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan — the other columnar warehouse format. Spark's native ORC
+    * reader keeps the same pushdown/pruning/vectorization properties as
+    * parquet (PushedFilters + ReadSchema reach the stripe reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Typed CSV scan pinned to [[graft.sink.Sinks.writeCsvTyped]]'s dialect
+    * (header, backslash-escape, multiLine) so write∘read is identity even
+    * for text holding commas, quotes and newlines. multiLine costs
+    * per-file (not per-line) split parallelism — the price of embedded
+    * newlines; prefer JSONL for 100 TB corpora. */
+  def csvTyped(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("escape", "\\")
+      .option("multiLine", "true").schema(schema).csv(path)
+
   /** Registers every testdata table as a session temp view plus the
     * reference's landing-view name (`view_kafka_ecommerce_stream` →
     * normalized events; `reference:airflow_docker/dags/utils/

@@ -66,6 +66,17 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink (see [[graft.ingest.Sources.orc]]). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** CSV sink whose dialect [[graft.ingest.Sources.csvTyped]] pins on the
+    * read side: header + backslash escape (Spark's writer default quotes
+    * fields containing delimiters/quotes/newlines). */
+  def writeCsvTyped(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("escape", "\\").csv(path)
+
   /** Date-partitioned parquet layer (the Snowflake "partitioned by event
     * timestamps" layout, `reference:README.md:40`): downstream day-range
     * predicates prune whole directories (`PruneFileSourcePartitions`). */
