@@ -326,6 +326,35 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("domainRebalance quotas are feasible, mixture-faithful and stable") = {
+    val genDocs = for {
+      n <- Gen.choose(20, 120)
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield srcs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val genW = for {
+      wa <- Gen.choose(1, 8); wb <- Gen.choose(1, 8); wc <- Gen.choose(1, 8)
+    } yield Map("a" -> wa / 10.0, "b" -> wb / 10.0, "c" -> wc / 10.0)
+    forAll(genDocs, genW, Gen.choose(1, 7)) { (rows, w, parts) =>
+      import org.scalacheck.Prop.propBoolean
+      val present = rows.map(_._2).toSet
+      (present == Set("a", "b", "c")) ==> {
+        val df = rows.toDF("doc_id", "source").repartition(parts)
+        val got = graft.ext.TextOps.domainRebalance(df, w)
+          .as[(Long, String)].collect().toSeq
+        val kept = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val capN = w.map { case (s, wi) => counts(s) / wi }.min
+        val quotas = w.map { case (s, wi) =>
+          s -> math.floor(wi * capN + 0.5).toLong }
+        // exact quotas, never exceeding supply, independent of partitioning
+        quotas.forall { case (s, k) => kept.getOrElse(s, 0L) == k &&
+          k <= counts(s) } &&
+          got == graft.ext.TextOps.domainRebalance(df.repartition(1), w)
+            .as[(Long, String)].collect().toSeq
+      }
+    }
+  }
+
   property("shinglePosHashes positions mirror the sliding-window stream") = {
     val genWords = Gen.choose(1, 10).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
