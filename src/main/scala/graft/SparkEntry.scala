@@ -27,9 +27,6 @@ object SparkEntry {
   private def ev(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.events(s, dir))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    Fs.deleteRecursively(p)
-
   private def docs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.table(s, dir, "documents"))
 
@@ -185,7 +182,7 @@ object SparkEntry {
         val second = Dedup.minhashNearDupsIncremental(
           d.filter(col("doc_id") % 2 =!= 0), idx)
         first.unionByName(second).orderBy("doc1", "doc2")
-      } finally deleteRecursively(tmp)
+      } finally Fs.deleteRecursively(tmp)
     }),
     "q_simhash_neardups" -> docs(Dedup.simhashNearDups(_)),
     "q_token_stats" -> docs(TextOps.tokenStats),
@@ -232,7 +229,7 @@ object SparkEntry {
         Sinks.writeJsonl(d, s"$tmp/docs")
         Sources.jsonl(s, s"$tmp/docs", d.schema)
           .orderBy("doc_id").localCheckpoint(true)
-      } finally deleteRecursively(tmp)
+      } finally Fs.deleteRecursively(tmp)
     }),
     // write∘read identity through the OTHER columnar format (full schema)
     "q_orc_roundtrip" -> ((s, dir) => {
@@ -241,7 +238,7 @@ object SparkEntry {
       try {
         Sinks.writeOrc(d, s"$tmp/docs")
         Sources.orc(s, s"$tmp/docs").orderBy("doc_id").localCheckpoint(true)
-      } finally deleteRecursively(tmp)
+      } finally Fs.deleteRecursively(tmp)
     }),
     // write∘read identity through the pinned CSV dialect — the
     // reference's own ingest format, escaping included
@@ -252,7 +249,7 @@ object SparkEntry {
         Sinks.writeCsvTyped(d, s"$tmp/docs")
         Sources.csvTyped(s, s"$tmp/docs", d.schema)
           .orderBy("doc_id").localCheckpoint(true)
-      } finally deleteRecursively(tmp)
+      } finally Fs.deleteRecursively(tmp)
     }),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)

@@ -610,7 +610,7 @@ object Dedup {
         try ls.iterator().asScala.toList
           .filter(_.getFileName.toString.startsWith(".stage-"))
         finally ls.close()
-      stale.foreach(deleteTree)
+      stale.foreach(graft.Fs.deleteRecursively)
     }
     val hasIndex = readSigIndexOpt(spark, indexPath).isDefined
     def index() = readSigIndex(spark, indexPath)
@@ -700,9 +700,6 @@ object Dedup {
     else Some(spark.read.option("recursiveFileLookup", "true")
       .parquet(indexPath))
   }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    graft.Fs.deleteRecursively(p)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *

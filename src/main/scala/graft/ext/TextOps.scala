@@ -532,7 +532,9 @@ object TextOps {
     * mirror IS the naive formulation — the hash gate certifies the
     * decomposition exact ([[rebalanceSql]]).
     *
-    * Weights must be > 0; sources not in `weights` are dropped. */
+    * Weights must be > 0; sources not in `weights` are dropped; a
+    * weighted source with no rows makes the mixture unachievable and the
+    * result EMPTY (never silently renormalized over present sources). */
   def domainRebalance(documents: DataFrame,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
@@ -545,9 +547,13 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("h"))
     val counts = scored.groupBy("source").agg(count(lit(1)).as("n"))
-    // N = min_i n_i / w_i (double; both engines divide the same bits)
-    val cap = counts.join(wdf, "source")
-      .agg(min(col("n") / col("wgt")).as("cap_n"))
+    // N = min_i n_i / w_i (double; both engines divide the same bits).
+    // LEFT join from the weights: a weighted source with ZERO rows means
+    // the target mixture is unachievable — its n coalesces to 0, the cap
+    // collapses to 0 and the output is EMPTY (loud), instead of silently
+    // renormalizing over the sources that happen to be present.
+    val cap = wdf.join(counts, Seq("source"), "left")
+      .agg(min(coalesce(col("n"), lit(0L)) / col("wgt")).as("cap_n"))
     val ks = wdf.crossJoin(cap).select(col("source"),
       floor(col("wgt") * col("cap_n") + lit(0.5)).cast(LongType).as("k"))
     val bucketed = scored.withColumn("b", substring(col("h"), 1, 2))
@@ -584,7 +590,8 @@ object TextOps {
     val inList = w.map(s => s"'${s._1}'").mkString(", ")
     s"""WITH w(source, wgt) AS (VALUES $values),
        |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-       |cap AS (SELECT min(n / wgt) AS cap_n FROM c JOIN w USING (source)),
+       |cap AS (SELECT min(coalesce(n, 0) / wgt) AS cap_n
+       |        FROM w LEFT JOIN c USING (source)),
        |k AS (SELECT w.source, CAST(floor(wgt * cap_n + 0.5) AS BIGINT) AS k
        |      FROM w CROSS JOIN cap),
        |r AS (SELECT doc_id, source,

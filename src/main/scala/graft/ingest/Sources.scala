@@ -59,14 +59,17 @@ object Sources {
     spark.read.orc(path)
 
   /** Typed CSV scan pinned to [[graft.sink.Sinks.writeCsvTyped]]'s dialect
-    * (header, backslash-escape, multiLine) so write∘read is identity even
-    * for text holding commas, quotes and newlines. multiLine costs
-    * per-file (not per-line) split parallelism — the price of embedded
-    * newlines; prefer JSONL for 100 TB corpora. */
+    * (header, backslash-escape, multiLine, \N nulls vs "" empties) so
+    * write∘read is identity even for text holding commas, quotes,
+    * newlines, empty strings and nulls. multiLine costs per-file (not
+    * per-line) split parallelism — the price of embedded newlines;
+    * prefer JSONL for 100 TB corpora. */
   def csvTyped(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.option("header", "true").option("escape", "\\")
-      .option("multiLine", "true").schema(schema).csv(path)
+      .option("multiLine", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      .schema(schema).csv(path)
 
   /** Registers every testdata table as a session temp view plus the
     * reference's landing-view name (`view_kafka_ecommerce_stream` →

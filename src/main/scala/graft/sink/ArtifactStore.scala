@@ -32,19 +32,24 @@ object ArtifactStore {
     .orElse(sys.env.get("GRAFT_ARTIFACTS_DIR"))
     .getOrElse("target/graft-artifacts")
 
-  /** One directory per (dataset path, dataset CONTENT, artifact): a
+  /** One directory per (dataset path, dataset inventory, artifact): a
     * readable slug, an md5 of the path, and a fingerprint of the dataset
-    * directory's file inventory (names, sizes, mtimes). The fingerprint is
-    * what makes staleness impossible: regenerating the data at the same
-    * path changes the key, so the next load MISSES and retrains instead of
-    * silently serving artifacts trained on the old data (spec-pinned). */
-  private def dirFor(datasetDir: String, name: String): String = {
+    * directory's file INVENTORY (names, sizes, millisecond mtimes).
+    * Regenerating the data at the same path changes the key, so the next
+    * load MISSES and retrains instead of silently serving artifacts
+    * trained on the old data (spec-pinned). The fingerprint is a
+    * heuristic, not a content hash (hashing the dataset would cost a full
+    * corpus read): a regeneration that pins mtimes AND byte sizes (e.g.
+    * tar --preserve, reproducible-build outputs) is invisible to it —
+    * encode a data version in `name` when that matters. */
+  private def dirFor(datasetDir: String, name: String): String =
+    s"${datasetScope(datasetDir)}/$name-${contentFingerprint(datasetDir)}"
+
+  /** Per-dataset parent dir (fingerprint-independent). */
+  private def datasetScope(datasetDir: String): String = {
     val slug = datasetDir.replaceAll("[^A-Za-z0-9.]+", "_")
       .replaceAll("^_+", "").takeRight(40)
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    s"$root/$slug-$h/$name-${contentFingerprint(datasetDir)}"
+    s"$root/$slug-${graft.Fs.md5Hex8(datasetDir)}"
   }
 
   /** Fingerprint of the dataset dir's top-level file inventory. */
@@ -60,9 +65,32 @@ object ArtifactStore {
         .map { case (n, p) =>
           s"$n:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}" }
       finally ls.close()
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(inventory.mkString("|").getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    graft.Fs.md5Hex8(inventory.mkString("|"))
+  }
+
+  /** Superseded-fingerprint GC: before a fresh `name-<fp>` goes live, drop
+    * sibling `name-<otherFp>` dirs — artifacts for dataset states that no
+    * longer exist would otherwise accumulate across regenerations. */
+  private def pruneSuperseded(path: String): Unit = {
+    val target = Paths.get(path)
+    val name = target.getFileName.toString
+    val prefix = name.substring(0, name.lastIndexOf('-') + 1)
+    val parent = target.getParent
+    if (Files.isDirectory(parent)) {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(parent)
+      val stale =
+        try ls.iterator().asScala.toList.filter { p =>
+          val n = p.getFileName.toString
+          // only a sibling whose suffix IS a fingerprint: an artifact
+          // named "<name>-v2" must not match "<name>"'s prefix
+          n.startsWith(prefix) && n != name && {
+            val rest = n.substring(prefix.length)
+            rest == "nodata" || rest.matches("[0-9a-f]{8}")
+          }
+        } finally ls.close()
+      stale.foreach(graft.Fs.deleteQuietly)
+    }
   }
 
   private def exists(path: String): Boolean =
@@ -78,17 +106,16 @@ object ArtifactStore {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      pruneSuperseded(path)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException =>
         // a concurrent (deterministic) trainer won; keep theirs
-        deleteRecursively(tmp)
+        graft.Fs.deleteRecursively(tmp)
     }
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    graft.Fs.deleteRecursively(p)
 
   // ---- IVF centroids: rows (i, vec array<float>) ----
 

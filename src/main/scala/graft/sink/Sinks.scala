@@ -72,10 +72,14 @@ object Sinks {
 
   /** CSV sink whose dialect [[graft.ingest.Sources.csvTyped]] pins on the
     * read side: header + backslash escape (Spark's writer default quotes
-    * fields containing delimiters/quotes/newlines). */
+    * fields containing delimiters/quotes/newlines), with null rendered as
+    * an UNQUOTED \N and the empty string as a QUOTED "" so the two stay
+    * distinguishable through the round-trip (CSV's classic lossy corner). */
   def writeCsvTyped(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .option("header", "true").option("escape", "\\").csv(path)
+      .option("header", "true").option("escape", "\\")
+      .option("nullValue", "\\N").option("emptyValue", "\"\"")
+      .csv(path)
 
   /** Date-partitioned parquet layer (the Snowflake "partitioned by event
     * timestamps" layout, `reference:README.md:40`): downstream day-range
@@ -164,12 +168,15 @@ object Sinks {
     // lineage salt: batchIds are CHECKPOINT-scoped, so two pipelines (or a
     // backfill with a fresh checkpoint) sharing one rawPath would both
     // count 0,1,2… and the dynamic overwrite would delete each other's
-    // partitions. Deriving the salt from the checkpoint path keeps it
-    // STABLE across restarts of the same pipeline (replay idempotence
-    // intact) while distinct pipelines land under distinct partitions.
-    val lineage = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+    // partitions. The salt hashes the CANONICALIZED checkpoint path —
+    // Spark resolves './ck' and '/abs/ck' to the same checkpoint state,
+    // so a respelled path on restart must keep the same salt or a
+    // replayed batch would land beside (not over) its torn attempt. The
+    // salt covers SEQUENTIAL sharing (a later backfill); two writers
+    // committing to one rawPath CONCURRENTLY still collide in the shared
+    // _temporary staging tree — run those against distinct rawPaths.
+    val lineage = graft.Fs.md5Hex8(java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString)
     val writer = events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -284,10 +291,10 @@ object Sinks {
           val real = p.resolveSibling(name.dropRight(backupSuffix.get.length))
           if (!Files.exists(real))
             Files.move(p, real, StandardCopyOption.ATOMIC_MOVE)
-          else deleteRecursively(p)
+          else graft.Fs.deleteRecursively(p)
         } else if (name.endsWith(".upsert-tmp") ||
             name.endsWith(".compact-tmp")) {
-          deleteRecursively(p)
+          graft.Fs.deleteRecursively(p)
         } else if (name.contains("=")) {
           recoverPartitionSwaps(p) // nested partition levels
         }
@@ -303,11 +310,11 @@ object Sinks {
     import java.nio.file.{Files, StandardCopyOption}
     val backup =
       target.resolveSibling(target.getFileName.toString + backupSuffix)
-    if (Files.exists(backup)) deleteRecursively(backup)
+    if (Files.exists(backup)) graft.Fs.deleteRecursively(backup)
     if (Files.exists(target))
       Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(backup)) deleteRecursively(backup)
+    if (Files.exists(backup)) graft.Fs.deleteRecursively(backup)
   }
 
   /** CDC-style upsert into a parquet path: keep target rows whose key has
@@ -396,7 +403,7 @@ object Sinks {
       recoverSwap(t.toString)
       swapReplace(t, d, ".upsert-old")
     }
-    deleteRecursively(tmp)
+    graft.Fs.deleteRecursively(tmp)
   }
 
   /** Small-file compaction: rewrite a parquet path into files of
@@ -520,9 +527,6 @@ object Sinks {
       .map(java.nio.file.Files.size).sum
     finally walk.close()
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    graft.Fs.deleteRecursively(p)
 
   /** Range-partitioned, internally sorted layout: `repartitionByRange` +
     * `sortWithinPartitions` writes files with DISJOINT key ranges, each

@@ -75,11 +75,14 @@ object StreamingQueries {
         trigger.fold(writer)(writer.trigger).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try { q.processAllAvailable() } finally {
-      q.stop()
       // the memory sink holds the rows; the per-run source/checkpoint
-      // dirs are dead — reap them (the q_minhash_incremental discipline)
-      graft.Fs.deleteRecursively(srcDir)
-      graft.Fs.deleteRecursively(ck)
+      // dirs are dead — reap them (the q_minhash_incremental discipline).
+      // stop() can rethrow a terminal stream error, so the deletes live
+      // in their own finally and are individually best-effort.
+      try q.stop() finally {
+        graft.Fs.deleteQuietly(srcDir)
+        graft.Fs.deleteQuietly(ck)
+      }
     }
     spark.table(name)
   }
@@ -157,10 +160,11 @@ object StreamingQueries {
       Files.move(part, srcDir.resolve("zz-sentinel.parquet"))
       q.processAllAvailable()
     } finally {
-      q.stop()
-      graft.Fs.deleteRecursively(srcDir)
-      graft.Fs.deleteRecursively(ck)
-      if (outDir != null) graft.Fs.deleteRecursively(outDir)
+      try q.stop() finally {
+        graft.Fs.deleteQuietly(srcDir)
+        graft.Fs.deleteQuietly(ck)
+        if (outDir != null) graft.Fs.deleteQuietly(outDir)
+      }
     }
     spark.table(name)
   }

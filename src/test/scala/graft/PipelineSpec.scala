@@ -72,10 +72,9 @@ class PipelineSpec extends SparkSpec {
     graft.sink.Sinks.writeCsvTyped(df, s"$csvTmp/d")
     val csvBack = graft.ingest.Sources.csvTyped(spark, s"$csvTmp/d", df.schema)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
-    // CSV cannot distinguish null from empty — both land as null on read
-    // (the documented lossy corner; the parquet/orc/jsonl paths keep it)
-    val csvExpected = rows.map { case (i, t) => (i, if (t == "") null else t) }
-    assert(csvBack == csvExpected)
+    // the pinned dialect (\N nulls vs "" empties) keeps even CSV's
+    // classic lossy corner intact — null and empty both round-trip
+    assert(csvBack == rows)
     val orcTmp = Files.createTempDirectory("graft-orc-spec")
     graft.sink.Sinks.writeOrc(df, s"$orcTmp/d")
     val orcBack = graft.ingest.Sources.orc(spark, s"$orcTmp/d")

@@ -176,6 +176,11 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.domainRebalance(docs, w)
       .select("doc_id").as[Long].collect().toSeq
     assert(got == naive, "decomposed selection diverged from global rank")
+    // a weighted source with zero rows → mixture unachievable → EMPTY
+    // (never silently renormalized over the sources that are present)
+    val missing = TextOps.domainRebalance(docs,
+      Map("src0" -> 0.5, "no_such_source" -> 0.5))
+    assert(missing.count() == 0L)
   }
 
   test("packSequences tiles each shard's token stream without gaps") {
