@@ -96,6 +96,29 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("a fresh fingerprint GCs the superseded artifact dirs") {
+    withTempRoot {
+      val data = java.nio.file.Files.createTempDirectory("graft-as-gc")
+      java.nio.file.Files.writeString(data.resolve("d.parquet"), "v1")
+      ArtifactStore.bpeMerges(spark, data.toString, "bpe")(Seq(("a", "b")))
+      java.nio.file.Files.writeString(data.resolve("d.parquet"), "v2-longer")
+      ArtifactStore.bpeMerges(spark, data.toString, "bpe")(Seq(("c", "d")))
+      // exactly ONE bpe-<fp> dir remains (the old fingerprint was pruned)
+      val root = java.nio.file.Paths.get(ArtifactStore.root)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      val bpeDirs =
+        try walk.iterator().asScala.toList
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bpe-"))
+        finally walk.close()
+      assert(bpeDirs.size == 1, s"superseded dirs not pruned: $bpeDirs")
+      // and the surviving artifact is the NEW one
+      assert(ArtifactStore.bpeMerges(spark, data.toString, "bpe")(
+        fail("must serve from store")) == Seq(("c", "d")))
+    }
+  }
+
   test("artifacts are keyed by dataset AND name — no cross-contamination") {
     withTempRoot {
       val a = ArtifactStore.bpeMerges(spark, "/data/corpusA", "bpe")(
