@@ -274,6 +274,13 @@ object SparkEntry {
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)
     "q_profile_docs" -> docs(ops.Profile.columnProfile),
+    // the mixed-type table profiled through ENGINE-STABLE renderings
+    // (documented contract: µs longs for timestamps, fixed-scale decimal
+    // for doubles — raw double/timestamp strings are not engine-stable)
+    "q_profile_events" -> ev(ev => ops.Profile.columnProfile(ev.select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"),
+      col("value").cast("decimal(18,6)").as("value_dec"), col("props")))),
     // rebalance to TARGET mixture weights (exact per-source quotas by
     // md5 order; bucketed decomposition vs the mirror's naive rank)
     "q_domain_rebalance" -> docs(TextOps.domainRebalance(_, RebalanceWeights)),
@@ -1277,6 +1284,14 @@ object SparkEntry {
     // digests → the gate stays exact)
     "q_profile_docs" ->
       ops.Profile.profileSql("documents", ops.Profile.DocumentCols),
+    // same generated mirror over the stable-rendered projection
+    "q_profile_events" ->
+      ("""WITH t AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+         |  event_type, CAST(value AS DECIMAL(18,6)) AS value_dec, props
+         |FROM events)
+         |""".stripMargin +
+        ops.Profile.profileSql("t", Seq("event_id", "ts_us", "user_id",
+          "event_type", "value_dec", "props"))),
     // the NAIVE per-source global rank — the gate proves the bucketed
     // decomposition equal to it (see TextOps.domainRebalance)
     "q_domain_rebalance" -> TextOps.rebalanceSql(RebalanceWeights),
