@@ -277,6 +277,9 @@ object SparkEntry {
     // the mixed-type table profiled through ENGINE-STABLE renderings
     // (documented contract: µs longs for timestamps, fixed-scale decimal
     // for doubles — raw double/timestamp strings are not engine-stable)
+    // the scale path: HLL distincts, ONE pass, no Expand — no oracle
+    // (approximate by construction); spec-bound to the exact profile
+    "q_profile_docs_approx" -> docs(ops.Profile.columnProfileApprox(_)),
     "q_profile_events" -> ev(ev => ops.Profile.columnProfile(ev.select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"),

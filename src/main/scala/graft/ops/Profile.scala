@@ -61,6 +61,41 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** The 100 TB SCALE PATH: identical schema, HLL-approximate distincts.
+    * [[columnProfile]]'s exact multi-DISTINCT plans an Expand — input ×
+    * (cols+1) rows into the partial aggregate; this variant replaces the
+    * distincts with `approx_count_distinct` sketches, so the whole
+    * profile is ONE pass with NO row multiplication (every stat partials
+    * map-side, one single-row shuffle). The exact form rides the hash
+    * gate; this one is spec-bound to it within HLL error (the
+    * price_quantiles / dau_approx exact-vs-sketch pairing). */
+  def columnProfileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      val len = length(col(c).cast("string"))
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        min(len).as(s"${c}__mnl"),
+        max(len).as(s"${c}__mxl"),
+        sum(len.cast("long")).as(s"${c}__sl"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mnl`, `${c}__mxl`, `${c}__sl`")
+      .mkString(", ")
+    one
+      .selectExpr("__n", s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, nn, n_distinct, min_len, max_len, sum_len)")
+      .select(col("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col("nn")).as("n_nulls"),
+        col("n_distinct"),
+        col("min_len"), col("max_len"),
+        round2(col("sum_len").cast("double") / col("nn"), 2).as("avg_len"))
+      .orderBy("col_name")
+  }
+
   /** DuckDB mirror generated from the same column list: one aggregate
     * SELECT per column UNION ALL'd (DuckDB's planner scans once). */
   def profileSql(table: String, cols: Seq[String]): String =

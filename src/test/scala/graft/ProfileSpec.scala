@@ -44,6 +44,29 @@ class ProfileSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
 
+  test("approx profile: no Expand, estimates within HLL error of exact") {
+    val docs = ingest.Sources.table(spark, sf("sf0.01"), "documents")
+    val approx = Profile.columnProfileApprox(docs)
+    // scale-path plan shape: NO Expand (exact's multi-DISTINCT needs one)
+    val planA = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!planA.contains("Expand"), "approx profile must not Expand")
+    assert(Profile.columnProfile(docs).queryExecution.executedPlan
+      .toString.contains("Expand"), "exact profile plans the Expand")
+    val exact = Profile.columnProfile(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, nd) =>
+      val e = est(c)
+      assert(math.abs(e - nd) <= math.max(2.0, 0.05 * nd),
+        s"$c: approx $e vs exact $nd")
+    }
+    // every non-distinct stat is identical (same exact aggregates)
+    val exRest = Profile.columnProfile(docs).drop("n_distinct").collect()
+    val apRest = approx.drop("n_distinct").collect()
+    assert(exRest.toSeq == apRest.toSeq)
+  }
+
   test("q_profile_docs runs on the real table with one scan") {
     val docs = ingest.Sources.table(spark, sf("sf0.001"), "documents")
     val out = Profile.columnProfile(docs)
