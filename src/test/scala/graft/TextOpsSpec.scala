@@ -181,6 +181,21 @@ class TextOpsSpec extends SparkSpec {
     val missing = TextOps.domainRebalance(docs,
       Map("src0" -> 0.5, "no_such_source" -> 0.5))
     assert(missing.count() == 0L)
+    // scale shape: the corpus side joins the tiny cum/quota frame via
+    // BROADCAST, and every rank window partitions by (source, BUCKET) —
+    // a Window partitioned by source alone would be the naive global
+    // per-source sort the decomposition exists to avoid
+    val plan = TextOps.domainRebalance(docs, w)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), "selection join must broadcast")
+    val windowSpecs = "Window \\[[^\\]]*windowspecdefinition\\(([^)]*)\\)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach { spec =>
+      assert(!(spec.contains("source") && !spec.contains("b#")),
+        s"per-source window without bucket: $spec")
+    }
   }
 
   test("packSequences tiles each shard's token stream without gaps") {
