@@ -72,6 +72,9 @@ object SparkEntry {
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
     // drift monitor: days ≥ 1.5σ from the mean, exact-decimal moments
     "q_revenue_anomalies" -> ev(EventQueries.revenueAnomalies(_)),
+    // RFM quintiles as arithmetic over the distributed global ordinal
+    // (never a one-task ntile sort); three sort keys, one gate
+    "q_rfm_segments" -> ev(EventQueries.rfmSegments),
     // dead-letter split: every quarantined row carries ALL failed rules
     "q_quarantine" -> ev(ev => {
       val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
@@ -660,6 +663,38 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
+    // quintiles via integer floor-div over the global ordinal: Spark's
+    // `div` ≡ DuckDB's `//` on non-negative BIGINTs; the naive-window
+    // mirror certifies three Ordinals passes at once
+    "q_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT user_id, max(d) AS last_day, count(*) AS frequency,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |      AS monetary
+        |  FROM p GROUP BY 1),
+        |a AS (SELECT max(d) AS anchor,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM p),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', last_day, anchor) AS INT) AS recency,
+        |    frequency, monetary, n_users,
+        |    row_number() OVER (ORDER BY date_diff('day', last_day, anchor)
+        |      DESC, user_id) AS r_rn,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS f_rn,
+        |    row_number() OVER (ORDER BY monetary, user_id) AS m_rn
+        |  FROM b CROSS JOIN a)
+        |SELECT user_id, recency, CAST(frequency AS BIGINT) AS frequency,
+        |  monetary,
+        |  CAST((r_rn - 1) * 5 // n_users + 1 AS BIGINT) AS r_q,
+        |  CAST((f_rn - 1) * 5 // n_users + 1 AS BIGINT) AS f_q,
+        |  CAST((m_rn - 1) * 5 // n_users + 1 AS BIGINT) AS m_q,
+        |  CAST(((r_rn - 1) * 5 // n_users + 1) * 100
+        |    + ((f_rn - 1) * 5 // n_users + 1) * 10
+        |    + ((m_rn - 1) * 5 // n_users + 1) AS BIGINT) AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
     // same rule order as Cleaning.standardEventRules; concat_ws skips a
     // passing rule's NULL in both engines; SHARED by the batch and
     // streamed quarantine (the gate certifies their equivalence)

@@ -71,6 +71,48 @@ object EventQueries {
       .orderBy("event_date")
   }
 
+  /** RFM segmentation — the classic e-commerce customer analysis the
+    * reference's dashboard tiles imply but never build: per purchasing
+    * user, Recency (days since last purchase, anchored to the corpus'
+    * max purchase date so the query is reproducible), Frequency
+    * (purchase count) and Monetary (2dp-exact spend), each scored into
+    * quintiles, plus the 3-digit segment code (555 = best).
+    *
+    * Quintiles are ARITHMETIC over the distributed global ordinal
+    * ([[Ordinals.globalRowNumbers]] — range-repartition + bounded offset
+    * frame): q = ((rn-1)·5) div n + 1. A window `ntile(5)` would force
+    * the whole user frame through ONE task's sort; three ordinal passes
+    * keep every step partitioned, and the arithmetic form is exactly
+    * mirrorable (integer floor-div in both engines). Ties break on
+    * user_id — a total order, so the gate certifies the ordinal
+    * machinery once more, now over three different sort keys. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+    val base = p.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        moneySum(col("value")).as("monetary"))
+    val anchor = p.agg(max(to_date(col("ts"))).as("anchor"),
+      countDistinct(col("user_id")).as("n_users"))
+    val rfm = base.crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff(col("anchor"), col("last_day")))
+      .drop("anchor", "last_day")
+    val withR = Ordinals.globalRowNumbers(rfm,
+      Seq(col("recency").desc, col("user_id")), "r_rn")
+    val withF = Ordinals.globalRowNumbers(withR,
+      Seq(col("frequency"), col("user_id")), "f_rn")
+    val withM = Ordinals.globalRowNumbers(withF,
+      Seq(col("monetary"), col("user_id")), "m_rn")
+    withM
+      .withColumn("r_q", expr("(r_rn - 1) * 5 div n_users + 1"))
+      .withColumn("f_q", expr("(f_rn - 1) * 5 div n_users + 1"))
+      .withColumn("m_q", expr("(m_rn - 1) * 5 div n_users + 1"))
+      .select(col("user_id"), col("recency"), col("frequency"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** Top-15 revenue categories (`reference:README.md:95-97`, dashboard tile).
     * The testdata has no category column; the JSON `props.k` attribute
     * stands in, which also exercises JSON extraction (SURVEY §1.1's only

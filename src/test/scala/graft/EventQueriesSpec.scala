@@ -30,6 +30,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(10.0, 20.75))
   }
 
+  test("rfmSegments: quintile arithmetic, anchor recency, total coverage") {
+    val rows = (1 to 10).map { u =>
+      // user u purchases u times, each 10.0, last on day u
+      (1 to u).map(k => ((u * 100 + k).toLong,
+        ts(f"2024-01-$u%02d 10:00:00"), u.toLong, "purchase", 10.0, "{}"))
+    }.flatten
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.rfmSegments(df).collect()
+    assert(got.length == 10)
+    val byUser = got.map(r => r.getLong(0) -> r).toMap
+    // anchor = 2024-01-10; user 10 purchased last that day → recency 0
+    assert(byUser(10L).getInt(1) == 0)
+    assert(byUser(1L).getInt(1) == 9)
+    // user 10: best recency, frequency and spend → segment 555
+    assert(byUser(10L).getLong(7) == 555L)
+    // user 1: worst on all three → rn=1 in every ordering → quintile 1
+    assert(byUser(1L).getLong(7) == 111L)
+    // quintiles of 10 users: exactly 2 per bucket on each dimension
+    Seq(4, 5, 6).foreach { c =>
+      val sizes = got.groupBy(_.getLong(c)).view.mapValues(_.size).toMap
+      assert(sizes == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2),
+        s"col $c: $sizes")
+    }
+  }
+
   test("revenueAnomalies flags only the planted spike day") {
     // 10 quiet days at ~10 plus one 1000.0 spike: only the spike sits
     // ≥ 1.5σ from the mean (the quiet days huddle well inside 1σ)
