@@ -75,6 +75,9 @@ object SparkEntry {
     // RFM quintiles as arithmetic over the distributed global ordinal
     // (never a one-task ntile sort); three sort keys, one gate
     "q_rfm_segments" -> ev(EventQueries.rfmSegments),
+    // "bought together": basket-keyed self-join, per-basket fan-out
+    // capped, support counts baskets (items deduped per basket)
+    "q_basket_pairs" -> ev(EventQueries.basketPairs(_)),
     // dead-letter split: every quarantined row carries ALL failed rules
     "q_quarantine" -> ev(ev => {
       val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
@@ -663,6 +666,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
+    // items dedupe per (day, user) basket; bs caps the basket; pair
+    // order canonicalized by string compare (identical both engines)
+    "q_basket_pairs" ->
+      """WITH i AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+        |    json_extract_string(props, '$.k') AS item
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |i2 AS (
+        |  SELECT d, user_id, item FROM (
+        |    SELECT i.*, count(*) OVER (PARTITION BY d, user_id) AS bs
+        |    FROM i) t
+        |  WHERE bs <= 100)
+        |SELECT a.item AS item1, b.item AS item2,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM i2 a JOIN i2 b
+        |  ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, item1, item2""".stripMargin,
     // quintiles via integer floor-div over the global ordinal: Spark's
     // `div` ≡ DuckDB's `//` on non-negative BIGINTs; the naive-window
     // mirror certifies three Ordinals passes at once

@@ -71,6 +71,40 @@ object EventQueries {
       .orderBy("event_date")
   }
 
+  /** Market-basket co-purchase pairs — item pairs bought within the same
+    * (user, day) basket with their support (number of baskets containing
+    * both), the frequent-itemset primitive behind "bought together"
+    * tiles. Items dedupe per basket first, so support counts BASKETS,
+    * not purchase multiplicity.
+    *
+    * Scale shape: the self-join keys on the basket id (day, user) — a
+    * bounded-cardinality key (one shard per basket, never per item), and
+    * the pair fan-out is per-basket |items|² — guarded by `maxBasket`
+    * (a corpus-scale crawler account with thousands of items would
+    * otherwise quadratically dominate its task; the cap is the standard
+    * basket-mining hygiene and is mirrored in the oracle). Support
+    * aggregation partials map-side. `item1 < item2` canonicalizes pair
+    * order (string compare — identical in both engines). */
+  def basketPairs(events: DataFrame, minSupport: Long = 2,
+      maxBasket: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("d"), col("user_id"))
+    val items = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"), col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .withColumn("bs", count(lit(1)).over(w))
+      .filter(col("bs") <= maxBasket)
+      .drop("bs")
+    items.as("a").join(items.as("b"),
+        col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+  }
+
   /** RFM segmentation — the classic e-commerce customer analysis the
     * reference's dashboard tiles imply but never build: per purchasing
     * user, Recency (days since last purchase, anchored to the corpus'

@@ -30,6 +30,31 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(10.0, 20.75))
   }
 
+  test("basketPairs: support counts baskets, dedupes multiplicity, caps size") {
+    def ev(id: Long, day: Int, user: Long, item: String) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), user, "purchase", 1.0,
+        s"""{"k": "$item"}""")
+    val rows = Seq(
+      // basket (day1, u1): {A, B} — A purchased TWICE (multiplicity ignored)
+      ev(1, 1, 1, "A"), ev(2, 1, 1, "A"), ev(3, 1, 1, "B"),
+      // basket (day2, u1): {A, B} again → support(A,B) = 2
+      ev(4, 2, 1, "A"), ev(5, 2, 1, "B"),
+      // basket (day1, u2): {A, C} → support(A,C) = 1, below minSupport
+      ev(6, 1, 2, "A"), ev(7, 1, 2, "C"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.basketPairs(df)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L)), got.toString)
+    // a basket over the cap contributes NO pairs
+    val big = (1 to 50).map(i => ev(100 + i, 5, 9, s"I$i"))
+    val capped = EventQueries.basketPairs(
+      (rows ++ big).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      minSupport = 1, maxBasket = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(!capped.exists(p => p._1.startsWith("I")), "capped basket leaked")
+    assert(capped.contains(("A", "C", 1L)))
+  }
+
   test("rfmSegments: quintile arithmetic, anchor recency, total coverage") {
     val rows = (1 to 10).map { u =>
       // user u purchases u times, each 10.0, last on day u
