@@ -78,6 +78,8 @@ object SparkEntry {
     // "bought together": basket-keyed self-join, per-basket fan-out
     // capped, support counts baskets (items deduped per basket)
     "q_basket_pairs" -> ev(EventQueries.basketPairs(_)),
+    // LTV matrix: first-purchase cohorts × whole weeks since acquisition
+    "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
     // dead-letter split: every quarantined row carries ALL failed rules
     "q_quarantine" -> ev(ev => {
       val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
@@ -666,6 +668,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
+    // age in whole weeks via integer floor-div (DuckDB date-date is days)
+    "q_cohort_revenue" ->
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, min(d) AS cohort_day FROM p GROUP BY 1)
+         |SELECT cohort_day,
+         |  CAST((p.d - c.cohort_day) // 7 AS BIGINT) AS age_weeks,
+         |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+         |  $MoneySumValue AS revenue
+         |FROM p JOIN c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // items dedupe per (day, user) basket; bs caps the basket; pair
     // order canonicalized by string compare (identical both engines)
     "q_basket_pairs" ->

@@ -71,6 +71,25 @@ object EventQueries {
       .orderBy("event_date")
   }
 
+  /** Cohort revenue matrix — the LTV complement of user retention: users
+    * cohorted by FIRST purchase day, revenue rolled up by (cohort day,
+    * whole weeks since acquisition). Two shuffles: the per-user first-day
+    * aggregate (which then BROADCASTS back over the purchase stream —
+    * users compress to one row each) and the final (cohort, age) rollup;
+    * the age arithmetic is integer floor-div, exact in both engines. */
+  def cohortRevenue(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val cohorts = p.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    p.join(broadcast(cohorts), "user_id")
+      .withColumn("age_weeks",
+        expr("datediff(d, cohort_day) div 7").cast("long"))
+      .groupBy(col("cohort_day"), col("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("revenue"))
+      .orderBy("cohort_day", "age_weeks")
+  }
+
   /** Market-basket co-purchase pairs — item pairs bought within the same
     * (user, day) basket with their support (number of baskets containing
     * both), the frequent-itemset primitive behind "bought together"

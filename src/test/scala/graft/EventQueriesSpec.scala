@@ -30,6 +30,20 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(10.0, 20.75))
   }
 
+  test("cohortRevenue: week buckets close at day 7, users count distinct") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0, "{}"), // w0
+      (2L, ts("2024-01-07 10:00:00"), 1L, "purchase", 5.0, "{}"),  // day 6 → w0
+      (3L, ts("2024-01-08 10:00:00"), 1L, "purchase", 2.0, "{}"),  // day 7 → w1
+      (4L, ts("2024-01-01 11:00:00"), 2L, "purchase", 1.0, "{}"))  // same cohort
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.cohortRevenue(df)
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 2L, 16.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 2.0)), got.toString)
+  }
+
   test("basketPairs: support counts baskets, dedupes multiplicity, caps size") {
     def ev(id: Long, day: Int, user: Long, item: String) =
       (id, ts(f"2024-01-$day%02d 10:00:00"), user, "purchase", 1.0,
