@@ -73,15 +73,18 @@ object EventQueries {
 
   /** Cohort revenue matrix — the LTV complement of user retention: users
     * cohorted by FIRST purchase day, revenue rolled up by (cohort day,
-    * whole weeks since acquisition). Two shuffles: the per-user first-day
-    * aggregate (which then BROADCASTS back over the purchase stream —
-    * users compress to one row each) and the final (cohort, age) rollup;
-    * the age arithmetic is integer floor-div, exact in both engines. */
+    * whole weeks since acquisition). Three shuffles, all user/cohort
+    * keyed: the per-user first-day aggregate, the user_id EQUI-join back
+    * over the purchase stream (a shuffle join on purpose — one row per
+    * user is an UNBOUNDED cardinality that must never broadcast; the key
+    * matches the aggregate's partitioning, so the build side's exchange
+    * is reused), and the final (cohort, age) rollup; age arithmetic is
+    * integer floor-div, exact in both engines. */
   def cohortRevenue(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
     val cohorts = p.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
-    p.join(broadcast(cohorts), "user_id")
+    p.join(cohorts.hint("shuffle_hash"), "user_id")
       .withColumn("age_weeks",
         expr("datediff(d, cohort_day) div 7").cast("long"))
       .groupBy(col("cohort_day"), col("age_weeks"))
@@ -101,20 +104,25 @@ object EventQueries {
     * the pair fan-out is per-basket |items|² — guarded by `maxBasket`
     * (a corpus-scale crawler account with thousands of items would
     * otherwise quadratically dominate its task; the cap is the standard
-    * basket-mining hygiene and is mirrored in the oracle). Support
-    * aggregation partials map-side. `item1 < item2` canonicalizes pair
-    * order (string compare — identical in both engines). */
+    * basket-mining hygiene and is mirrored in the oracle). The cap is a
+    * map-side-partial COUNT + an AQE-splittable equi-join, NOT a window
+    * over the basket key (the round-6 cap discipline: a window funnels
+    * the uncapped giant basket through one task's sort before the
+    * filter can drop it). Support aggregation partials map-side.
+    * `item1 < item2` canonicalizes pair order (string compare —
+    * identical in both engines). */
   def basketPairs(events: DataFrame, minSupport: Long = 2,
       maxBasket: Int = 100): DataFrame = {
-    val w = Window.partitionBy(col("d"), col("user_id"))
-    val items = events.filter(col("event_type") === "purchase")
+    val raw = events.filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("d"), col("user_id"),
         get_json_object(col("props"), "$.k").as("item"))
       .filter(col("item").isNotNull)
       .distinct()
-      .withColumn("bs", count(lit(1)).over(w))
+    val okBaskets = raw.groupBy("d", "user_id")
+      .agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= maxBasket)
-      .drop("bs")
+      .select("d", "user_id")
+    val items = raw.join(okBaskets.hint("shuffle_hash"), Seq("d", "user_id"))
     items.as("a").join(items.as("b"),
         col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
           col("a.item") < col("b.item"))
@@ -154,8 +162,10 @@ object EventQueries {
       Seq(col("recency").desc, col("user_id")), "r_rn")
     val withF = Ordinals.globalRowNumbers(withR,
       Seq(col("frequency"), col("user_id")), "f_rn")
+    // NULLS LAST pinned: an all-NULL-valued user's monetary is null;
+    // DuckDB's ascending row_number puts it LAST, Spark's default FIRST
     val withM = Ordinals.globalRowNumbers(withF,
-      Seq(col("monetary"), col("user_id")), "m_rn")
+      Seq(col("monetary").asc_nulls_last, col("user_id")), "m_rn")
     withM
       .withColumn("r_q", expr("(r_rn - 1) * 5 div n_users + 1"))
       .withColumn("f_q", expr("(f_rn - 1) * 5 div n_users + 1"))

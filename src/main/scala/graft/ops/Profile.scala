@@ -34,32 +34,8 @@ object Profile {
   val DocumentCols: Seq[String] =
     Seq("doc_id", "text", "lang", "source", "n_chars")
 
-  def columnProfile(df: DataFrame): DataFrame = {
-    val cols = df.schema.fieldNames.toSeq
-    val aggs = cols.flatMap { c =>
-      val len = length(col(c).cast("string"))
-      Seq(
-        count(col(c)).as(s"${c}__nn"),
-        countDistinct(md5(col(c).cast("string"))).as(s"${c}__nd"),
-        min(len).as(s"${c}__mnl"),
-        max(len).as(s"${c}__mxl"),
-        sum(len.cast("long")).as(s"${c}__sl"))
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stacked = cols.map(c =>
-      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mnl`, `${c}__mxl`, `${c}__sl`")
-      .mkString(", ")
-    one
-      .selectExpr("__n", s"stack(${cols.length}, $stacked) AS " +
-        "(col_name, nn, n_distinct, min_len, max_len, sum_len)")
-      .select(col("col_name"),
-        col("__n").as("n_rows"),
-        (col("__n") - col("nn")).as("n_nulls"),
-        col("n_distinct"),
-        col("min_len"), col("max_len"),
-        round2(col("sum_len").cast("double") / col("nn"), 2).as("avg_len"))
-      .orderBy("col_name")
-  }
+  def columnProfile(df: DataFrame): DataFrame =
+    profileCore(df, c => countDistinct(md5(c.cast("string"))))
 
   /** The 100 TB SCALE PATH: identical schema, HLL-approximate distincts.
     * [[columnProfile]]'s exact multi-DISTINCT plans an Expand — input ×
@@ -69,13 +45,22 @@ object Profile {
     * map-side, one single-row shuffle). The exact form rides the hash
     * gate; this one is spec-bound to it within HLL error (the
     * price_quantiles / dau_approx exact-vs-sketch pairing). */
-  def columnProfileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
+  def columnProfileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
+    profileCore(df, c => approx_count_distinct(c, rsd))
+
+  /** Shared body: one aggregate + stack; `ndAgg` is the ONLY divergence
+    * between the exact (digest-distinct) and approximate (HLL) paths, so
+    * the two stay in lockstep with each other and with the generated
+    * [[profileSql]] mirror. */
+  private def profileCore(df: DataFrame,
+      ndAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val cols = df.schema.fieldNames.toSeq
     val aggs = cols.flatMap { c =>
       val len = length(col(c).cast("string"))
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        ndAgg(col(c)).as(s"${c}__nd"),
         min(len).as(s"${c}__mnl"),
         max(len).as(s"${c}__mxl"),
         sum(len.cast("long")).as(s"${c}__sl"))
