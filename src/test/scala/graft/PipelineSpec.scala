@@ -82,6 +82,20 @@ class PipelineSpec extends SparkSpec {
     assert(orcBack == rows)
   }
 
+  test("orc scan keeps predicate pushdown and column pruning") {
+    val docs = graft.ingest.Sources.table(spark, sf("sf0.001"), "documents")
+    val tmp = Files.createTempDirectory("graft-orc-push")
+    graft.sink.Sinks.writeOrc(docs, s"$tmp/d")
+    val q = graft.ingest.Sources.orc(spark, s"$tmp/d")
+      .filter($"doc_id" > 100L).select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)"),
+      s"orc pushdown missing:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"orc pruning missing:\n$scan")
+  }
+
   test("registered views make the surface spark.sql-addressable") {
     ingest.Sources.registerViews(spark, sf("sf0.001"))
     val viaSql = spark.sql(
