@@ -148,7 +148,9 @@ object Sinks {
       reportingPath: String, checkpoint: String,
       reporting: DataFrame => DataFrame,
       incremental: Boolean = true,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      quarantinePath: String = null,
+      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (incremental) {
       // schema-only dry run over an empty frame with EXACTLY the runtime
@@ -184,7 +186,7 @@ object Sinks {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
-          incremental, lineage)
+          incremental, lineage, quarantinePath, rules)
       }
       .start()
   }
@@ -206,14 +208,34 @@ object Sinks {
     *    matter how many times a batch replays. */
   def warehouseBatch(batch: DataFrame, batchId: Long, rawPath: String,
       reportingPath: String, reporting: DataFrame => DataFrame,
-      incremental: Boolean = true, lineage: String = ""): Unit = {
+      incremental: Boolean = true, lineage: String = "",
+      quarantinePath: String = null,
+      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     val spark = batch.sparkSession
     // replay of (lineage, batchId) replaces exactly its own partitions;
     // distinct lineages (distinct checkpoints on a shared rawPath) never
     // collide — see streamToWarehouse's salt derivation
     val batchKey =
       if (lineage.isEmpty) batchId.toString else s"$lineage-$batchId"
-    val stamped = batch.withColumn("event_date", to_date(col("ts")))
+    // DEAD-LETTER layer: rule-failing rows land under quarantinePath with
+    // the SAME (event_date, ingest_batch) dynamic-overwrite layout, so
+    // the replay-idempotence argument covers the quarantine verbatim
+    // (rules are deterministic → a replayed batch re-derives the same
+    // split and replaces exactly its own partitions). RAW and reporting
+    // see only the VALID half — the dashboard never averages a rule
+    // violation, and the dead letter is replayable for forensics.
+    val valid =
+      if (rules.isEmpty || quarantinePath == null) batch
+      else {
+        val (ok, bad) = graft.ingest.Cleaning.splitQuarantine(batch, rules)
+        bad.withColumn("event_date", to_date(col("ts")))
+          .withColumn("ingest_batch", lit(batchKey))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date", "ingest_batch").parquet(quarantinePath)
+        ok
+      }
+    val stamped = valid.withColumn("event_date", to_date(col("ts")))
       .withColumn("ingest_batch", lit(batchKey))
     stamped.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -131,6 +131,50 @@ class WarehouseSpec extends SparkSpec {
       java.sql.Date.valueOf("2024-01-02") -> 5.0))
   }
 
+  test("dead-letter layer: quarantined rows split out, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Files.createTempDirectory("graft-raw-q").toString
+    val rep = Files.createTempDirectory("graft-rep-q").toString
+    val dead = Files.createTempDirectory("graft-dead-q").toString
+    val ck = Files.createTempDirectory("graft-ck-q").toString
+    val mem = MemoryStream[PropEvent]
+    val q = Sinks.streamToWarehouse(mem.toDF(), raw, rep, ck,
+      EventQueries.dailyRevenue, quarantinePath = dead,
+      rules = graft.ingest.Cleaning.standardEventRules)
+    try {
+      mem.addData(
+        PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+        PropEvent(2, ts("2024-01-01 11:00:00"), 2, "purchase", 0.5, "{}"), // micro
+        PropEvent(3, ts("2024-01-01 12:00:00"), 3, "error", 1.0, "{}"))    // error
+      q.processAllAvailable()
+    } finally q.stop()
+    // dead letter holds exactly the violating rows, with reasons
+    val bad = spark.read.parquet(dead)
+      .select("event_id", "quarantine_reason")
+      .as[(Long, String)].collect().toMap
+    assert(bad == Map(2L -> "micro_purchase", 3L -> "error_event"))
+    // RAW and reporting see only the valid half
+    assert(spark.read.parquet(raw).select("event_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(reportingMap(rep)(java.sql.Date.valueOf("2024-01-01")) == 10.0)
+    // replaying the batch replaces the dead-letter partitions (no dupes)
+    val batch = Seq(
+      PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+      PropEvent(2, ts("2024-01-01 11:00:00"), 2, "purchase", 0.5, "{}"),
+      PropEvent(3, ts("2024-01-01 12:00:00"), 3, "error", 1.0, "{}")).toDF()
+    val lineage = "x"
+    Sinks.warehouseBatch(batch, 7, raw, rep, EventQueries.dailyRevenue,
+      lineage = lineage, quarantinePath = dead,
+      rules = graft.ingest.Cleaning.standardEventRules)
+    Sinks.warehouseBatch(batch, 7, raw, rep, EventQueries.dailyRevenue,
+      lineage = lineage, quarantinePath = dead,
+      rules = graft.ingest.Cleaning.standardEventRules)
+    val deadIds = spark.read.parquet(dead)
+      .filter(col("ingest_batch") === "x-7")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(deadIds == Seq(2L, 3L), s"replay duplicated dead letter: $deadIds")
+  }
+
   test("two pipelines sharing a rawPath never overwrite each other's batches") {
     // batchIds are checkpoint-scoped: without the lineage salt, a backfill
     // with a FRESH checkpoint would replay ingest_batch=0 and the dynamic
