@@ -157,8 +157,37 @@ object SparkEntry {
     "q_top_orders" -> ((s, dir) => RelationalQueries.topOrders(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
       Sources.table(s, dir, "customer"))),
+    // TPC-H Q17 shape: correlated scalar subquery decorrelated into an
+    // aggregate + shuffle-hash self-join (never a per-row probe)
+    "q_small_qty_revenue" -> ((s, dir) => RelationalQueries
+      .smallQuantityRevenue(Sources.table(s, dir, "lineitem"),
+        Sources.table(s, dir, "part"))),
     "q_order_priority" -> ((s, dir) => RelationalQueries.orderPriority(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"))),
+    // TPC-H Q15 shape: agg materialized once (localCheckpoint), max as a
+    // broadcast scalar — never a global window sort
+    "q_top_supplier" -> ((s, dir) => RelationalQueries.topSupplier(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "supplier"))),
+    // TPC-H Q13 shape: orders pre-aggregated before the customer join;
+    // coalesce(n, 0) keeps the zero-order customers
+    "q_order_count_dist" -> ((s, dir) => RelationalQueries
+      .orderCountDistribution(Sources.table(s, dir, "customer"),
+        Sources.table(s, dir, "orders"))),
+    // TPC-H Q16 shape: distinct fact pairs first, anti-join the deficit
+    // suppliers, count distinct per (brand, size)
+    "q_supplier_variety" -> ((s, dir) => RelationalQueries.supplierVariety(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "part"),
+      Sources.table(s, dir, "supplier"))),
+    // TPC-H Q22 shape: cross-multiplied exact-decimal threshold (never a
+    // divided average), anti-join on the distinct order custkeys
+    "q_idle_rich_customers" -> ((s, dir) => RelationalQueries
+      .idleRichCustomers(Sources.table(s, dir, "customer"),
+        Sources.table(s, dir, "orders"))),
+    // TPC-H Q7 flavour: supplier-nation vs customer-nation revenue share
+    "q_local_supply_share" -> ((s, dir) => RelationalQueries.localSupplyShare(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "customer"), Sources.table(s, dir, "supplier"),
+      Sources.table(s, dir, "nation"))),
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
@@ -992,11 +1021,80 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // whole-number quantities → exact double sums → identical thresholds
+    "q_small_qty_revenue" ->
+      s"""WITH t AS (
+         |  SELECT l_partkey, CAST(0.2 AS DOUBLE) * avg(l_quantity) AS thr
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+         |  $Rev AS small_revenue
+         |FROM lineitem l
+         |JOIN t USING (l_partkey)
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE l_quantity < thr
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $Rev AS total_revenue FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01'
+         |    AND l_shipdate < DATE '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_order_count_dist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // cross-multiplied threshold: exact decimal on both sides, no division
+    "q_idle_rich_customers" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_local_supply_share" ->
+      s"""SELECT n_name,
+         |  COALESCE(CAST(round(sum(CAST(CASE WHEN s_nationkey = c_nationkey
+         |      THEN l_extendedprice * (1 - l_discount) END
+         |    AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS local_revenue,
+         |  $Rev AS total_revenue,
+         |  floor((COALESCE(CAST(round(sum(CAST(CASE WHEN s_nationkey = c_nationkey
+         |      THEN l_extendedprice * (1 - l_discount) END
+         |    AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0)
+         |    / (CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+         |        AS DECIMAL(18,6))), 2) AS DOUBLE))) * 10000 + 0.5) / 10000
+         |    AS local_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Exprs._
 
@@ -45,6 +46,32 @@ object RelationalQueries {
       .agg(moneySum(revenue).as("revenue"))
       .orderBy(col("revenue").desc, col("p_brand"))
       .limit(k)
+
+  /** Small-quantity revenue per brand (the TPC-H Q17 shape): line items
+    * whose quantity sits below 20% of their part's average quantity —
+    * the correlated scalar subquery DECORRELATED into an aggregate +
+    * self-join, the standard rewrite at scale (a correlated probe per
+    * row would re-scan lineitem per part).
+    *
+    * The per-part threshold frame is one row per partkey — UNBOUNDED, so
+    * it joins back via shuffle hash on the same key that produced it
+    * (exchange reuse), never a broadcast. `part` has no hint: it is a
+    * dimension whose size scales with SF, so AQE decides broadcast vs
+    * shuffle at runtime from the actual build size. Exactness: quantities
+    * are whole numbers, so their double sums are order-independent
+    * integers and avg/threshold/predicate are identical bits in both
+    * engines. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val thr = lineitem.groupBy("l_partkey")
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("thr"))
+    lineitem.join(thr.hint("shuffle_hash"), "l_partkey")
+      .filter(col("l_quantity") < col("thr"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        moneySum(revenue).as("small_revenue"))
+      .orderBy("p_brand")
+  }
 
   /** Revenue by customer nation: a 3-table chain
     * (nation ⋈ customer ⋈ orders ⋈ lineitem). nation+customer are
@@ -121,4 +148,124 @@ object RelationalQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over a shipdate
+    * quarter, keep the supplier(s) achieving the global max.
+    *
+    * The aggregate is consumed twice (once for the max scalar, once for
+    * the filter), so it is eagerly materialized with `localCheckpoint` —
+    * suppliers-sized, vs scanning the fact table twice if the subtree were
+    * recomputed. The max is a 1-row broadcast-scalar crossJoin; equality
+    * on the rounded revenue double is exact (identical decimal inputs →
+    * identical bits in both engines). The final supplier join is unhinted:
+    * the filtered side is tie-bounded but `supplier` scales with SF, so
+    * AQE picks broadcast vs shuffle from runtime sizes. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("date") &&
+        col("l_shipdate") < lit(until).cast("date"))
+      .groupBy("l_suppkey")
+      .agg(moneySum(revenue).as("total_revenue"))
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q13-style order-count distribution: how many customers placed
+    * exactly N orders, zero included.
+    *
+    * Orders are pre-aggregated to (custkey, n) BEFORE touching customer —
+    * the map-side-partial-then-join discipline — so the join input is
+    * customers-sized on both sides, and the LEFT join + `coalesce(n, 0)`
+    * preserves order-less customers (the COUNT(o_orderkey)-over-LEFT-JOIN
+    * semantics, without shuffling the orders fact through a per-customer
+    * group-by of the joined rows). The final histogram re-agg is
+    * distinct-counts-sized. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers per
+    * (brand, size), excluding suppliers in deficit (`s_acctbal < 0`) — the
+    * NOT-IN-complaint-suppliers shape as a left anti join.
+    *
+    * The fact table is first projected to DISTINCT (partkey, suppkey)
+    * pairs — the only columns the query needs — so everything downstream
+    * of the one fact-sized shuffle is pairs-sized. The anti-join side and
+    * `part` are unhinted (both scale with SF; AQE decides). Single-column
+    * count distinct plans as a two-phase aggregate, no Expand. */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  /** TPC-H Q22-style idle rich customers: customers whose balance exceeds
+    * the average positive balance yet placed no orders, rolled up by
+    * market segment.
+    *
+    * The global threshold is computed as exact decimal (sum, count) and
+    * applied CROSS-MULTIPLIED — `bal * n > s` — so the predicate never
+    * divides: both engines evaluate exact decimal arithmetic and the
+    * boolean matches bit-free. (D(12,2) accumulators: acctbal is 2dp
+    * money, and D(18,6) products would overflow DuckDB's multiply — the
+    * profiling-round rule.) The 1-row stats frame is a broadcast-scalar
+    * crossJoin; the no-orders test is a left anti join on the
+    * custkey-distinct projection of orders. */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val bal = col("c_acctbal").cast(DecimalType(12, 2))
+    val stats = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("s"), count(lit(1)).as("n"))
+    customer.crossJoin(broadcast(stats))
+      .filter(bal * col("n") > col("s"))
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q7-flavoured local-supply share: per customer nation, the
+    * fraction of revenue supplied from within that same nation.
+    *
+    * One fact-fact shuffle (lineitem ⋈ orders); the customer and supplier
+    * key→nation maps are unhinted SF-scaled sides (AQE decides), `nation`
+    * is a true broadcast. Local and total revenue ride one aggregate pass
+    * (conditional decimal sums); the share is a single double division of
+    * two exact-decimal-derived doubles — identical inputs, identical IEEE
+    * result in both engines — rounded engine-agnostically to 4dp. */
+  def localSupplyShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nation")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        coalesce(moneySum(when(col("supp_nation") === col("c_nationkey"),
+          col("rev"))), lit(0.0)).as("local_revenue"),
+        moneySum(col("rev")).as("total_revenue"))
+      .withColumn("local_share",
+        round2(col("local_revenue") / col("total_revenue"), 4))
+      .orderBy("n_name")
 }

@@ -61,6 +61,40 @@ class RelationalAndSinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("TPC-H family plans: no global window, no Expand, scalar broadcasts") {
+    val dir = sf("sf0.001")
+    val li = Sources.table(spark, dir, "lineitem")
+    // topSupplier: the max-of-aggregate must ride a broadcast scalar, never
+    // a global (single-task) Window sort over the per-supplier aggregate
+    val ts = RelationalQueries.topSupplier(li,
+      Sources.table(spark, dir, "supplier"))
+    val tsPlan = ts.queryExecution.executedPlan.toString
+    assert(!tsPlan.contains("Window"), s"global window in:\n$tsPlan")
+    // Catalyst rewrites the crossJoin + equality filter into a
+    // BroadcastHashJoin on the normalized double — accept any broadcast
+    // of the 1-row max frame, reject a shuffled (SortMergeJoin) plan
+    assert(tsPlan.contains("BroadcastExchange"),
+      s"max scalar not broadcast in:\n$tsPlan")
+    assert(!tsPlan.contains("SortMergeJoin"),
+      s"scalar join shuffled in:\n$tsPlan")
+    assert(ts.count() >= 1)
+    // supplierVariety: single-column count distinct plans as a two-phase
+    // aggregate (no Expand), with the deficit suppliers anti-joined
+    val sv = RelationalQueries.supplierVariety(li,
+      Sources.table(spark, dir, "part"), Sources.table(spark, dir, "supplier"))
+    val svPlan = sv.queryExecution.executedPlan.toString
+    assert(!svPlan.contains("Expand"), s"Expand in:\n$svPlan")
+    assert(svPlan.contains("LeftAnti"), s"no anti join in:\n$svPlan")
+    // idleRichCustomers: 1-row stats frame broadcast, no-orders as anti join
+    val ir = RelationalQueries.idleRichCustomers(
+      Sources.table(spark, dir, "customer"),
+      Sources.table(spark, dir, "orders"))
+    val irPlan = ir.queryExecution.executedPlan.toString
+    assert(irPlan.contains("BroadcastNestedLoopJoin"),
+      s"threshold scalar not broadcast in:\n$irPlan")
+    assert(irPlan.contains("LeftAnti"), s"no anti join in:\n$irPlan")
+  }
+
   test("kafka envelope round-trips through from_json") {
     val events = Sources.events(spark, sf("sf0.001"))
     val env = Sinks.jsonEnvelope(events)
