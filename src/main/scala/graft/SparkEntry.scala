@@ -188,6 +188,24 @@ object SparkEntry {
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
       Sources.table(s, dir, "customer"), Sources.table(s, dir, "supplier"),
       Sources.table(s, dir, "nation"))),
+    // TPC-H Q14 shape: conditional promo/total sums in one aggregate pass
+    "q_promo_revenue_share" -> ((s, dir) => RelationalQueries
+      .promoRevenueShare(Sources.table(s, dir, "lineitem"),
+        Sources.table(s, dir, "part"))),
+    // TPC-H Q8 shape: yearly nation market share within a customer region
+    "q_market_share" -> ((s, dir) => RelationalQueries.marketShare(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "customer"), Sources.table(s, dir, "supplier"),
+      Sources.table(s, dir, "nation"), Sources.table(s, dir, "region"))),
+    // TPC-H Q9 shape: profit rollup by supplier nation and order year
+    "q_profit_by_nation_year" -> ((s, dir) => RelationalQueries
+      .profitByNationYear(Sources.table(s, dir, "lineitem"),
+        Sources.table(s, dir, "orders"), Sources.table(s, dir, "supplier"),
+        Sources.table(s, dir, "part"), Sources.table(s, dir, "nation"))),
+    // TPC-H Q19 shape: OR-of-ANDs with derived single-side pushdowns
+    "q_disjunctive_revenue" -> ((s, dir) => RelationalQueries
+      .disjunctiveRevenue(Sources.table(s, dir, "lineitem"),
+        Sources.table(s, dir, "part"))),
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
@@ -1094,6 +1112,62 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the share divides the ALREADY-materialized rounded doubles of the
+    // subquery — the same op order as Spark's withColumn over the aggregate
+    "q_promo_revenue_share" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+         |    CAST(month(l_shipdate) AS INT) AS mo,
+         |    COALESCE(CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+         |        THEN l_extendedprice * (1 - l_discount) END
+         |      AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS promo_revenue,
+         |    $Rev AS total_revenue
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY 1, 2)
+         |SELECT yr, mo, promo_revenue, total_revenue,
+         |  floor(promo_revenue / total_revenue * 10000 + 0.5) / 10000
+         |    AS promo_share
+         |FROM base ORDER BY yr, mo""".stripMargin,
+    "q_market_share" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         |    COALESCE(CAST(round(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+         |        THEN l_extendedprice * (1 - l_discount) END
+         |      AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS nation_revenue,
+         |    $Rev AS total_revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  GROUP BY 1)
+         |SELECT yr, nation_revenue, total_revenue,
+         |  floor(nation_revenue / total_revenue * 10000 + 0.5) / 10000
+         |    AS mkt_share
+         |FROM base ORDER BY yr""".stripMargin,
+    "q_profit_by_nation_year" ->
+      """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the OR-of-ANDs is GENERATED from RelationalQueries.DisjunctWindows —
+    // the mirror states only the disjunction; Spark additionally pushes the
+    // derived single-side envelopes, and the hash gate certifies they are
+    // implied (lossless)
+    "q_disjunctive_revenue" ->
+      s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         |  $Rev AS disc_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE ${RelationalQueries.disjunctSql}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -268,4 +268,138 @@ object RelationalQueries {
       .withColumn("local_share",
         round2(col("local_revenue") / col("total_revenue"), 4))
       .orderBy("n_name")
+
+  /** TPC-H Q14-style promo revenue share: per ship month, the fraction of
+    * discounted revenue earned by promotional parts.
+    *
+    * One aggregate pass carries both conditional decimal sums; `part` is
+    * unhinted (SF-scaled; AQE decides build side). Month keys are
+    * `year()`/`month()` ints — calendar functions agree across engines,
+    * unlike formatted timestamp renderings. The share divides two
+    * exact-decimal-derived doubles (identical bits both engines), rounded
+    * engine-agnostically to 4dp. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(
+        coalesce(moneySum(when(col("p_type") === "PROMO", revenue)), lit(0.0))
+          .as("promo_revenue"),
+        moneySum(revenue).as("total_revenue"))
+      .withColumn("promo_share",
+        round2(col("promo_revenue") / col("total_revenue"), 4))
+      .orderBy("yr", "mo")
+
+  /** TPC-H Q8-style market share: within one customer region, the yearly
+    * revenue share supplied by one nation.
+    *
+    * `nation` and `region` are true broadcasts (≤25 / 5 rows at any SF);
+    * the region predicate filters customers BEFORE the fact join, so
+    * non-region orders never shuffle. The supplier side joins its own
+    * broadcast copy of nation (aliased — the two nation roles are distinct
+    * join keys). Share numerics follow the Q7/Q14 discipline. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, targetRegion: String = "ASIA",
+      suppNation: String = "NATION_2"): DataFrame = {
+    val regionCust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNations = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNations, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        coalesce(moneySum(when(col("supp_nation") === suppNation, col("rev"))),
+          lit(0.0)).as("nation_revenue"),
+        moneySum(col("rev")).as("total_revenue"))
+      .withColumn("mkt_share",
+        round2(col("nation_revenue") / col("total_revenue"), 4))
+      .orderBy("yr")
+  }
+
+  /** TPC-H Q9-style profit by supplier nation and order year. The cost
+    * model uses `p_retailprice * l_quantity` (the schema carries no
+    * partsupp/supplycost), so profit = discounted revenue − retail cost —
+    * the same join/aggregate shape as Q9 with an available cost basis.
+    *
+    * The profit expression is cast to exact decimal PER ROW before the sum
+    * (2dp retail × whole-number qty and 4dp revenue both fit in 6 fractional
+    * digits), keeping the aggregate order-independent. One fact-fact
+    * shuffle; part/supplier key-maps unhinted (AQE); nation broadcast. */
+  def profitByNationYear(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, part: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(part.select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("supp_nation"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(moneySum(revenue - col("p_retailprice") * col("l_quantity"))
+        .as("sum_profit"))
+      .orderBy("supp_nation", "yr")
+
+  /** One branch of the Q19-style disjunctive predicate: a brand with its
+    * admissible size and quantity windows. Shared constants — the Spark
+    * predicate AND the oracle SQL are both generated from [[DisjunctWindows]]
+    * so the two engines can never drift. */
+  final case class BrandWindow(brand: String, sizeMax: Int,
+      qtyMin: Int, qtyMax: Int)
+
+  val DisjunctWindows: Seq[BrandWindow] = Seq(
+    BrandWindow("Brand#12", 15, 1, 20),
+    BrandWindow("Brand#23", 25, 10, 30),
+    BrandWindow("Brand#13", 35, 20, 40))
+
+  /** The OR-of-ANDs rendered for the DuckDB mirror. */
+  def disjunctSql: String = DisjunctWindows.map(w =>
+    s"(p_brand = '${w.brand}' AND p_size BETWEEN 1 AND ${w.sizeMax}" +
+      s" AND l_quantity BETWEEN ${w.qtyMin} AND ${w.qtyMax})")
+    .mkString("\n   OR ")
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: revenue per brand over
+    * an OR of per-brand (size, quantity) windows.
+    *
+    * An OR spanning both join sides cannot push down as-is, so the IMPLIED
+    * single-side predicates are derived and applied before the join — the
+    * quantity envelope on lineitem and the brand-IN + size envelope on part
+    * (lossless: every disjunct implies them). `.explain` shows both reach
+    * the parquet scans as PushedFilters; the exact OR then runs on the
+    * joined (already heavily pruned) rows. The mirror states only the OR —
+    * semantically identical, so the hash gate certifies the derivation. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val disjunct = DisjunctWindows.map(w =>
+      col("p_brand") === w.brand &&
+        col("p_size").between(1, w.sizeMax) &&
+        col("l_quantity").between(w.qtyMin, w.qtyMax)).reduce(_ || _)
+    val qtyLo = DisjunctWindows.map(_.qtyMin).min
+    val qtyHi = DisjunctWindows.map(_.qtyMax).max
+    val sizeHi = DisjunctWindows.map(_.sizeMax).max
+    val brands = DisjunctWindows.map(_.brand)
+    lineitem.filter(col("l_quantity").between(qtyLo, qtyHi))
+      .join(part.filter(col("p_brand").isin(brands: _*) &&
+          col("p_size").between(1, sizeHi)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(disjunct)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), moneySum(revenue).as("disc_revenue"))
+      .orderBy("p_brand")
+  }
 }

@@ -95,6 +95,39 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(irPlan.contains("LeftAnti"), s"no anti join in:\n$irPlan")
   }
 
+  test("disjunctive revenue pushes the derived envelopes to both scans") {
+    val dir = sf("sf0.001")
+    val dr = RelationalQueries.disjunctiveRevenue(
+      Sources.table(spark, dir, "lineitem"), Sources.table(spark, dir, "part"))
+    val plan = dr.queryExecution.executedPlan.toString
+    // the OR spans both sides and can't push as-is; the derived single-side
+    // predicates must reach the parquet scans
+    assert(plan.contains("In(p_brand"), s"brand IN not pushed in:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_quantity,40"),
+      s"quantity envelope not pushed in:\n$plan")
+    val rows = dr.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) > 0))
+  }
+
+  test("market share broadcasts both nation roles and the region filter") {
+    val dir = sf("sf0.001")
+    val ms = RelationalQueries.marketShare(
+      Sources.table(spark, dir, "lineitem"), Sources.table(spark, dir, "orders"),
+      Sources.table(spark, dir, "customer"),
+      Sources.table(spark, dir, "supplier"), Sources.table(spark, dir, "nation"),
+      Sources.table(spark, dir, "region"))
+    val plan = ms.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+      || plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed in:\n$plan")
+    val rows = ms.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $r")
+    }
+  }
+
   test("kafka envelope round-trips through from_json") {
     val events = Sources.events(spark, sf("sf0.001"))
     val env = Sinks.jsonEnvelope(events)
