@@ -245,6 +245,9 @@ object SparkEntry {
     "q_corpus_card" -> docs(TextOps.corpusCard),
     "q_doc_quality" -> docs(TextOps.qualityScores),
     "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
+    // C4-style badwords gate; the blocked set is shared with the generated
+    // mirror via TextOps.Blocklist/blocklistSql
+    "q_blocklist_filter" -> docs(TextOps.blocklistFilter(_)),
     // benchmark split by id residue: docs with doc_id % 25 == 0 play the
     // eval set, the rest the training corpus
     "q_contamination" -> docs(d => Decontaminate.contaminationReport(
@@ -1322,6 +1325,24 @@ object SparkEntry {
          |  NOT (n_tokens < 15 OR lexical_diversity < 0.3
          |       OR stopword_ratio < 0.02) AS kept
          |FROM q ORDER BY doc_id""".stripMargin,
+    // blocked IN-set generated from TextOps.Blocklist (shared-constant
+    // discipline); hits re-joined LEFT so block-free docs stay with 0/''
+    "q_blocklist_filter" ->
+      s"""WITH hit AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok IN (${TextOps.blocklistSql})),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocked,
+         |    string_agg(DISTINCT tok, ',' ORDER BY tok) AS blocked_terms
+         |  FROM hit GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_blocked, 0) AS BIGINT) AS n_blocked,
+         |  COALESCE(a.blocked_terms, '') AS blocked_terms,
+         |  a.doc_id IS NULL AS kept
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // string shingles mirror Spark's hashed shingles (collision-free at
     // these set sizes, same argument as q_ngram_jaccard); bench = docs with
     // doc_id % 25 == 0, corpus = the rest, contamination = set containment

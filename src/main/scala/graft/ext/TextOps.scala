@@ -95,6 +95,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Default blocked vocabulary for [[blocklistFilter]] — stands in for the
+    * C4/RefinedWeb badwords list (the real lists are thousands of terms;
+    * the mechanism is identical). SORTED so the rendered oracle IN-list and
+    * the Spark literal array agree positionally as well as set-wise. */
+  val Blocklist: Seq[String] = Seq("dup", "error", "slow").sorted
+
+  /** The blocked vocabulary rendered for the generated DuckDB mirror. */
+  def blocklistSql: String = Blocklist.map(w => s"'$w'").mkString(", ")
+
+  /** C4-style blocklist gate: per document, how many tokens hit the blocked
+    * vocabulary, WHICH distinct terms hit (sorted, comma-joined — a string
+    * so the hash gate compares a stable rendering, not array semantics),
+    * and the keep decision. The standard badwords pass a pretraining
+    * pipeline runs alongside the quality gate.
+    *
+    * One per-row pass: tokenize once into a materialized column, then the
+    * occurrence count rides a `filter` HOF whose lambda touches only the
+    * token variable and a literal set (the round-6 small-fan-out rule), and
+    * the distinct-hit list rides codegen'd `array_intersect` + `array_sort`
+    * against the same literal array. No shuffle, no join — the gate pushes
+    * down with the scan; at 100 TB a real list would swap the literal
+    * IN-set for an Aho-Corasick-style custom expression, same plumbing. */
+  def blocklistFilter(documents: DataFrame,
+      blocklist: Seq[String] = Blocklist): DataFrame = {
+    val blockedArr = array(blocklist.sorted.map(lit): _*)
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(filter(col("toks"), t => t.isin(blocklist: _*)))
+          .cast(LongType).as("n_blocked"),
+        concat_ws(",", array_sort(array_intersect(col("toks"), blockedArr)))
+          .as("blocked_terms"))
+      .withColumn("kept", col("n_blocked") === 0L)
+      .orderBy("doc_id")
+  }
+
   /** The surviving corpus: documents passing every [[qualityFilter]] rule.
     * The rules are per-row, so this is a pure map-side filter — no join, no
     * shuffle, pushes down with the scan like any predicate. */

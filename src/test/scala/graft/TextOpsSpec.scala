@@ -81,6 +81,22 @@ class TextOpsSpec extends SparkSpec {
       s"keepClean should be a map-side filter:\n$plan")
   }
 
+  test("blocklistFilter counts occurrences, lists distinct hits, keeps clean docs") {
+    val df = Seq(
+      (0L, "clean text with no bad words"),
+      (1L, "slow query slow scan"),            // one term, twice
+      (2L, "dup rows and error and slow io"),  // all three, once each
+      (3L, "slowly duplicated")                // substrings must NOT match
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(df)
+      .as[(Long, Long, String, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 0L, "", true),
+      (1L, 2L, "slow", false),
+      (2L, 3L, "dup,error,slow", false),
+      (3L, 0L, "", true)))
+  }
+
   test("repetitionScores flags looping text, zero for all-distinct trigrams") {
     val df = Seq(
       (0L, "a b a b a b a b"),          // 6 trigrams, 2 distinct, top 3
