@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Decontaminate, Dedup, Graph, Multimodal, Similarity, TextOps}
 import graft.ingest.Sources
 import graft.ops.{EventQueries, RelationalQueries, WindowedQueries}
 import graft.sink.{ArtifactStore, Sinks}
@@ -78,6 +78,21 @@ object SparkEntry {
     // "bought together": basket-keyed self-join, per-basket fan-out
     // capped, support counts baskets (items deduped per basket)
     "q_basket_pairs" -> ev(EventQueries.basketPairs(_)),
+    // PageRank over the symmetrized co-purchase graph: Pregel-shaped
+    // power iteration (one edge-keyed shuffle + one node aggregate per
+    // round, dangling mass as a broadcast scalar). Approximate by
+    // construction (fixed iterations) — rows-only entry; exact-reference
+    // proof in GraphSpec
+    "q_pagerank" -> ev(e => {
+      val pairs = EventQueries.basketPairs(e, minSupport = 2)
+        .select(col("item1"), col("item2"))
+      val edges = pairs
+        .select(col("item1").as("src"), col("item2").as("dst"))
+        .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
+      Graph.pageRank(edges)
+        .select(col("node"), Exprs.round2(col("rank"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+    }),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
     // dead-letter split: every quarantined row carries ALL failed rules

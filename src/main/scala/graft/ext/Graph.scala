@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** General graph analytics over edge DataFrames — the Pregel-shaped
+  * iterate-join-aggregate discipline the dedup clustering family
+  * ([[Dedup.connectedComponents]], [[Dedup.connectedComponentsStar]])
+  * already uses, extended to weighted propagation.
+  *
+  * Scale stance: every iteration is ONE key-partitioned shuffle join plus
+  * one aggregate (state ∝ nodes, messages ∝ edges — the Pregel cost
+  * model); per-round `localCheckpoint` truncates lineage so the plan never
+  * grows with iteration count; global scalars (teleport constant, dangling
+  * mass) ride 1-row broadcast frames, never a driver collect inside the
+  * loop. */
+object Graph {
+
+  /** Bounded-iteration PageRank (Page et al. 1999 / the classic power
+    * iteration) over a DIRECTED edge list `(src, dst)`; symmetrize the
+    * edges first for an undirected graph.
+    *
+    * Per round: contributions = ranks ⋈ edges on src (rank/out-degree to
+    * each dst, one shuffle on the edge key), then a per-node aggregate
+    * with the teleport term. Dangling nodes (no out-edges) do not leak
+    * mass: their aggregate rank is a 1-row frame broadcast-crossed into
+    * the update, redistributed uniformly — the standard correction, kept
+    * fully distributed. Node count (one scalar for the teleport constant)
+    * is the only driver-side action, taken once before the loop.
+    *
+    * Output: `(node, rank)`, ranks summing to ~1.0, ordered by rank desc
+    * with the node id as tiebreak. Iterations are FIXED (10 ≈ the classic
+    * convergence horizon for damping 0.85 on small-diameter graphs);
+    * approximate by construction, so this is a rows-only surface entry
+    * with the exact-reference proof in GraphSpec. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+    val nodes = sym.select(col("src").as("node"))
+      .union(sym.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty edge list")
+    val outDeg = sym.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val teleport = (1.0 - damping) / n
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      // rank mass sitting on nodes with no out-edges, redistributed
+      // uniformly — a 1-row broadcast frame, no driver action
+      val dangling = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .groupBy("node")
+        .agg(coalesce(sum(col("c")), lit(0.0)).as("inflow"))
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(teleport) +
+            lit(damping) * (col("inflow") + col("dm") / n)).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("rank").desc, col("node"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference power iteration, same update rule as [[Graph.pageRank]]. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { nd =>
+        val inflow = edges.collect {
+          case (s, dst) if dst == nd => r(s) / out(s)
+        }.sum
+        nd -> ((1.0 - d) / n + d * (inflow + dm / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference power iteration, dangling included") {
+    // D is dangling (incoming only): its mass must redistribute, not leak
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "D"))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iterations = 10)
+      .as[(String, Double)].collect().toMap
+    val want = refPageRank(edges, iters = 10, d = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (node, rank) =>
+      assert(math.abs(rank - want(node)) < 1e-9,
+        s"$node: got $rank want ${want(node)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass leaked: total ${got.values.sum}")
+  }
+
+  test("pageRank ranks the hub of a star graph first") {
+    // symmetrized star: HUB <-> each leaf; the hub must dominate
+    val leaves = (1 to 6).map(i => s"L$i")
+    val edges = leaves.flatMap(l => Seq(("HUB", l), (l, "HUB")))
+    val top = Graph.pageRank(edges.toDF("src", "dst")).limit(1)
+      .as[(String, Double)].collect().head
+    assert(top._1 == "HUB")
+  }
+
+  test("pageRank of a symmetric cycle is uniform") {
+    val cyc = Seq(("A", "B"), ("B", "C"), ("C", "A"))
+    val got = Graph.pageRank(cyc.toDF("src", "dst"))
+      .as[(String, Double)].collect()
+    got.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-12) }
+  }
+
+  test("q_pagerank entry runs over the co-purchase graph") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"mass total $total")
+    // ordered by rank desc
+    val ranks = rows.map(_.getDouble(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+}
