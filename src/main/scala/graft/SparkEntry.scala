@@ -95,6 +95,9 @@ object SparkEntry {
     }),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
+    // Deequ-shape constraint suite: one aggregate pass, per-constraint
+    // report; the distinct count shuffles 8-byte keys only
+    "q_data_checks" -> ev(ops.Checks.dataChecks),
     // dead-letter split: every quarantined row carries ALL failed rules
     "q_quarantine" -> ev(ev => {
       val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
@@ -801,6 +804,45 @@ object SparkEntry {
     // passing rule's NULL in both engines; SHARED by the batch and
     // streamed quarantine (the gate certifies their equivalence)
     "q_quarantine" -> QuarantineSql,
+    // metrics are ratios of exact longs — identical IEEE division both
+    // engines — floor-rounded to 6dp so even the >= threshold predicate
+    // rides the gate; the domain IN-list is generated from
+    // Checks.EventTypeDomain
+    "q_data_checks" ->
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(user_id) AS BIGINT) AS nn_user,
+         |    CAST(count(value) AS BIGINT) AS nn_value,
+         |    CAST(count(DISTINCT event_id) AS BIGINT) AS d_eid,
+         |    CAST(count(CASE WHEN event_type IN
+         |      (${ops.Checks.eventTypeDomainSql}) THEN 1 END) AS BIGINT)
+         |      AS in_dom,
+         |    CAST(count(CASE WHEN value >= 0 THEN 1 END) AS BIGINT)
+         |      AS nonneg,
+         |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |      AS BIGINT) AS n_purch
+         |  FROM events),
+         |c AS (
+         |  SELECT 'completeness_user_id' AS check_name,
+         |    floor(CAST(nn_user AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |      AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM a
+         |  UNION ALL SELECT 'completeness_value',
+         |    floor(CAST(nn_value AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+         |    CAST(1.0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'uniqueness_event_id',
+         |    floor(CAST(d_eid AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+         |    CAST(1.0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'domain_event_type',
+         |    floor(CAST(in_dom AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+         |    CAST(1.0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'non_negative_value',
+         |    floor(CAST(nonneg AS DOUBLE) / nn_value * 1000000 + 0.5)
+         |      / 1000000, CAST(1.0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 'purchase_share_min',
+         |    floor(CAST(n_purch AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+         |    CAST(0.01 AS DOUBLE) FROM a)
+         |SELECT check_name, metric, threshold, metric >= threshold AS passed
+         |FROM c ORDER BY check_name""".stripMargin,
     "q_stream_quarantine" -> QuarantineSql,
     // z-scores from EXACT DECIMAL(12,2) moments: every double below
     // derives from identical exact inputs, so both engines compute

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Exprs._
+
+/** Deequ-shape declarative data validation (the AWS Deequ / Great
+  * Expectations pattern): a constraint suite evaluated in ONE aggregate
+  * pass over the table, emitting a per-constraint report
+  * `(check_name, metric, threshold, passed)` — the gate a production
+  * pipeline runs before publishing a partition.
+  *
+  * Scale stance: every metric is a counter or a distinct-count inside a
+  * single-row aggregate — one scan, map-side partials, and the single
+  * distinct count plans as a two-phase aggregate over one 8-byte key
+  * column (no Expand; the bounded-width discipline from ops.Profile —
+  * row text never shuffles). The per-constraint explosion happens on the 1-row
+  * aggregate frame, so report size ∝ constraints, not data. Metrics are
+  * ratios of exact longs rounded with the floor trick, so the pass/fail
+  * PREDICATES are engine-identical and the whole report rides the hash
+  * gate. */
+object Checks {
+  /** Allowed event_type values (FIXTURES.md domain), sorted; shared with
+    * the generated oracle IN-list. */
+  val EventTypeDomain: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view").sorted
+
+  /** The domain rendered for the DuckDB mirror. */
+  def eventTypeDomainSql: String =
+    EventTypeDomain.map(v => s"'$v'").mkString(", ")
+
+  /** Constraint suite over the events table. Thresholds are inclusive
+    * minima on the 6dp-rounded metric. */
+  def dataChecks(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(lit(1)).as("n"),
+      count(col("user_id")).as("nn_user"),
+      count(col("value")).as("nn_value"),
+      countDistinct(col("event_id")).as("d_eid"),
+      count(when(col("event_type").isin(EventTypeDomain: _*), 1)).as("in_dom"),
+      count(when(col("value") >= 0, 1)).as("nonneg"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purch"))
+    def ratio(num: String, den: String) =
+      round2(col(num).cast("double") / col(den), 6)
+    val checks: Seq[(String, Column, Double)] = Seq(
+      ("completeness_user_id", ratio("nn_user", "n"), 1.0),
+      ("completeness_value", ratio("nn_value", "n"), 1.0),
+      ("uniqueness_event_id", ratio("d_eid", "n"), 1.0),
+      ("domain_event_type", ratio("in_dom", "n"), 1.0),
+      ("non_negative_value", ratio("nonneg", "nn_value"), 1.0),
+      ("purchase_share_min", ratio("n_purch", "n"), 0.01))
+    agg.select(explode(array(checks.map { case (nm, m, thr) =>
+        struct(lit(nm).as("check_name"), m.as("metric"),
+          lit(thr).as("threshold"))
+      }: _*)).as("c"))
+      .select(col("c.check_name"), col("c.metric"), col("c.threshold"))
+      .withColumn("passed", col("metric") >= col("threshold"))
+      .orderBy("check_name")
+  }
+}

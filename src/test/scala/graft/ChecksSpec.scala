@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Checks
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataChecks computes metrics and pass/fail on planted-dirty data") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 8 rows: one null user, one null value, one dup event_id, one
+    // out-of-domain type, one negative value
+    val df = Seq(
+      (1L, t, Option(10L), "view", Option(1.0), "{}"),
+      (2L, t, Option(11L), "click", Option(2.0), "{}"),
+      (3L, t, None: Option[Long], "view", Option(3.0), "{}"),
+      (4L, t, Option(12L), "purchase", None: Option[Double], "{}"),
+      (4L, t, Option(13L), "view", Option(4.0), "{}"),
+      (5L, t, Option(14L), "weird", Option(5.0), "{}"),
+      (6L, t, Option(15L), "view", Option(-1.0), "{}"),
+      (7L, t, Option(16L), "purchase", Option(6.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Checks.dataChecks(df)
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("completeness_user_id")._2 == 0.875)  // 7/8
+    assert(!got("completeness_user_id")._4)
+    assert(got("completeness_value")._2 == 0.875)    // 7/8
+    assert(got("uniqueness_event_id")._2 == 0.875)   // 7 distinct / 8
+    assert(!got("uniqueness_event_id")._4)
+    assert(got("domain_event_type")._2 == 0.875)     // 'weird' fails
+    assert(got("non_negative_value")._2 == 0.857143) // 6/7 non-null, 6dp
+    assert(!got("non_negative_value")._4)
+    assert(got("purchase_share_min")._2 == 0.25)     // 2/8
+    assert(got("purchase_share_min")._4)             // >= 0.01
+  }
+
+  test("dataChecks passes everything on the clean synthetic events") {
+    val ev = ingest.Sources.events(spark, sf("sf0.001"))
+    val got = Checks.dataChecks(ev)
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(got.length == 6)
+    assert(got.forall(_._4), s"failed checks: ${got.filterNot(_._4).toSeq}")
+  }
+}
