@@ -265,6 +265,51 @@ object Sinks {
     }
   }
 
+  /** Batch-level validation gate in front of [[warehouseBatch]] — the
+    * Deequ-discipline "verify before you publish": run a constraint suite
+    * (e.g. [[graft.ops.Checks.dataChecks]], any fn emitting a `passed`
+    * boolean column) against the micro-batch, persist the report, and
+    * route the WHOLE batch — RAW, reporting refresh and all — only if
+    * every constraint holds. A failing batch lands intact under
+    * `rejectedPath` (same `(event_date, ingest_batch)` dynamic-overwrite
+    * layout) for forensics/replay and leaves RAW and REPORTING at their
+    * last good state — an aggregate-level breach (duplicate event_ids,
+    * collapsed domain) is invisible to the per-row dead-letter rules and
+    * must hold the refresh, not flow through it.
+    *
+    * Idempotence inherits from the layout: the report overwrites its own
+    * `ingest_batch=` partition, a replayed rejected batch replaces its own
+    * rejected partitions, and a replayed good batch re-enters
+    * [[warehouseBatch]]'s replay contract. The `report.collect()` is
+    * bounded by the CONSTRAINT count (one row each), never data volume.
+    * Wire into a stream as
+    * `.foreachBatch(warehouseBatchChecked(_, _, ...))`. */
+  def warehouseBatchChecked(batch: DataFrame, batchId: Long,
+      rawPath: String, reportingPath: String,
+      reporting: DataFrame => DataFrame,
+      checks: DataFrame => DataFrame, checksPath: String,
+      rejectedPath: String, incremental: Boolean = true,
+      lineage: String = ""): Unit = {
+    val batchKey =
+      if (lineage.isEmpty) batchId.toString else s"$lineage-$batchId"
+    val report = checks(batch).cache()
+    report.withColumn("ingest_batch", lit(batchKey))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(checksPath)
+    val allPassed = report.filter(!col("passed")).isEmpty
+    report.unpersist()
+    if (allPassed)
+      warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
+        incremental, lineage)
+    else
+      batch.withColumn("event_date", to_date(col("ts")))
+        .withColumn("ingest_batch", lit(batchKey))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date", "ingest_batch").parquet(rejectedPath)
+  }
+
   /** Crash recovery for the backup-then-swap utilities ([[upsertParquet]],
     * [[compact]], and their partition-scoped variants): a crash between
     * "move target aside" and "move tmp in" leaves the data ONLY under the

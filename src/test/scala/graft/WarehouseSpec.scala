@@ -47,6 +47,43 @@ class WarehouseSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("warehouseBatchChecked gates publication on the constraint suite") {
+    import graft.ops.Checks
+    val raw = Files.createTempDirectory("graft-gr").toString
+    val rep = Files.createTempDirectory("graft-gp").toString
+    val chk = Files.createTempDirectory("graft-gc").toString
+    val rej = Files.createTempDirectory("graft-gx").toString
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Sinks.warehouseBatchChecked(b, id, raw, rep,
+        EventQueries.dailyRevenue, Checks.dataChecks, chk, rej)
+    // batch 0: clean — publishes
+    val clean = Seq(
+      PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+      PropEvent(2, ts("2024-01-01 11:00:00"), 2, "view", 1.0, "{}")).toDF()
+    run(clean, 0L)
+    assert(spark.read.parquet(raw).count() == 2)
+    assert(reportingMap(rep)(java.sql.Date.valueOf("2024-01-01")) == 10.0)
+    // batch 1: duplicate event_id — uniqueness breached; the per-row rules
+    // could never catch this. RAW and REPORTING must stay at batch-0 state,
+    // the whole batch lands rejected, and the report records the failure.
+    val dirty = Seq(
+      PropEvent(7, ts("2024-01-02 10:00:00"), 1, "purchase", 99.0, "{}"),
+      PropEvent(7, ts("2024-01-02 11:00:00"), 2, "purchase", 5.0, "{}")).toDF()
+    run(dirty, 1L)
+    assert(spark.read.parquet(raw).count() == 2, "dirty batch leaked to RAW")
+    assert(reportingMap(rep) ==
+      Map(java.sql.Date.valueOf("2024-01-01") -> 10.0))
+    assert(spark.read.parquet(rej).count() == 2)
+    val failedRows = spark.read.parquet(chk)
+      .filter(col("ingest_batch") === "1" && !col("passed"))
+      .select("check_name").as[String].collect().toSeq
+    assert(failedRows == Seq("uniqueness_event_id"))
+    // replaying the rejected batch is idempotent: same partitions replaced
+    run(dirty, 1L)
+    assert(spark.read.parquet(rej).count() == 2)
+    assert(spark.read.parquet(raw).count() == 2)
+  }
+
   test("incremental refresh input does not grow as RAW history accumulates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PropEvent]
