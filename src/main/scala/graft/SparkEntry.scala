@@ -824,23 +824,30 @@ object SparkEntry {
          |  FROM events),
          |c AS (
          |  SELECT 'completeness_user_id' AS check_name,
-         |    floor(CAST(nn_user AS DOUBLE) / n * 1000000 + 0.5) / 1000000
-         |      AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM a
+         |    CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(nn_user AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    END AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM a
          |  UNION ALL SELECT 'completeness_value',
-         |    floor(CAST(nn_value AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
-         |    CAST(1.0 AS DOUBLE) FROM a
+         |    CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(nn_value AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    END, CAST(1.0 AS DOUBLE) FROM a
          |  UNION ALL SELECT 'uniqueness_event_id',
-         |    floor(CAST(d_eid AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
-         |    CAST(1.0 AS DOUBLE) FROM a
+         |    CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(d_eid AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    END, CAST(1.0 AS DOUBLE) FROM a
          |  UNION ALL SELECT 'domain_event_type',
-         |    floor(CAST(in_dom AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
-         |    CAST(1.0 AS DOUBLE) FROM a
+         |    CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(in_dom AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    END, CAST(1.0 AS DOUBLE) FROM a
          |  UNION ALL SELECT 'non_negative_value',
-         |    floor(CAST(nonneg AS DOUBLE) / nn_value * 1000000 + 0.5)
-         |      / 1000000, CAST(1.0 AS DOUBLE) FROM a
+         |    CASE WHEN nn_value = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(nonneg AS DOUBLE) / nn_value * 1000000 + 0.5)
+         |        / 1000000
+         |    END, CAST(1.0 AS DOUBLE) FROM a
          |  UNION ALL SELECT 'purchase_share_min',
-         |    floor(CAST(n_purch AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
-         |    CAST(0.01 AS DOUBLE) FROM a)
+         |    CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |      floor(CAST(n_purch AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    END, CAST(0.01 AS DOUBLE) FROM a)
          |SELECT check_name, metric, threshold, metric >= threshold AS passed
          |FROM c ORDER BY check_name""".stripMargin,
     "q_stream_quarantine" -> QuarantineSql,
@@ -1153,7 +1160,8 @@ object SparkEntry {
         |    AS totacctbal
         |FROM customer, stats
         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_local_supply_share" ->
       s"""SELECT n_name,

@@ -35,7 +35,11 @@ object Graph {
     * with the exact-reference proof in GraphSpec. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE — it is referenced by every round's
+    // contribs join (plus nodes/outDeg), and an expensive upstream plan
+    // (e.g. the basket-pairs self-join) would otherwise re-execute per
+    // iteration
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = sym.select(col("src").as("node"))
       .union(sym.select(col("dst").as("node")))
       .distinct()

@@ -41,8 +41,14 @@ object Checks {
       count(when(col("event_type").isin(EventTypeDomain: _*), 1)).as("in_dom"),
       count(when(col("value") >= 0, 1)).as("nonneg"),
       count(when(col("event_type") === "purchase", 1)).as("n_purch"))
+    // zero-denominator ratios are VACUOUSLY satisfied (all zero rows meet
+    // the constraint) — guarded explicitly on BOTH sides: unguarded, Spark
+    // yields NaN (and NaN >= t is TRUE under Spark's NaN ordering — a
+    // silent pass with a garbage metric) while DuckDB yields NULL, a
+    // latent hash-gate divergence on an empty input
     def ratio(num: String, den: String) =
-      round2(col(num).cast("double") / col(den), 6)
+      when(col(den) === 0, lit(1.0))
+        .otherwise(round2(col(num).cast("double") / col(den), 6))
     val checks: Seq[(String, Column, Double)] = Seq(
       ("completeness_user_id", ratio("nn_user", "n"), 1.0),
       ("completeness_value", ratio("nn_value", "n"), 1.0),

@@ -225,15 +225,20 @@ object RelationalQueries {
     * boolean matches bit-free. (D(12,2) accumulators: acctbal is 2dp
     * money, and D(18,6) products would overflow DuckDB's multiply — the
     * profiling-round rule.) The 1-row stats frame is a broadcast-scalar
-    * crossJoin; the no-orders test is a left anti join on the
-    * custkey-distinct projection of orders. */
-  def idleRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    * crossJoin; the idleness test is a left anti join on the
+    * custkey-distinct projection of RECENT orders (no order since the
+    * cutoff — the synthetic history gives every customer SOME order, so a
+    * no-orders-ever predicate would be vacuously empty at every gated SF
+    * and the hash gate would only ever certify empty==empty). */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      since: String = "2000-01-01"): DataFrame = {
     val bal = col("c_acctbal").cast(DecimalType(12, 2))
     val stats = customer.filter(col("c_acctbal") > 0)
       .agg(sum(bal).as("s"), count(lit(1)).as("n"))
     customer.crossJoin(broadcast(stats))
       .filter(bal * col("n") > col("s"))
-      .join(orders.select(col("o_custkey")).distinct(),
+      .join(orders.filter(col("o_orderdate") >= lit(since).cast("date"))
+          .select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))

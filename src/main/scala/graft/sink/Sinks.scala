@@ -282,14 +282,20 @@ object Sinks {
     * rejected partitions, and a replayed good batch re-enters
     * [[warehouseBatch]]'s replay contract. The `report.collect()` is
     * bounded by the CONSTRAINT count (one row each), never data volume.
-    * Wire into a stream as
-    * `.foreachBatch(warehouseBatchChecked(_, _, ...))`. */
+    * The per-row dead-letter layer (`quarantinePath`/`rules`) composes
+    * underneath: row rules split inside [[warehouseBatch]] AFTER the
+    * batch-level gate admits the batch. Streams should wire through
+    * [[streamToWarehouseChecked]], which derives the checkpoint lineage
+    * salt — calling this directly from foreachBatch with the default
+    * empty lineage re-opens the cross-checkpoint ingest_batch collision
+    * the salt exists to prevent. */
   def warehouseBatchChecked(batch: DataFrame, batchId: Long,
       rawPath: String, reportingPath: String,
       reporting: DataFrame => DataFrame,
       checks: DataFrame => DataFrame, checksPath: String,
       rejectedPath: String, incremental: Boolean = true,
-      lineage: String = ""): Unit = {
+      lineage: String = "", quarantinePath: String = null,
+      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     val batchKey =
       if (lineage.isEmpty) batchId.toString else s"$lineage-$batchId"
     val report = checks(batch).cache()
@@ -301,13 +307,41 @@ object Sinks {
     report.unpersist()
     if (allPassed)
       warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
-        incremental, lineage)
+        incremental, lineage, quarantinePath, rules)
     else
       batch.withColumn("event_date", to_date(col("ts")))
         .withColumn("ingest_batch", lit(batchKey))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date", "ingest_batch").parquet(rejectedPath)
+  }
+
+  /** [[streamToWarehouse]] with the [[warehouseBatchChecked]] batch-level
+    * gate in front of every micro-batch. Derives the same
+    * canonicalized-checkpoint lineage salt, so checked and unchecked
+    * pipelines obey one ingest_batch-collision contract. */
+  def streamToWarehouseChecked(events: DataFrame, rawPath: String,
+      reportingPath: String, checkpoint: String,
+      reporting: DataFrame => DataFrame,
+      checks: DataFrame => DataFrame, checksPath: String,
+      rejectedPath: String, incremental: Boolean = true,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      quarantinePath: String = null,
+      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = graft.Fs.md5Hex8(java.nio.file.Paths.get(checkpoint)
+      .toAbsolutePath.normalize.toString)
+    val writer = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        warehouseBatchChecked(batch, batchId, rawPath, reportingPath,
+          reporting, checks, checksPath, rejectedPath, incremental,
+          lineage, quarantinePath, rules)
+      }
+      .start()
   }
 
   /** Crash recovery for the backup-then-swap utilities ([[upsertParquet]],

@@ -36,6 +36,21 @@ class ChecksSpec extends SparkSpec {
     assert(got("purchase_share_min")._4)             // >= 0.01
   }
 
+  test("dataChecks on an empty frame passes vacuously with metric 1.0, not NaN") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val empty = Seq((1L, t, Option(1L), "view", Option(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter($"event_id" < 0)
+    val got = Checks.dataChecks(empty)
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(got.length == 6)
+    got.foreach { case (name, metric, _, passed) =>
+      assert(!metric.isNaN, s"$name metric is NaN")
+      assert(metric == 1.0, s"$name metric $metric, want vacuous 1.0")
+      assert(passed, s"$name failed on empty input")
+    }
+  }
+
   test("dataChecks passes everything on the clean synthetic events") {
     val ev = ingest.Sources.events(spark, sf("sf0.001"))
     val got = Checks.dataChecks(ev)

@@ -126,6 +126,41 @@ class RelationalAndSinksSpec extends SparkSpec {
       val share = r.getDouble(3)
       assert(share >= 0.0 && share <= 1.0, s"share out of range: $r")
     }
+    // sf0.001 has zero NATION_2→ASIA sales, so the numerator is 0.0
+    // everywhere there and a wrong conditional would still pass — assert a
+    // nonzero numerator at sf0.01, where 497 matching rows exist
+    val dir01 = sf("sf0.01")
+    val ms01 = RelationalQueries.marketShare(
+      Sources.table(spark, dir01, "lineitem"),
+      Sources.table(spark, dir01, "orders"),
+      Sources.table(spark, dir01, "customer"),
+      Sources.table(spark, dir01, "supplier"),
+      Sources.table(spark, dir01, "nation"),
+      Sources.table(spark, dir01, "region"))
+    assert(ms01.filter(col("nation_revenue") > 0).count() > 0,
+      "conditional numerator never fired at sf0.01")
+  }
+
+  test("idleRichCustomers keeps only order-less rich customers (planted)") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("1999-06-01 00:00:00")
+    val t1 = Timestamp.valueOf("2001-06-01 00:00:00")
+    // avg positive balance = (900+900+600+1)/4 = 600.25
+    val customer = Seq(
+      (1L, "rich-idle", 0L, 900.0, "SEG_A"),   // > avg, old order only → kept
+      (2L, "rich-active", 0L, 900.0, "SEG_A"), // > avg, recent order → out
+      (3L, "mid", 0L, 600.0, "SEG_B"),         // below avg → out
+      (4L, "poor-idle", 0L, 1.0, "SEG_B"),     // no orders but poor → out
+      (5L, "negative", 0L, -5.0, "SEG_B"))     // excluded from avg, below → out
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "O", 5.0, t0, "1-URGENT"),  // customer 1: pre-cutoff only
+      (11L, 2L, "O", 5.0, t1, "1-URGENT"))  // customer 2: recent
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = RelationalQueries.idleRichCustomers(customer, orders)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("SEG_A", 1L, 900.0)), s"got: ${got.toSeq}")
   }
 
   test("kafka envelope round-trips through from_json") {
