@@ -52,6 +52,33 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Corrupt-tolerant JSONL scan: PERMISSIVE mode routes unparseable
+    * lines into a `_corrupt_record` column instead of nulling the whole
+    * batch (DROPMALFORMED silently loses data; FAILFAST kills a 100 TB
+    * job for one bad line). Returns `(good, corrupt)` — `good` carries
+    * the declared schema with the marker column dropped, `corrupt` the
+    * raw offending lines for a dead-letter sink. Both frames derive from
+    * ONE plan over one scan; the split predicate pushes down with it.
+    *
+    * Caveat pinned by spec: Spark requires the corrupt column to be
+    * REFERENCED-but-not-only-filtered, so the split is a cached one-pass
+    * projection — never `.filter` directly on a fresh scan's
+    * `_corrupt_record` (Spark throws AnalysisException by design). */
+  def jsonlTolerant(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withMarker = spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = withMarker.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val corrupt = withMarker.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, corrupt)
+  }
+
   /** ORC scan — the other columnar warehouse format. Spark's native ORC
     * reader keeps the same pushdown/pruning/vectorization properties as
     * parquet (PushedFilters + ReadSchema reach the stripe reader). */

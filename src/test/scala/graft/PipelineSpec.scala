@@ -59,6 +59,30 @@ class PipelineSpec extends SparkSpec {
     assert(back == rows)
   }
 
+  test("jsonlTolerant quarantines corrupt lines without losing good ones") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-tol")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """not json at all {{{""",
+      """{"doc_id": "NaN-ish", "text": 42}""", // type mismatch → corrupt
+      """{"doc_id": 3, "text": "after the garbage"}""")
+    JFiles.write(Paths.get(dir.toString, "part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (good, corrupt) =
+      graft.ingest.Sources.jsonlTolerant(spark, dir.toString, schema)
+    val g = good.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(g == Seq((1L, "good one"), (2L, "also fine"),
+      (3L, "after the garbage")))
+    val c = corrupt.as[String].collect().toSeq.sorted
+    assert(c == Seq("""not json at all {{{""",
+      """{"doc_id": "NaN-ish", "text": 42}""").sorted)
+  }
+
   test("csv and orc round-trips preserve hostile text exactly") {
     val rows = Seq(
       (0L, "comma, semicolon; pipe| end"),
