@@ -84,6 +84,40 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(raw).count() == 2)
   }
 
+  test("streamToWarehouseChecked gates per micro-batch with the lineage salt") {
+    import graft.ops.Checks
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PropEvent]
+    val raw = Files.createTempDirectory("graft-sgr").toString
+    val rep = Files.createTempDirectory("graft-sgp").toString
+    val chk = Files.createTempDirectory("graft-sgc").toString
+    val rej = Files.createTempDirectory("graft-sgx").toString
+    val ck = Files.createTempDirectory("graft-sgk").toString
+    val q = Sinks.streamToWarehouseChecked(mem.toDF(), raw, rep, ck,
+      EventQueries.dailyRevenue, Checks.dataChecks, chk, rej)
+    try {
+      mem.addData(
+        PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(raw).count() == 1)
+      // dirty batch: duplicate event_id → held, rejected, reporting intact
+      mem.addData(
+        PropEvent(9, ts("2024-01-02 10:00:00"), 1, "purchase", 99.0, "{}"),
+        PropEvent(9, ts("2024-01-02 11:00:00"), 2, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(raw).count() == 1, "dirty batch leaked")
+      assert(spark.read.parquet(rej).count() == 2)
+      assert(reportingMap(rep) ==
+        Map(java.sql.Date.valueOf("2024-01-01") -> 10.0))
+      // the checkpoint-derived salt reached the report partitions: the
+      // ingest_batch keys are '<8-hex-salt>-<batchId>', never bare ids
+      val keys = spark.read.parquet(chk).select("ingest_batch")
+        .distinct().as[String].collect().toSeq.sorted
+      assert(keys.forall(_.matches("[0-9a-f]{8}-\\d+")), s"keys: $keys")
+      assert(keys.map(_.split("-")(1)).sorted == Seq("0", "1"))
+    } finally q.stop()
+  }
+
   test("incremental refresh input does not grow as RAW history accumulates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PropEvent]
