@@ -224,6 +224,10 @@ object SparkEntry {
     "q_disjunctive_revenue" -> ((s, dir) => RelationalQueries
       .disjunctiveRevenue(Sources.table(s, dir, "lineitem"),
         Sources.table(s, dir, "part"))),
+    // SCD2 as-of dimension join: equi-key + validity-window range filter,
+    // per-key fan-out bounded by version count
+    "q_scd2_join" -> ((s, dir) => RelationalQueries.scd2Revenue(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "part"))),
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
@@ -1226,6 +1230,25 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the dim CTE mirrors partPriceHistory's deterministic construction;
+    // dates compare as DATE on both sides
+    "q_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT p_partkey, 'v1' AS version, p_retailprice * 0.9 AS price,
+        |    DATE '1995-01-01' AS valid_from, DATE '1998-07-01' AS valid_to
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'v2', p_retailprice,
+        |    DATE '1998-07-01', DATE '2002-01-01'
+        |  FROM part)
+        |SELECT version, CAST(year(l_shipdate) AS INT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(round(sum(CAST(price * l_quantity AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS hist_revenue
+        |FROM lineitem JOIN dim ON p_partkey = l_partkey
+        |  AND CAST(l_shipdate AS DATE) >= valid_from
+        |  AND CAST(l_shipdate AS DATE) < valid_to
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the OR-of-ANDs is GENERATED from RelationalQueries.DisjunctWindows —
     // the mirror states only the disjunction; Spark additionally pushes the

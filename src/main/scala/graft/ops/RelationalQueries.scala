@@ -361,6 +361,49 @@ object RelationalQueries {
         .as("sum_profit"))
       .orderBy("supp_nation", "yr")
 
+  /** Deterministic two-version price history for [[scd2Revenue]] — the
+    * SCD-type-2 dimension shape (one row per (key, validity window))
+    * derived from `part` so both engines construct the identical dim:
+    * v1 at 90% of retail through mid-1998, v2 at retail after. The 0.9
+    * multiply is a per-row IEEE double op — identical bits both engines. */
+  def partPriceHistory(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"), explode(array(
+      struct(lit("v1").as("version"),
+        (col("p_retailprice") * 0.9).as("price"),
+        lit("1995-01-01").cast("date").as("valid_from"),
+        lit("1998-07-01").cast("date").as("valid_to")),
+      struct(lit("v2").as("version"),
+        col("p_retailprice").as("price"),
+        lit("1998-07-01").cast("date").as("valid_from"),
+        lit("2002-01-01").cast("date").as("valid_to")))).as("v"))
+      .select(col("p_partkey"), col("v.version"), col("v.price"),
+        col("v.valid_from"), col("v.valid_to"))
+
+  /** SCD-type-2 as-of dimension join: enrich each line item with the
+    * dimension version VALID AT its ship date, then roll revenue at the
+    * historical price up by (version, year).
+    *
+    * The temporal lookup is an EQUI-join on the dimension key with the
+    * validity window as a post-join range filter — the plan Spark picks
+    * (SMJ or broadcast via AQE) keys on `p_partkey` alone, and the range
+    * predicate prunes the per-key fan-out, which is bounded by the
+    * VERSION COUNT per key (small by SCD construction), never by the
+    * fact table. A genuine interval join (range-keyed, no equi key)
+    * would need binning; the SCD shape never does. Dates compare as
+    * DATE on both sides (`to_date` the fact timestamp) — timestamp↔date
+    * promotion is the kind of implicit cast two engines disagree on. */
+  def scd2Revenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_day"))
+      .join(partPriceHistory(part),
+        col("l_partkey") === col("p_partkey") &&
+          col("ship_day") >= col("valid_from") &&
+          col("ship_day") < col("valid_to"))
+      .groupBy(col("version"), year(col("ship_day")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("price") * col("l_quantity")).as("hist_revenue"))
+      .orderBy("version", "yr")
+
   /** One branch of the Q19-style disjunctive predicate: a brand with its
     * admissible size and quantity windows. Shared constants — the Spark
     * predicate AND the oracle SQL are both generated from [[DisjunctWindows]]

@@ -163,6 +163,22 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(got.toSeq == Seq(("SEG_A", 1L, 900.0)), s"got: ${got.toSeq}")
   }
 
+  test("scd2Revenue matches every fact row to exactly one dim version") {
+    val dir = sf("sf0.001")
+    val li = Sources.table(spark, dir, "lineitem")
+    val pt = Sources.table(spark, dir, "part")
+    val got = RelationalQueries.scd2Revenue(li, pt)
+    // the validity windows tile [1995, 2002): every line item lands in
+    // exactly one version — total matched items == fact row count
+    val matched = got.agg(sum(col("n_items"))).as[Long].collect().head
+    assert(matched == li.count(), s"matched $matched of ${li.count()}")
+    // version boundary honored: v1 years end at 1998, v2 start at 1998
+    val byVer = got.select(col("version"), col("yr"))
+      .as[(String, Int)].collect().groupBy(_._1)
+    assert(byVer("v1").map(_._2).max <= 1998)
+    assert(byVer("v2").map(_._2).min >= 1998)
+  }
+
   test("kafka envelope round-trips through from_json") {
     val events = Sources.events(spark, sf("sf0.001"))
     val env = Sinks.jsonEnvelope(events)
