@@ -1130,8 +1130,8 @@ object SparkEntry {
     "q_top_supplier" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, $Rev AS total_revenue FROM lineitem
-         |  WHERE l_shipdate >= DATE '1996-01-01'
-         |    AND l_shipdate < DATE '1996-04-01'
+         |  WHERE l_shipdate >= DATE '${RelationalQueries.TopSupplierFrom}'
+         |    AND l_shipdate < DATE '${RelationalQueries.TopSupplierUntil}'
          |  GROUP BY 1)
          |SELECT s_suppkey, s_name, total_revenue
          |FROM rev JOIN supplier ON s_suppkey = l_suppkey
@@ -1155,7 +1155,7 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     // cross-multiplied threshold: exact decimal on both sides, no division
     "q_idle_rich_customers" ->
-      """WITH stats AS (
+      s"""WITH stats AS (
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM customer WHERE c_acctbal > 0)
@@ -1165,26 +1165,25 @@ object SparkEntry {
         |FROM customer, stats
         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |    AND o_orderdate >= DATE '2000-01-01')
+        |    AND o_orderdate >= DATE '${RelationalQueries.IdleRichSince}')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_local_supply_share" ->
-      s"""SELECT n_name,
-         |  COALESCE(CAST(round(sum(CAST(CASE WHEN s_nationkey = c_nationkey
-         |      THEN l_extendedprice * (1 - l_discount) END
-         |    AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS local_revenue,
-         |  $Rev AS total_revenue,
-         |  floor((COALESCE(CAST(round(sum(CAST(CASE WHEN s_nationkey = c_nationkey
-         |      THEN l_extendedprice * (1 - l_discount) END
-         |    AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0)
-         |    / (CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-         |        AS DECIMAL(18,6))), 2) AS DOUBLE))) * 10000 + 0.5) / 10000
+      s"""WITH base AS (
+         |  SELECT n_name,
+         |    COALESCE(CAST(round(sum(CAST(CASE WHEN s_nationkey = c_nationkey
+         |        THEN l_extendedprice * (1 - l_discount) END
+         |      AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS local_revenue,
+         |    $Rev AS total_revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1)
+         |SELECT n_name, local_revenue, total_revenue,
+         |  floor(local_revenue / total_revenue * 10000 + 0.5) / 10000
          |    AS local_share
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM base ORDER BY n_name""".stripMargin,
     // the share divides the ALREADY-materialized rounded doubles of the
     // subquery — the same op order as Spark's withColumn over the aggregate
     "q_promo_revenue_share" ->
@@ -1204,7 +1203,8 @@ object SparkEntry {
     "q_market_share" ->
       s"""WITH base AS (
          |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
-         |    COALESCE(CAST(round(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+         |    COALESCE(CAST(round(sum(CAST(CASE WHEN
+         |        n2.n_name = '${RelationalQueries.MarketShareNation}'
          |        THEN l_extendedprice * (1 - l_discount) END
          |      AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS nation_revenue,
          |    $Rev AS total_revenue
@@ -1212,7 +1212,8 @@ object SparkEntry {
          |  JOIN orders ON l_orderkey = o_orderkey
          |  JOIN customer ON o_custkey = c_custkey
          |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-         |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |    AND r_name = '${RelationalQueries.MarketShareRegion}'
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
          |  GROUP BY 1)
@@ -1234,13 +1235,16 @@ object SparkEntry {
     // the dim CTE mirrors partPriceHistory's deterministic construction;
     // dates compare as DATE on both sides
     "q_scd2_join" ->
-      """WITH dim AS (
-        |  SELECT p_partkey, 'v1' AS version, p_retailprice * 0.9 AS price,
-        |    DATE '1995-01-01' AS valid_from, DATE '1998-07-01' AS valid_to
+      s"""WITH dim AS (
+        |  SELECT p_partkey, 'v1' AS version,
+        |    p_retailprice * ${RelationalQueries.Scd2V1Factor} AS price,
+        |    DATE '${RelationalQueries.Scd2From}' AS valid_from,
+        |    DATE '${RelationalQueries.Scd2Split}' AS valid_to
         |  FROM part
         |  UNION ALL
         |  SELECT p_partkey, 'v2', p_retailprice,
-        |    DATE '1998-07-01', DATE '2002-01-01'
+        |    DATE '${RelationalQueries.Scd2Split}',
+        |    DATE '${RelationalQueries.Scd2To}'
         |  FROM part)
         |SELECT version, CAST(year(l_shipdate) AS INT) AS yr,
         |  CAST(count(*) AS BIGINT) AS n_items,

@@ -57,13 +57,17 @@ object Sources {
     * batch (DROPMALFORMED silently loses data; FAILFAST kills a 100 TB
     * job for one bad line). Returns `(good, corrupt)` — `good` carries
     * the declared schema with the marker column dropped, `corrupt` the
-    * raw offending lines for a dead-letter sink. Both frames derive from
-    * ONE plan over one scan; the split predicate pushes down with it.
+    * raw offending lines for a dead-letter sink. The file parses ONCE
+    * into a materialized frame and both splits filter that frame — the
+    * split predicates deliberately do NOT reach the scan, because Spark
+    * refuses to filter a fresh scan's `_corrupt_record` directly
+    * (AnalysisException by design; the spec pins the trap).
     *
-    * Caveat pinned by spec: Spark requires the corrupt column to be
-    * REFERENCED-but-not-only-filtered, so the split is a cached one-pass
-    * projection — never `.filter` directly on a fresh scan's
-    * `_corrupt_record` (Spark throws AnalysisException by design). */
+    * Materialization is `localCheckpoint`, not `cache`: the CacheManager
+    * holds cached plans strongly for the session's lifetime with no
+    * handle here for the caller to release, while checkpoint blocks are
+    * freed by the ContextCleaner once the returned frames are garbage
+    * collected — repeated ingests don't accumulate pinned storage. */
   def jsonlTolerant(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     val withMarker = spark.read
@@ -71,7 +75,7 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache()
+      .localCheckpoint()
     val good = withMarker.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val corrupt = withMarker.filter(col("_corrupt_record").isNotNull)

@@ -21,6 +21,19 @@ import graft.Exprs._
 object RelationalQueries {
   private def revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
 
+  // Query constants shared with the generated oracle mirrors (the
+  // shared-constant discipline: a default can never silently desync from
+  // its mirror because both render from one definition)
+  val TopSupplierFrom = "1996-01-01"
+  val TopSupplierUntil = "1996-04-01"
+  val IdleRichSince = "2000-01-01"
+  val MarketShareRegion = "ASIA"
+  val MarketShareNation = "NATION_2"
+  val Scd2From = "1995-01-01"
+  val Scd2Split = "1998-07-01"
+  val Scd2To = "2002-01-01"
+  val Scd2V1Factor = 0.9
+
   /** TPC-H Q1-style pricing summary over lineitem: one wide hash aggregate,
     * no joins, map-side partials; the canonical scan+agg throughput probe. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
@@ -161,7 +174,8 @@ object RelationalQueries {
     * the filtered side is tie-bounded but `supplier` scales with SF, so
     * AQE picks broadcast vs shuffle from runtime sizes. */
   def topSupplier(lineitem: DataFrame, supplier: DataFrame,
-      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+      from: String = TopSupplierFrom,
+      until: String = TopSupplierUntil): DataFrame = {
     val rev = lineitem
       .filter(col("l_shipdate") >= lit(from).cast("date") &&
         col("l_shipdate") < lit(until).cast("date"))
@@ -231,7 +245,7 @@ object RelationalQueries {
     * no-orders-ever predicate would be vacuously empty at every gated SF
     * and the hash gate would only ever certify empty==empty). */
   def idleRichCustomers(customer: DataFrame, orders: DataFrame,
-      since: String = "2000-01-01"): DataFrame = {
+      since: String = IdleRichSince): DataFrame = {
     val bal = col("c_acctbal").cast(DecimalType(12, 2))
     val stats = customer.filter(col("c_acctbal") > 0)
       .agg(sum(bal).as("s"), count(lit(1)).as("n"))
@@ -307,8 +321,8 @@ object RelationalQueries {
     * join keys). Share numerics follow the Q7/Q14 discipline. */
   def marketShare(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, nation: DataFrame,
-      region: DataFrame, targetRegion: String = "ASIA",
-      suppNation: String = "NATION_2"): DataFrame = {
+      region: DataFrame, targetRegion: String = MarketShareRegion,
+      suppNation: String = MarketShareNation): DataFrame = {
     val regionCust = customer.select(col("c_custkey"), col("c_nationkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -369,13 +383,13 @@ object RelationalQueries {
   def partPriceHistory(part: DataFrame): DataFrame =
     part.select(col("p_partkey"), explode(array(
       struct(lit("v1").as("version"),
-        (col("p_retailprice") * 0.9).as("price"),
-        lit("1995-01-01").cast("date").as("valid_from"),
-        lit("1998-07-01").cast("date").as("valid_to")),
+        (col("p_retailprice") * Scd2V1Factor).as("price"),
+        lit(Scd2From).cast("date").as("valid_from"),
+        lit(Scd2Split).cast("date").as("valid_to")),
       struct(lit("v2").as("version"),
         col("p_retailprice").as("price"),
-        lit("1998-07-01").cast("date").as("valid_from"),
-        lit("2002-01-01").cast("date").as("valid_to")))).as("v"))
+        lit(Scd2Split).cast("date").as("valid_from"),
+        lit(Scd2To).cast("date").as("valid_to")))).as("v"))
       .select(col("p_partkey"), col("v.version"), col("v.price"),
         col("v.valid_from"), col("v.valid_to"))
 

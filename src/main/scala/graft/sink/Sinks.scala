@@ -144,39 +144,41 @@ object Sinks {
     * processAllAvailable test shape); production passes
     * `Some(Trigger.ProcessingTime("5 minutes"))` for the reference's
     * freshness SLO (`reference:README.md:51`, ST5). */
-  def streamToWarehouse(events: DataFrame, rawPath: String,
-      reportingPath: String, checkpoint: String,
-      reporting: DataFrame => DataFrame,
-      incremental: Boolean = true,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      quarantinePath: String = null,
-      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+  // schema-only dry run over an empty frame with EXACTLY the runtime
+  // shape: the foreachBatch branches call reporting() on frames whose
+  // event_date column has been dropped (the RAW read-back minus the
+  // partition column ≡ events.schema), so the probe must not add one —
+  // a reporting fn leaning on a pre-stamped event_date would otherwise
+  // pass here and then throw mid-stream (after side effects). Shared by
+  // the checked and unchecked stream starters so the fail-fast contract
+  // cannot drift between them.
+  private def requireIncrementalContract(events: DataFrame,
+      reporting: DataFrame => DataFrame): Unit = {
+    val probe = events.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), events.schema)
+    require(reporting(probe).columns.contains("event_date"),
+      "incremental streamToWarehouse requires the reporting aggregate to " +
+        "key its output by an 'event_date' column (group by " +
+        "to_date(col(\"ts\"))); pass incremental = false for aggregates " +
+        "that are not per-day decomposable")
+  }
+
+  // lineage salt: batchIds are CHECKPOINT-scoped, so two pipelines (or a
+  // backfill with a fresh checkpoint) sharing one rawPath would both
+  // count 0,1,2… and the dynamic overwrite would delete each other's
+  // partitions. The salt hashes the CANONICALIZED checkpoint path —
+  // Spark resolves './ck' and '/abs/ck' to the same checkpoint state,
+  // so a respelled path on restart must keep the same salt or a
+  // replayed batch would land beside (not over) its torn attempt. The
+  // salt covers SEQUENTIAL sharing (a later backfill); two writers
+  // committing to one rawPath CONCURRENTLY still collide in the shared
+  // _temporary staging tree — run those against distinct rawPaths.
+  // ONE starter for both warehouse stream variants: salt derivation,
+  // writer setup and start() live here exactly once.
+  private def startSalted(events: DataFrame, checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger])
+      (body: (DataFrame, Long, String) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    if (incremental) {
-      // schema-only dry run over an empty frame with EXACTLY the runtime
-      // shape: both foreachBatch branches call reporting() on frames whose
-      // event_date column has been dropped (the RAW read-back minus the
-      // partition column ≡ events.schema), so the probe must not add one —
-      // a reporting fn leaning on a pre-stamped event_date would otherwise
-      // pass here and then throw mid-stream.
-      val probe = events.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), events.schema)
-      require(reporting(probe).columns.contains("event_date"),
-        "incremental streamToWarehouse requires the reporting aggregate to " +
-          "key its output by an 'event_date' column (group by " +
-          "to_date(col(\"ts\"))); pass incremental = false for aggregates " +
-          "that are not per-day decomposable")
-    }
-    // lineage salt: batchIds are CHECKPOINT-scoped, so two pipelines (or a
-    // backfill with a fresh checkpoint) sharing one rawPath would both
-    // count 0,1,2… and the dynamic overwrite would delete each other's
-    // partitions. The salt hashes the CANONICALIZED checkpoint path —
-    // Spark resolves './ck' and '/abs/ck' to the same checkpoint state,
-    // so a respelled path on restart must keep the same salt or a
-    // replayed batch would land beside (not over) its torn attempt. The
-    // salt covers SEQUENTIAL sharing (a later backfill); two writers
-    // committing to one rawPath CONCURRENTLY still collide in the shared
-    // _temporary staging tree — run those against distinct rawPaths.
     val lineage = graft.Fs.md5Hex8(java.nio.file.Paths.get(checkpoint)
       .toAbsolutePath.normalize.toString)
     val writer = events.writeStream
@@ -185,10 +187,24 @@ object Sinks {
     trigger.foreach(writer.trigger)
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
-          incremental, lineage, quarantinePath, rules)
+        body(batch, batchId, lineage)
       }
       .start()
+  }
+
+  def streamToWarehouse(events: DataFrame, rawPath: String,
+      reportingPath: String, checkpoint: String,
+      reporting: DataFrame => DataFrame,
+      incremental: Boolean = true,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      quarantinePath: String = null,
+      rules: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (incremental) requireIncrementalContract(events, reporting)
+    startSalted(events, checkpoint, trigger) { (batch, batchId, lineage) =>
+      warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
+        incremental, lineage, quarantinePath, rules)
+    }
   }
 
   /** The per-micro-batch body of [[streamToWarehouse]], public so the
@@ -280,15 +296,23 @@ object Sinks {
     * Idempotence inherits from the layout: the report overwrites its own
     * `ingest_batch=` partition, a replayed rejected batch replaces its own
     * rejected partitions, and a replayed good batch re-enters
-    * [[warehouseBatch]]'s replay contract. The `report.collect()` is
-    * bounded by the CONSTRAINT count (one row each), never data volume.
-    * The per-row dead-letter layer (`quarantinePath`/`rules`) composes
-    * underneath: row rules split inside [[warehouseBatch]] AFTER the
-    * batch-level gate admits the batch. Streams should wire through
-    * [[streamToWarehouseChecked]], which derives the checkpoint lineage
-    * salt — calling this directly from foreachBatch with the default
-    * empty lineage re-opens the cross-checkpoint ingest_batch collision
-    * the salt exists to prevent. */
+    * [[warehouseBatch]]'s replay contract. The report probe is bounded by
+    * the CONSTRAINT count (one row each), never data volume.
+    *
+    * LAYER ORDER is load-bearing: the per-row dead-letter split
+    * (`quarantinePath`/`rules`) runs FIRST, so the constraint suite judges
+    * the rows that would actually publish — otherwise any 1.0-threshold
+    * completeness constraint would wholesale-reject every batch containing
+    * a single quarantinable row and the row-level layer could never fire.
+    * A rejected batch therefore parks only its VALID half under
+    * `rejectedPath` (its rule-failing rows are already in quarantine,
+    * exactly where a replay re-derives them). The gate FAILS CLOSED on a
+    * NULL `passed` value: a constraint that never evaluated blocks
+    * publication rather than waving the batch through. Streams should
+    * wire through [[streamToWarehouseChecked]], which derives the
+    * checkpoint lineage salt — calling this directly from foreachBatch
+    * with the default empty lineage re-opens the cross-checkpoint
+    * ingest_batch collision the salt exists to prevent. */
   def warehouseBatchChecked(batch: DataFrame, batchId: Long,
       rawPath: String, reportingPath: String,
       reporting: DataFrame => DataFrame,
@@ -298,18 +322,35 @@ object Sinks {
       rules: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     val batchKey =
       if (lineage.isEmpty) batchId.toString else s"$lineage-$batchId"
-    val report = checks(batch).cache()
-    report.withColumn("ingest_batch", lit(batchKey))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(checksPath)
-    val allPassed = report.filter(!col("passed")).isEmpty
-    report.unpersist()
+    // per-row dead-letter FIRST (see layer-order note above); the valid
+    // half proceeds to the batch-level gate with rules already consumed
+    val valid =
+      if (rules.isEmpty || quarantinePath == null) batch
+      else {
+        val (ok, bad) = graft.ingest.Cleaning.splitQuarantine(batch, rules)
+        bad.withColumn("event_date", to_date(col("ts")))
+          .withColumn("ingest_batch", lit(batchKey))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("event_date", "ingest_batch").parquet(quarantinePath)
+        ok
+      }
+    val report = checks(valid).cache()
+    val allPassed =
+      try {
+        report.withColumn("ingest_batch", lit(batchKey))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch").parquet(checksPath)
+        // fail closed: NULL passed (a constraint that never evaluated)
+        // blocks publication — !NULL is NULL and would slip a bare filter
+        report.filter(!coalesce(col("passed"), lit(false))).isEmpty
+      } finally report.unpersist()
     if (allPassed)
-      warehouseBatch(batch, batchId, rawPath, reportingPath, reporting,
-        incremental, lineage, quarantinePath, rules)
+      warehouseBatch(valid, batchId, rawPath, reportingPath, reporting,
+        incremental, lineage)
     else
-      batch.withColumn("event_date", to_date(col("ts")))
+      valid.withColumn("event_date", to_date(col("ts")))
         .withColumn("ingest_batch", lit(batchKey))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -317,9 +358,9 @@ object Sinks {
   }
 
   /** [[streamToWarehouse]] with the [[warehouseBatchChecked]] batch-level
-    * gate in front of every micro-batch. Derives the same
-    * canonicalized-checkpoint lineage salt, so checked and unchecked
-    * pipelines obey one ingest_batch-collision contract. */
+    * gate in front of every micro-batch. Shares the unchecked variant's
+    * stream starter (lineage salt, writer setup) and incremental
+    * fail-fast probe, so the two pipelines cannot drift. */
   def streamToWarehouseChecked(events: DataFrame, rawPath: String,
       reportingPath: String, checkpoint: String,
       reporting: DataFrame => DataFrame,
@@ -329,19 +370,12 @@ object Sinks {
       quarantinePath: String = null,
       rules: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lineage = graft.Fs.md5Hex8(java.nio.file.Paths.get(checkpoint)
-      .toAbsolutePath.normalize.toString)
-    val writer = events.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-    trigger.foreach(writer.trigger)
-    writer
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        warehouseBatchChecked(batch, batchId, rawPath, reportingPath,
-          reporting, checks, checksPath, rejectedPath, incremental,
-          lineage, quarantinePath, rules)
-      }
-      .start()
+    if (incremental) requireIncrementalContract(events, reporting)
+    startSalted(events, checkpoint, trigger) { (batch, batchId, lineage) =>
+      warehouseBatchChecked(batch, batchId, rawPath, reportingPath,
+        reporting, checks, checksPath, rejectedPath, incremental,
+        lineage, quarantinePath, rules)
+    }
   }
 
   /** Crash recovery for the backup-then-swap utilities ([[upsertParquet]],

@@ -84,6 +84,44 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(raw).count() == 2)
   }
 
+  test("gate composes with row rules: quarantinable rows don't reject the batch") {
+    import graft.ops.Checks
+    import graft.ingest.Cleaning
+    val raw = Files.createTempDirectory("graft-cgr").toString
+    val rep = Files.createTempDirectory("graft-cgp").toString
+    val chk = Files.createTempDirectory("graft-cgc").toString
+    val rej = Files.createTempDirectory("graft-cgx").toString
+    val qua = Files.createTempDirectory("graft-cgq").toString
+    // one rule-failing row (negative value) among good ones: the per-row
+    // split must strip it FIRST, so the constraint suite judges only the
+    // publishable half — checks-before-quarantine would wholesale-reject
+    // every batch containing a single quarantinable row
+    val batch = Seq(
+      PropEvent(1, ts("2024-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+      PropEvent(2, ts("2024-01-01 11:00:00"), 2, "purchase", -3.0, "{}"),
+      PropEvent(3, ts("2024-01-01 12:00:00"), 3, "view", 1.0, "{}")).toDF()
+    Sinks.warehouseBatchChecked(batch, 0L, raw, rep,
+      EventQueries.dailyRevenue, Checks.dataChecks, chk, rej,
+      quarantinePath = qua, rules = Cleaning.standardEventRules)
+    assert(spark.read.parquet(qua).count() == 1, "bad row not quarantined")
+    assert(spark.read.parquet(raw).count() == 2, "valid half not published")
+    assert(reportingMap(rep)(java.sql.Date.valueOf("2024-01-01")) == 10.0)
+    assert(!new java.io.File(rej).listFiles().exists(_.getName.startsWith(
+      "event_date")), "valid half wrongly rejected")
+    // and the gate FAILS CLOSED on a NULL passed column
+    val nullReport = (d: org.apache.spark.sql.DataFrame) =>
+      Checks.dataChecks(d).withColumn("passed",
+        org.apache.spark.sql.functions.lit(null).cast("boolean"))
+    val raw2 = Files.createTempDirectory("graft-cgr2").toString
+    val rep2 = Files.createTempDirectory("graft-cgp2").toString
+    Sinks.warehouseBatchChecked(batch, 0L, raw2, rep2,
+      EventQueries.dailyRevenue, nullReport, chk, rej)
+    assert(!new java.io.File(raw2).listFiles().exists(_.getName.startsWith(
+      "event_date")), "NULL passed slipped the gate")
+    assert(spark.read.parquet(rej).count() == 3,
+      "never-evaluated batch not parked")
+  }
+
   test("streamToWarehouseChecked gates per micro-batch with the lineage salt") {
     import graft.ops.Checks
     implicit val sqlCtx = spark.sqlContext
