@@ -27,6 +27,25 @@ object Bench {
       spark.range(2000000L).selectExpr("sum(id * 2)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Per-query byte accounting ("measure, don't guess"): task-metric
+    // totals for shuffle read and scan input, attributed to the query
+    // running between two listener-bus drains. Bytes are plan-determined
+    // (contention-immune, unlike wall time), so one sample suffices.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    val shuffleMb = collection.mutable.Map[String, Double]()
+    val inputMb = collection.mutable.Map[String, Double]()
     // materialize the FULL physical plan (projections, sorts, limits):
     // a plain count() would let Catalyst prune the very work being timed.
     // A failed run is reported as -1, never as a near-zero success.
@@ -38,6 +57,19 @@ object Bench {
         -1.0
       }
     }
+    // `once` plus byte attribution: drain the listener bus on both sides
+    // of the run so concurrent-event bleed between queries is bounded to
+    // in-flight stragglers
+    def onceMetered(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
+      val s0 = shuffleBytes.get(); val i0 = inputBytes.get()
+      val t = once(name, fn)
+      org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
+      shuffleMb(name) = (shuffleBytes.get() - s0) / 1e6
+      inputMb(name) = (inputBytes.get() - i0) / 1e6
+      t
+    }
     // Two INTERLEAVED passes over the whole suite, per-query min: pass 1
     // absorbs JIT/codegen warmup (first touch of each operator family in
     // the shared JVM), pass 2 is steady state. Interleaving — rather than
@@ -47,7 +79,7 @@ object Bench {
     // unchanged calibration probe) cannot poison both samples of one query.
     val queries = SparkEntry.queries // queries is a def: bind the Map once
     val names = queries.keys.toSeq
-    val pass1 = names.map(n => n -> once(n, queries(n))).toMap
+    val pass1 = names.map(n => n -> onceMetered(n, queries(n))).toMap
     val results = names.map { n =>
       val a = pass1(n)
       val t = if (a < 0) -1.0 else { val b = once(n, queries(n)); if (b < 0) -1.0 else math.min(a, b) }
@@ -61,7 +93,9 @@ object Bench {
     // tail-truncated capture still keeps every headline metric; the full
     // line is also written to bench_results.json as the lossless record
     // (the r5 artifact lost its leading fields to truncation).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","queries":$qs}"""
+    def mbMap(m: collection.Map[String, Double]) = m.map { case (k, v) =>
+      s"\"" + k + "\":" + math.round(v * 10) / 10.0 }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","queries":$qs,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
