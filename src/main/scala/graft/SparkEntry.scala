@@ -98,6 +98,11 @@ object SparkEntry {
     // Deequ-shape constraint suite: one aggregate pass, per-constraint
     // report; the distinct count shuffles 8-byte keys only
     "q_data_checks" -> ev(ops.Checks.dataChecks),
+    // referential-integrity profile of the orders→customer FK: distinct
+    // key frames first, keys-sized full outer join — never row-sized
+    "q_join_profile" -> ((s, dir) => ops.Checks.joinProfile(
+      Sources.table(s, dir, "orders"), "o_custkey",
+      Sources.table(s, dir, "customer"), "c_custkey")),
     // dead-letter split: every quarantined row carries ALL failed rules
     "q_quarantine" -> ev(ev => {
       val (_, bad) = ingest.Cleaning.splitQuarantine(ev,
@@ -854,6 +859,30 @@ object SparkEntry {
          |    END, CAST(0.01 AS DOUBLE) FROM a)
          |SELECT check_name, metric, threshold, metric >= threshold AS passed
          |FROM c ORDER BY check_name""".stripMargin,
+    "q_join_profile" ->
+      """WITH l AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |      WHERE c_custkey IS NOT NULL),
+        |j AS (SELECT l.k AS lk, r.k AS rk
+        |      FROM l FULL OUTER JOIN r ON l.k = r.k),
+        |a AS (
+        |  SELECT CAST(count(lk) AS BIGINT) AS n_left_keys,
+        |    CAST(count(rk) AS BIGINT) AS n_right_keys,
+        |    CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1
+        |      END) AS BIGINT) AS n_shared,
+        |    CAST(count(CASE WHEN rk IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_left_only,
+        |    CAST(count(CASE WHEN lk IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_right_only
+        |  FROM j)
+        |SELECT n_left_keys, n_right_keys, n_shared, n_left_only,
+        |  n_right_only,
+        |  CASE WHEN n_left_keys = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+        |    floor(CAST(n_shared AS DOUBLE) / n_left_keys * 1000000 + 0.5)
+        |      / 1000000
+        |  END AS left_containment
+        |FROM a""".stripMargin,
     "q_stream_quarantine" -> QuarantineSql,
     // z-scores from EXACT DECIMAL(12,2) moments: every double below
     // derives from identical exact inputs, so both engines compute

@@ -64,4 +64,34 @@ object Checks {
       .withColumn("passed", col("metric") >= col("threshold"))
       .orderBy("check_name")
   }
+
+  /** Join-key profile — the referential-integrity check a pipeline runs
+    * BEFORE a 100 TB join: distinct key counts per side, the shared-key
+    * count, orphans in each direction (left orphans = FK violations when
+    * `right` is the dimension), and the left containment ratio that
+    * predicts the join hit rate.
+    *
+    * Shape: each side collapses to its DISTINCT key frame FIRST (the only
+    * input-sized work, map-side partial dedup), then a keys-sized FULL
+    * OUTER join and a single-row aggregate. Never joins the fact tables
+    * themselves — cost ∝ distinct keys, not rows. */
+  def joinProfile(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("k")).filter(col("k").isNotNull)
+      .distinct().withColumn("in_l", lit(1))
+    val r = right.select(col(rightKey).as("k")).filter(col("k").isNotNull)
+      .distinct().withColumn("in_r", lit(1))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        count(col("in_l")).as("n_left_keys"),
+        count(col("in_r")).as("n_right_keys"),
+        count(when(col("in_l").isNotNull && col("in_r").isNotNull, 1))
+          .as("n_shared"),
+        count(when(col("in_r").isNull, 1)).as("n_left_only"),
+        count(when(col("in_l").isNull, 1)).as("n_right_only"))
+      .withColumn("left_containment",
+        when(col("n_left_keys") === 0, lit(1.0))
+          .otherwise(round2(
+            col("n_shared").cast("double") / col("n_left_keys"), 6)))
+  }
 }

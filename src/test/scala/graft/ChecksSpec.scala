@@ -51,6 +51,16 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("joinProfile counts shared keys and orphans in both directions") {
+    val left = Seq(1L, 1L, 2L, 3L, 5L).toDF("lk")   // dup key collapses
+    val right = Seq(2L, 3L, 4L).toDF("rk")
+    val got = Checks.joinProfile(left, "lk", right, "rk")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    // left keys {1,2,3,5}, right {2,3,4}: shared {2,3}, left-only {1,5},
+    // right-only {4}; containment 2/4
+    assert(got == ((4L, 3L, 2L, 2L, 1L, 0.5)), s"got $got")
+  }
+
   test("dataChecks passes everything on the clean synthetic events") {
     val ev = ingest.Sources.events(spark, sf("sf0.001"))
     val got = Checks.dataChecks(ev)
