@@ -30,7 +30,8 @@ object Bench {
     // Per-query byte accounting ("measure, don't guess"): task-metric
     // totals for shuffle read and scan input, attributed to the query
     // running between two listener-bus drains. Bytes are plan-determined
-    // (contention-immune, unlike wall time), so one sample suffices.
+    // (contention-immune, unlike wall time) — metered on the STEADY-STATE
+    // second pass so one-time training/index I/O never charges the query.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val inputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
@@ -59,15 +60,25 @@ object Bench {
     }
     // `once` plus byte attribution: drain the listener bus on both sides
     // of the run so concurrent-event bleed between queries is bounded to
-    // in-flight stragglers
+    // in-flight stragglers. The drain can time out (LiveListenerBus
+    // throws after 10s behind) — that degrades this query's metric, never
+    // the benchmark run. A failed query records -1 sentinels, not the
+    // truncated run's bytes.
+    def drain(): Unit =
+      try org.apache.spark.sql.graft.ColumnBridge
+        .waitForListeners(spark.sparkContext)
+      catch { case _: Throwable => () }
     def onceMetered(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
+      drain()
       val s0 = shuffleBytes.get(); val i0 = inputBytes.get()
       val t = once(name, fn)
-      org.apache.spark.sql.graft.ColumnBridge.waitForListeners(spark.sparkContext)
-      shuffleMb(name) = (shuffleBytes.get() - s0) / 1e6
-      inputMb(name) = (inputBytes.get() - i0) / 1e6
+      drain()
+      if (t < 0) { shuffleMb(name) = -1.0; inputMb(name) = -1.0 }
+      else {
+        shuffleMb(name) = (shuffleBytes.get() - s0) / 1e6
+        inputMb(name) = (inputBytes.get() - i0) / 1e6
+      }
       t
     }
     // Two INTERLEAVED passes over the whole suite, per-query min: pass 1
@@ -79,10 +90,15 @@ object Bench {
     // unchanged calibration probe) cannot poison both samples of one query.
     val queries = SparkEntry.queries // queries is a def: bind the Map once
     val names = queries.keys.toSeq
-    val pass1 = names.map(n => n -> onceMetered(n, queries(n))).toMap
+    // pass 1 is the warmup/cold pass — byte metering waits for pass 2 so
+    // trained-artifact queries record their STEADY-STATE footprint (a cold
+    // ArtifactStore would otherwise charge one-time training I/O to the
+    // query and make cold/warm hosts look like plan regressions)
+    val pass1 = names.map(n => n -> once(n, queries(n))).toMap
     val results = names.map { n =>
       val a = pass1(n)
-      val t = if (a < 0) -1.0 else { val b = once(n, queries(n)); if (b < 0) -1.0 else math.min(a, b) }
+      val t = if (a < 0) { shuffleMb(n) = -1.0; inputMb(n) = -1.0; -1.0 }
+        else { val b = onceMetered(n, queries(n)); if (b < 0) -1.0 else math.min(a, b) }
       n -> t
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

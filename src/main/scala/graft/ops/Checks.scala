@@ -30,6 +30,17 @@ object Checks {
   def eventTypeDomainSql: String =
     EventTypeDomain.map(v => s"'$v'").mkString(", ")
 
+  /** 6dp ratio with the zero-denominator case VACUOUSLY satisfied (all
+    * zero rows meet the constraint) — ONE definition for every check
+    * ratio, guarded explicitly on BOTH sides: unguarded, Spark yields NaN
+    * (and NaN >= t is TRUE under Spark's NaN ordering — a silent pass
+    * with a garbage metric) while DuckDB yields NULL, a latent hash-gate
+    * divergence on an empty input. Mirror as
+    * `CASE WHEN den = 0 THEN CAST(1.0 AS DOUBLE) ELSE floor(...) END`. */
+  private[ops] def vacuousRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(1.0))
+      .otherwise(round2(num.cast("double") / den, 6))
+
   /** Constraint suite over the events table. Thresholds are inclusive
     * minima on the 6dp-rounded metric. */
   def dataChecks(events: DataFrame): DataFrame = {
@@ -41,14 +52,7 @@ object Checks {
       count(when(col("event_type").isin(EventTypeDomain: _*), 1)).as("in_dom"),
       count(when(col("value") >= 0, 1)).as("nonneg"),
       count(when(col("event_type") === "purchase", 1)).as("n_purch"))
-    // zero-denominator ratios are VACUOUSLY satisfied (all zero rows meet
-    // the constraint) — guarded explicitly on BOTH sides: unguarded, Spark
-    // yields NaN (and NaN >= t is TRUE under Spark's NaN ordering — a
-    // silent pass with a garbage metric) while DuckDB yields NULL, a
-    // latent hash-gate divergence on an empty input
-    def ratio(num: String, den: String) =
-      when(col(den) === 0, lit(1.0))
-        .otherwise(round2(col(num).cast("double") / col(den), 6))
+    def ratio(num: String, den: String) = vacuousRatio(col(num), col(den))
     val checks: Seq[(String, Column, Double)] = Seq(
       ("completeness_user_id", ratio("nn_user", "n"), 1.0),
       ("completeness_value", ratio("nn_value", "n"), 1.0),
@@ -90,8 +94,6 @@ object Checks {
         count(when(col("in_r").isNull, 1)).as("n_left_only"),
         count(when(col("in_l").isNull, 1)).as("n_right_only"))
       .withColumn("left_containment",
-        when(col("n_left_keys") === 0, lit(1.0))
-          .otherwise(round2(
-            col("n_shared").cast("double") / col("n_left_keys"), 6)))
+        vacuousRatio(col("n_shared"), col("n_left_keys")))
   }
 }
