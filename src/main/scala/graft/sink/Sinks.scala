@@ -281,6 +281,31 @@ object Sinks {
     }
   }
 
+  /** Size-targeted shard writer — the corpus-export discipline: training
+    * pipelines want shards near a target size (too many tiny files choke
+    * listings and schedulers; one giant file serializes downstream reads).
+    * Shard count = ceil(estimated bytes / target), with the estimate from
+    * the optimized plan's `stats.sizeInBytes` — Catalyst's own cost-model
+    * input (exact file bytes for a plain scan, heuristic after wide
+    * transforms). Returns the shard count written.
+    *
+    * Scale note: reducing partition count COALESCES (no shuffle — the
+    * narrow dependency path); only growing it pays a round-robin
+    * repartition. For append-only incremental exports prefer
+    * `spark.sql.files.maxRecordsPerFile` per batch instead of a global
+    * re-layout. */
+  def writeSizedShards(df: DataFrame, path: String,
+      targetBytes: Long = 256L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((estimated + targetBytes - 1) / targetBytes)
+      .min(BigInt(Int.MaxValue)).max(1).toInt
+    val current = df.rdd.getNumPartitions
+    val sized = if (n <= current) df.coalesce(n) else df.repartition(n)
+    sized.write.mode(SaveMode.Overwrite).parquet(path)
+    n
+  }
+
   /** Batch-level validation gate in front of [[warehouseBatch]] — the
     * Deequ-discipline "verify before you publish": run a constraint suite
     * (e.g. [[graft.ops.Checks.dataChecks]], any fn emitting a `passed`

@@ -179,6 +179,24 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(byVer("v2").map(_._2).min >= 1998)
   }
 
+  test("writeSizedShards hits the computed shard count and keeps the data") {
+    import java.nio.file.Files
+    val dir = sf("sf0.001")
+    val docs = Sources.table(spark, dir, "documents")
+    val fileBytes = new java.io.File(s"$dir/documents.parquet").length()
+    val out = Files.createTempDirectory("graft-shards").toString
+    // target = 1/4 of the source bytes → exactly ceil(size/target) shards
+    val n = Sinks.writeSizedShards(docs, out, targetBytes = fileBytes / 4)
+    assert(n >= 4 && n <= 5, s"expected ~4 shards for a quarter target: $n")
+    val parts = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == n, s"wrote $parts part files, computed $n")
+    assert(spark.read.parquet(out).count() == docs.count())
+    // a huge target collapses to one shard via coalesce (no shuffle)
+    val out1 = Files.createTempDirectory("graft-shards1").toString
+    assert(Sinks.writeSizedShards(docs, out1, targetBytes = 1L << 40) == 1)
+  }
+
   test("kafka envelope round-trips through from_json") {
     val events = Sources.events(spark, sf("sf0.001"))
     val env = Sinks.jsonEnvelope(events)
