@@ -41,33 +41,88 @@ object Checks {
     when(den === 0, lit(1.0))
       .otherwise(round2(num.cast("double") / den, 6))
 
-  /** Constraint suite over the events table. Thresholds are inclusive
-    * minima on the 6dp-rounded metric. */
-  def dataChecks(events: DataFrame): DataFrame = {
-    val agg = events.agg(
-      count(lit(1)).as("n"),
-      count(col("user_id")).as("nn_user"),
-      count(col("value")).as("nn_value"),
-      countDistinct(col("event_id")).as("d_eid"),
-      count(when(col("event_type").isin(EventTypeDomain: _*), 1)).as("in_dom"),
-      count(when(col("value") >= 0, 1)).as("nonneg"),
-      count(when(col("event_type") === "purchase", 1)).as("n_purch"))
-    def ratio(num: String, den: String) = vacuousRatio(col(num), col(den))
-    val checks: Seq[(String, Column, Double)] = Seq(
-      ("completeness_user_id", ratio("nn_user", "n"), 1.0),
-      ("completeness_value", ratio("nn_value", "n"), 1.0),
-      ("uniqueness_event_id", ratio("d_eid", "n"), 1.0),
-      ("domain_event_type", ratio("in_dom", "n"), 1.0),
-      ("non_negative_value", ratio("nonneg", "nn_value"), 1.0),
-      ("purchase_share_min", ratio("n_purch", "n"), 0.01))
-    agg.select(explode(array(checks.map { case (nm, m, thr) =>
-        struct(lit(nm).as("check_name"), m.as("metric"),
-          lit(thr).as("threshold"))
+  /** One declarative constraint: a name, a numerator/denominator pair of
+    * aggregate expressions (the metric is their [[vacuousRatio]]), and an
+    * inclusive minimum threshold on the 6dp-rounded metric. The
+    * constructors below cover the standard Deequ vocabulary; anything
+    * else is a [[PredicateShare]]. */
+  sealed trait Check {
+    def name: String
+    def numerator: Column
+    def denominator: Column
+    def threshold: Double
+  }
+  /** Non-null share of `column`. */
+  final case class Completeness(column: String,
+      threshold: Double = 1.0) extends Check {
+    val name = s"completeness_$column"
+    def numerator = count(col(column))
+    def denominator = count(lit(1))
+  }
+  /** Distinct share of `column` (1.0 = a true key). The distinct count
+    * shuffles only the key column — keep keys narrow (the bounded-width
+    * discipline); several Uniqueness checks in one suite plan as an
+    * Expand over those key columns. */
+  final case class Uniqueness(column: String,
+      threshold: Double = 1.0) extends Check {
+    val name = s"uniqueness_$column"
+    def numerator = countDistinct(col(column))
+    def denominator = count(lit(1))
+  }
+  /** Share of rows whose `column` is in the allowed value set. */
+  final case class InDomain(column: String, values: Seq[String],
+      threshold: Double = 1.0) extends Check {
+    val name = s"domain_$column"
+    def numerator = count(when(col(column).isin(values: _*), 1))
+    def denominator = count(lit(1))
+  }
+  /** Share of rows satisfying `predicate`, over all rows or (via `over`)
+    * over the non-null rows of a column — the escape hatch for any
+    * constraint the named shapes don't cover. */
+  final case class PredicateShare(name: String, predicate: Column,
+      threshold: Double = 1.0, over: Option[String] = None) extends Check {
+    def numerator = count(when(predicate, 1))
+    def denominator = over.map(c => count(col(c))).getOrElse(count(lit(1)))
+  }
+
+  /** Evaluate a constraint suite in ONE aggregate pass: every check's
+    * numerator and denominator ride the same single-row aggregate (named
+    * positionally, deduplication left to Catalyst's common-expression
+    * handling), then the per-constraint explosion runs on the 1-row
+    * frame. Report: `(check_name, metric, threshold, passed)` sorted by
+    * name. */
+  def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
+    val aggExprs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.numerator.as(s"_num$i"), c.denominator.as(s"_den$i"))
+    }
+    val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
+    agg.select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("check_name"),
+          vacuousRatio(col(s"_num$i"), col(s"_den$i")).as("metric"),
+          lit(c.threshold).as("threshold"))
       }: _*)).as("c"))
       .select(col("c.check_name"), col("c.metric"), col("c.threshold"))
       .withColumn("passed", col("metric") >= col("threshold"))
       .orderBy("check_name")
   }
+
+  /** The standard suite for the events table (thresholds: hard 1.0 for
+    * integrity constraints, a floor for the purchase share). */
+  val EventChecks: Seq[Check] = Seq(
+    Completeness("user_id"),
+    Completeness("value"),
+    Uniqueness("event_id"),
+    InDomain("event_type", EventTypeDomain),
+    PredicateShare("non_negative_value", col("value") >= 0,
+      over = Some("value")),
+    PredicateShare("purchase_share_min", col("event_type") === "purchase",
+      threshold = 0.01))
+
+  /** [[suite]] with [[EventChecks]] — the oracle-gated entry. */
+  def dataChecks(events: DataFrame): DataFrame = suite(events, EventChecks)
 
   /** Join-key profile — the referential-integrity check a pipeline runs
     * BEFORE a 100 TB join: distinct key counts per side, the shared-key

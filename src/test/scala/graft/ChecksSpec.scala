@@ -51,6 +51,24 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("custom suite validates a different table with the same machinery") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = ingest.Sources.table(spark, sf("sf0.001"), "documents")
+    val got = Checks.suite(docs, Seq(
+      Checks.Uniqueness("doc_id"),
+      Checks.Completeness("text"),
+      Checks.InDomain("lang", Seq("de", "en", "es", "fr", "zh")),
+      Checks.PredicateShare("nonempty_text", length(col("text")) > 0)))
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    assert(got("uniqueness_doc_id")._4)
+    assert(got("completeness_text")._4)
+    assert(got("nonempty_text")._4)
+    // the synthetic corpus is entirely in-domain for lang
+    assert(got("domain_lang")._2 == 1.0)
+  }
+
   test("joinProfile counts shared keys and orphans in both directions") {
     val left = Seq(1L, 1L, 2L, 3L, 5L).toDF("lk")   // dup key collapses
     val right = Seq(2L, 3L, 4L).toDF("rk")
