@@ -93,6 +93,29 @@ object Dedup {
     jaccardPairsCore(documents, maxShingleDf, Some(minJaccard))
       .filter(col("jaccard") >= minJaccard)
 
+  /** Threshold-sweep curve for dedup tuning: how many candidate pairs sit
+    * at or above each 0.1-wide Jaccard bucket. THE report you read before
+    * choosing `minJaccard` — the knee of `pairs_at_or_above` is the
+    * threshold where the dup population separates from the background.
+    *
+    * Cost is ONE [[ngramJaccardPairs]] pass (the same skew-spread shape);
+    * the bucket histogram and the cumulative-from-above window run on ≤11
+    * rows, so the "global window" here is a bounded-frame aggregate, not
+    * a data-sized sort. Bucketing floors the 6dp-rounded jaccard —
+    * identical integer-valued doubles in both engines. */
+  def jaccardThresholdCurve(documents: DataFrame,
+      maxShingleDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ngramJaccardPairs(documents, maxShingleDf)
+      .withColumn("j_bucket", floor(col("jaccard") * 10) / 10)
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("j_bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("j_bucket")
+  }
+
   private def jaccardPairsCore(documents: DataFrame, maxShingleDf: Int,
       minJaccard: Option[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -38,6 +38,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._2 == 2L && p._3 > 0.5))
   }
 
+  test("jaccardThresholdCurve buckets pairs with a monotone cumulative") {
+    val curve = Dedup.jaccardThresholdCurve(docs)
+      .as[(Double, Long, Long)].collect()
+    // exact dup (j=1.0) lands in the 1.0 bucket; every bucket's
+    // cumulative counts all pairs at or above it
+    assert(curve.last._1 == 1.0 && curve.last._2 == 1L)
+    val cums = curve.map(_._3)
+    assert(cums.zip(cums.tail).forall { case (hi, lo) => hi >= lo },
+      s"cumulative not decreasing: ${curve.toSeq}")
+    assert(curve.head._3 == curve.map(_._2).sum, "head cum != total pairs")
+  }
+
   test("ngramJaccardTopPairs self-join reuses one shingle exchange") {
     // lock in the plan shape: the self-join's two identical exchanges on
     // `h` must collapse into ONE shuffle (ReusedExchange) — a refactor
