@@ -568,6 +568,26 @@ object SparkEntry {
       |         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio,
       |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
       |FROM documents""".stripMargin
+  // shared CTE prologue (shingles -> DF cap -> sizes -> intersections) for
+  // q_ngram_jaccard and q_jaccard_curve: the curve is only meaningful over
+  // the exact pair population the top-pairs query ranks, so both mirrors
+  // render from ONE definition (the shared-constant discipline)
+  private val JaccardPairsCte =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3))),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.shingle FROM sh
+      |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
+      |    USING (shingle)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val Rev = "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)"
   // shared by q_revenue_by_nation and q_revenue_by_nation_salted: the salted
   // join must hash-match the PLAIN join SQL — salted ≡ unsalted proof
@@ -1304,55 +1324,29 @@ object SparkEntry {
     // >1000 docs BEFORE sizes/intersections, so the hash gate holds even
     // when a corpus actually hits the cap
     "q_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3))),
-        |kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh
-        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
-        |    USING (shingle)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc1, doc2,
-        |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
-        |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
-        |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+      s"""$JaccardPairsCte
+         |SELECT doc1, doc2,
+         |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
+         |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
+         |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
     // buckets floor the same 6dp-rounded jaccard; the cumulative window
     // runs on the <=11 bucket rows in both engines
     "q_jaccard_curve" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 3))),
-        |kept AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh
-        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
-        |    USING (shingle)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
-        |           * 1000000 + 0.5) / 1000000 AS jaccard
-        |  FROM inter JOIN sz s1 ON doc1 = s1.doc_id
-        |  JOIN sz s2 ON doc2 = s2.doc_id),
-        |b AS (
-        |  SELECT floor(jaccard * 10) / 10 AS j_bucket,
-        |    CAST(count(*) AS BIGINT) AS n_pairs
-        |  FROM p GROUP BY 1)
-        |SELECT j_bucket, n_pairs,
-        |  CAST(sum(n_pairs) OVER (ORDER BY j_bucket DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS pairs_at_or_above
-        |FROM b ORDER BY j_bucket""".stripMargin,
+      s"""$JaccardPairsCte,
+         |p AS (
+         |  SELECT floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
+         |           * 1000000 + 0.5) / 1000000 AS jaccard
+         |  FROM inter JOIN sz s1 ON doc1 = s1.doc_id
+         |  JOIN sz s2 ON doc2 = s2.doc_id),
+         |b AS (
+         |  SELECT floor(jaccard * 10) / 10 AS j_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p GROUP BY 1)
+         |SELECT j_bucket, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY j_bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS pairs_at_or_above
+         |FROM b ORDER BY j_bucket""".stripMargin,
     // span-level duplicate detection: string 5-grams mirror Spark's hashed
     // positional windows (collision-free at these sizes, same argument as
     // q_ngram_jaccard); covered tokens via gaps-and-islands over duplicated

@@ -12,14 +12,15 @@ import graft.Exprs._
   * pipeline runs before publishing a partition.
   *
   * Scale stance: every metric is a counter or a distinct-count inside a
-  * single-row aggregate — one scan, map-side partials, and the single
-  * distinct count plans as a two-phase aggregate over one 8-byte key
-  * column (no Expand; the bounded-width discipline from ops.Profile —
-  * row text never shuffles). The per-constraint explosion happens on the 1-row
-  * aggregate frame, so report size ∝ constraints, not data. Metrics are
-  * ratios of exact longs rounded with the floor trick, so the pass/fail
-  * PREDICATES are engine-identical and the whole report rides the hash
-  * gate. */
+  * single-row aggregate — one scan with map-side partials. ONE Uniqueness
+  * check plans as a two-phase aggregate over its key column; several in
+  * one suite plan as an Expand over those key columns (cost multiplies by
+  * the distinct-aggregate count — keep keys narrow, the bounded-width
+  * discipline from ops.Profile; row text never shuffles either way). The
+  * per-constraint explosion happens on the 1-row aggregate frame, so
+  * report size ∝ constraints, not data. Metrics are ratios of exact longs
+  * rounded with the floor trick, so the pass/fail PREDICATES are
+  * engine-identical and the whole report rides the hash gate. */
 object Checks {
   /** Allowed event_type values (FIXTURES.md domain), sorted; shared with
     * the generated oracle IN-list. */

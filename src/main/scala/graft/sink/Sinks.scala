@@ -287,11 +287,16 @@ object Sinks {
     * Shard count = ceil(estimated bytes / target), with the estimate from
     * the optimized plan's `stats.sizeInBytes` — Catalyst's own cost-model
     * input (exact file bytes for a plain scan, heuristic after wide
-    * transforms). Returns the shard count written.
+    * transforms). Returns the TARGET shard count; a partition that ends up
+    * empty (the estimate over-counted rows) writes no part file, so count
+    * the directory if a manifest needs the actual number.
     *
-    * Scale note: reducing partition count COALESCES (no shuffle — the
-    * narrow dependency path); only growing it pays a round-robin
-    * repartition. For append-only incremental exports prefer
+    * The layout is one unconditional `repartition(n)` — deliberately NOT
+    * a peek-then-coalesce: reading the current partition count off the
+    * frame (`df.rdd`) finalizes the adaptive plan, which EXECUTES every
+    * upstream shuffle stage once for the peek and again for the write.
+    * One round-robin shuffle of the export is the cheap side of that
+    * trade. For append-only incremental exports prefer
     * `spark.sql.files.maxRecordsPerFile` per batch instead of a global
     * re-layout. */
   def writeSizedShards(df: DataFrame, path: String,
@@ -300,9 +305,7 @@ object Sinks {
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = ((estimated + targetBytes - 1) / targetBytes)
       .min(BigInt(Int.MaxValue)).max(1).toInt
-    val current = df.rdd.getNumPartitions
-    val sized = if (n <= current) df.coalesce(n) else df.repartition(n)
-    sized.write.mode(SaveMode.Overwrite).parquet(path)
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path)
     n
   }
 
