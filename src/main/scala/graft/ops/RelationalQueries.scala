@@ -67,8 +67,10 @@ object RelationalQueries {
     * row would re-scan lineitem per part).
     *
     * The per-part threshold frame is one row per partkey — UNBOUNDED, so
-    * it joins back via shuffle hash on the same key that produced it
-    * (exchange reuse), never a broadcast. `part` has no hint: it is a
+    * it joins back via shuffle hash with both sides exchanging on
+    * `l_partkey` once (key-aligned co-partitioning; the two subtrees
+    * project different columns, so they are separate exchanges, not a
+    * ReusedExchange), never a broadcast. `part` has no hint: it is a
     * dimension whose size scales with SF, so AQE decides broadcast vs
     * shuffle at runtime from the actual build size. Exactness: quantities
     * are whole numbers, so their double sums are order-independent

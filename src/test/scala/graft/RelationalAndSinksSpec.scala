@@ -95,6 +95,18 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(irPlan.contains("LeftAnti"), s"no anti join in:\n$irPlan")
   }
 
+  test("smallQuantityRevenue joins the threshold frame via shuffle hash") {
+    val dir = sf("sf0.001")
+    val sq = RelationalQueries.smallQuantityRevenue(
+      Sources.table(spark, dir, "lineitem"), Sources.table(spark, dir, "part"))
+    val plan = sq.queryExecution.executedPlan.toString
+    // the per-part threshold frame is unbounded (one row per partkey):
+    // the decorrelated self-join must stay a shuffle-hash on l_partkey,
+    // never a broadcast of the aggregate
+    assert(plan.contains("ShuffledHashJoin"), s"no shuffle hash in:\n$plan")
+    assert(sq.count() > 0)
+  }
+
   test("disjunctive revenue pushes the derived envelopes to both scans") {
     val dir = sf("sf0.001")
     val dr = RelationalQueries.disjunctiveRevenue(
