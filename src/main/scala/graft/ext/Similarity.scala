@@ -33,7 +33,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of `queryVecId` (excluded from results).
-    * The single query row is broadcast; the corpus is scanned once. */
+    * The single query row is broadcast; the corpus is scanned once. The
+    * broadcast side is bounded by CONSTRUCTION (one equality key — its row
+    * count is the key's multiplicity, 1 under the vec_id-is-unique schema),
+    * so no row-count guard is needed here; the batched variant's bound is
+    * [[batchKnn]]'s enforced `numQueries` cap. */
   def cosineTopK(embeddings: DataFrame, queryVecId: Long = 0L,
       k: Int = 10): DataFrame = {
     val q = broadcast(
@@ -48,12 +52,30 @@ object Similarity {
       .select(col("vec_id"), round2(col("sim"), 4).as("cosine_sim"))
   }
 
+  /** Hard ceiling on the rows a convention-"small" broadcast query side may
+    * carry ([[batchKnn]]): 65 536 query vectors × (64 floats + id) ≈ 20 MB
+    * serialized — comfortably under executor broadcast budgets. The guard
+    * fires at PLAN time (it bounds the declared parameter, no extra job),
+    * so a miscalled "small side" fails loudly instead of OOMing a 1000-
+    * executor broadcast at scale. Corpus-sized batch KNN belongs to
+    * [[allNearestNeighbors]] (tiled, never broadcast). */
+  val MaxBroadcastQueryRows: Int = 1 << 16
+
   /** Batched exact KNN: top-k corpus neighbors for each of a (small) set of
     * query vectors in one pass — queries broadcast against a single corpus
     * scan, per-query top-k via the bounded-heap [[TopK]] aggregator (k rows
-    * per (query, partition) shuffle, no per-query sort). */
+    * per (query, partition) shuffle, no per-query sort). "Small" is
+    * ENFORCED, not conventional: `numQueries` bounds the broadcast side by
+    * construction (`vec_id < numQueries` admits at most that many distinct
+    * keys) and is capped at [[MaxBroadcastQueryRows]]. */
   def batchKnn(embeddings: DataFrame, numQueries: Int = 5, k: Int = 3): DataFrame = {
-    val q = broadcast(embeddings.filter(col("vec_id") < numQueries)
+    require(numQueries >= 1 && numQueries <= MaxBroadcastQueryRows,
+      s"numQueries=$numQueries outside [1, $MaxBroadcastQueryRows]: the " +
+        "query side is broadcast; use allNearestNeighbors for corpus-scale")
+    // the >= 0 leg makes the row bound hold by CONSTRUCTION (at most
+    // numQueries distinct non-negative ids), not by data convention
+    val q = broadcast(embeddings
+      .filter(col("vec_id") >= 0 && col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = embeddings.filter(col("vec_id") >= numQueries)
       .crossJoin(q)
@@ -243,25 +265,52 @@ object Similarity {
     ivfTopK(embeddings, trainIvfCentroids(embeddings, cells, seed),
       queryVecId, k, nProbe)
 
+  /** Per-task budget for one buffered corpus tile in [[allNearestNeighbors]]
+    * (optimizer-estimated bytes). 64 MB keeps the spillable tile buffer far
+    * under any sane executor heap while leaving tiles coarse enough that the
+    * task count stays O(corpus / 64 MB) × query-side parallelism. */
+  val AllKnnTileBytes: Long = 64L << 20
+
   /** Exact nearest-neighbor MAP: the top-k corpus neighbors of EVERY
     * vector — the all-kNN structure semantic-dedup (SemDeDup-style keeper
     * picking) and corpus-diversity audits consume. All-pairs by
     * construction: this is the EXACT baseline, deliberately quadratic in
-    * the corpus — but the per-group state is a bounded [[TopK]] heap, so
-    * the only corpus-sized cost is the broadcast-nested-loop pair stream
-    * itself (k rows per (vector, partition) shuffle, no per-vector sort).
+    * COMPUTE — but never in memory: the corpus side is repartitioned into
+    * T = ceil(estimatedBytes / [[AllKnnTileBytes]]) tiles and the pair
+    * stream comes from a shuffled CartesianProduct (`shuffle_replicate_nl`),
+    * so each task buffers ONE spillable tile (≤ ~64 MB estimated), never a
+    * corpus-wide broadcast. Per-group state downstream is a bounded [[TopK]]
+    * heap (k rows per (vector, partition) shuffle, no per-vector sort).
+    * Memory bound per task: one corpus tile (spillable) + one TopK heap.
     * At 100 TB the same output comes from [[lshTopK]]/[[ivfTopK]] per
     * query; run THIS on a sampled or bucketed subset. */
-  def allNearestNeighbors(embeddings: DataFrame, k: Int = 1): DataFrame = {
-    // norms ride each SIDE's projection (below the join, evaluated once
-    // per row — the broadcast side materializes its projection before
-    // shipping), so a candidate pair costs ONE dot product, not three;
-    // numerically identical to cosine() (same sqrt(dot(x,x)) accumulation)
+  def allNearestNeighbors(embeddings: DataFrame, k: Int = 1,
+      tiles: Int = 0): DataFrame = {
+    // Tile count from the optimizer's own size estimate (the writeSizedShards
+    // discipline); explicit `tiles` overrides for specs. Query-side partition
+    // count keeps tile-count × query-partitions ≥ the session's parallelism
+    // so small corpora (T = 1) still fan out across cores.
+    val spark = embeddings.sparkSession
+    val estBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val t = math.max(1, if (tiles > 0) tiles
+      else ((estBytes + AllKnnTileBytes - 1) / AllKnnTileBytes)
+        .min(BigInt(1 << 16)).toInt)
+    val par = spark.sessionState.conf.numShufflePartitions
+    val qParts = math.max(1, (par + t - 1) / t)
+    // norms ride each SIDE's projection (below the join, evaluated once per
+    // row), so a candidate pair costs ONE dot product, not three; numerically
+    // identical to cosine() (same sqrt(dot(x,x)) accumulation)
     val q = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("q_n"))
+      .repartition(qParts, col("vec_id"))
     val c = embeddings.select(col("vec_id").as("nn_id"),
       col("embedding").as("c_emb"), norm(col("embedding")).as("c_n"))
-    val scored = q.crossJoin(broadcast(c))
+      .repartition(t, col("nn_id"))
+    // shuffle_replicate_nl pins CartesianProductExec: qParts × t tasks, each
+    // streaming one query partition against one buffered (spillable) corpus
+    // tile — a block-nested-loop with bounded memory, vs. the former
+    // broadcast(corpus) which OOMs once the corpus outgrows one JVM.
+    val scored = q.hint("shuffle_replicate_nl").crossJoin(c)
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         (dot(col("embedding"), col("c_emb")) / (col("q_n") * col("c_n")))

@@ -59,6 +59,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L)._1 == 1L && got(1L)._1 == 0L)
   }
 
+  test("allNearestNeighbors never broadcasts the corpus: shuffled " +
+      "CartesianProduct tiles, and explicit tiling is result-identical") {
+    val base = Similarity.allNearestNeighbors(emb, k = 2)
+    val baseRows = base.collect().toSeq // collect FIRST: AQE final plan
+    val plan = base.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"),
+      s"expected shuffled CartesianProduct tiles, got:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"corpus-side broadcast crept back in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BNLJ means a side was broadcast:\n$plan")
+    // forcing multiple corpus tiles (each task buffers corpus/t, the 100 TB
+    // memory bound) must not change a single output row
+    val tiled = Similarity.allNearestNeighbors(emb, k = 2, tiles = 3)
+    assert(tiled.collect().toSeq == baseRows)
+    val tiledPlan = tiled.queryExecution.executedPlan.toString
+    assert(tiledPlan.contains("CartesianProduct") &&
+      !tiledPlan.contains("BroadcastExchange"))
+  }
+
+  test("trainPqCodebooks fails loudly on a degenerate corpus (ragged " +
+      "codebook would mis-index the flat ADC table at serve time)") {
+    // every embedding identical → each subspace has ONE distinct
+    // sub-vector → KMeans returns 1 center, not ksub
+    val const = (0L to 20L).map(i => (i, Array.fill(dim)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(const, m = 2, ksub = 8)
+    }
+    assert(e.getMessage.contains("expected 8"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("batchKnn rejects a corpus-scale broadcast side at plan time") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.batchKnn(emb, numQueries = Similarity.MaxBroadcastQueryRows + 1)
+    }
+    assert(e.getMessage.contains("broadcast"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.batchKnn(emb, numQueries = 0)
+    }.getMessage.contains("outside"))
+  }
+
   test("lshTopK keeps high recall vs exact top-k") {
     val exact = Similarity.cosineTopK(emb, 0L, k = 5)
       .as[(Long, Double)].collect().map(_._1).toSet

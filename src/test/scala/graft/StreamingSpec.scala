@@ -262,4 +262,18 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("countUniqueDocs pins a null lang LAST — a planted null-lang doc " +
+      "keeps the q_stream_doc_dedup row order engine-agnostic") {
+    import spark.implicits._
+    // Spark's ascending default is NULLS FIRST, DuckDB's is NULLS LAST;
+    // the finisher pins asc_nulls_last so both engines agree
+    val d = Seq((Option("en"), "a"), (Option.empty[String], "b"),
+      (Option("de"), "c"), (Option.empty[String], "b"),
+      (Option.empty[String], "z")).toDF("lang", "text")
+    val out = StreamingQueries.countUniqueDocs(StreamingQueries.dedupDocs(d))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(out == Seq((Some("de"), 1L), (Some("en"), 1L), (None, 2L)),
+      s"null lang must sort last and dedup by (lang, text): $out")
+  }
 }
