@@ -233,6 +233,121 @@ object SparkEntry {
     // per-key fan-out bounded by version count
     "q_scd2_join" -> ((s, dir) => RelationalQueries.scd2Revenue(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "part"))),
+    // ---- lakehouse maintenance: MV refresh / upsert / erasure / CDC ----
+    // incremental materialized view: three disjoint event slices folded
+    // through MaterializedView.mergeSums must reproduce the batch
+    // recompute BIT-IDENTICALLY — shares q_daily_revenue's oracle
+    // verbatim (the shared-oracle equivalence certificate)
+    "q_mv_incremental" -> ev(e => {
+      val s = e.sparkSession
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mv")
+      val mv = tmp.toString + "/daily_revenue_mv"
+      try {
+        (0 until 3).foreach { slice =>
+          sink.MaterializedView.mergeSums(
+            sink.MaterializedView.dailyRevenueDelta(
+              e.filter(pmod(col("event_id"), lit(3L)) === slice)),
+            mv, Seq("event_date"), Seq("partial"))
+        }
+        sink.MaterializedView.dailyRevenue(s, mv).localCheckpoint(true)
+      } finally Fs.deleteRecursively(tmp)
+    }),
+    // the STREAMING maintainer of the same view: a file stream delivers
+    // the events in three micro-batches, foreachBatch folds each through
+    // the EXACTLY-ONCE mergeSumsOnce (batch ledger rides the view's atomic
+    // swap, so replays are no-ops) — third member of q_daily_revenue's
+    // shared-oracle family: stream-maintained MV ≡ batch recompute
+    "q_stream_mv_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-smv")
+      val src = tmp.toString + "/src"
+      val mv = tmp.toString + "/daily_revenue_mv"
+      val ck = tmp.toString + "/ck"
+      try {
+        val e = Sources.events(s, dir)
+        // three files -> three micro-batches (any row split works: the
+        // fold is associative and the ledger de-duplicates replays)
+        e.repartition(3).write.parquet(src)
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            sink.MaterializedView.mergeSumsOnce(
+              sink.MaterializedView.dailyRevenueDelta(b), mv, id,
+              Seq("event_date"), Seq("partial"))
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        sink.MaterializedView.dailyRevenue(s, mv).localCheckpoint(true)
+      } finally Fs.deleteRecursively(tmp)
+    }),
+    // MERGE-INTO semantics end-to-end: seed a year-partitioned order
+    // snapshot, upsert a price-bumped update batch (only partitions
+    // carrying updated keys rewrite), read the merged table back — the
+    // mirror states the merge declaratively (CASE on the update rule)
+    "q_merge_upsert" -> ((s, dir) => {
+      val orders = Sources.table(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge")
+      val path = tmp.toString + "/orders_snap"
+      try {
+        val base = orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice").as("price"))
+        Sinks.upsertParquetPartitioned(base, path, Seq("o_orderkey"), "o_year")
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", Exprs.round2(col("price") * 1.05))
+        Sinks.upsertParquetPartitioned(updates, path,
+          Seq("o_orderkey"), "o_year")
+        s.read.parquet(path).localCheckpoint(true)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            Exprs.moneySum(col("price")).as("total_price"))
+          .orderBy("o_year")
+      } finally Fs.deleteRecursively(tmp)
+    }),
+    // right-to-be-forgotten: erase the 3 smallest user ids from a
+    // user-bucketed copy, rewriting ONLY their bucket directories
+    // (partition-pruned; untouched buckets byte-identical, spec-pinned);
+    // the mirror is the plain NOT IN over the source table
+    "q_user_erasure" -> ev(e => {
+      val s = e.sparkSession
+      val tmp = java.nio.file.Files.createTempDirectory("graft-erase")
+      val path = tmp.toString + "/events_by_user"
+      try {
+        e.withColumn("bucket", pmod(col("user_id"), lit(16L)))
+          .write.partitionBy("bucket").parquet(path)
+        val keys = e.select("user_id").where(col("user_id").isNotNull)
+          .distinct().orderBy("user_id").limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        Sinks.eraseKeysPartitioned(s, path, "user_id", keys, "bucket",
+          k => java.lang.Math.floorMod(k, 16L))
+        s.read.parquet(path).localCheckpoint(true)
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(count(lit(1)).as("n_events"),
+            Exprs.moneySum(when(col("event_type") === "purchase",
+              col("value"))).as("revenue"))
+          .orderBy("event_date")
+      } finally Fs.deleteRecursively(tmp)
+    }),
+    // CDC backfill: diff two dimension snapshots into the change stream
+    // they imply (full-outer sort-merge on the key, null-safe compares)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cust = Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val newSnap = cust.filter(col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") + when(col("c_custkey") % 13 === 0, lit(10.0))
+            .otherwise(lit(0.0))).as("c_acctbal"), col("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 19 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+      ops.Cdc.snapshotDiff(cust, newSnap, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("c_custkey")
+    }),
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
@@ -745,9 +860,8 @@ object SparkEntry {
       |FROM conv WHERE purch_ts IS NOT NULL
       |ORDER BY user_id, purchaseAt, viewAt, purchaseValue""".stripMargin
 
-  // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
-  // (watermark + append-mode tumbling windows, sentinel-finalized): the
-  // production streaming configuration must hash-match the batch SQL
+  // shared by q_quarantine (batch) and q_stream_quarantine (the same
+  // per-row rule layer applied in foreachBatch): batch ≡ streamed split
   private val QuarantineSql =
     """WITH t AS (
       |  SELECT event_id, event_type, value,
@@ -761,6 +875,9 @@ object SparkEntry {
       |SELECT event_id, event_type, value, quarantine_reason
       |FROM t WHERE quarantine_reason <> '' ORDER BY event_id""".stripMargin
 
+  // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
+  // (watermark + append-mode tumbling windows, sentinel-finalized): the
+  // production streaming configuration must hash-match the batch SQL
   private val DailyRevenueSql =
     s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
        |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1316,6 +1433,61 @@ object SparkEntry {
          |FROM lineitem JOIN part ON p_partkey = l_partkey
          |WHERE ${RelationalQueries.disjunctSql}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental MV refresh shares the batch recompute's oracle VERBATIM:
+    // the hash gate certifies three partial-aggregate merges fold to the
+    // bit-identical daily totals (decimal addition is associative)
+    "q_mv_incremental" -> DailyRevenueSql,
+    "q_stream_mv_incremental" -> DailyRevenueSql,
+    // the merge stated declaratively: the upsert's update rule as a CASE
+    "q_merge_upsert" ->
+      s"""WITH merged AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CASE WHEN o_orderkey % 7 = 0
+         |      THEN ${Exprs.round2Sql("o_totalprice * CAST(1.05 AS DOUBLE)")}
+         |      ELSE o_totalprice END AS price
+         |  FROM orders)
+         |SELECT o_year, count(*) AS n_orders,
+         |  ${Exprs.moneySumSql("price")} AS total_price
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the erasure stated declaratively (NOT IN over the source table);
+    // equivalent to the partition-pruned rewrite because user_id is
+    // null-free here — the op itself KEEPS null keys (spec-pinned)
+    "q_user_erasure" ->
+      s"""WITH erased AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 3)
+         |SELECT CAST(ts AS DATE) AS event_date,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  ${Exprs.moneySumSql(
+               "CASE WHEN event_type = 'purchase' THEN value END")} AS revenue
+         |FROM events WHERE user_id NOT IN (SELECT user_id FROM erased)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // key-presence via o/n.c_custkey IS NULL is sound here because the
+    // join key is never null (the Scala op uses explicit presence markers
+    // and stays correct for null keys)
+    "q_snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT c_custkey,
+        |    c_acctbal + CASE WHEN c_custkey % 13 = 0
+        |      THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |      AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
+        |  FROM customer WHERE c_custkey % 19 = 0),
+        |d AS (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |         WHEN n.c_custkey IS NULL THEN 'delete'
+        |         WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+        |          AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+        |           THEN 'unchanged'
+        |         ELSE 'update' END AS change_type
+        |  FROM customer o FULL OUTER JOIN newsnap n
+        |    ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey, change_type FROM d
+        |WHERE change_type <> 'unchanged' ORDER BY c_custkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,

@@ -374,15 +374,47 @@ object Sinks {
         // blocks publication — !NULL is NULL and would slip a bare filter
         report.filter(!coalesce(col("passed"), lit(false))).isEmpty
       } finally report.unpersist()
-    if (allPassed)
+    if (allPassed) {
       warehouseBatch(valid, batchId, rawPath, reportingPath, reporting,
         incremental, lineage)
-    else
+      // a replayed batch that FAILED the gate before (e.g. after a check-
+      // suite fix) and now passes must not leave its stale rejected copy
+      // behind — forensics would show a "rejected" twin of a published
+      // batch. Same idempotence discipline as the dynamic overwrite: the
+      // batchKey owns its partitions in EVERY layer it ever touched.
+      dropBatchPartitions(rejectedPath, batchKey)
+    } else
       valid.withColumn("event_date", to_date(col("ts")))
         .withColumn("ingest_batch", lit(batchKey))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date", "ingest_batch").parquet(rejectedPath)
+  }
+
+  /** Deletes the `ingest_batch=<batchKey>` partition dir under every
+    * `event_date=` dir of `root` — the replay-cleanup half of the dynamic-overwrite
+    * idempotence contract for layers the current attempt did NOT write
+    * (an overwrite only replaces partitions it produces rows for). */
+  private def dropBatchPartitions(root: String, batchKey: String): Unit = {
+    val rootPath = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.isDirectory(rootPath)) {
+      val days = java.nio.file.Files.list(rootPath)
+      try {
+        val it = days.iterator()
+        while (it.hasNext) {
+          val day = it.next()
+          val part = day.resolve(s"ingest_batch=$batchKey")
+          if (java.nio.file.Files.isDirectory(part)) {
+            graft.Fs.deleteRecursively(part)
+            // prune a day dir this was the last batch of — an empty
+            // partition dir would poison later schema inference
+            val left = java.nio.file.Files.list(day)
+            val empty = try !left.iterator().hasNext finally left.close()
+            if (empty) java.nio.file.Files.delete(day)
+          }
+        }
+      } finally days.close()
+    }
   }
 
   /** [[streamToWarehouse]] with the [[warehouseBatchChecked]] batch-level
@@ -468,7 +500,7 @@ object Sinks {
   /** Backup-then-swap of a freshly written `tmp` into `target`: the old
     * data is never the sole deleted copy (see [[recoverSwap]] for the one
     * crash window and its recovery). */
-  private def swapReplace(target: java.nio.file.Path,
+  private[sink] def swapReplace(target: java.nio.file.Path,
       tmp: java.nio.file.Path, backupSuffix: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val backup =
@@ -565,6 +597,55 @@ object Sinks {
       val t = target.resolve(d.getFileName.toString)
       recoverSwap(t.toString)
       swapReplace(t, d, ".upsert-old")
+    }
+    graft.Fs.deleteRecursively(tmp)
+  }
+
+  /** Keyed erasure with partition-pruned rewrite — the right-to-be-forgotten
+    * primitive: delete every row of `keys` from a target partitioned by
+    * `partitionCol`, rewriting ONLY the partition directories those keys can
+    * live in (`partitionOf` maps a key to its partition value — e.g. the
+    * same `pmod(user_id, buckets)` that laid the table out). Per-call cost
+    * is O(affected partitions), never O(table): at 100 TB an erasure batch
+    * of a few hundred users touches a few hundred bucket directories and
+    * the other ~all of the table keeps its files byte-for-byte (asserted in
+    * WarehouseSpec). A partition whose rows are ALL erased is deleted
+    * outright (the merged write produces no directory for it — the swap
+    * loop must not leave the stale one alive). Each affected directory is
+    * replaced with the same backup-then-swap as the upsert path, healed by
+    * [[recoverSwap]]/partition recovery on the next call.
+    *
+    * NULL keys are KEPT: a row with no key cannot match an erasure request
+    * (`!coalesce(isin, false)` — the fail-closed gate discipline, inverted:
+    * here the non-evaluating row must NOT be silently erased). `keys` ships
+    * in the task binary, so it is for bounded request batches (GDPR-sized,
+    * ≤ ~1e5); corpus-sized erasure lists belong in an anti-join rewrite. */
+  def eraseKeysPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, keys: Seq[Long], partitionCol: String,
+      partitionOf: Long => Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (keys.isEmpty) return
+    require(keys.size <= 100000,
+      s"${keys.size} erasure keys: driver-side key lists are for bounded " +
+        "request batches; use an anti-join rewrite for corpus-sized lists")
+    recoverSwap(path)
+    val target = Paths.get(path)
+    require(Files.isDirectory(target), s"erasure target missing: $path")
+    recoverPartitionSwaps(target)
+    val affected = keys.map(partitionOf).distinct.sorted
+    val kept = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(affected.map(_.asInstanceOf[Any]): _*))
+      .filter(!coalesce(col(keyCol).isin(keys: _*), lit(false)))
+    val tmp = Paths.get(path + ".upsert-tmp")
+    kept.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(tmp.toString)
+    affected.foreach { v =>
+      val dirName = s"$partitionCol=$v"
+      val t = target.resolve(dirName)
+      val src = tmp.resolve(dirName)
+      recoverSwap(t.toString)
+      if (Files.isDirectory(src)) swapReplace(t, src, ".upsert-old")
+      else if (Files.isDirectory(t)) graft.Fs.deleteRecursively(t)
     }
     graft.Fs.deleteRecursively(tmp)
   }
@@ -727,15 +808,30 @@ object Sinks {
     * skipping on that key and none on the other; Z-order trades a little
     * of the first for a lot of the second — the standard lakehouse layout
     * for a 100 TB table queried by two independent keys (e.g. user and
-    * day). Inputs must be non-negative and fit in `bits` bits; the key is
-    * layout-only and not written. */
+    * day). Inputs must be non-negative and fit in `bits` bits — ENFORCED
+    * in the key projection itself (`raise_error` on the first violating
+    * row, same single codegen'd pass): a negative or overflowing key would
+    * silently interleave garbage and destroy exactly the clustering this
+    * layout exists for, with results still "correct" and nobody noticing
+    * until the skipping stops working. The key is layout-only and not
+    * written. */
   def writeZOrdered(df: DataFrame, path: String, partitions: Int,
-      colA: String, colB: String, bits: Int = 21): Unit =
-    df.withColumn("_zkey", zorderKey(col(colA), col(colB), bits))
+      colA: String, colB: String, bits: Int = 21): Unit = {
+    val bound = 1L << bits
+    def checked(name: String) = {
+      val c = col(name).cast("long")
+      when(c.isNull || c < 0L || c >= bound,
+        raise_error(concat(
+          lit(s"writeZOrdered: $name out of [0, $bound): "),
+          coalesce(col(name).cast("string"), lit("null")))).cast("long"))
+        .otherwise(c)
+    }
+    df.withColumn("_zkey", zorderKey(checked(colA), checked(colB), bits))
       .repartitionByRange(partitions, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning

@@ -82,6 +82,16 @@ class WarehouseSpec extends SparkSpec {
     run(dirty, 1L)
     assert(spark.read.parquet(rej).count() == 2)
     assert(spark.read.parquet(raw).count() == 2)
+    // a replay of the SAME batch id that now PASSES (upstream fix) must
+    // publish AND clear its stale rejected copy — otherwise forensics
+    // shows a "rejected" twin of a published batch
+    val fixed = Seq(
+      PropEvent(7, ts("2024-01-02 10:00:00"), 1, "purchase", 99.0, "{}"),
+      PropEvent(8, ts("2024-01-02 11:00:00"), 2, "purchase", 5.0, "{}")).toDF()
+    run(fixed, 1L)
+    assert(spark.read.parquet(raw).count() == 4, "fixed replay not published")
+    assert(!new java.io.File(rej).listFiles().exists(_.getName.startsWith(
+      "event_date")), "stale rejected copy survived the passing replay")
   }
 
   test("gate composes with row rules: quarantinable rows don't reject the batch") {
@@ -523,6 +533,27 @@ class WarehouseSpec extends SparkSpec {
       .select(Sinks.zorderKey(col("a"), col("b"), 21).as("z"))
       .as[Long].collect().toSeq
     assert(got == cases.map { case (a, b) => ref(a, b, 21) })
+  }
+
+  test("writeZOrdered fails loudly on keys outside [0, 2^bits) instead of " +
+      "silently interleaving garbage") {
+    val out = Files.createTempDirectory("graft-zg").toString + "/z"
+    def write(rows: Seq[(Long, Long)]): Unit =
+      Sinks.writeZOrdered(rows.toDF("a", "b"), out, partitions = 1,
+        "a", "b", bits = 4)
+    write(Seq((0L, 15L), (15L, 0L))) // boundary values pass
+    def failsOn(rows: Seq[(Long, Long)]): Unit = {
+      // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION),
+      // possibly wrapped in a SparkException job failure — match the message
+      val e = intercept[Exception] { write(rows) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("writeZOrdered")),
+        s"guard did not fire: $e")
+    }
+    failsOn(Seq((1L, 2L), (-1L, 3L)))  // negative (the user_id=-1 sentinel)
+    failsOn(Seq((1L, 2L), (16L, 3L)))  // overflows bits=4
   }
 
   test("z-ordered layout skips row groups on BOTH dimensions (measured)") {
