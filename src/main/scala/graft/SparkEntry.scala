@@ -30,6 +30,24 @@ object SparkEntry {
   private def docs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Sources.table(s, dir, "documents"))
 
+  /** The synthetic (old, new) snapshot pair `q_snapshot_diff` and
+    * `q_cdc_apply` diff/reconstruct: the successor drops every 17th key
+    * (deletes), bumps every 13th surviving balance (updates), and appends
+    * key-shifted copies of every 19th (inserts). Mirrored by
+    * [[CustNewSnapCte]] — both queries' mirrors render from it. */
+  private def custSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cust = Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val newSnap = cust.filter(col("c_custkey") % 17 =!= 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + when(col("c_custkey") % 13 === 0, lit(10.0))
+          .otherwise(lit(0.0))).as("c_acctbal"), col("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 19 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+    (cust, newSnap)
+  }
+
   /** IVF coarse-quantizer centroids cached per sfDir: training
     * ([[Similarity.trainIvfCentroids]], an iterative KMeans fit) runs ONCE
     * per dataset and every subsequent `q_ivf_knn` invocation is pure
@@ -233,6 +251,26 @@ object SparkEntry {
     // per-key fan-out bounded by version count
     "q_scd2_join" -> ((s, dir) => RelationalQueries.scd2Revenue(
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "part"))),
+    // TPC-H Q10 shape: returned-item revenue, quarter pushed below the
+    // fact-fact join, top-k as TakeOrderedAndProject
+    "q_returned_items" -> ((s, dir) => RelationalQueries.returnedItems(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "customer"), Sources.table(s, dir, "nation"))),
+    // TPC-H Q12 shape (latency-bucketed): both priority counts in one pass
+    "q_ship_latency_priority" -> ((s, dir) => RelationalQueries
+      .shipLatencyPriority(Sources.table(s, dir, "lineitem"),
+        Sources.table(s, dir, "orders"))),
+    // TPC-H Q18 shape: HAVING pre-aggregation on the join key, exact-
+    // decimal threshold
+    "q_large_orders" -> ((s, dir) => RelationalQueries.largeOrders(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "customer"))),
+    // TPC-H Q21 shape: EXISTS/NOT-EXISTS decomposed into one per-order
+    // distinct-supplier aggregate (mirror keeps the correlated form — the
+    // hash gate certifies the decomposition)
+    "q_waiting_suppliers" -> ((s, dir) => RelationalQueries.waitingSuppliers(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "supplier"))),
     // ---- lakehouse maintenance: MV refresh / upsert / erasure / CDC ----
     // incremental materialized view: three disjoint event slices folded
     // through MaterializedView.mergeSums must reproduce the batch
@@ -334,18 +372,22 @@ object SparkEntry {
     // CDC backfill: diff two dimension snapshots into the change stream
     // they imply (full-outer sort-merge on the key, null-safe compares)
     "q_snapshot_diff" -> ((s, dir) => {
-      val cust = Sources.table(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      val newSnap = cust.filter(col("c_custkey") % 17 =!= 0)
-        .select(col("c_custkey"),
-          (col("c_acctbal") + when(col("c_custkey") % 13 === 0, lit(10.0))
-            .otherwise(lit(0.0))).as("c_acctbal"), col("c_mktsegment"))
-        .unionByName(cust.filter(col("c_custkey") % 19 === 0)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
-            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+      val (cust, newSnap) = custSnapshots(s, dir)
       ops.Cdc.snapshotDiff(cust, newSnap, Seq("c_custkey"),
           Seq("c_acctbal", "c_mktsegment"))
         .filter(col("change_type") =!= "unchanged")
+        .orderBy("c_custkey")
+    }),
+    // the CDC round-trip law: applying the diff-derived change stream to
+    // the OLD snapshot must reproduce the NEW snapshot row-for-row — the
+    // mirror states the new snapshot's definition DIRECTLY, so the hash
+    // gate certifies applyChanges ∘ snapshotChanges ≡ identity
+    "q_cdc_apply" -> ((s, dir) => {
+      val (cust, newSnap) = custSnapshots(s, dir)
+      val changes = ops.Cdc.snapshotChanges(cust, newSnap,
+        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+      ops.Cdc.applyChanges(cust, changes,
+          Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
         .orderBy("c_custkey")
     }),
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----

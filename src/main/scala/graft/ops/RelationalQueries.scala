@@ -26,6 +26,10 @@ object RelationalQueries {
   // its mirror because both render from one definition)
   val TopSupplierFrom = "1996-01-01"
   val TopSupplierUntil = "1996-04-01"
+  val ReturnedFrom = "1996-01-01"
+  val ReturnedUntil = "1996-04-01"
+  val LargeOrderQty = 300
+  val WaitingLateDays = 365
   val IdleRichSince = "2000-01-01"
   val MarketShareRegion = "ASIA"
   val MarketShareNation = "NATION_2"
@@ -163,6 +167,126 @@ object RelationalQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
+
+  /** TPC-H Q10-style returned-item reporting: top customers by revenue of
+    * lines they returned (`l_returnflag = 'R'`) in one order quarter.
+    *
+    * The order-date window filters `orders` BEFORE the fact-fact join (a
+    * quarter of a multi-year history — the pushed predicate shrinks the
+    * shuffle ~25×); the returnflag filter reaches the lineitem scan the
+    * same way. `customer` joins the already-aggregable stream unhinted
+    * (SF-scaled; AQE decides), `nation` is a true broadcast, and the
+    * top-k plans as TakeOrderedAndProject — no global sort at any SF. */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("rev"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(ReturnedFrom).cast("date") &&
+            col("o_orderdate") < lit(ReturnedUntil).cast("date"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(moneySum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q12-style shipping-latency priority split: per order-to-ship
+    * latency bucket, how many lines belong to critical-priority orders vs
+    * the rest. (The reference schema has no ship mode / commit / receipt
+    * dates, so the Q12 "late shipment" axis is re-based on the
+    * days-from-order-to-ship latency — same conditional-count shape.)
+    *
+    * One fact-fact shuffle, then a 3-row aggregate; both conditional
+    * counts ride the same pass (no second scan). Day arithmetic is on
+    * CAST-to-date values in both engines — integer day diffs, no
+    * timezone/fraction ambiguity. */
+  def shipLatencyPriority(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lat = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("latency_bucket",
+        when(lat <= 30, "0-30").when(lat <= 90, "31-90").otherwise("90+"))
+      .groupBy("latency_bucket")
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!critical, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("latency_bucket")
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total quantity
+    * exceeds [[LargeOrderQty]], with their customer and order facts.
+    *
+    * The HAVING pre-aggregates lineitem on `l_orderkey` — the same key the
+    * subsequent join uses, so the one shuffle is reused; the surviving
+    * big-order set is tiny (p99.9 of order quantity sits near the
+    * threshold by construction) and AQE broadcasts it against `orders`.
+    * The quantity threshold compares EXACT decimal (never the rounded
+    * display double), so boundary orders classify identically in both
+    * engines; the displayed `sum_qty` rounds after. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, k: Int = 100): DataFrame =
+    lineitem.groupBy("l_orderkey")
+      .agg(exactSum(col("l_quantity")).as("q"))
+      .filter(col("q") > LargeOrderQty)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+        round2(col("q").cast("double")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q21-style suppliers who kept orders waiting: for finished
+    * orders with lines from MULTIPLE suppliers where exactly ONE supplier
+    * shipped late (> [[WaitingLateDays]] days after the order date), count
+    * each late line against that supplier. (Lateness is re-based on
+    * order-to-ship latency — the schema has no commit/receipt dates.)
+    *
+    * Spark-first decomposition: Q21's correlated EXISTS / NOT-EXISTS pair
+    * would plan as TWO lineitem self-joins; instead ONE extra aggregate
+    * over the already-joined stream computes per-order `(distinct
+    * suppliers, distinct LATE suppliers)` and the predicate becomes
+    * `nsupp > 1 AND nlate = 1` on a join back to the late lines — the
+    * fact table shuffles on `l_orderkey` for the stats pass and the
+    * join reuses that key. The DuckDB mirror states the original
+    * correlated-subquery form, so the hash gate certifies the
+    * aggregation decomposition ≡ EXISTS semantics row-for-row
+    * (including the same-supplier-twice-late edge, which `countDistinct`
+    * handles exactly as `l2.l_suppkey <> l1.l_suppkey` does). */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, k: Int = 100): DataFrame = {
+    val enriched = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          > WaitingLateDays)
+    val stats = enriched.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+    enriched.filter(col("late"))
+      .join(stats.filter(col("nsupp") > 1 && col("nlate") === 1),
+        Seq("l_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 
   /** TPC-H Q15-style top supplier: per-supplier revenue over a shipdate
     * quarter, keep the supplier(s) achieving the global max.
