@@ -124,11 +124,15 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"[bench] could not write bench_results.json: $t") }
     println(line)
-    // The LAST stdout line is a compact seconds-only record: a tail capture
-    // that keeps only the final line still parses totals + per-query seconds
-    // (the r7 record was poisoned by the trailing MB metering maps above —
-    // byte metering stays on the lossless line / bench_results.json only).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","queries":$qs}""")
+    // The LAST stdout line is a COMPACT headline — totals only, NO per-query
+    // map. The r8 record proved a 145-entry map (~6 KB) overflows a
+    // tail-bounded capture, which then sees only the line's END and cannot
+    // parse it ("parsed": null). The 10 slowest entries ride along (bounded
+    // size) as the perf signal; the lossless per-query record is the line
+    // above + bench_results.json.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_file":"bench_results.json"}""")
     spark.stop()
   }
 }
