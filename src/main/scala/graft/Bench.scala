@@ -9,6 +9,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // STATIC conf (read once at first session): the compiled-codegen-class
       // cache defaults to 100 entries, and a 135-query suite × several
       // WholeStageCodegen stages each churns through that — both interleaved
@@ -130,9 +131,21 @@ object Bench {
     // parse it ("parsed": null). The 10 slowest entries ride along (bounded
     // size) as the perf signal; the lossless per-query record is the line
     // above + bench_results.json.
+    // The subset key is "slowest" (NOT "queries") so a stale parser that
+    // expects the full per-query map fails loudly instead of silently
+    // computing totals from 10 of 145 entries. The headline also lands in
+    // its own small file: under `sbt -batch runMain` stdout lines carry an
+    // `[info] ` prefix and `[success] …` trails them, so a tail-capture
+    // may never see the bare JSON as the literal last line (r9 evidence:
+    // "parsed": null) — a file read is prefix- and truncation-proof.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"queries":$slowest,"queries_file":"bench_results.json"}""")
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
+      (headline + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write bench_headline.json: $t") }
+    println(headline)
     spark.stop()
   }
 }

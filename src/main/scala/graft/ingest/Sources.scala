@@ -12,25 +12,68 @@ import org.apache.spark.sql.types._
   * is the property that matters at 100 TB (never materialize-then-filter).
   */
 object Sources {
-  /** One parquet file per table (TESTDATA.md). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
-
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanos-as-long legacy conf. [[normalizeEvents]] restores a
-    * proper µs TimestampType by integer division — the same ns→µs truncation
-    * DuckDB applies natively, so oracle parity is exact. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Pins the session's parquet timestamp semantics so every historical
+    * testdata encoding lands as µs TimestampType (LTZ):
+    *  - TIMESTAMP(NANOS) → LongType via `nanosAsLong` (Spark 4 cannot read
+    *    nanos natively); [[normalizeEvents]] finishes the ns→µs conversion.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampType directly,
+    *    by DISABLING NTZ inference. With inference on (the Spark 3.4+
+    *    default) these columns arrive as TIMESTAMP_NTZ, which rejects
+    *    `unix_micros` and `withWatermark` outright. Under the project's
+    *    UTC session timezone the LTZ reading is value-identical, and doing
+    *    it at the scan (not via a cast projection) keeps parquet filter
+    *    pushdown on timestamp columns intact. */
+  def pinTimestampSemantics(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** One parquet file per table (TESTDATA.md). NTZ-encoded timestamp
+    * columns (`l_shipdate`, `o_orderdate`, …) read as plain TIMESTAMP via
+    * [[pinTimestampSemantics]]; [[normalizeTimestamps]] is the belt-and-
+    * braces cast for frames read before the conf was pinned. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    pinTimestampSemantics(spark)
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Casts any TIMESTAMP_NTZ column to TIMESTAMP (value-identical under the
+    * UTC session timezone). Returns the frame UNTOUCHED when no NTZ column
+    * exists — the common path adds no projection over the scan. */
+  def normalizeTimestamps(raw: DataFrame): DataFrame = {
+    val ntz = raw.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw)((df, c) =>
+      df.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  /** The events table has carried `ts` as parquet TIMESTAMP(NANOS) (rounds
+    * 1-8) and TIMESTAMP(MICROS, isAdjustedToUTC=0) (round 9+ regen) — the
+    * driver may flip again. [[pinTimestampSemantics]] + [[normalizeEvents]]
+    * accept all encodings and yield the same µs TimestampType column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    pinTimestampSemantics(spark)
     normalizeEvents(table(spark, sfDir, "events"))
   }
 
-  /** ns-long `ts` → µs timestamp (no-op when `ts` is already a timestamp).
-    * `div` (integral) — a double detour would lose precision above 2^53. */
+  /** `ts` → µs TimestampType from any historical encoding:
+    *  - ns-long (nanosAsLong read of TIMESTAMP(NANOS)): integral `div`
+    *    1000 — a double detour would lose precision above 2^53 — then
+    *    `timestamp_micros`; the same ns→µs truncation DuckDB applies
+    *    natively, so oracle parity is exact.
+    *  - TIMESTAMP_NTZ (a pre-pin read of µs/isAdjustedToUTC=0): cast to
+    *    TimestampType, value-identical under the UTC session timezone.
+    *  - TimestampType: no-op. */
   def normalizeEvents(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   /** CSV-as-strings scan, matching the reference's header-only inference
     * (`reference:airflow_docker/dags/ecomm_pipeline/extractor.py:102`):

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Exprs._
@@ -53,7 +53,7 @@ object StreamingQueries {
     // symlink and resolve against the /tmp source dir — a dangling link
     val path = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
       .toAbsolutePath
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ingest.Sources.pinTimestampSemantics(spark)
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
     Files.createSymbolicLink(srcDir.resolve(s"$table.parquet"), path)
     val schema = spark.read.parquet(path.toString).schema
@@ -111,7 +111,7 @@ object StreamingQueries {
     // absolute target: see runTableStream's symlink note
     val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
       .toAbsolutePath
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ingest.Sources.pinTimestampSemantics(spark)
     val srcDir = Files.createTempDirectory(s"graft-src-$name")
     Files.createSymbolicLink(srcDir.resolve("events.parquet"), path)
     val raw = spark.read.parquet(path.toString)
@@ -142,11 +142,20 @@ object StreamingQueries {
       val sentinelNs = 4102444800000000000L
       outDir = Files.createTempDirectory(s"graft-sent-$name")
       val base = raw.limit(1)
-      base.withColumn("ts", lit(sentinelNs))
+      // The sentinel file must carry `ts` in the SAME encoding as the raw
+      // file it joins in the stream (the reader applies one fixed schema):
+      // ns-long for the TIMESTAMP(NANOS) era, µs TimestampType for the
+      // µs-parquet era — derive from the raw schema, not an assumption.
+      def sentinelTs(ns: Long): Column =
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(ns)
+          case _ => expr(s"timestamp_micros(${ns / 1000L}L)")
+        }
+      base.withColumn("ts", sentinelTs(sentinelNs))
         .withColumn("user_id", lit(-1L))
         .withColumn("event_type", lit("view"))
         .unionByName(base
-          .withColumn("ts", lit(sentinelNs + 864000L * 1000000000L))
+          .withColumn("ts", sentinelTs(sentinelNs + 864000L * 1000000000L))
           .withColumn("user_id", lit(-1L))
           .withColumn("event_type", lit("purchase")))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/out")
