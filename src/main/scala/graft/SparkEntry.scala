@@ -1348,6 +1348,71 @@ object SparkEntry {
          |FROM rev JOIN supplier ON s_suppkey = l_suppkey
          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+    // Q10 mirror: same quarter window + returnflag filter; the pushed-
+    // predicate join order is Spark's concern — the SQL states semantics.
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $Rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= DATE '${RelationalQueries.ReturnedFrom}'
+         |  AND o_orderdate < DATE '${RelationalQueries.ReturnedUntil}'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q12-shape mirror: both conditional counts in one aggregate; NULL
+    // priorities fall to the ELSE 0 bucket exactly like Spark's
+    // when(!critical,...).otherwise(0).
+    "q_ship_latency_priority" ->
+      s"""SELECT CASE
+         |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+         |      CAST(l_shipdate AS DATE)) <= 30 THEN '0-30'
+         |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+         |      CAST(l_shipdate AS DATE)) <= 90 THEN '31-90'
+         |    ELSE '90+' END AS latency_bucket,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q18-shape mirror: HAVING threshold compares the EXACT decimal sum
+    // (never the rounded display double), so boundary orders classify
+    // identically; sum_qty rounds after via the shared floor trick.
+    "q_large_orders" ->
+      s"""WITH t AS (
+         |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+         |  FROM lineitem GROUP BY 1)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+         |  ${Exprs.round2Sql("CAST(q AS DOUBLE)")} AS sum_qty
+         |FROM t
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE q > ${RelationalQueries.LargeOrderQty}
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // Q21-shape mirror: states the ORIGINAL correlated EXISTS/NOT-EXISTS
+    // pair, so the hash gate certifies the Spark side's one-pass
+    // distinct-supplier aggregation decomposition ≡ EXISTS semantics
+    // (including the same-supplier-twice-late edge).
+    "q_waiting_suppliers" ->
+      s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM lineitem l1
+         |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         |JOIN supplier ON s_suppkey = l1.l_suppkey
+         |WHERE date_diff('day', CAST(o_orderdate AS DATE),
+         |    CAST(l1.l_shipdate AS DATE)) > ${RelationalQueries.WaitingLateDays}
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND date_diff('day', CAST(o_orderdate AS DATE),
+         |        CAST(l3.l_shipdate AS DATE)) > ${RelationalQueries.WaitingLateDays})
+         |GROUP BY 1
+         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_order_count_dist" ->
       """WITH per AS (
         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
