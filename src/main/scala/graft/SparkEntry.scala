@@ -496,6 +496,24 @@ object SparkEntry {
           .orderBy("doc_id").localCheckpoint(true)
       } finally Fs.deleteRecursively(tmp)
     }),
+    // TIMESTAMP-bearing round-trip through the typed-CSV dialect: the µs
+    // event times must survive write∘read exactly (the pinned
+    // Sinks.TsFormat carries 6 fraction digits — Spark's default renders
+    // only millis and silently truncates). Output renders ts engine-stably
+    // as epoch-µs longs; the oracle is the plain projection of the source
+    // table, so ANY precision loss or tz shift in the dialect breaks the
+    // hash.
+    "q_events_roundtrip" -> ((s, dir) => {
+      val e = Sources.events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evcsv")
+      try {
+        Sinks.writeCsvTyped(e, s"$tmp/events")
+        Sources.csvTyped(s, s"$tmp/events", e.schema)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .orderBy("event_id").localCheckpoint(true)
+      } finally Fs.deleteRecursively(tmp)
+    }),
     // train-once/serve-many unigram LM familiarity: the vocabulary is a
     // per-dataset trained artifact (same cache discipline as ivfCentroids)
     "q_unigram_familiarity" -> ((s, dir) => {
@@ -1882,6 +1900,10 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // timestamp-bearing CSV round-trip: µs-exact through the pinned dialect
+    "q_events_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value, props FROM events ORDER BY event_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

@@ -93,7 +93,8 @@ object Sources {
     * pass over 100 TB and silently widens types; splits parallelize
     * per-line like CSV. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema)
+      .option("timestampFormat", graft.sink.Sinks.TsFormat).json(path)
 
   /** Corrupt-tolerant JSONL scan: PERMISSIVE mode routes unparseable
     * lines into a `_corrupt_record` column instead of nulling the whole
@@ -143,6 +144,7 @@ object Sources {
     spark.read.option("header", "true").option("escape", "\\")
       .option("multiLine", "true")
       .option("nullValue", "\\N").option("emptyValue", "")
+      .option("timestampFormat", graft.sink.Sinks.TsFormat)
       .schema(schema).csv(path)
 
   /** Registers every testdata table as a session temp view plus the

@@ -58,13 +58,22 @@ object Sinks {
         col("event_id"), unix_micros(col("ts")), col("user_id"),
         col("event_type"), col("value")).as("kafka_value"))
 
+  /** Timestamp render/parse format pinned on BOTH sides of the text
+    * dialects (JSONL + typed CSV): Spark's default carries only millis,
+    * which silently truncates µs event times through a write∘read cycle.
+    * Six fraction digits + a real zone offset (`XXX` renders `Z` under the
+    * UTC session) make the round-trip exact at µs precision — hash-gated
+    * by `q_events_roundtrip`. */
+  val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** JSON-Lines sink — the LLM-corpus interchange format
     * ([[graft.ingest.Sources.jsonl]] reads it back): one JSON object per
     * line, full escaping handled by the writer (newlines/quotes/unicode in
     * text survive the round-trip byte-exactly — hash-gated by
     * `q_jsonl_roundtrip`). */
   def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", Sinks.TsFormat).json(path)
 
   /** ORC sink (see [[graft.ingest.Sources.orc]]). */
   def writeOrc(df: DataFrame, path: String): Unit =
@@ -79,6 +88,7 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("escape", "\\")
       .option("nullValue", "\\N").option("emptyValue", "\"\"")
+      .option("timestampFormat", Sinks.TsFormat)
       .csv(path)
 
   /** Date-partitioned parquet layer (the Snowflake "partitioned by event

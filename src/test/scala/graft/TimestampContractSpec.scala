@@ -115,6 +115,22 @@ class TimestampContractSpec extends SparkSpec {
     } finally Fs.deleteQuietly(java.nio.file.Paths.get(dir))
   }
 
+  test("typed-CSV and JSONL dialects round-trip µs timestamps exactly") {
+    // sub-millisecond residue: Spark's DEFAULT text formats render only
+    // millis — the pinned Sinks.TsFormat must carry all six digits
+    val df = ltzFrame.withColumn("ts",
+      timestamp_micros(unix_micros(col("ts")) + 123456L))
+    val dir = Files.createTempDirectory("graft-tsdialect")
+    try {
+      graft.sink.Sinks.writeCsvTyped(df, s"$dir/csv")
+      val csvBack = Sources.csvTyped(spark, s"$dir/csv", df.schema)
+      assert(tsMicros(csvBack) == tsMicros(df))
+      graft.sink.Sinks.writeJsonl(df, s"$dir/jsonl")
+      val jsonBack = Sources.jsonl(spark, s"$dir/jsonl", df.schema)
+      assert(tsMicros(jsonBack) == tsMicros(df))
+    } finally Fs.deleteQuietly(dir)
+  }
+
   test("driver testdata: events/lineitem/orders timestamp columns land LTZ") {
     val sfDir = sf("sf0.001")
     assert(Sources.events(spark, sfDir).schema("ts").dataType
