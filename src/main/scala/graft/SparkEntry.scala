@@ -111,6 +111,19 @@ object SparkEntry {
         .select(col("node"), Exprs.round2(col("rank"), 8).as("rank"))
         .orderBy(col("rank").desc, col("node"))
     }),
+    // the SAME power iteration in fixed-point longs — every operation an
+    // order-independent integer add/multiply/floor-div, so the iterative
+    // graph loop rides the HASH GATE (impossible for the double version:
+    // shuffle-order-dependent summation); the mirror unrolls the
+    // identical 10 rounds in DuckDB with `//` floor division
+    "q_pagerank_exact" -> ev(e => {
+      val pairs = EventQueries.basketPairs(e, minSupport = 2)
+        .select(col("item1"), col("item2"))
+      val edges = pairs
+        .select(col("item1").as("src"), col("item2").as("dst"))
+        .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
+      Graph.pageRankFixedPoint(edges)
+    }),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
     // Deequ-shape constraint suite: one aggregate pass, per-constraint
@@ -533,6 +546,11 @@ object SparkEntry {
     // multilingual balancing: an independent budget per language
     "q_token_budget_by_lang" -> docs(TextOps.tokenBudgetByLang(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
+    // seeded per-epoch training-order reshuffle: md5(seed:doc_id) rank via
+    // the distributed-ordinal machinery; the mirror's naive global
+    // row_number certifies the range-partition decomposition on a HASH
+    // sort key (q_global_rownum's proof, adversarially unordered input)
+    "q_corpus_shuffle" -> docs(TextOps.epochShuffle(_, "epoch1")),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)
@@ -942,6 +960,64 @@ object SparkEntry {
     s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
        |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Generated mirror for `q_pagerank_exact`: the SAME fixed-point power
+    * iteration as [[graft.ext.Graph.pageRankFixedPoint]], unrolled one CTE
+    * per round (standard SQL recursion cannot aggregate over the recursive
+    * term, and unrolling keeps every operation visibly identical). All
+    * arithmetic is BIGINT add / multiply / `//` floor-division — bit-equal
+    * to Spark's long `div` on the non-negative values here — so ten
+    * iterations of join + aggregate + dangling redistribution + teleport
+    * hash-match exactly. Edges = the q_basket_pairs mirror, symmetrized. */
+  private def pageRankExactSql(iterations: Int = 10): String = {
+    val s = graft.ext.Graph.FixedPointScale
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    ((15 * $s) // 100) // c.n
+         |      + (85 * (COALESCE(f.inflow, 0) + (dg.dm // c.n))) // 100 AS r
+         |  FROM nodes
+         |  CROSS JOIN c
+         |  CROSS JOIN (SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) AS dm
+         |              FROM r${i - 1}
+         |              WHERE node NOT IN (SELECT src FROM deg)) dg
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+         |             FROM edges e
+         |             JOIN r${i - 1} r ON e.src = r.node
+         |             JOIN deg d ON d.src = e.src
+         |             GROUP BY 1) f USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+       |    json_extract_string(props, '$$.k') AS item
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |i2 AS (
+       |  SELECT d, user_id, item FROM (
+       |    SELECT i.*, count(*) OVER (PARTITION BY d, user_id) AS bs
+       |    FROM i) t
+       |  WHERE bs <= 100),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.item AS item1, b.item AS item2
+       |  FROM i2 a JOIN i2 b
+       |    ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (
+       |  SELECT item1 AS src, item2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT item2 AS src, item1 AS dst FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |c AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, $s // c.n AS r FROM nodes CROSS JOIN c),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
@@ -977,6 +1053,8 @@ object SparkEntry {
         |  ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, item1, item2""".stripMargin,
+    // ten unrolled fixed-point power-iteration rounds — see pageRankExactSql
+    "q_pagerank_exact" -> pageRankExactSql(),
     // quintiles via integer floor-div over the global ordinal: Spark's
     // `div` ≡ DuckDB's `//` on non-negative BIGINTs; the naive-window
     // mirror certifies three Ordinals passes at once
@@ -1916,6 +1994,12 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // epoch shuffle: the naive global row_number over the seeded hash
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin,
     // bucket arithmetic is per-row IEEE on exact inputs — identical in both
     // engines; max clamps to the last bucket, constant types to bucket 0
     "q_price_histogram" ->

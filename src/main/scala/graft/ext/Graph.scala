@@ -74,4 +74,74 @@ object Graph {
     }
     ranks.orderBy(col("rank").desc, col("node"))
   }
+
+  /** Fixed-point scale for [[pageRankFixedPoint]]: ranks live as longs in
+    * units of 1e-12 (total mass ≈ 1e12). Headroom: the per-round multiply
+    * is `dampNum × (inflow + dangling share) ≤ 85 × 2e12 ≈ 1.7e14`, five
+    * orders below Long.MaxValue. */
+  val FixedPointScale = 1000000000000L
+
+  /** [[pageRank]] re-expressed in FIXED-POINT integer arithmetic so the
+    * iterative computation is bit-deterministic across engines and
+    * therefore HASH-GATEABLE — floating-point power iteration is not
+    * (shuffle-order-dependent double summation), which is why `q_pagerank`
+    * is a rows-only entry. Here every operation is a long add, multiply,
+    * or floor division, all order-independent:
+    *
+    *  - ranks start at `S div n` (S = [[FixedPointScale]]);
+    *  - a node's contribution per out-edge is `rank div deg`;
+    *  - damping 0.85 is the rational 85/100: `(85 × x) div 100`;
+    *  - dangling mass redistributes as `dm div n`.
+    *
+    * Floor truncation loses ≤1 unit (1e-12) per division, so total mass
+    * drifts below 1.0 by ~(edges × 1e-12) per round — irrelevant for
+    * ranking, and GraphSpec bounds the drift vs the double-precision
+    * [[pageRank]]. The DuckDB mirror unrolls the same iterations with
+    * `//` floor division (generated SQL, the q_bpe_tokens discipline);
+    * the hash gate then certifies the whole iterate-join-aggregate loop —
+    * joins, dangling handling, teleport — not just one pass.
+    *
+    * Same per-round plan shape as [[pageRank]]: one edge-keyed shuffle
+    * join + one node aggregate, dangling mass as a 1-row broadcast frame,
+    * per-round localCheckpoint. Output `(node, rank_fp)` with
+    * `rank_fp ≈ rank × S`, ordered by rank desc (node tiebreak). */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int = 10,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = sym.select(col("src").as("node"))
+      .union(sym.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint on an empty edge list")
+    val outDeg = sym.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val s = FixedPointScale
+    // teleport_fp = ((1-d)·S) div n, as integer ops: (15·S div 100) div n
+    val teleport = ((dampDen - dampNum) * s / dampDen) / n
+
+    var ranks = nodes.select(col("node"), lit(s / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+      val dangling = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .groupBy("node")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("inflow"))
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * (inflow + dm div $n)) div $dampDen"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
 }

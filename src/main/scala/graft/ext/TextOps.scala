@@ -249,6 +249,26 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Seeded deterministic corpus shuffle — the per-epoch training-order
+    * reshuffle every LLM data loader needs: position = global rank of
+    * `md5(seed:doc_id)` (doc_id tiebreak for a TOTAL order). A new seed
+    * string yields an independent-looking permutation; the SAME seed is
+    * bit-reproducible across runs, partitionings and engines (md5 of a
+    * decimal string — the [[splitExpr]] discipline).
+    *
+    * Scale: the rank is [[graft.ops.Ordinals.globalRowNumbers]] — range
+    * repartition + per-partition numbering + a bounded offset frame —
+    * never the single-task sort a bare `row_number() OVER (ORDER BY …)`
+    * window would force on the corpus. */
+  def epochShuffle(documents: DataFrame, seed: String): DataFrame =
+    graft.ops.Ordinals.globalRowNumbers(
+        documents.select(col("doc_id")),
+        Seq(md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
+          col("doc_id")),
+        idColName = "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("shuffle_pos")
+
   /** Deterministic train/test assignment: first hex digit of md5(doc_id)
     * < 'c' → train (12/16 = 75%), else test. Hash-based splitting is the
     * only assignment that survives reprocessing at 100 TB — stable under

@@ -68,4 +68,35 @@ class GraphSpec extends SparkSpec {
     val ranks = rows.map(_.getDouble(1)).toSeq
     assert(ranks == ranks.sorted.reverse)
   }
+
+  test("pageRankFixedPoint tracks the double power iteration, dangling " +
+    "included, with bounded floor-truncation drift") {
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "D"))
+    val s = Graph.FixedPointScale.toDouble
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst"),
+        iterations = 10)
+      .as[(String, Long)].collect().toMap
+    val want = refPageRank(edges, iters = 10, d = 0.85)
+    assert(got.keySet == want.keySet)
+    // each division floors away <= 1e-12; 10 rounds over this graph stay
+    // far inside 1e-9 of the double iteration
+    got.foreach { case (node, fp) =>
+      assert(math.abs(fp / s - want(node)) < 1e-9,
+        s"$node: got ${fp / s} want ${want(node)}")
+    }
+    // mass only ever drifts DOWN (floors), and only by whisker amounts
+    val mass = got.values.sum / s
+    assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass $mass")
+  }
+
+  test("q_pagerank_exact agrees with q_pagerank on ranking order") {
+    val fp = SparkEntry.queries("q_pagerank_exact")(spark, sf("sf0.001"))
+      .as[(String, Long)].collect()
+    val dbl = SparkEntry.queries("q_pagerank")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(fp.map(_._1).toSet == dbl.map(_._1).toSet)
+    // same nodes, same descending-rank order up to rank ties
+    assert(fp.nonEmpty && fp.map(_._2).toSeq == fp.map(_._2).toSeq.sorted.reverse)
+  }
 }
