@@ -119,7 +119,11 @@ object Bench {
     // (the r5 artifact lost its leading fields to truncation).
     def mbMap(m: collection.Map[String, Double]) = m.map { case (k, v) =>
       s"\"" + k + "\":" + math.round(v * 10) / 10.0 }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","queries":$qs,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
+    // total_comparable: false whenever ANY query failed — the total then
+    // silently excludes the failed queries' time and must not be compared
+    // against a clean round's record (the r9 lesson: 14 failures made a
+    // 106s total look like an improvement over r8's 117s).
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"sf":"$sfDir","queries":$qs,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
@@ -140,7 +144,7 @@ object Bench {
     // "parsed": null) — a file read is prefix- and truncation-proof.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
       (headline + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>

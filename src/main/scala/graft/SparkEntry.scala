@@ -1665,6 +1665,20 @@ object SparkEntry {
                "CASE WHEN event_type = 'purchase' THEN value END")} AS revenue
          |FROM events WHERE user_id NOT IN (SELECT user_id FROM erased)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // applyChanges ∘ snapshotChanges ≡ identity: the mirror states the NEW
+    // snapshot's definition DIRECTLY, never mentioning the diff — a
+    // reconstruction defect anywhere in the CDC pair breaks the hash
+    "q_cdc_apply" ->
+      """SELECT c_custkey,
+        |  c_acctbal + CASE WHEN c_custkey % 13 = 0
+        |    THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 17 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
+        |FROM customer WHERE c_custkey % 19 = 0
+        |ORDER BY c_custkey""".stripMargin,
     // key-presence via o/n.c_custkey IS NULL is sound here because the
     // join key is never null (the Scala op uses explicit presence markers
     // and stays correct for null keys)
