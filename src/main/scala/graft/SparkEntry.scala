@@ -551,6 +551,10 @@ object SparkEntry {
     // row_number certifies the range-partition decomposition on a HASH
     // sort key (q_global_rownum's proof, adversarially unordered input)
     "q_corpus_shuffle" -> docs(TextOps.epochShuffle(_, "epoch1")),
+    // temperature-scaled (α=0.5) Hamilton apportionment of a sampling
+    // budget across sources — quotas sum EXACTLY to the budget; sqrt +
+    // 9dp-decimal weights keep every double bit-identical cross-engine
+    "q_mixture_allocation" -> docs(TextOps.mixtureAllocation(_)),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)
@@ -2014,6 +2018,35 @@ object SparkEntry {
         |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
         |  AS BIGINT) AS shuffle_pos
         |FROM documents ORDER BY shuffle_pos""".stripMargin,
+    // Hamilton apportionment, identical arithmetic: quantized-decimal
+    // weights (exact order-independent sum), one double division per
+    // share, largest-remainder ranking
+    "q_mixture_allocation" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000 + 0.5)
+        |      / 1000000000 AS DECIMAL(18,9)) AS wq
+        |  FROM counts),
+        |tot AS (SELECT sum(wq) AS w_total FROM w),
+        |sh AS (
+        |  SELECT source, n_docs,
+        |    CAST(1000 * wq AS DOUBLE) / CAST(w_total AS DOUBLE) AS share
+        |  FROM w CROSS JOIN tot),
+        |b AS (
+        |  SELECT source, n_docs, CAST(floor(share) AS BIGINT) AS base,
+        |    share - floor(share) AS rem
+        |  FROM sh),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |    AS BIGINT) AS rk
+        |  FROM b)
+        |SELECT source, n_docs,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
     // bucket arithmetic is per-row IEEE on exact inputs — identical in both
     // engines; max clamps to the last bucket, constant types to bucket 0
     "q_price_histogram" ->

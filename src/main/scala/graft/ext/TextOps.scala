@@ -269,6 +269,46 @@ object TextOps {
       .select(col("doc_id"), col("shuffle_pos"))
       .orderBy("shuffle_pos")
 
+  /** Temperature-scaled mixture allocation (α = 0.5): apportion a sampling
+    * budget across sources proportionally to `n_docs^α` — the standard
+    * down-weighting of dominant sources when mixing a training corpus
+    * (α = 1 is proportional, α → 0 uniform). Exact Hamilton
+    * largest-remainder apportionment: per-source base = ⌊budget·w/W⌋, the
+    * leftover seats go to the largest fractional remainders (source-name
+    * tiebreak), so quotas always sum EXACTLY to the budget — no silent
+    * renormalization.
+    *
+    * Engine-stable by construction (the q_revenue_anomalies discipline):
+    * `sqrt` is IEEE-correctly-rounded, the weight quantizes to a 9-dp
+    * DECIMAL so the cross-source sum W is EXACT (order-independent —
+    * never a shuffle-order-dependent double sum), and each share is ONE
+    * double division of identical exact inputs → identical bits, making
+    * even the remainder RANKING hash-gateable. The ranking window is over
+    * the sources-sized frame (bounded, like budgetCore's boundary
+    * bucket), never the corpus. */
+  def mixtureAllocation(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = counts.withColumn("wq",
+      round2(sqrt(col("n_docs").cast("double")), 9).cast("decimal(18,9)"))
+    val tot = w.agg(sum(col("wq")).as("w_total"))
+    val sh = w.crossJoin(broadcast(tot))
+      .withColumn("share",
+        (lit(budget) * col("wq")).cast("double") /
+          col("w_total").cast("double"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("rem", col("share") - floor(col("share")))
+    val leftover = sh.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    val ranked = sh.withColumn("rk",
+      row_number().over(Window.orderBy(col("rem").desc, col("source")))
+        .cast(LongType))
+    ranked.crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_docs"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/test assignment: first hex digit of md5(doc_id)
     * < 'c' → train (12/16 = 75%), else test. Hash-based splitting is the
     * only assignment that survives reprocessing at 100 TB — stable under

@@ -474,4 +474,34 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"),
       s"unigramFamiliarity must not explode tokens:\n$plan")
   }
+
+  test("mixtureAllocation: quotas sum exactly to the budget and sqrt " +
+    "temperature down-weights the dominant source") {
+    // 900/90/10 docs: proportional would give 900; sqrt-weights compress
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1090).map(i => (i.toLong, "mid")) ++
+      (2001 to 2010).map(i => (i.toLong, "small"))
+    val d = rows.toDF("doc_id", "source")
+    val got = TextOps.mixtureAllocation(d, budget = 100L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.values.sum == 100L, s"quotas must sum to budget: $got")
+    // sqrt(900):sqrt(90):sqrt(10) = 30:9.487:3.162 → ~70/22/8
+    assert(got("big") < 90, s"dominant source must be down-weighted: $got")
+    assert(got("small") > 2, s"small source must be lifted: $got")
+    // deterministic under repartitioning (the 100 TB reproducibility bar)
+    val reparted = TextOps.mixtureAllocation(d.repartition(7), budget = 100L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(reparted == got)
+  }
+
+  test("mixtureAllocation hands leftover seats to largest remainders") {
+    // 2+2+3 sources with equal counts and budget 10: shares 10/3 each →
+    // bases 3,3,3; one leftover seat goes to the first source by name
+    // (remainders tie at 1/3)
+    val d = (1 to 30).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    val got = TextOps.mixtureAllocation(d, budget = 10L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.values.sum == 10L)
+    assert(got == Map("s0" -> 4L, "s1" -> 3L, "s2" -> 3L), got.toString)
+  }
 }
