@@ -585,6 +585,18 @@ object SparkEntry {
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
       Multimodal.attachMedia(Sources.table(s, dir, "documents")))
       .toDF().orderBy("doc_id")),
+    // video-to-training-examples fan-out: 4 evenly-spaced frames per
+    // payload via the mapPartitions/flatMap batch shape; the frame
+    // BOUNDARIES are pure integer arithmetic on the byte length, so the
+    // fan-out itself is hash-gated (the mirror recomputes the same floor
+    // divisions over generate_series) — only the codec is a stub
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.attachMedia(Sources.table(s, dir, "documents")), 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")),
     "q_knn_cosine" -> ((s, dir) =>
       Similarity.cosineTopK(Sources.table(s, dir, "embeddings"))),
     // int8-quantized serving path; no oracle (quantization rounding is
@@ -2204,6 +2216,15 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same floor-division frame boundaries over the byte length; empty
+    // payloads emit no frames on either side
+    "q_media_frames" ->
+      """SELECT d.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
+        |  (strlen(d.text) * (g.i + 1)) // 4
+        |    - (strlen(d.text) * g.i) // 4 AS n_bytes
+        |FROM documents d, generate_series(0, 3) AS g(i)
+        |WHERE strlen(d.text) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (SELECT e.vec_id,

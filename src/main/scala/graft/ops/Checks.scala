@@ -125,6 +125,50 @@ object Checks {
   /** [[suite]] with [[EventChecks]] — the oracle-gated entry. */
   def dataChecks(events: DataFrame): DataFrame = suite(events, EventChecks)
 
+  /** ZERO-PASS metrics: the same constraint counters piggybacked on an
+    * EXISTING job via `Dataset.observe` (Catalyst's `CollectMetrics`
+    * operator) instead of [[suite]]'s dedicated aggregate scan. At 100 TB
+    * the difference is a whole extra pass over the input: here the
+    * counters accumulate inside whatever action the caller was running
+    * anyway (the write, the count, the downstream aggregate) for free.
+    *
+    * Returns the instrumented frame — substitute it for `df` in the real
+    * job — and a report thunk that renders the familiar
+    * `(check_name, metric, threshold, passed)` rows once ANY action on
+    * the frame has completed (`Observation.get` blocks until then; one
+    * Observation instruments one action).
+    *
+    * [[Uniqueness]] checks are rejected by construction: `CollectMetrics`
+    * forbids DISTINCT aggregates (they cannot accumulate in a single
+    * pass over unordered partials) — run those through [[suite]] or an
+    * md5-digest group-by. Metrics round with the same floor trick as
+    * [[vacuousRatio]], so observed and suite-computed reports are
+    * bit-identical (spec-pinned). */
+  def observedSuite(df: DataFrame, checks: Seq[Check],
+      name: String = "graft_checks")
+      : (DataFrame, () => Seq[(String, Double, Double, Boolean)]) = {
+    require(checks.nonEmpty, "empty check suite")
+    require(!checks.exists(_.isInstanceOf[Uniqueness]),
+      "CollectMetrics forbids DISTINCT aggregates - run Uniqueness via suite")
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggExprs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.numerator.as(s"_num$i"), c.denominator.as(s"_den$i"))
+    }
+    val instrumented = df.observe(obs, aggExprs.head, aggExprs.tail: _*)
+    val report = () => {
+      val row = obs.get
+      checks.zipWithIndex.map { case (c, i) =>
+        val num = row(s"_num$i").asInstanceOf[Number].longValue()
+        val den = row(s"_den$i").asInstanceOf[Number].longValue()
+        val metric =
+          if (den == 0) 1.0
+          else math.floor(num.toDouble / den * 1e6 + 0.5) / 1e6
+        (c.name, metric, c.threshold, metric >= c.threshold)
+      }
+    }
+    (instrumented, report)
+  }
+
   /** Join-key profile — the referential-integrity check a pipeline runs
     * BEFORE a 100 TB join: distinct key counts per side, the shared-key
     * count, orphans in each direction (left orphans = FK violations when

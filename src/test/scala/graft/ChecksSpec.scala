@@ -86,4 +86,35 @@ class ChecksSpec extends SparkSpec {
     assert(got.length == 6)
     assert(got.forall(_._4), s"failed checks: ${got.filterNot(_._4).toSeq}")
   }
+
+  test("observedSuite rides an existing action and matches the suite " +
+    "report bit-for-bit") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, t, Option(10L), "view", Option(1.0), "{}"),
+      (2L, t, Option(11L), "click", Option(2.0), "{}"),
+      (3L, t, None: Option[Long], "view", Option(3.0), "{}"),
+      (4L, t, Option(12L), "purchase", None: Option[Double], "{}"),
+      (5L, t, Option(14L), "weird", Option(5.0), "{}"),
+      (6L, t, Option(15L), "view", Option(-1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // Uniqueness is a DISTINCT aggregate — CollectMetrics must reject it
+    val checks = ops.Checks.EventChecks
+      .filterNot(_.isInstanceOf[ops.Checks.Uniqueness])
+    intercept[IllegalArgumentException] {
+      ops.Checks.observedSuite(df, ops.Checks.EventChecks)
+    }
+    val (instrumented, report) = ops.Checks.observedSuite(df, checks)
+    // the ONLY pass over the data is the caller's own action — the
+    // counters ride it via the CollectMetrics operator
+    assert(instrumented.queryExecution.executedPlan.toString
+      .contains("CollectMetrics"))
+    val nRows = instrumented.count()
+    assert(nRows == 6L)
+    val observed = report().map(r => (r._1, r._2, r._3, r._4))
+    val viaSuite = ops.Checks.suite(df, checks)
+      .as[(String, Double, Double, Boolean)].collect().toSeq
+    assert(observed.sortBy(_._1) == viaSuite.sortBy(_._1),
+      s"observed $observed != suite $viaSuite")
+  }
 }
