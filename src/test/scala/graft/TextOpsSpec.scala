@@ -494,6 +494,22 @@ class TextOpsSpec extends SparkSpec {
     assert(reparted == got)
   }
 
+  test("epochShuffle: same seed is a stable permutation across " +
+    "partitionings; a new seed reorders") {
+    val d = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def order(df: DataFrame, seed: String): Seq[Long] =
+      TextOps.epochShuffle(df, seed).as[(Long, Long)].collect()
+        .sortBy(_._2).map(_._1).toSeq
+    val e1 = order(d, "epoch1")
+    assert(e1.sorted == (1L to 200L), "a permutation covers every doc once")
+    assert(e1 != (1L to 200L), "seeded order must not be insertion order")
+    assert(order(d.repartition(13), "epoch1") == e1,
+      "same seed must be partitioning-invariant")
+    val e2 = order(d, "epoch2")
+    assert(e2 != e1, "a new seed must produce a different permutation")
+    assert(e2.sorted == (1L to 200L))
+  }
+
   test("mixtureAllocation hands leftover seats to largest remainders") {
     // 2+2+3 sources with equal counts and budget 10: shares 10/3 each →
     // bases 3,3,3; one leftover seat goes to the first source by name
