@@ -550,7 +550,7 @@ object SparkEntry {
     // the distributed-ordinal machinery; the mirror's naive global
     // row_number certifies the range-partition decomposition on a HASH
     // sort key (q_global_rownum's proof, adversarially unordered input)
-    "q_corpus_shuffle" -> docs(TextOps.epochShuffle(_, "epoch1")),
+    "q_corpus_shuffle" -> docs(TextOps.epochShuffle(_, TextOps.EpochSeed)),
     // temperature-scaled (α=0.5) Hamilton apportionment of a sampling
     // budget across sources — quotas sum EXACTLY to the budget; sqrt +
     // 9dp-decimal weights keep every double bit-identical cross-engine
@@ -592,7 +592,8 @@ object SparkEntry {
     // divisions over generate_series) — only the codec is a stub
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s,
-          Multimodal.attachMedia(Sources.table(s, dir, "documents")), 4)
+          Multimodal.attachMedia(Sources.table(s, dir, "documents")),
+          Multimodal.DefaultFrames)
         .toDF()
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           octet_length(col("frame")).cast("long").as("n_bytes"))
@@ -986,11 +987,13 @@ object SparkEntry {
     * hash-match exactly. Edges = the q_basket_pairs mirror, symmetrized. */
   private def pageRankExactSql(iterations: Int = 10): String = {
     val s = graft.ext.Graph.FixedPointScale
+    val dn = graft.ext.Graph.DampNum
+    val dd = graft.ext.Graph.DampDen
     val rounds = (1 to iterations).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node,
-         |    ((15 * $s) // 100) // c.n
-         |      + (85 * (COALESCE(f.inflow, 0) + (dg.dm // c.n))) // 100 AS r
+         |    ((${dd - dn} * $s) // $dd) // c.n
+         |      + ($dn * (COALESCE(f.inflow, 0) + (dg.dm // c.n))) // $dd AS r
          |  FROM nodes
          |  CROSS JOIN c
          |  CROSS JOIN (SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) AS dm
@@ -2026,39 +2029,42 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     // epoch shuffle: the naive global row_number over the seeded hash
     "q_corpus_shuffle" ->
-      """SELECT doc_id, CAST(row_number() OVER (
-        |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |  AS BIGINT) AS shuffle_pos
-        |FROM documents ORDER BY shuffle_pos""".stripMargin,
+      s"""SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY md5('${TextOps.EpochSeed}:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |  AS BIGINT) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos""".stripMargin,
     // Hamilton apportionment, identical arithmetic: quantized-decimal
     // weights (exact order-independent sum), one double division per
-    // share, largest-remainder ranking
+    // share, largest-remainder ranking; budget rendered from the shared
+    // constant so query and mirror can never desync
     "q_mixture_allocation" ->
-      """WITH counts AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM documents GROUP BY 1),
-        |w AS (
-        |  SELECT source, n_docs,
-        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000 + 0.5)
-        |      / 1000000000 AS DECIMAL(18,9)) AS wq
-        |  FROM counts),
-        |tot AS (SELECT sum(wq) AS w_total FROM w),
-        |sh AS (
-        |  SELECT source, n_docs,
-        |    CAST(1000 * wq AS DOUBLE) / CAST(w_total AS DOUBLE) AS share
-        |  FROM w CROSS JOIN tot),
-        |b AS (
-        |  SELECT source, n_docs, CAST(floor(share) AS BIGINT) AS base,
-        |    share - floor(share) AS rem
-        |  FROM sh),
-        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
-        |r AS (
-        |  SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC, source)
-        |    AS BIGINT) AS rk
-        |  FROM b)
-        |SELECT source, n_docs,
-        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
-        |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
+      s"""WITH counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000 + 0.5)
+         |      / 1000000000 AS DECIMAL(18,9)) AS wq
+         |  FROM counts),
+         |tot AS (SELECT sum(wq) AS w_total FROM w),
+         |sh AS (
+         |  SELECT source, n_docs,
+         |    CAST(${TextOps.MixtureBudget} * wq AS DOUBLE)
+         |      / CAST(w_total AS DOUBLE) AS share
+         |  FROM w CROSS JOIN tot),
+         |b AS (
+         |  SELECT source, n_docs, CAST(floor(share) AS BIGINT) AS base,
+         |    share - floor(share) AS rem
+         |  FROM sh),
+         |l AS (SELECT CAST(${TextOps.MixtureBudget} - sum(base) AS BIGINT)
+         |      AS leftover FROM b),
+         |r AS (
+         |  SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC, source)
+         |    AS BIGINT) AS rk
+         |  FROM b)
+         |SELECT source, n_docs,
+         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
     // bucket arithmetic is per-row IEEE on exact inputs — identical in both
     // engines; max clamps to the last bucket, constant types to bucket 0
     "q_price_histogram" ->
@@ -2217,14 +2223,15 @@ object SparkEntry {
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // same floor-division frame boundaries over the byte length; empty
-    // payloads emit no frames on either side
+    // payloads emit no frames on either side; frame count rendered from
+    // the shared constant
     "q_media_frames" ->
-      """SELECT d.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
-        |  (strlen(d.text) * (g.i + 1)) // 4
-        |    - (strlen(d.text) * g.i) // 4 AS n_bytes
-        |FROM documents d, generate_series(0, 3) AS g(i)
-        |WHERE strlen(d.text) > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""SELECT d.doc_id, CAST(g.i AS BIGINT) AS frame_idx,
+         |  (strlen(d.text) * (g.i + 1)) // ${Multimodal.DefaultFrames}
+         |    - (strlen(d.text) * g.i) // ${Multimodal.DefaultFrames} AS n_bytes
+         |FROM documents d, generate_series(0, ${Multimodal.DefaultFrames - 1}) AS g(i)
+         |WHERE strlen(d.text) > 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |p AS (SELECT e.vec_id,

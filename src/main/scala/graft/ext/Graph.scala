@@ -81,6 +81,11 @@ object Graph {
     * orders below Long.MaxValue. */
   val FixedPointScale = 1000000000000L
 
+  /** Damping 0.85 as the rational 85/100 — shared with the generated
+    * DuckDB mirror so query and oracle can never desync. */
+  val DampNum = 85L
+  val DampDen = 100L
+
   /** [[pageRank]] re-expressed in FIXED-POINT integer arithmetic so the
     * iterative computation is bit-deterministic across engines and
     * therefore HASH-GATEABLE — floating-point power iteration is not
@@ -106,7 +111,7 @@ object Graph {
     * per-round localCheckpoint. Output `(node, rank_fp)` with
     * `rank_fp ≈ rank × S`, ordered by rank desc (node tiebreak). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 10,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
     val sym = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = sym.select(col("src").as("node"))
       .union(sym.select(col("dst").as("node")))

@@ -71,6 +71,10 @@ object Multimodal {
   /** Frame row emitted by [[sampleFrames]]. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Default frames-per-payload for the query entry — shared with the
+    * oracle mirror's generate_series bound. */
+  val DefaultFrames = 4
+
   /** STUB frame sampling: splits the payload into `n` evenly-spaced chunks
     * (a real impl seeks keyframes). One input row fans out to n rows — the
     * video-to-training-examples shape; downstream repartitioning should key

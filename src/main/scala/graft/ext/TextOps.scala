@@ -260,6 +260,10 @@ object TextOps {
     * repartition + per-partition numbering + a bounded offset frame —
     * never the single-task sort a bare `row_number() OVER (ORDER BY …)`
     * window would force on the corpus. */
+  /** Default epoch seed for [[epochShuffle]]'s query entry — shared with
+    * the oracle mirror. */
+  val EpochSeed = "epoch1"
+
   def epochShuffle(documents: DataFrame, seed: String): DataFrame =
     graft.ops.Ordinals.globalRowNumbers(
         documents.select(col("doc_id")),
@@ -286,11 +290,21 @@ object TextOps {
     * even the remainder RANKING hash-gateable. The ranking window is over
     * the sources-sized frame (bounded, like budgetCore's boundary
     * bucket), never the corpus. */
-  def mixtureAllocation(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+  /** Default sampling budget for [[mixtureAllocation]] — shared with the
+    * generated oracle mirror (the shared-constant discipline). */
+  val MixtureBudget = 1000L
+
+  def mixtureAllocation(documents: DataFrame,
+      budget: Long = MixtureBudget): DataFrame = {
     val counts = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
+    // pinned: tot / share / leftover / rank all branch from this
+    // sources-sized frame — without pinning, the corpus scan+aggregate
+    // would appear once PER BRANCH in the plan and a single pass would
+    // silently depend on ReuseExchange (the Ordinals discipline)
     val w = counts.withColumn("wq",
       round2(sqrt(col("n_docs").cast("double")), 9).cast("decimal(18,9)"))
+      .localCheckpoint(true)
     val tot = w.agg(sum(col("wq")).as("w_total"))
     val sh = w.crossJoin(broadcast(tot))
       .withColumn("share",

@@ -92,13 +92,19 @@ object Checks {
     * handling), then the per-constraint explosion runs on the 1-row
     * frame. Report: `(check_name, metric, threshold, passed)` sorted by
     * name. */
-  def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  /** Shared by [[suite]] and [[observedSuite]]: validates the check list
+    * and builds the positional num/den aggregate columns. */
+  private def checkAggExprs(checks: Seq[Check]): Seq[Column] = {
     require(checks.nonEmpty, "empty check suite")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_.name)}")
-    val aggExprs = checks.zipWithIndex.flatMap { case (c, i) =>
+    checks.zipWithIndex.flatMap { case (c, i) =>
       Seq(c.numerator.as(s"_num$i"), c.denominator.as(s"_den$i"))
     }
+  }
+
+  def suite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggExprs = checkAggExprs(checks)
     val agg = df.agg(aggExprs.head, aggExprs.tail: _*)
     agg.select(explode(array(checks.zipWithIndex.map { case (c, i) =>
         struct(lit(c.name).as("check_name"),
@@ -147,19 +153,18 @@ object Checks {
   def observedSuite(df: DataFrame, checks: Seq[Check],
       name: String = "graft_checks")
       : (DataFrame, () => Seq[(String, Double, Double, Boolean)]) = {
-    require(checks.nonEmpty, "empty check suite")
     require(!checks.exists(_.isInstanceOf[Uniqueness]),
       "CollectMetrics forbids DISTINCT aggregates - run Uniqueness via suite")
+    val aggExprs = checkAggExprs(checks)
     val obs = org.apache.spark.sql.Observation(name)
-    val aggExprs = checks.zipWithIndex.flatMap { case (c, i) =>
-      Seq(c.numerator.as(s"_num$i"), c.denominator.as(s"_den$i"))
-    }
     val instrumented = df.observe(obs, aggExprs.head, aggExprs.tail: _*)
     val report = () => {
       val row = obs.get
       checks.zipWithIndex.map { case (c, i) =>
         val num = row(s"_num$i").asInstanceOf[Number].longValue()
         val den = row(s"_den$i").asInstanceOf[Number].longValue()
+        // driver-side [[vacuousRatio]]: same vacuous-1.0 guard, same 6dp
+        // floor trick — the spec pins bit-identity with the suite pass
         val metric =
           if (den == 0) 1.0
           else math.floor(num.toDouble / den * 1e6 + 0.5) / 1e6

@@ -90,13 +90,20 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass $mass")
   }
 
-  test("q_pagerank_exact agrees with q_pagerank on ranking order") {
+  test("q_pagerank_exact agrees with q_pagerank on the real graph: " +
+    "per-node ranks within floor-drift tolerance") {
+    val s = Graph.FixedPointScale.toDouble
     val fp = SparkEntry.queries("q_pagerank_exact")(spark, sf("sf0.001"))
-      .as[(String, Long)].collect()
+      .as[(String, Long)].collect().toMap
     val dbl = SparkEntry.queries("q_pagerank")(spark, sf("sf0.001"))
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
-    assert(fp.map(_._1).toSet == dbl.map(_._1).toSet)
-    // same nodes, same descending-rank order up to rank ties
-    assert(fp.nonEmpty && fp.map(_._2).toSeq == fp.map(_._2).toSeq.sorted.reverse)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(fp.nonEmpty && fp.keySet == dbl.keySet)
+    // q_pagerank rounds to 8dp, so the comparison tolerance is that
+    // rounding (5e-9) plus the fixed-point floor drift (well under 1e-9
+    // at this graph size)
+    fp.foreach { case (node, r) =>
+      assert(math.abs(r / s - dbl(node)) < 1e-8,
+        s"$node: fixed-point ${r / s} vs double ${dbl(node)}")
+    }
   }
 }
