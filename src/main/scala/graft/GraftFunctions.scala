@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{QuantizeInt8, RewriteTokenCount, ShingleCounts,
-  ShingleHashes, ShinglePosHashes, SimHash64, TokenCount, VecDotProduct,
-  VecDotProductInt8}
+import graft.ext.{MinHashSig, QuantizeInt8, RemoveTokensAt,
+  RewriteTokenCount, ShingleCounts, ShingleHashes, ShinglePosHashes,
+  SimHash64, TokenCount, VecDotProduct, VecDotProductInt8}
 
 /** SQL registration for the engine's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
@@ -77,6 +77,28 @@ object GraftFunctions {
     SimHash64(exprs(0))
   }
 
+  /** `minhash_sig(text[, width, num_hashes])` — bare int literals only
+    * (the widthBuilder discipline; builders run before constant folding). */
+  private[graft] def minhashSigBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs match {
+      case Seq(text) => MinHashSig(text, 3, 32)
+      case Seq(text, Literal(w: Int, _), Literal(n: Int, _)) =>
+        MinHashSig(text, w, n)
+      case other => throw new IllegalArgumentException(
+        "minhash_sig takes (text[, bare int literal width, bare int " +
+          s"literal num_hashes]), got ${other.length} args")
+    }
+  }
+
+  private[graft] def removeTokensAtBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 2,
+      s"remove_tokens_at takes 2 arguments, got ${exprs.length}")
+    RemoveTokensAt(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
@@ -94,6 +116,10 @@ object GraftFunctions {
       simhash64Builder, "scala_udf")
     registry.createOrReplaceTempFunction("token_count",
       tokenCountBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_sig",
+      minhashSigBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("remove_tokens_at",
+      removeTokensAtBuilder, "scala_udf")
   }
 }
 
@@ -125,6 +151,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       GraftFunctions.tokenCountBuilder))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      GraftFunctions.minhashSigBuilder))
+    e.injectFunction((FunctionIdentifier("remove_tokens_at"),
+      new ExpressionInfo(classOf[RemoveTokensAt].getName, "remove_tokens_at"),
+      GraftFunctions.removeTokensAtBuilder))
+    // LangGuess / UnigramFamiliarity / Pq* are artifact-bearing (trained
+    // lists ride the constructor) — they have no literal-only SQL form and
+    // stay Column-API-only by design.
     // plan-wide rewrite: size(split(text, ' ')) → token_count(text); the
     // oracle gate runs with this extension enabled, so every hash-match
     // certifies the rewrite's semantics end-to-end

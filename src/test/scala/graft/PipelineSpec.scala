@@ -170,5 +170,17 @@ class PipelineSpec extends SparkSpec {
         |    = array_sort(shingle_hashes('a b a b', 2)) AS same""".stripMargin)
       .as[(Int, Int, Boolean)].head()
     assert(pos == ((3, 2, true)))
+    // round-10 registrations: minhash signatures + span removal
+    val mh = spark.sql(
+      """SELECT size(minhash_sig('a b c d')) AS n32,
+        |  size(minhash_sig('a b c d', 2, 16)) AS n16,
+        |  minhash_sig('a b c d') = minhash_sig('a b c d') AS stable,
+        |  minhash_sig('a') IS NULL AS short""".stripMargin)
+      .as[(Int, Int, Boolean, Boolean)].head()
+    assert(mh == ((32, 16, true, true)))
+    val rm = spark.sql(
+      "SELECT remove_tokens_at('a b c d', array(1, 3)) AS t")
+      .as[String].head()
+    assert(rm == "a c")
   }
 }
