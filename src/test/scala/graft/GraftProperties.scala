@@ -372,4 +372,34 @@ object GraftProperties extends Properties("graft") {
           (wins(i) == wins(j)) == (arr(i) == arr(j)))))
     }
   }
+
+  property("mixtureAllocation quotas always sum exactly to the budget") = {
+    // arbitrary source skews (1..6 sources, wildly different sizes) and
+    // budgets — the Hamilton apportionment invariant must never drift
+    val genSources = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 400)))
+    forAll(genSources, Gen.choose(1L, 500L)) { (sizes, budget) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, s) =>
+        (1 to sz).map(i => (s.toLong * 100000 + i, s"src$s"))
+      }
+      val got = graft.ext.TextOps
+        .mixtureAllocation(rows.toDF("doc_id", "source"), budget)
+        .as[(String, Long, Long)].collect()
+      got.map(_._3).sum == budget && got.forall(_._3 >= 0) &&
+        got.length == sizes.length
+    }
+  }
+
+  property("epochShuffle is a permutation for any doc-id set and seed") = {
+    val genIds = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 1000000L))).map(_.distinct)
+    // listOfN(n >= 1) + distinct keeps at least one id — never empty
+    forAll(genIds, Gen.oneOf("e1", "e2", "zz")) { (ids, seed) =>
+      val out = graft.ext.TextOps
+        .epochShuffle(ids.map(i => (i, "t")).toDF("doc_id", "text"), seed)
+        .as[(Long, Long)].collect()
+      out.map(_._1).sorted.toSeq == ids.sorted &&
+        out.map(_._2).sorted.toSeq == (1L to ids.length).toSeq
+    }
+  }
 }

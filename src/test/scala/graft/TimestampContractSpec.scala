@@ -115,6 +115,27 @@ class TimestampContractSpec extends SparkSpec {
     } finally Fs.deleteQuietly(java.nio.file.Paths.get(dir))
   }
 
+  test("TIMESTAMP_MILLIS and INT96 parquet (writer-side encodings a future " +
+    "regen could flip to) also land as µs TimestampType") {
+    // ms-granular fixture: INT96/MILLIS can't carry sub-ms, so the values
+    // themselves must survive exactly
+    val msFrame = ltzFrame.withColumn("ts",
+      expr("timestamp_micros((unix_micros(ts) div 1000) * 1000)"))
+    val wantUs = expectedUs.map(us => (us / 1000L) * 1000L)
+    for (enc <- Seq("TIMESTAMP_MILLIS", "INT96")) {
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", enc)
+      val dir =
+        try writeEventsDir(msFrame)
+        finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+      try {
+        val ev = Sources.events(spark, dir)
+        assert(ev.schema("ts").dataType == TimestampType, s"encoding $enc")
+        assert(tsMicros(ev) == wantUs, s"encoding $enc")
+      } finally Fs.deleteQuietly(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("typed-CSV and JSONL dialects round-trip µs timestamps exactly") {
     // sub-millisecond residue: Spark's DEFAULT text formats render only
     // millis — the pinned Sinks.TsFormat must carry all six digits
