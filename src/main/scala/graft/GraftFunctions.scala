@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.ext.{MinHashSig, QuantizeInt8, RemoveTokensAt,
+import graft.ext.{DeflateRatio, MinHashSig, QuantizeInt8, RemoveTokensAt,
   RewriteTokenCount, ShingleCounts, ShingleHashes, ShinglePosHashes,
   SimHash64, TokenCount, VecDotProduct, VecDotProductInt8}
 
@@ -99,6 +99,13 @@ object GraftFunctions {
     RemoveTokensAt(exprs(0), exprs(1))
   }
 
+  private[graft] def deflateRatioBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    require(exprs.length == 1,
+      s"deflate_ratio takes 1 argument, got ${exprs.length}")
+    DeflateRatio(exprs(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("vec_dot", vecDotBuilder, "scala_udf")
@@ -120,6 +127,8 @@ object GraftFunctions {
       minhashSigBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("remove_tokens_at",
       removeTokensAtBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("deflate_ratio",
+      deflateRatioBuilder, "scala_udf")
   }
 }
 
@@ -157,6 +166,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("remove_tokens_at"),
       new ExpressionInfo(classOf[RemoveTokensAt].getName, "remove_tokens_at"),
       GraftFunctions.removeTokensAtBuilder))
+    e.injectFunction((FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      GraftFunctions.deflateRatioBuilder))
     // LangGuess / UnigramFamiliarity / Pq* are artifact-bearing (trained
     // lists ride the constructor) — they have no literal-only SQL form and
     // stay Column-API-only by design.

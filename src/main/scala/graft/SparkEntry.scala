@@ -555,6 +555,9 @@ object SparkEntry {
     // budget across sources — quotas sum EXACTLY to the budget; sqrt +
     // 9dp-decimal weights keep every double bit-identical cross-engine
     "q_mixture_allocation" -> docs(TextOps.mixtureAllocation(_)),
+    // DEFLATE-ratio quality signal (Gopher/C4 family): JVM-deterministic
+    // but not portable SQL — rows-only entry, ground truth in TextOpsSpec
+    "q_compression_quality" -> docs(TextOps.compressionQuality(_)),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)

@@ -266,6 +266,55 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** DEFLATE compression ratio of a text's UTF-8 bytes (compressed/raw, in
+  * (0, ~1.03]): the Gopher/C4-family quality signal — templated
+  * boilerplate and repeated spans compress far below natural prose, and
+  * machine-generated spam sits at the extremes on BOTH sides. Complements
+  * the token-level repetition metrics ([[ShingleCounts]]): DEFLATE's
+  * LZ77 window catches long-range and sub-token repetition that
+  * fixed-width shingles cannot.
+  *
+  * One pass per row; the Deflater is THREAD-LOCAL and `reset()` per call
+  * (instantiating per row would dominate the cost — native zlib handle
+  * allocation). Level 6 (zlib default) is pinned for determinism across
+  * runs of the same JVM/zlib; the ratio is JVM-deterministic but NOT
+  * portable SQL, so queries over it are rows-only entries with
+  * spec-pinned ground truth, never DuckDB mirrors. Empty text → null
+  * (no meaningful ratio). */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) null
+    else {
+      val d = DeflateRatio.LocalDeflater.get()
+      d.reset()
+      d.setInput(bytes)
+      d.finish()
+      var compressed = 0L
+      val buf = DeflateRatio.LocalBuf.get()
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / bytes.length
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val LocalDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6))
+  private val LocalBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+}
+
 /** Order-preserving intra-document unit dedup: split on `delim`, keep the
   * FIRST occurrence of each distinct unit, re-join with `delim`. With
   * `"\n"` this is classic repeated-line removal (the C4/MassiveText
@@ -584,6 +633,10 @@ object TextExpressions {
   /** One-pass 64-bit SimHash signature of a text column. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** DEFLATE compressed/raw byte ratio; null for empty text. */
+  def deflateRatio(text: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(text)))
 
   /** One-pass MinHash signature (array<long>[numHashes]); null below
     * `width` tokens. */

@@ -249,6 +249,24 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Compression-ratio quality signal ([[TextExpressions.deflateRatio]]):
+    * DEFLATE compressed/raw bytes per document, plus the
+    * too-compressible flag (templated boilerplate / repeated spans sit
+    * far below natural prose). One map-side expression pass — no
+    * shuffle except the output sort; JVM-deterministic but not portable
+    * SQL, so this is a rows-only surface entry with spec ground truth.
+    * The flag fails CLOSED on null ratios (empty docs) per the
+    * publish-gate discipline. */
+  def compressionQuality(documents: DataFrame,
+      minRatio: Double = 0.3): DataFrame =
+    documents
+      .select(col("doc_id"),
+        round2(graft.ext.TextExpressions.deflateRatio(col("text")), 4)
+          .as("deflate_ratio"))
+      .withColumn("too_compressible",
+        coalesce(col("deflate_ratio") < minRatio, lit(true)))
+      .orderBy("doc_id")
+
   /** Seeded deterministic corpus shuffle — the per-epoch training-order
     * reshuffle every LLM data loader needs: position = global rank of
     * `md5(seed:doc_id)` (doc_id tiebreak for a TOTAL order). A new seed

@@ -182,5 +182,10 @@ class PipelineSpec extends SparkSpec {
       "SELECT remove_tokens_at('a b c d', array(1, 3)) AS t")
       .as[String].head()
     assert(rm == "a c")
+    val dr = spark.sql(
+      """SELECT deflate_ratio(repeat('spam ', 200)) AS spam,
+        |  deflate_ratio('') IS NULL AS empty""".stripMargin)
+      .as[(Double, Boolean)].head()
+    assert(dr._1 < 0.05 && dr._2)
   }
 }

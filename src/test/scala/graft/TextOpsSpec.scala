@@ -510,6 +510,30 @@ class TextOpsSpec extends SparkSpec {
     assert(e2.sorted == (1L to 200L))
   }
 
+  test("compressionQuality: repetition compresses far below prose, empty " +
+    "fails closed, and the ratio is run-deterministic") {
+    val spammy = ("buy now " * 400).trim
+    val prose = (1 to 400).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val d = Seq((1L, spammy), (2L, prose), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.compressionQuality(d)
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (spamRatio, spamFlag) = got(1L)
+    val (proseRatio, proseFlag) = got(2L)
+    assert(spamRatio.get < 0.05 && spamFlag,
+      s"templated text must compress hard: $spamRatio")
+    assert(proseRatio.get > 0.3 && !proseFlag,
+      s"varied text must not flag: $proseRatio")
+    // empty doc: null ratio, flag fails CLOSED
+    assert(got(3L) == ((None, true)))
+    // same JVM, same zlib, same input → identical ratio bits
+    val again = TextOps.compressionQuality(d)
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(again(1L) == spamRatio && again(2L) == proseRatio)
+  }
+
   test("mixtureAllocation hands leftover seats to largest remainders") {
     // 2+2+3 sources with equal counts and budget 10: shares 10/3 each →
     // bases 3,3,3; one leftover seat goes to the first source by name
