@@ -192,6 +192,11 @@ object SparkEntry {
     "q_revenue_cube" -> ev(EventQueries.revenueCube),
     "q_sessionization" -> ev(WindowedQueries.sessionize(_)),
     "q_session_stats" -> ev(WindowedQueries.sessionStats(_)),
+    // bucket-decomposed interval-overlap join (the range join Spark lacks
+    // natively — a bare overlap predicate plans as quadratic BNLJ): the
+    // mirror states the NAIVE overlap self-join, so the gate certifies
+    // the decomposition (first-overlap-bucket dedup included)
+    "q_session_concurrency" -> ev(ops.RangeJoin.sessionConcurrency(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     "q_sliding_revenue" -> ev(WindowedQueries.slidingRevenue),
     // ---- join/agg coverage on the star schema ----
@@ -914,10 +919,11 @@ object SparkEntry {
        |  count(*) AS n_purchases
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // shared by q_sessionization (batch session_window) and
-  // q_stream_sessions (streaming session_window over the file stream):
-  // the gaps-and-islands rewrite is the engine-independent mirror of both
-  private val SessionizationSql =
+  // shared by q_sessionization (batch session_window), q_stream_sessions
+  // (streaming session_window over the file stream) and — as the interval
+  // source CTE — q_session_concurrency: the gaps-and-islands rewrite is
+  // the engine-independent mirror of all three
+  private val SessionizationBodySql =
     """WITH x AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -929,10 +935,31 @@ object SparkEntry {
       |  SELECT user_id, ts,
       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-      |  FROM x)
-      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-      |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |  FROM y GROUP BY user_id, sess)""".stripMargin
+
+  private val SessionizationSql = SessionizationBodySql +
+    "\nSELECT user_id, session_start, n_events, duration_us FROM sess" +
+    "\nORDER BY user_id, session_start"
+
+  // naive inclusive-overlap self-join over the session intervals — the
+  // engine-independent semantics the bucket-decomposed range join must
+  // reproduce row-for-row (DuckDB plans this as its IEJoin)
+  private val SessionConcurrencySql = SessionizationBodySql +
+    """,
+      |iv AS (
+      |  SELECT user_id, session_start, epoch_us(session_start) AS s,
+      |    epoch_us(session_start) + duration_us AS e
+      |  FROM sess)
+      |SELECT a.user_id, a.session_start,
+      |  CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+      |FROM iv a LEFT JOIN iv b
+      |  ON a.s <= b.e AND b.s <= a.e
+      |  AND NOT (a.user_id = b.user_id AND a.session_start = b.session_start)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val FunnelConversionsSql =
     """WITH RECURSIVE ev AS (
@@ -1385,6 +1412,8 @@ object SparkEntry {
          |GROUP BY CUBE (event_type, CAST(ts AS DATE))
          |ORDER BY gid, event_type, event_date""".stripMargin,
     "q_sessionization" -> SessionizationSql,
+    // naive quadratic overlap self-join ≡ the bucket-decomposed range join
+    "q_session_concurrency" -> SessionConcurrencySql,
     // per-day rollup OVER the shared sessionization CTE (composition on
     // the hash gate: the stats inherit the session boundary semantics)
     "q_session_stats" ->

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+
+  test("sessionConcurrency counts inclusive overlaps, keeps zero-overlap " +
+    "sessions, and never counts self") {
+    // u1: 0-10min; u2: 10-20min (touches u1 at minute 10 → inclusive
+    // overlap); u3: 100-110min (isolated); u4: 5min point session inside u1
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(10), 2L, "view", 1.0, "{}"), (4L, ts(20), 2L, "view", 1.0, "{}"),
+      (5L, ts(100), 3L, "view", 1.0, "{}"), (6L, ts(110), 3L, "view", 1.0, "{}"),
+      (7L, ts(5), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RangeJoin.sessionConcurrency(ev)
+      .as[(Long, Timestamp, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L), got.toString)
+  }
+
+  test("bucket decomposition equals the naive overlap join for any bucket " +
+    "width, each pair exactly once") {
+    // adversarial intervals: spans from 0 to 50x the bucket width, shared
+    // endpoints, containment, duplicates of the time range across ids
+    val iv = (1L to 60L).map { i =>
+      val s = (i * 7919) % 500
+      (i, s, s + (i * 31) % 250)
+    }
+    val a = iv.toDF("a_id", "a_s", "a_e")
+    val b = iv.map { case (i, s, e) => (i + 1000, s, e) }
+      .toDF("b_id", "b_s", "b_e")
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 100L, 10000L)) {
+      val got = RangeJoin.overlapJoin(a, "a_s", "a_e", b, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"width $w: pair emitted more than once")
+      assert(got.toSet == naive, s"width $w: ${got.toSet.size} vs ${naive.size}")
+    }
+  }
+
+  test("the bucketed plan is an equi-shuffle join, never a nested loop") {
+    val a = (1L to 20L).map(i => (i, i * 10, i * 10 + 5)).toDF("a_id", "a_s", "a_e")
+    val b = (1L to 20L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("b_id", "b_s", "b_e")
+    val plan = RangeJoin.overlapJoin(a, "a_s", "a_e", b, "b_s", "b_e", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+  }
+}
