@@ -167,6 +167,9 @@ object SparkEntry {
     "q_conversion_latency" -> ev(EventQueries.conversionLatency),
     "q_user_retention" -> ev(EventQueries.userRetention(_)),
     "q_price_quantiles" -> ev(EventQueries.priceQuantiles),
+    // robust statistics: clip into the exact [p01,p99] band; thresholds
+    // 4dp-rounded on BOTH engines before comparing (quantile parity)
+    "q_winsorized_revenue" -> ev(EventQueries.winsorizedRevenue(_)),
     "q_price_quantiles_sketch" -> ev(EventQueries.priceQuantilesSketch(_)),
     "q_price_histogram" -> ev(EventQueries.priceHistogram(_)),
     "q_new_users_daily" -> ev(EventQueries.newUsersDaily),
@@ -1303,6 +1306,25 @@ object SparkEntry {
         |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
         |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // winsorization: same 4dp-rounded quantile thresholds, clip + exact
+    // decimal sums of raw and clamped values
+    "q_winsorized_revenue" ->
+      s"""WITH th AS (
+         |  SELECT event_type,
+         |    floor(quantile_cont(value, 0.01) * 10000 + 0.5) / 10000 AS lo,
+         |    floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_low,
+         |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_high,
+         |  $MoneySumValue AS raw_sum,
+         |  CAST(round(sum(CAST(CASE WHEN value < lo THEN lo
+         |    WHEN value > hi THEN hi ELSE value END AS DECIMAL(18,6))), 2)
+         |    AS DOUBLE) AS winsorized_sum
+         |FROM events e JOIN th USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dau_pivot" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",

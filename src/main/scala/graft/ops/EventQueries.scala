@@ -263,29 +263,65 @@ object EventQueries {
     * exact path exists for oracle parity; the production path at high
     * cardinality is [[priceQuantilesSketch]] (mergeable sketches, no
     * ceiling). */
-  def priceQuantiles(events: DataFrame): DataFrame = {
+  /** Per-type (n, rn) ranking frame + the linear-interpolation quantile
+    * aggregate — shared by [[priceQuantiles]] and [[winsorizedRevenue]].
+    * Ties at the bracketing ranks carry equal values, so each one-row sum
+    * is order-independent. Interpolates as lo + frac*(hi - lo) — the
+    * exact expression the builtin percentile and DuckDB's `quantile_cont`
+    * evaluate — so the result is bit-identical to the oracle
+    * (lo*(1-frac) + hi*frac can differ in the last ulp). */
+  private def rankedByValue(events: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     val wOrd = Window.partitionBy("event_type").orderBy("value")
-    val ranked = events.select(col("event_type"), col("value"))
+    events.select(col("event_type"), col("value"))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("rn", (row_number().over(wOrd) - 1).cast(LongType))
-    def q(p: Double): org.apache.spark.sql.Column = {
-      val idx = lit(p) * (col("n") - 1).cast("double")
-      val lo = floor(idx)
-      val frac = idx - lo
-      // ties at the bracketing ranks carry equal values, so each one-row
-      // sum below is order-independent. Interpolate as lo + frac*(hi - lo)
-      // — the exact expression the builtin percentile and DuckDB's
-      // quantile_cont evaluate — so the result is bit-identical to the
-      // oracle (lo*(1-frac) + hi*frac can differ in the last ulp).
-      val vLo = sum(when(col("rn") === lo, col("value")).otherwise(lit(0.0)))
-      val vHi =
-        sum(when(col("rn") === ceil(idx), col("value")).otherwise(lit(0.0)))
-      vLo + max(frac) * (vHi - vLo)
-    }
-    ranked.groupBy("event_type")
-      .agg(round2(q(0.5), 4).as("p50"), round2(q(0.9), 4).as("p90"),
-        round2(q(0.99), 4).as("p99"))
+  }
+
+  private def interpQuantile(p: Double): org.apache.spark.sql.Column = {
+    val idx = lit(p) * (col("n") - 1).cast("double")
+    val lo = floor(idx)
+    val frac = idx - lo
+    val vLo = sum(when(col("rn") === lo, col("value")).otherwise(lit(0.0)))
+    val vHi =
+      sum(when(col("rn") === ceil(idx), col("value")).otherwise(lit(0.0)))
+    vLo + max(frac) * (vHi - vLo)
+  }
+
+  def priceQuantiles(events: DataFrame): DataFrame =
+    rankedByValue(events).groupBy("event_type")
+      .agg(round2(interpQuantile(0.5), 4).as("p50"),
+        round2(interpQuantile(0.9), 4).as("p90"),
+        round2(interpQuantile(0.99), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Winsorized (clipped) revenue per event type — the robust-statistics
+    * companion to the z-score monitor: values clamp into the exact
+    * [p01, p99] band, and the report carries both tails' clip counts plus
+    * exact-decimal sums before/after. Thresholds are 4dp-ROUNDED on both
+    * engines BEFORE the comparisons (the proven quantile parity surface —
+    * comparing against raw interpolated doubles would let a boundary
+    * value classify differently on a last-ulp disagreement). The
+    * thresholds frame is 5 rows, broadcast back onto the stream; no
+    * second corpus shuffle. */
+  def winsorizedRevenue(events: DataFrame, pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    val th = rankedByValue(events).groupBy("event_type")
+      .agg(round2(interpQuantile(pLo), 4).as("lo"),
+        round2(interpQuantile(pHi), 4).as("hi"))
+    val clamped = when(col("value") < col("lo"), col("lo"))
+      .when(col("value") > col("hi"), col("hi"))
+      .otherwise(col("value"))
+    events.select(col("event_type"), col("value"))
+      .join(broadcast(th), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        moneySum(col("value")).as("raw_sum"),
+        moneySum(clamped).as("winsorized_sum"))
       .orderBy("event_type")
   }
 

@@ -180,6 +180,20 @@ class EventQueriesSpec extends SparkSpec {
       ("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 3L)))
   }
 
+  test("winsorizedRevenue clips exactly one value into each tail and " +
+    "reconciles the clamped sum") {
+    // type t: 1..100 plus an outlier 1000 → n=101, p01 idx = 1 (frac 0)
+    // → lo = 2.0; p99 idx = 99 → hi = 100.0. Clipped: the 1 (low) and
+    // the 1000 (high). winsorized = 6050 - 1 + 2 - 1000 + 100 = 5151.
+    val vals = (1 to 100).map(_.toDouble) :+ 1000.0
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i), 1L, "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.winsorizedRevenue(ev)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(("t", 1L, 1L, 6050.0, 5151.0)), got.toSeq.toString)
+  }
+
   test("priceQuantilesSketch stays within the rank-error bound of exact") {
     val ev = graft.ingest.Sources.events(spark, sf("sf0.01"))
     val sketch = EventQueries.priceQuantilesSketch(ev)
