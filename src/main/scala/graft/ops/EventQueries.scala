@@ -252,17 +252,6 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("daily_active_users"))
       .orderBy(col("event_date").desc, col("event_type"))
 
-  /** Exact price quantiles per event type (ordered-set aggregates): p50/p90/
-    * p99 with type-7 linear interpolation (`idx = p*(n-1)`, interpolate
-    * between the two bracketing ranks). Computed via ONE rank window per
-    * group plus a conditional sum — each percentile touches exactly the two
-    * bracketing rows, so the cost is one sort per group, not the per-group
-    * hash-map the builtin exact `percentile` builds (10× cheaper at bench
-    * scale). SCALE CEILING: the per-type window sorts each group through a
-    * single task — at most 5 concurrent tasks for the 5-value key — so this
-    * exact path exists for oracle parity; the production path at high
-    * cardinality is [[priceQuantilesSketch]] (mergeable sketches, no
-    * ceiling). */
   /** Per-type (n, rn) ranking frame + the linear-interpolation quantile
     * aggregate — shared by [[priceQuantiles]] and [[winsorizedRevenue]].
     * Ties at the bracketing ranks carry equal values, so each one-row sum
@@ -288,6 +277,17 @@ object EventQueries {
     vLo + max(frac) * (vHi - vLo)
   }
 
+  /** Exact price quantiles per event type (ordered-set aggregates): p50/p90/
+    * p99 with type-7 linear interpolation (`idx = p*(n-1)`, interpolate
+    * between the two bracketing ranks). Computed via ONE rank window per
+    * group plus a conditional sum — each percentile touches exactly the two
+    * bracketing rows, so the cost is one sort per group, not the per-group
+    * hash-map the builtin exact `percentile` builds (10× cheaper at bench
+    * scale). SCALE CEILING: the per-type window sorts each group through a
+    * single task — at most 5 concurrent tasks for the 5-value key — so this
+    * exact path exists for oracle parity; the production path at high
+    * cardinality is [[priceQuantilesSketch]] (mergeable sketches, no
+    * ceiling). */
   def priceQuantiles(events: DataFrame): DataFrame =
     rankedByValue(events).groupBy("event_type")
       .agg(round2(interpQuantile(0.5), 4).as("p50"),

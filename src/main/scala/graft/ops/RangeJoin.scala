@@ -25,18 +25,40 @@ import org.apache.spark.sql.functions._
   * which gets no skew handling — the round-6 rule).
   */
 object RangeJoin {
+  /** Hard per-interval fan-out cap: an interval spanning more buckets than
+    * this (a mis-sized `bucketUs`, or an open-ended sentinel end bound)
+    * fails FAST with a clear message instead of dying deep in codegen on
+    * the array-size limit or OOM-ing the executor. */
+  val MaxBucketsPerInterval = 100000L
+
   /** Pairs of `left` × `right` rows whose [lS,lE] / [rS,rE] µs intervals
     * overlap INCLUSIVELY, each pair exactly once, plus `extraPred` (e.g. a
     * self-pair exclusion). Column names must be disjoint across the two
-    * sides; bounds are non-negative longs (µs since epoch). */
+    * sides, and `_lb`/`_rb` are RESERVED for the internal bucket ids
+    * (rejected up front — `withColumn` would silently overwrite a caller
+    * column of that name). Bounds are non-negative longs (µs since
+    * epoch); spans wider than [[MaxBucketsPerInterval]] buckets raise at
+    * run time. */
   def overlapJoin(left: DataFrame, lS: String, lE: String,
       right: DataFrame, rS: String, rE: String,
       bucketUs: Long, extraPred: Column = lit(true)): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
-    val lb = left.withColumn("_lb",
-      explode(expr(s"sequence($lS div $bucketUs, $lE div $bucketUs)")))
-    val rb = right.withColumn("_rb",
-      explode(expr(s"sequence($rS div $bucketUs, $rE div $bucketUs)")))
+    val reserved = (left.columns ++ right.columns).toSet
+      .intersect(Set("_lb", "_rb"))
+    require(reserved.isEmpty,
+      s"overlapJoin reserves column names _lb/_rb; rename: $reserved")
+    def buckets(s: String, e: String): org.apache.spark.sql.Column = expr(
+      s"""explode(CASE
+         |  WHEN ($e div $bucketUs) - ($s div $bucketUs)
+         |       <= ${MaxBucketsPerInterval}
+         |  THEN sequence($s div $bucketUs, $e div $bucketUs)
+         |  ELSE CAST(raise_error(concat(
+         |    'overlapJoin: interval [', CAST($s AS STRING), ',',
+         |    CAST($e AS STRING), '] spans more than
+         | ${MaxBucketsPerInterval} buckets - raise bucketUs'))
+         |    AS ARRAY<BIGINT>) END)""".stripMargin.replace("\n", " "))
+    val lb = left.withColumn("_lb", buckets(lS, lE))
+    val rb = right.withColumn("_rb", buckets(rS, rE))
     lb.join(rb,
         col("_lb") === col("_rb") &&
           col(lS) <= col(rE) && col(rS) <= col(lE) &&

@@ -49,6 +49,29 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin fails fast on reserved columns and runaway fan-out") {
+    val a = Seq((1L, 10L, 20L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((2L, 15L, 25L)).toDF("b_id", "b_s", "b_e")
+    // reserved internal name on either side → immediate require, not
+    // silent column loss
+    val poisoned = a.withColumn("_lb", lit(0L))
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(poisoned, "a_s", "a_e", b, "b_s", "b_e", 5L)
+    }
+    // an open-ended sentinel interval with a tiny bucket would try to
+    // materialize ~2.5e17/1 bucket ids — must raise clearly, not OOM
+    val openEnded = Seq((1L, 0L, 300000000000000000L))
+      .toDF("a_id", "a_s", "a_e")
+    val err = intercept[Exception] {
+      RangeJoin.overlapJoin(openEnded, "a_s", "a_e", b, "b_s", "b_e", 1L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("raise bucketUs")),
+      s"unexpected error: ${messages(err)}")
+  }
+
   test("the bucketed plan is an equi-shuffle join, never a nested loop") {
     val a = (1L to 20L).map(i => (i, i * 10, i * 10 + 5)).toDF("a_id", "a_s", "a_e")
     val b = (1L to 20L).map(i => (i, i * 10 + 3, i * 10 + 8)).toDF("b_id", "b_s", "b_e")
