@@ -124,6 +124,12 @@ object SparkEntry {
         .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
       Graph.pageRankFixedPoint(edges)
     }),
+    // exact triangle counting via degree-ordered orientation (O(m^1.5)
+    // wedge volume, no hub-keyed quadratic join); mirror is the naive
+    // lexicographic 3-way join over the shared canonical pair list
+    "q_triangle_count" -> ev(e =>
+      Graph.triangleCounts(EventQueries.basketPairs(e, minSupport = 1)
+        .select(col("item1"), col("item2")))),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
     // Deequ-shape constraint suite: one aggregate pass, per-constraint
@@ -172,6 +178,15 @@ object SparkEntry {
     "q_winsorized_revenue" -> ev(EventQueries.winsorizedRevenue(_)),
     "q_price_quantiles_sketch" -> ev(EventQueries.priceQuantilesSketch(_)),
     "q_price_histogram" -> ev(EventQueries.priceHistogram(_)),
+    // equi-DEPTH twin: quantile-sliced buckets via arithmetic over the
+    // distributed global ordinal (no single-task ntile sort)
+    "q_equidepth_histogram" -> ev(EventQueries.equidepthHistogram(_)),
+    // fixed-point EWMA: the sequential recurrence as integer cents on the
+    // hash gate; mirror is a recursive CTE with identical // arithmetic
+    "q_ewma_revenue" -> ev(EventQueries.ewmaDailyRevenue(_)),
+    // exact Hamilton credit split over the bucket-decomposed interval
+    // join; total credited cents ≡ total purchase cents
+    "q_multitouch_attribution" -> ev(EventQueries.multiTouchAttribution(_)),
     "q_new_users_daily" -> ev(EventQueries.newUsersDaily),
     "q_dau_pivot" -> ev(EventQueries.dauPivot),
     "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
@@ -452,6 +467,15 @@ object SparkEntry {
     // the dataset card: per-(source, lang) docs/tokens/diversity/dup rollup
     "q_corpus_card" -> docs(TextOps.corpusCard),
     "q_doc_quality" -> docs(TextOps.qualityScores),
+    // 2-D Pareto frontier (length × diversity) via the bounded
+    // group-max + cummax decomposition; mirror is the naive NOT EXISTS
+    "q_skyline_docs" -> docs(TextOps.skylineDocs),
+    // PMI-ranked collocations: exact-long-derived doubles (identical IEEE
+    // bits both engines), so a statistical ranking rides the hash gate
+    "q_collocations" -> docs(TextOps.collocations(_)),
+    // Heaps-law curve at 100 checkpoints: first-doc min aggregate +
+    // ordinal equi-join + bounded bucket-frame cumsum
+    "q_vocab_growth" -> docs(TextOps.vocabGrowth(_)),
     "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
     // C4-style badwords gate; the blocked set is shared with the generated
     // mirror via TextOps.Blocklist/blocklistSql
@@ -1010,6 +1034,34 @@ object SparkEntry {
     s"""SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS total_revenue
        |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared basket-graph CTE prologue — per-(day,user) basket item dedup,
+    * the 100-item basket cap, and the support≥2 canonical pair list — used
+    * verbatim by the `q_basket_pairs`, `q_pagerank_exact` and
+    * `q_triangle_count` mirrors (the shared-constant discipline: the three
+    * gates certify three different consumers of ONE pair definition;
+    * `q_triangle_count` renders at minSupport 1 — the denser graph that
+    * actually closes triangles at test SF). */
+  private def basketPairsCte(minSupport: Int): String =
+    s"""i AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+       |    json_extract_string(props, '$$.k') AS item
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |i2 AS (
+       |  SELECT d, user_id, item FROM (
+       |    SELECT i.*, count(*) OVER (PARTITION BY d, user_id) AS bs
+       |    FROM i) t
+       |  WHERE bs <= 100),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.item AS item1, b.item AS item2,
+       |    CAST(count(*) AS BIGINT) AS support
+       |  FROM i2 a JOIN i2 b
+       |    ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)""".stripMargin
+
+  private val BasketPairsCte = basketPairsCte(2)
+
   /** Generated mirror for `q_pagerank_exact`: the SAME fixed-point power
     * iteration as [[graft.ext.Graph.pageRankFixedPoint]], unrolled one CTE
     * per round (standard SQL recursion cannot aggregate over the recursive
@@ -1039,22 +1091,7 @@ object SparkEntry {
          |             JOIN deg d ON d.src = e.src
          |             GROUP BY 1) f USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH i AS (
-       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
-       |    json_extract_string(props, '$$.k') AS item
-       |  FROM events
-       |  WHERE event_type = 'purchase'
-       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
-       |i2 AS (
-       |  SELECT d, user_id, item FROM (
-       |    SELECT i.*, count(*) OVER (PARTITION BY d, user_id) AS bs
-       |    FROM i) t
-       |  WHERE bs <= 100),
-       |pairs AS MATERIALIZED (
-       |  SELECT a.item AS item1, b.item AS item2
-       |  FROM i2 a JOIN i2 b
-       |    ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
-       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+    s"""WITH $BasketPairsCte,
        |edges AS MATERIALIZED (
        |  SELECT item1 AS src, item2 AS dst FROM pairs
        |  UNION ALL
@@ -1088,23 +1125,25 @@ object SparkEntry {
     // items dedupe per (day, user) basket; bs caps the basket; pair
     // order canonicalized by string compare (identical both engines)
     "q_basket_pairs" ->
-      """WITH i AS (
-        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
-        |    json_extract_string(props, '$.k') AS item
-        |  FROM events
-        |  WHERE event_type = 'purchase'
-        |    AND json_extract_string(props, '$.k') IS NOT NULL),
-        |i2 AS (
-        |  SELECT d, user_id, item FROM (
-        |    SELECT i.*, count(*) OVER (PARTITION BY d, user_id) AS bs
-        |    FROM i) t
-        |  WHERE bs <= 100)
-        |SELECT a.item AS item1, b.item AS item2,
-        |  CAST(count(*) AS BIGINT) AS support
-        |FROM i2 a JOIN i2 b
-        |  ON a.d = b.d AND a.user_id = b.user_id AND a.item < b.item
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY support DESC, item1, item2""".stripMargin,
+      s"""WITH $BasketPairsCte
+         |SELECT item1, item2, support FROM pairs
+         |ORDER BY support DESC, item1, item2""".stripMargin,
+    // naive lexicographic 3-way triangle join over the SAME canonical pair
+    // list; the Spark side counts via degree-ordered orientation — the
+    // gate certifies orientation ≡ naive (participation counts are
+    // orientation-independent)
+    "q_triangle_count" ->
+      s"""WITH ${basketPairsCte(1)},
+         |tri AS (
+         |  SELECT e1.item1 AS x, e1.item2 AS y, e2.item2 AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.item1 = e1.item2
+         |  JOIN pairs e3 ON e3.item1 = e1.item1 AND e3.item2 = e2.item2)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT x AS node FROM tri
+         |      UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri)
+         |GROUP BY 1 ORDER BY n_triangles DESC, node""".stripMargin,
     // ten unrolled fixed-point power-iteration rounds — see pageRankExactSql
     "q_pagerank_exact" -> pageRankExactSql(),
     // quintiles via integer floor-div over the global ordinal: Spark's
@@ -1925,6 +1964,67 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_doc_quality" ->
       s"$DocQualitySelect ORDER BY doc_id",
+    // the naive quadratic dominance query the skyline DECOMPOSITION
+    // replaces — the gate certifies group-max + cummax ≡ NOT EXISTS,
+    // ties included (scores from the shared DocQualitySelect rendering)
+    "q_skyline_docs" ->
+      s"""WITH q0 AS ($DocQualitySelect),
+         |q AS (SELECT doc_id, n_tokens, lexical_diversity FROM q0)
+         |SELECT doc_id, n_tokens, lexical_diversity FROM q s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM q o WHERE o.n_tokens >= s.n_tokens
+         |    AND o.lexical_diversity >= s.lexical_diversity
+         |    AND (o.n_tokens > s.n_tokens
+         |         OR o.lexical_diversity > s.lexical_diversity))
+         |ORDER BY n_tokens DESC, doc_id""".stripMargin,
+    // identical double operation sequence as the Spark plan — every input
+    // an exact long, so the lift (and its ordering) is bit-deterministic
+    "q_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
+        |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |         FROM (SELECT toks,
+        |                 unnest(generate_series(1, len(toks) - 1)) AS i
+        |               FROM t WHERE len(toks) >= 2))
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
+        |               (SELECT sum(c_xy) FROM bi) AS n_bi)
+        |SELECT b.w1, b.w2, b.c_xy,
+        |  CAST(b.c_xy AS DOUBLE) * CAST(tt.n_tok AS DOUBLE)
+        |    * CAST(tt.n_tok AS DOUBLE)
+        |  / (CAST(tt.n_bi AS DOUBLE) * CAST(x.c AS DOUBLE)
+        |     * CAST(y.c AS DOUBLE)) AS lift
+        |FROM bi b
+        |JOIN uni x ON x.w = b.w1
+        |JOIN uni y ON y.w = b.w2
+        |CROSS JOIN tot tt
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+    // row_number twin of the distributed doc ordinals; cumsum over the
+    // 100-row checkpoint frame only
+    "q_vocab_growth" ->
+      """WITH r AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |db AS (SELECT doc_id, ((rn - 1) * 100) // n.n AS bucket
+        |       FROM r CROSS JOIN n),
+        |fd AS (SELECT w, min(doc_id) AS first_doc FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |         FROM documents)
+        |       GROUP BY 1),
+        |np AS (SELECT db.bucket, CAST(count(*) AS BIGINT) AS n_new_tokens
+        |       FROM fd JOIN db ON fd.first_doc = db.doc_id GROUP BY 1),
+        |be AS (SELECT bucket, max(doc_id) AS last_doc_id,
+        |              CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM db GROUP BY 1)
+        |SELECT be.bucket, be.last_doc_id, be.n_docs,
+        |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+        |  CAST(sum(COALESCE(np.n_new_tokens, 0)) OVER (ORDER BY be.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM be LEFT JOIN np USING (bucket) ORDER BY bucket""".stripMargin,
     // same rounded scores as q_doc_quality, compared against the
     // qualityFilter thresholds (15 tokens / 0.3 diversity / 0.02 stopword)
     "q_quality_filter" ->
@@ -2132,6 +2232,76 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events e JOIN s USING (event_type)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the window row_number twin of the distributed global-ordinal bucket
+    // arithmetic; integer // matches Spark's div on the 1-based ordinals
+    "q_equidepth_histogram" ->
+      s"""WITH v AS (
+         |  SELECT value, event_id FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |r AS (
+         |  SELECT value,
+         |    row_number() OVER (ORDER BY value, event_id) AS rn,
+         |    (SELECT count(*) FROM v) AS n
+         |  FROM v)
+         |SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(value) AS lo, max(value) AS hi,
+         |  $MoneySumValue AS sum_value
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the fixed-point EWMA recurrence as a recursive CTE — identical
+    // integer ops per step; constants rendered from EventQueries.Ewma*
+    "q_ewma_revenue" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |r AS (
+         |  SELECT event_date, cents,
+         |    row_number() OVER (ORDER BY event_date) AS i
+         |  FROM d),
+         |e AS (
+         |  SELECT i, event_date, cents, cents AS ewma FROM r WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.i, r.event_date, r.cents,
+         |    (${EventQueries.EwmaNum} * r.cents +
+         |     ${EventQueries.EwmaDen - EventQueries.EwmaNum} * e.ewma)
+         |      // ${EventQueries.EwmaDen}
+         |  FROM e JOIN r ON r.i = e.i + 1)
+         |SELECT event_date, cents, CAST(ewma AS BIGINT) AS ewma_cents
+         |FROM e ORDER BY event_date""".stripMargin,
+    // naive interval join + the same integer Hamilton arithmetic; the
+    // Spark side pairs via bucket decomposition keyed on (bucket, user)
+    "q_multitouch_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(ts AS DATE) AS p_date,
+        |    epoch_us(ts) AS p_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |t AS (
+        |  SELECT event_id AS t_id, user_id, event_type AS touch_type,
+        |    epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.p_id, p.p_date, p.cents, t.touch_type, t.t_us, t.t_id
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_us >= p.p_us - 1800000000 AND t.t_us < p.p_us),
+        |r AS (
+        |  SELECT p_date, touch_type, cents,
+        |    count(*) OVER (PARTITION BY p_id) AS n,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk
+        |  FROM j),
+        |c AS (
+        |  SELECT p_date AS event_date, touch_type,
+        |    cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+        |      AS credit
+        |  FROM r
+        |  UNION ALL
+        |  SELECT p_date, 'direct', cents FROM p
+        |  WHERE p_id NOT IN (SELECT p_id FROM j))
+        |SELECT event_date, touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_credits,
+        |  CAST(sum(credit) AS BIGINT) AS credited_cents
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_new_users_daily" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
         |           FROM events GROUP BY 1),

@@ -149,4 +149,68 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
   }
+
+  /** Exact per-node triangle counts over a CANONICAL undirected edge list
+    * `(a, b)` with `a < b`, distinct — the community-structure metric
+    * (clustering, spam-graph detection) the co-purchase graph feeds.
+    *
+    * The naive formulation joins the edge list against itself twice keyed
+    * on raw vertex ids, so a hub vertex of degree d contributes d² wedge
+    * rows through ONE join key — quadratic skew no AQE split fixes (every
+    * wedge genuinely shares the key). This is the classic DEGREE-ORDERED
+    * orientation instead (Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer", WWW 2011): orient every edge from the
+    * endpoint of lower (degree, id) rank to the higher, so each triangle
+    * has exactly one APEX (the rank-lowest corner) and every vertex's
+    * out-degree is O(√m) — the wedge fan-out per key drops from d² to m,
+    * total wedge volume to O(m^1.5), the proven optimum for this join
+    * shape.
+    *
+    * Plan: two degree joins decorate each edge with endpoint degrees (the
+    * degree frame is nodes-sized; AQE picks broadcast vs shuffle), one
+    * self-join of the oriented list on the apex generates rank-ordered
+    * wedges `(v, w)`, and one equi-join against the oriented list closes
+    * them — `rank(v) < rank(w)` means the closing edge, if present, is
+    * oriented exactly `v → w`, so closure is a plain two-column equi-join,
+    * no disjunction. Corners then explode (3 rows per triangle) into a
+    * count aggregate. Every shuffle carries edge- or wedge-sized rows of
+    * two ids; nothing is ever keyed on a raw hub id.
+    *
+    * Per-node participation counts are orientation-INDEPENDENT, so the
+    * DuckDB mirror states the naive lexicographic 3-way join and the hash
+    * gate certifies orientation ≡ naive semantics. Nodes in no triangle
+    * are absent by construction (count 0 rows add nothing at any scale).
+    * Output: `(node, n_triangles)`, ordered by count desc, node asc. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b").localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // orient low rank → high rank; rank = (deg, node) is a total order
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
+    // wedges: rank-ordered out-neighbor pairs of each apex u
+    val x = oriented.toDF("u", "v", "dv")
+    val y = oriented.toDF("u2", "w", "dw")
+    val wedges = x.join(y, col("u") === col("u2") &&
+        (col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("u"), col("v"), col("w"))
+    // closure: rank(v) < rank(w) ⇒ the edge, if present, is stored v → w
+    val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+    val triangles = wedges.join(closing,
+      col("v") === col("cv") && col("w") === col("cw"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+  }
 }

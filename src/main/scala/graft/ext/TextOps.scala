@@ -67,6 +67,124 @@ object TextOps {
     round2(size(filter(toks, t => t.isin(StopEn: _*))).cast("double") /
       size(toks), 4)
 
+  /** 2-D Pareto SKYLINE over (n_tokens ↑, lexical_diversity ↑) — the
+    * multi-objective curation frontier: documents no other document beats
+    * on both length and diversity (≥ on both, > on at least one). Equal
+    * points co-survive (neither dominates).
+    *
+    * Shape: never the quadratic dominance self-join the semantics state.
+    * Per-token-count group maxima first (a bounded frame: distinct token
+    * counts ≤ the longest document, not the corpus), then one cumulative
+    * max over that frame ordered by n_tokens DESC (the runningRevenue
+    * bounded-window scale argument), broadcast back onto the corpus: a doc
+    * survives iff it holds its group's max diversity AND strictly beats
+    * the cumulative max over all LONGER docs. The mirror states the naive
+    * NOT EXISTS dominance query, so the hash gate certifies the
+    * decomposition ≡ naive semantics including tie handling. Diversity is
+    * the 4dp-rounded shared expression ([[diversityExpr]]) — already
+    * engine-identical, so the dominance comparisons mirror exactly. */
+  def skylineDocs(documents: DataFrame): DataFrame = {
+    val q = documents.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      diversityExpr(tokens(col("text"))).as("lexical_diversity"))
+    val grp = q.groupBy("n_tokens")
+      .agg(max(col("lexical_diversity")).as("gmax"))
+    val cum = grp.withColumn("cmax",
+      max(col("gmax")).over(Window.orderBy(col("n_tokens").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    q.join(broadcast(cum), "n_tokens")
+      .filter(col("lexical_diversity") === col("gmax") &&
+        (col("cmax").isNull || col("lexical_diversity") > col("cmax")))
+      .select(col("doc_id"), col("n_tokens"), col("lexical_diversity"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+  }
+
+  /** Collocation mining: the top-k adjacent-token bigrams ranked by PMI
+    * lift `(c_xy/N_bi) / ((c_x/N)·(c_y/N))` — the phrase-mining pass a
+    * tokenizer-vocabulary or stop-phrase pipeline runs over a corpus.
+    *
+    * EXACT on the hash gate despite the "statistical" score: every count
+    * is a long, longs below 2^53 convert to double exactly, and IEEE
+    * multiply/divide are correctly rounded — so the identical operation
+    * sequence in both engines yields identical bits (the
+    * q_revenue_anomalies discipline), including the ORDER BY on the
+    * score. The naive long product `c_xy·N·N` would overflow int64 at
+    * corpus scale, which is exactly why the arithmetic goes through
+    * doubles. Minimum-count floor keeps rare-pair noise (and tiny-count
+    * PMI explosions) out.
+    *
+    * Shape: one tokenize pass feeds BOTH the bigram explode and the
+    * unigram explode (toks materialized before each Generate); counts are
+    * map-side-partial hash aggregates on token keys; the two total frames
+    * are 1-row broadcasts; the unigram join is vocabulary-sized (AQE
+    * picks broadcast at test SF). Top-k compiles to
+    * TakeOrderedAndProject — never a full sort. */
+  def collocations(documents: DataFrame, minCount: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    val withToks = documents.select(tokens(col("text")).as("toks"))
+    val uni = withToks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = withToks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(bi.agg(sum(col("c_xy")).as("n_bi")))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        // fixed operation sequence, mirrored verbatim: all inputs exact
+        (col("c_xy").cast("double") * col("n_tok").cast("double") *
+          col("n_tok").cast("double") /
+          (col("n_bi").cast("double") * col("c_x").cast("double") *
+            col("c_y").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Heaps-law vocabulary growth: how the distinct-token count grows as
+    * the corpus is consumed in doc_id order — the curve a tokenizer-vocab
+    * sizing or dataset-scaling study reads (vocab ∝ tokens^β). Sampled at
+    * `buckets` checkpoints so the output is bounded regardless of corpus
+    * size.
+    *
+    * Fully decomposed — no corpus-sized window anywhere: doc ranks come
+    * from [[graft.ops.Ordinals.globalRowNumbers]] (range repartition +
+    * bounded offset frame), each token's FIRST document is a map-side-
+    * partial `min` aggregate, the token's checkpoint bucket is an
+    * EQUI-join of first_doc onto the ranked doc frame (never a range
+    * probe), and the cumulative vocabulary is a window over the
+    * `buckets`-row frame only. */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 100): DataFrame = {
+    val ranked = graft.ops.Ordinals.globalRowNumbers(
+      documents.select(col("doc_id")), Seq(col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val docBuckets = ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), expr(s"((rn - 1) * $buckets) div n").as("bucket"))
+    val firstDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+    val newPerBucket = firstDoc.join(docBuckets,
+        firstDoc("first_doc") === docBuckets("doc_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_tokens"))
+    docBuckets.groupBy("bucket")
+      .agg(max(col("doc_id")).as("last_doc_id"), count(lit(1)).as("n_docs"))
+      .join(newPerBucket, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("last_doc_id"), col("n_docs"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("cum_vocab",
+        sum(col("n_new_tokens")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("bucket")
+  }
+
   // per-row rule expressions (too_short, low_diversity, low_stopword),
   // shared by the report and the filter
   private def qualityFlags(minTokens: Int, minDiversity: Double,

@@ -363,6 +363,147 @@ object EventQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Equi-DEPTH purchase-value histogram: `k` buckets holding (near-)equal
+    * ROW counts — the quantile-sliced complement of [[priceHistogram]]'s
+    * equi-width bins (a skewed price distribution stuffs one equi-width
+    * bin with almost everything; equal-depth slices stay readable and are
+    * what a feature-binning / monotonic-calibration step consumes).
+    *
+    * Bucket assignment is ARITHMETIC over the distributed global ordinal
+    * (`((rn-1)·k) div n` — the [[EventQueries.rfmSegments]] quintile
+    * discipline generalized): [[Ordinals.globalRowNumbers]] range-
+    * repartitions on (value, event_id), so no single-task `ntile` sort
+    * ever sees the corpus, and the integer floor-div mirrors exactly.
+    * `n` rides a 1-row broadcast frame off the numbered rows. Bucket
+    * sizes differ by at most one row, proven by the mirror's
+    * `row_number`-based twin on the hash gate. */
+  def equidepthHistogram(events: DataFrame, k: Int = 10): DataFrame = {
+    val vals = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("value"), col("event_id"))
+    val numbered = Ordinals.globalRowNumbers(vals,
+      Seq(col("value"), col("event_id")))
+    val n = numbered.agg(count(lit(1)).as("n"))
+    numbered.crossJoin(broadcast(n))
+      .select(expr(s"((rn - 1) * $k) div n").as("bucket"), col("value"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("value").as("lo"),
+        max("value").as("hi"), moneySum(col("value")).as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  /** EWMA smoothing factor α = [[EwmaNum]]/[[EwmaDen]] as a rational —
+    * shared with the generated recursive-CTE mirror so query and oracle
+    * can never desync (the Graph.DampNum discipline). */
+  val EwmaNum = 1L
+  val EwmaDen = 4L
+
+  /** Exponentially-weighted daily-revenue smoothing (α = 1/4) carried
+    * entirely in FIXED-POINT integer cents so the inherently sequential
+    * recurrence rides the hash gate (the q_pagerank_exact discipline
+    * applied to a time series): `ewma_0 = cents_0`, `ewma_t =
+    * (αnum·cents_t + (αden-αnum)·ewma_{t-1}) div αden` — every step a
+    * long multiply/add/floor-div, bit-identical to the mirror's recursive
+    * CTE (`//` ≡ Spark `div` on the non-negative cents here).
+    *
+    * The recurrence runs over the per-day aggregate frame — bounded by
+    * the CALENDAR (runningRevenue's accepted day-frame scale), not the
+    * event stream — so it folds via one sorted `collect_list` +
+    * `aggregate` HOF on a single row and explodes back: fully
+    * declarative, no driver loop; the corpus-sized work (the daily
+    * aggregate) stays an ordinary partial-aggregated shuffle. The HOF
+    * lambda touches only the fold accumulator and element (the round-6
+    * small-fan-out rule; ≤ calendar-days elements). */
+  def ewmaDailyRevenue(events: DataFrame, aNum: Long = EwmaNum,
+      aDen: Long = EwmaDen): DataFrame = {
+    require(aNum > 0 && aDen > aNum, s"alpha $aNum/$aDen outside (0,1)")
+    val keep = aDen - aNum
+    // exact floor division for the NON-NEGATIVE longs here; quotients sit
+    // far below 2^53 so the double division is exact
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      ((c - (c % aDen)) / aDen).cast(LongType)
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val folded = daily
+      .agg(array_sort(collect_list(struct(col("event_date"), col("cents"))))
+        .as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS " +
+          "ARRAY<STRUCT<event_date: DATE, cents: BIGINT, ewma: BIGINT>>)"),
+        (acc, x) => {
+          val prev = element_at(acc, -1).getField("ewma")
+          val e = when(size(acc) === 0, x.getField("cents"))
+            .otherwise(floorDiv(x.getField("cents") * aNum + prev * keep))
+          concat(acc, array(struct(
+            x.getField("event_date").as("event_date"),
+            x.getField("cents").as("cents"), e.as("ewma"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.event_date").as("event_date"), col("r.cents").as("cents"),
+        col("r.ewma").as("ewma_cents"))
+      .orderBy("event_date")
+  }
+
+  /** Linear multi-touch attribution: every purchase's revenue splits
+    * EXACTLY — integer cents, Hamilton largest-remainder (the
+    * q_mixture_allocation discipline) with the remainder cents going to
+    * the EARLIEST touches — across the user's view/click touches in the
+    * preceding `windowMinutes`; purchases with an empty touch window
+    * credit a `direct` bucket, so credited cents ≡ purchase cents in
+    * total (spec-pinned invariant, and the reason the whole report rides
+    * the hash gate: no IEEE share arithmetic anywhere).
+    *
+    * The purchase×touch pairing is [[RangeJoin.overlapJoin]]'s bucket
+    * decomposition (touches as point intervals) — the user-equality
+    * predicate rides the join condition, so Catalyst hashes on
+    * (bucket, user), never a time-bucket-only pairing, and AQE can
+    * skew-split a hot key. The rank window is per-purchase (bounded by
+    * one purchase's touch fan-out); the joined frame pins once for its
+    * two consumers (credits + the direct anti-join). */
+  def multiTouchAttribution(events: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val p = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        to_date(col("ts")).as("p_date"),
+        (unix_micros(col("ts")) - winUs).as("w_start"),
+        unix_micros(col("ts")).as("p_us"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+    val t = events.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+        col("event_type").as("touch_type"),
+        unix_micros(col("ts")).as("t_us"))
+    val joined = RangeJoin.overlapJoin(p, "w_start", "p_us",
+        t, "t_us", "t_us", bucketUs = winUs,
+        extraPred = col("p_user") === col("t_user") &&
+          col("t_us") < col("p_us"))
+      .localCheckpoint(true)
+    val byPurchase = Window.partitionBy(col("p_id"))
+    val ranked = joined
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rk", row_number().over(
+        byPurchase.orderBy(col("t_us"), col("t_id"))))
+    val credits = ranked.select(col("p_date").as("event_date"),
+      col("touch_type"),
+      (expr("cents div n") +
+        when(col("rk") <= col("cents") % col("n"), 1L).otherwise(0L))
+        .as("credit"))
+    val direct = p
+      .join(joined.select(col("p_id")), Seq("p_id"), "left_anti")
+      .select(col("p_date").as("event_date"),
+        lit("direct").as("touch_type"), col("cents").as("credit"))
+    credits.unionByName(direct)
+      .groupBy("event_date", "touch_type")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("credited_cents"))
+      .orderBy("event_date", "touch_type")
+  }
+
   /** Growth accounting: users by FIRST-seen day, with the cumulative
     * registered-user count — the new-vs-returning split every analytics
     * stack wants next to DAU. Two exact integer aggregates; the running

@@ -249,4 +249,80 @@ class EventQueriesSpec extends SparkSpec {
         s"$d: estimate $est vs exact $n")
     }
   }
+
+  test("equidepthHistogram: near-equal depths, ordered disjoint bands, " +
+    "exact total") {
+    // 23 purchase rows over k=4 → depths 6,6,6,5 by the ordinal arithmetic
+    val rows = (1 to 23).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "purchase",
+        (i * 1.5) % 7 + 0.25, "{}")) :+
+      (99L, ts("2024-01-01 11:00:00"), 99L, "view", 100.0, "{}")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.equidepthHistogram(df, k = 4)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(6L, 6L, 6L, 5L))
+    // buckets slice the SORTED order, so bands can never interleave
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._3, s"bands overlap: $a then $b")
+    }
+    got.foreach { case (_, _, lo, hi, _) => assert(lo <= hi) }
+    // depth totals and value totals are exact
+    assert(got.map(_._2).sum == 23L)
+    val want = rows.dropRight(1).map(_._5).sum
+    assert(math.abs(got.map(_._5).sum - want) < 1e-6)
+  }
+
+  test("ewmaDailyRevenue: fixed-point recurrence matches a reference fold") {
+    // day1 cents 1000 → ewma 1000; day2 2075 → (2075 + 3·1000)//4 = 1268
+    val got = EventQueries.ewmaDailyRevenue(events)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1000L, 2075L))
+    assert(got.map(_._3) == Seq(1000L, 1268L))
+    // randomized: the HOF fold equals a plain Scala fold of the same rule
+    val rnd = new scala.util.Random(11)
+    val many = (1 to 40).map { i =>
+      (i.toLong, ts(f"2024-${1 + i % 3}%02d-${1 + rnd.nextInt(28)}%02d 09:00:00"),
+        i.toLong, "purchase", rnd.nextInt(10000) / 100.0, "{}")
+    }
+    val df = many.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val res = EventQueries.ewmaDailyRevenue(df)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    val refEwma = res.map(_._2).scanLeft(Option.empty[Long]) {
+      case (None, c)       => Some(c)
+      case (Some(prev), c) => Some(Math.floorDiv(c + 3 * prev, 4L))
+    }.flatten
+    assert(res.map(_._3) == refEwma)
+    assert(res.map(_._1) == res.map(_._1).sorted(
+      Ordering.by((d: java.sql.Date) => d.getTime)))
+  }
+
+  test("multiTouchAttribution: Hamilton credit conserves every cent and " +
+    "routes untouched purchases to direct") {
+    def e(id: Long, t: String, u: Long, typ: String, v: Double) =
+      (id, ts(t), u, typ, v, "{}")
+    val rows = Seq(
+      // u1: three touches inside 30min before a 10.00 purchase →
+      // 1000 cents over 3 = 334 (earliest), 333, 333
+      e(1, "2024-01-01 09:35:00", 1, "view", 0.0),
+      e(2, "2024-01-01 09:45:00", 1, "click", 0.0),
+      e(3, "2024-01-01 09:55:00", 1, "view", 0.0),
+      e(4, "2024-01-01 10:00:00", 1, "purchase", 10.0),
+      // u2: touch OUTSIDE the window (31 min) → direct
+      e(5, "2024-01-01 09:29:00", 2, "view", 0.0),
+      e(6, "2024-01-01 10:00:00", 2, "purchase", 5.0),
+      // u3: touch exactly AT purchase ts is NOT attributable (strict <)
+      e(7, "2024-01-02 10:00:00", 3, "click", 0.0),
+      e(8, "2024-01-02 10:00:00", 3, "purchase", 2.5))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.multiTouchAttribution(df)
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq
+    val byType = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    // view gets 334 (earliest remainder cent) + 333; click 333
+    assert(byType("view") == 667L, got.toString)
+    assert(byType("click") == 333L)
+    assert(byType("direct") == 500L + 250L)
+    // every purchase cent lands somewhere, none minted
+    assert(got.map(_._4).sum == 1000L + 500L + 250L)
+  }
 }

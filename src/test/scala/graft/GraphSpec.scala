@@ -106,4 +106,53 @@ class GraphSpec extends SparkSpec {
         s"$node: fixed-point ${r / s} vs double ${dbl(node)}")
     }
   }
+
+  /** Brute-force per-node triangle participation over canonical edges. */
+  private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts matches brute force on a known graph") {
+    // K4 on A-D (4 triangles, each node in 3) plus a pendant edge and a
+    // triangle-free path E-F-G; ties in degree exercise the id tiebreak
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"),
+      ("C", "D"), ("D", "E"), ("E", "F"), ("F", "G"))
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .as[(String, Long)].collect().toMap
+    assert(got == refTriangles(edges))
+    assert(got("A") == 3L && got("D") == 3L && !got.contains("E"))
+  }
+
+  test("triangleCounts matches brute force on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 3
+      val nodes = (1 to n).map(i => f"n$i%02d")
+      val edges = (for {
+        i <- nodes.indices; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (nodes(i), nodes(j))).toSeq
+      val got = Graph.triangleCounts(edges.toDF("a", "b"))
+        .as[(String, Long)].collect().toMap
+      assert(got == refTriangles(edges), s"trial $trial")
+    }
+  }
+
+  test("q_triangle_count entry is ordered and consistent in total") {
+    val df = SparkEntry.queries("q_triangle_count")(spark, sf("sf0.001"))
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    // 3 corner rows per triangle: participation total divisible by 3
+    assert(rows.map(_._2).sum % 3 == 0)
+    val counts = rows.map(_._2).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
 }

@@ -544,4 +544,88 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.sum == 10L)
     assert(got == Map("s0" -> 4L, "s1" -> 3L, "s2" -> 3L), got.toString)
   }
+
+  test("collocations: PMI lift matches a reference computation and ranks " +
+    "the planted phrase first") {
+    // "deep learning" co-occurs always; its parts never pair otherwise
+    val docs = ((0 until 6).map(i =>
+      (i.toLong, s"deep learning rocks t$i")) ++
+      (6 until 12).map(i => (i.toLong, s"filler t${i % 3} words here")))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 2L, topK = 20)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // reference with the identical operation sequence
+    val texts = ((0 until 6).map(i => s"deep learning rocks t$i") ++
+      (6 until 12).map(i => s"filler t${i % 3} words here"))
+      .map(_.split(" ", -1).toSeq)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val bis = texts.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L)
+    val nTok = uni.values.sum.toDouble
+    val nBi = bis.values.sum.toDouble
+    val want = bis.map { case ((a, b), cxy) =>
+      (a, b, cxy,
+        cxy.toDouble * nTok * nTok / (nBi * uni(a).toDouble * uni(b).toDouble))
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    assert(got == want, s"got $got want $want")
+    assert(got.head._1 == "deep" && got.head._2 == "learning")
+  }
+
+  test("vocabGrowth: checkpoint curve matches a sequential reference") {
+    val docs = (0L until 17L).map { i =>
+      val words = (0 to (i % 5).toInt).map(j => s"w${(i + j) % 9}")
+      (i, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // sequential reference: consume docs in id order, count first-seen
+    val n = docs.size
+    val buckets = docs.zipWithIndex.map { case ((id, text), idx) =>
+      (id, text, (idx.toLong * 4) / n) }
+    val seen = collection.mutable.Set[String]()
+    val want = buckets.groupBy(_._3).toSeq.sortBy(_._1).map {
+      case (b, ds) =>
+        val fresh = ds.flatMap(_._2.split(" ", -1))
+          .filter(w => seen.add(w)).size.toLong
+        (b, ds.map(_._1).max, ds.size.toLong, fresh)
+    }
+    val cums = want.scanLeft(0L)(_ + _._4).tail
+    assert(got == want.zip(cums).map { case ((b, last, nd, f), c) =>
+      (b, last, nd, f, c) }, s"got $got")
+    assert(got.last._5 == docs.flatMap(_._2.split(" ", -1)).distinct.size)
+  }
+
+  test("skylineDocs equals the brute-force dominance filter, ties included") {
+    // hand-shaped: doc 0 dominates 1 (longer, same diversity); 2 and 3 are
+    // an equal point (co-survive); 4 is the diversity extreme; 5 dominated
+    // on both axes
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 40L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      val text = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      (i, text)
+    } ++ Seq((100L, "a b c d e"), (101L, "a b c d e"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.skylineDocs(df)
+      .as[(Long, Long, Double)].collect().toSeq
+    // brute force with the SAME 4dp-rounded diversity
+    val pts = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val div = math.floor(
+        toks.distinct.size.toDouble / toks.size * 10000 + 0.5) / 10000
+      (id, toks.size.toLong, div)
+    }
+    val want = pts.filter { case (_, n, d) =>
+      !pts.exists { case (_, n2, d2) =>
+        n2 >= n && d2 >= d && (n2 > n || d2 > d)
+      }
+    }.sortBy { case (id, n, _) => (-n, id) }
+    assert(got == want, s"got $got want $want")
+    // the two identical points either co-survive or co-die
+    assert(got.count(r => r._1 == 100L || r._1 == 101L) % 2 == 0)
+  }
 }
