@@ -64,6 +64,10 @@ object SparkEntry {
   private val unigramVocab =
     new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
 
+  /** Bigram table cached per sfDir — see [[graft.ext.TextOps.trainBigramVocab]]. */
+  private val bigramVocab =
+    new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
+
   /** PQ codebooks cached per sfDir — see [[graft.ext.Similarity.trainPqCodebooks]]. */
   private val pqCodebooks =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]
@@ -187,6 +191,12 @@ object SparkEntry {
     // exact Hamilton credit split over the bucket-decomposed interval
     // join; total credited cents ≡ total purchase cents
     "q_multitouch_attribution" -> ev(EventQueries.multiTouchAttribution(_)),
+    // lag over the calendar-bounded daily frame; exact-decimal-derived
+    // deltas, floor-rounded pct change, zero-guarded division
+    "q_revenue_dod" -> ev(EventQueries.revenueDayOverDay),
+    // funnel-path mining: first-20 event-type sequences per user-day,
+    // capped BEFORE collect_list so aggregation state is bounded
+    "q_user_paths" -> ev(EventQueries.userPaths(_)),
     "q_new_users_daily" -> ev(EventQueries.newUsersDaily),
     "q_dau_pivot" -> ev(EventQueries.dauPivot),
     "q_dau_unpivot" -> ev(EventQueries.dauUnpivot),
@@ -567,6 +577,15 @@ object SparkEntry {
         ArtifactStore.unigramVocab(s, dir, "univocab-m2-v65536")(
           TextOps.trainUnigramVocab(d)))
       TextOps.unigramFamiliarity(d, vt, vc)
+    }),
+    // the sequence-level complement: familiar words in an unfamiliar
+    // ORDER score low; same train-once/serve-map-side artifact shape
+    "q_bigram_familiarity" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val (vk, vc) = bigramVocab.getOrElseUpdate(dir,
+        ArtifactStore.unigramVocab(s, dir, "bivocab-m2-v65536")(
+          TextOps.trainBigramVocab(d)))
+      TextOps.bigramFamiliarity(d, vk, vc)
     }),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
     // token-budget curation: best-quality docs until the budget is spent;
@@ -1924,6 +1943,33 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov, vocab_sum,
         |  floor(CAST(vocab_sum AS DOUBLE) / n_tokens * 100 + 0.5) / 100 AS familiarity
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // self-contained retrain: the deterministic cap (cnt desc, key asc,
+    // limit) makes the SQL recomputation identical to the Scala trainer;
+    // LEFT JOIN from documents keeps <2-token docs with zero bigrams
+    "q_bigram_familiarity" ->
+      """WITH bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents)
+        |        WHERE len(toks) >= 2)),
+        |vocab AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
+        |          HAVING count(*) >= 2 ORDER BY cnt DESC, bg LIMIT 65536),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(count(*) FILTER (WHERE v.bg IS NULL) AS BIGINT) AS n_oov,
+        |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
+        |       FROM bg b LEFT JOIN vocab v USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(sc.vocab_sum, 0) AS BIGINT) AS vocab_sum,
+        |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+        |    THEN floor(CAST(sc.vocab_sum AS DOUBLE) / sc.n_bigrams
+        |               * 100 + 0.5) / 100
+        |  END AS familiarity
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // connected components over the jaccard >= 0.5 pair graph (same
     // DF-capped pairs as q_ngram_jaccard, same 6dp rounding before the
     // threshold so both engines draw the identical edge set); min reachable
@@ -2302,6 +2348,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_credits,
         |  CAST(sum(credit) AS BIGINT) AS credited_cents
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // lag twin; both engines subtract/divide the SAME materialized 2dp
+    // doubles, so delta and pct_change are bit-identical
+    "q_revenue_dod" ->
+      s"""WITH d AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    $MoneySumValue AS revenue
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |l AS (
+         |  SELECT event_date, revenue,
+         |    lag(revenue) OVER (ORDER BY event_date) AS prev
+         |  FROM d)
+         |SELECT event_date, revenue,
+         |  floor((revenue - prev) * 100 + 0.5) / 100 AS delta,
+         |  CASE WHEN prev > 0
+         |    THEN floor(((revenue - prev) / prev) * 10000 + 0.5) / 10000
+         |  END AS pct_change
+         |FROM l ORDER BY event_date""".stripMargin,
+    // string_agg with ORDER BY rk mirrors the sorted-struct render
+    "q_user_paths" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id, event_type,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+        |                       ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM e WHERE rk <= 20 GROUP BY d, user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_userdays
+        |FROM p GROUP BY 1 ORDER BY n_userdays DESC, path LIMIT 50""".stripMargin,
     "q_new_users_daily" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
         |           FROM events GROUP BY 1),

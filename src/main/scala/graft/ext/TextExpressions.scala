@@ -599,6 +599,57 @@ case class UnigramFamiliarity(child: Expression, vocabTokens: Seq[String],
     copy(child = newChild)
 }
 
+/** [[UnigramFamiliarity]] lifted to ADJACENT-PAIR (bigram) statistics: one
+  * tokenize pass sliding a 2-token window against a trained bigram table
+  * (keys are the space-joined pair — unambiguous because tokens are
+  * space-split). struct(n_bigrams, n_oov, vocab_sum); docs under two
+  * tokens report (0, 0, 0) and the caller null-guards the ratio. Same
+  * scale stance as the unigram form: the vocabulary rides the task binary
+  * (map-side serving, zero shuffle) — never an exploded corpus-token join. */
+case class BigramFamiliarity(child: Expression, vocabKeys: Seq[String],
+    vocabCounts: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(vocabKeys.length == vocabCounts.length,
+    s"vocab arrays disagree: ${vocabKeys.length} keys vs " +
+      s"${vocabCounts.length} counts")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_oov", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("vocab_sum", LongType, nullable = false)))
+  override def prettyName: String = "bigram_familiarity"
+
+  private val Space = UTF8String.fromString(" ")
+  @transient private lazy val vocab: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      vocabKeys.length * 2)
+    var i = 0
+    while (i < vocabKeys.length) {
+      m.put(UTF8String.fromString(vocabKeys(i)), vocabCounts(i))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].split(Space, -1)
+    val n = math.max(tokens.length - 1, 0)
+    var oov = 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val c = vocab.get(UTF8String.concat(tokens(i), Space, tokens(i + 1)))
+      if (c == null) oov += 1L else sum += c.longValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, oov, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Distinct hashed `width`-token shingles of a text column. */
   def shingleHashes(text: Column, width: Int = 3): Column =
@@ -618,6 +669,13 @@ object TextExpressions {
       vocabCounts: Seq[Long]): Column =
     ColumnBridge.column(UnigramFamiliarity(ColumnBridge.expression(text),
       vocabTokens, vocabCounts))
+
+  /** struct(n_bigrams, n_oov, vocab_sum) against a trained bigram table
+    * (keys are space-joined adjacent pairs). */
+  def bigramFamiliarity(text: Column, vocabKeys: Seq[String],
+      vocabCounts: Seq[Long]): Column =
+    ColumnBridge.column(BigramFamiliarity(ColumnBridge.expression(text),
+      vocabKeys, vocabCounts))
 
   /** struct(n_tokens, n_subwords) under a trained BPE replace chain. */
   def bpeSubwordStats(text: Column, patterns: Seq[String],

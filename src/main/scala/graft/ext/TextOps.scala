@@ -1068,4 +1068,46 @@ object TextOps {
       .withColumn("familiarity",
         round2(col("vocab_sum").cast("double") / col("n_tokens")))
       .orderBy("doc_id")
+
+  /** TRAIN step of the bigram LM: adjacent-pair counts over the corpus,
+    * thresholded and capped EXACTLY like [[trainUnigramVocab]] (count
+    * desc, key asc, ≤ maxVocab — fully deterministic, so the oracle can
+    * recompute the identical table in SQL). Keys render space-joined;
+    * collect runs AFTER the limit (driver holds ≤ maxVocab rows). */
+  def trainBigramVocab(documents: DataFrame, minCount: Long = 2,
+      maxVocab: Int = 65536): (Array[String], Array[Long]) = {
+    val rows = documents
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i-1], ' ', toks[i]))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(maxVocab)
+      .collect()
+    (rows.map(_.getString(0)), rows.map(_.getLong(1)))
+  }
+
+  /** SERVE step: per-document bigram familiarity against the trained
+    * table — one map-side pass ([[graft.ext.BigramFamiliarity]], table in
+    * the task binary), the sequence-level complement of the unigram
+    * score (a doc of familiar words in an unfamiliar ORDER scores low
+    * here). Short docs (< 2 tokens) report zero bigrams and a NULL
+    * ratio, never a division by zero. */
+  def bigramFamiliarity(documents: DataFrame, vocabKeys: Array[String],
+      vocabCounts: Array[Long]): DataFrame =
+    documents
+      .select(col("doc_id"),
+        TextExpressions.bigramFamiliarity(col("text"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabKeys),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabCounts))
+          .as("bf"))
+      .select(col("doc_id"), col("bf.n_bigrams").as("n_bigrams"),
+        col("bf.n_oov").as("n_oov"), col("bf.vocab_sum").as("vocab_sum"))
+      .withColumn("familiarity",
+        when(col("n_bigrams") > 0,
+          round2(col("vocab_sum").cast("double") / col("n_bigrams"))))
+      .orderBy("doc_id")
 }

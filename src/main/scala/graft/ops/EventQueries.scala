@@ -504,6 +504,54 @@ object EventQueries {
       .orderBy("event_date", "touch_type")
   }
 
+  /** Day-over-day revenue movement: delta and percent change via a lag
+    * window over the per-day aggregate frame (bounded by the calendar —
+    * the runningRevenue scale argument). Deltas subtract two exact-
+    * decimal-derived 2dp doubles (identical IEEE bits both engines) and
+    * floor-round; percent change divides the materialized columns and
+    * 4dp floor-rounds, guarded on a zero/missing predecessor (first day
+    * reports NULLs, never a fabricated zero). */
+  def revenueDayOverDay(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(moneySum(col("value")).as("revenue"))
+    daily
+      .withColumn("prev",
+        lag(col("revenue"), 1).over(Window.orderBy("event_date")))
+      .select(col("event_date"), col("revenue"),
+        round2(col("revenue") - col("prev"), 2).as("delta"),
+        when(col("prev") > 0,
+          round2((col("revenue") - col("prev")) / col("prev"), 4))
+          .as("pct_change"))
+      .orderBy("event_date")
+  }
+
+  /** Top user-day event PATHS (funnel-path mining): the first `maxLen`
+    * events of each (day, user) ordered by (ts, event_id), rendered as a
+    * '>'-joined event-type sequence and counted across user-days.
+    *
+    * The row_number cap runs BEFORE collect_list, so aggregation-buffer
+    * state is ≤ maxLen entries per group — a hot bot user-day pays a
+    * spillable WindowExec sort over its own partition key instead of
+    * materializing an unbounded array; the path render sorts the ≤maxLen
+    * struct array (total order: rk). Top-k compiles to
+    * TakeOrderedAndProject. */
+  def userPaths(events: DataFrame, maxLen: Int = 20,
+      topK: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("d"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(to_date(col("ts")).as("d"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxLen)
+      .groupBy("d", "user_id")
+      .agg(collect_list(struct(col("rk"), col("event_type"))).as("evs"))
+      .select(array_join(transform(array_sort(col("evs")),
+        e => e.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_userdays"))
+      .orderBy(col("n_userdays").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Growth accounting: users by FIRST-seen day, with the cumulative
     * registered-user count — the new-vs-returning split every analytics
     * stack wants next to DAU. Two exact integer aggregates; the running

@@ -67,6 +67,24 @@ object RangeJoin {
       .drop("_lb", "_rb")
   }
 
+  /** Data-derived bucket width for [[overlapJoin]]: the MEDIAN interval
+    * span (one approx-percentile aggregate over `e − s`), floored at
+    * `floorUs`. The join RESULT is bucket-width invariant (spec-proven in
+    * RangeJoinSpec), so this tunes only fan-out and skew: a width near
+    * the typical span keeps the per-row explode O(1), while the floor
+    * stops a point-interval-dominated input from degenerating into
+    * per-microsecond buckets. Long-tail intervals still hit the
+    * [[MaxBucketsPerInterval]] guard loudly rather than silently
+    * exploding. */
+  def autoBucketUs(intervals: DataFrame, s: String, e: String,
+      floorUs: Long = 60L * 1000000L): Long = {
+    require(floorUs > 0, s"floorUs must be positive: $floorUs")
+    val p50 = intervals
+      .agg(percentile_approx(col(e) - col(s), lit(0.5), lit(10000)).as("p"))
+      .head().getAs[java.lang.Long]("p")
+    if (p50 == null) floorUs else math.max(floorUs, p50.longValue())
+  }
+
   /** Session concurrency — how many OTHER sessions overlap each session in
     * time (the live-concurrency metric an ops dashboard reads): the
     * [[overlapJoin]] self-join over [[WindowedQueries.sessionize]]'s

@@ -297,6 +297,42 @@ class EventQueriesSpec extends SparkSpec {
       Ordering.by((d: java.sql.Date) => d.getTime)))
   }
 
+  test("revenueDayOverDay: first day NULLs, exact delta and pct change") {
+    val got = EventQueries.revenueDayOverDay(events).collect()
+    assert(got.length == 2)
+    assert(got(0).isNullAt(2) && got(0).isNullAt(3))
+    assert(got(1).getDouble(2) == 10.75)
+    assert(got(1).getDouble(3) == 1.075)
+  }
+
+  test("userPaths: orders by (ts, event_id), caps length, counts user-days") {
+    def e(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 0.0, "{}")
+    val rows = Seq(
+      // u1 and u2 share the path view>click>purchase on the same day
+      e(1, "2024-01-01 10:00:00", 1, "view"),
+      e(2, "2024-01-01 10:01:00", 1, "click"),
+      e(3, "2024-01-01 10:02:00", 1, "purchase"),
+      e(4, "2024-01-01 11:00:00", 2, "view"),
+      e(5, "2024-01-01 11:01:00", 2, "click"),
+      e(6, "2024-01-01 11:02:00", 2, "purchase"),
+      // same-ts tie broken by event_id: 8 before 9
+      e(8, "2024-01-02 09:00:00", 1, "view"),
+      e(9, "2024-01-02 09:00:00", 1, "signup"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.userPaths(df)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>click>purchase", 2L), ("view>signup", 1L)))
+    // cap: a 5-event day under maxLen=3 keeps only the first three
+    val long = (1 to 5).map(i =>
+      e(10L + i, s"2024-01-03 09:0$i:00", 7, if (i <= 2) "view" else "click"))
+    val capped = EventQueries.userPaths(
+      long.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      maxLen = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(capped == Seq(("view>view>click", 1L)))
+  }
+
   test("multiTouchAttribution: Hamilton credit conserves every cent and " +
     "routes untouched purchases to direct") {
     def e(id: Long, t: String, u: Long, typ: String, v: Double) =

@@ -146,6 +146,15 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts plans as equi-joins — no nested loop, no cartesian") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "D"))
+    val plan = Graph.triangleCounts(edges.toDF("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated:\n$plan")
+  }
+
   test("q_triangle_count entry is ordered and consistent in total") {
     val df = SparkEntry.queries("q_triangle_count")(spark, sf("sf0.001"))
     val rows = df.as[(String, Long)].collect()

@@ -81,4 +81,29 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"range join degenerated to a nested loop:\n$plan")
   }
+
+  test("autoBucketUs picks the median span, floors degenerate inputs, " +
+    "and leaves the join result unchanged") {
+    // spans: 9 × 100s plus one 10000s outlier → median 100s (in µs)
+    val iv = ((1 to 9).map(i => (i.toLong, i * 1000000000L,
+        i * 1000000000L + 100000000L)) :+
+      (10L, 0L, 10000000000L)).toDF("a_id", "a_s", "a_e")
+    val w = RangeJoin.autoBucketUs(iv, "a_s", "a_e")
+    assert(w == 100000000L, s"got $w")
+    // point intervals floor at the default minute
+    val pts = (1 to 5).map(i => (i.toLong, i * 1000L, i * 1000L))
+      .toDF("a_id", "a_s", "a_e")
+    assert(RangeJoin.autoBucketUs(pts, "a_s", "a_e") == 60000000L)
+    // empty input floors too
+    assert(RangeJoin.autoBucketUs(pts.filter(col("a_id") < 0L),
+      "a_s", "a_e") == 60000000L)
+    // width invariance: auto width ≡ a fixed width, pair for pair
+    val b = iv.toDF("b_id", "b_s", "b_e")
+    def pairs(bucket: Long) =
+      RangeJoin.overlapJoin(iv, "a_s", "a_e", b, "b_s", "b_e", bucket,
+          extraPred = col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(w) == pairs(7777777L))
+  }
 }

@@ -597,6 +597,42 @@ class TextOpsSpec extends SparkSpec {
     assert(got.last._5 == docs.flatMap(_._2.split(" ", -1)).distinct.size)
   }
 
+  test("collocations and skyline plan shapes: top-k heap, no quadratic join") {
+    val docs = (0L until 30L).map(i => (i, s"a b c d${i % 3} e"))
+      .toDF("doc_id", "text")
+    val cPlan = TextOps.collocations(docs, minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("TakeOrderedAndProject"),
+      s"collocations top-k is not a bounded heap:\n$cPlan")
+    val sPlan = TextOps.skylineDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("CartesianProduct") &&
+      !sPlan.contains("BroadcastNestedLoopJoin"),
+      s"skyline degenerated to the quadratic dominance join:\n$sPlan")
+    assert(sPlan.contains("BroadcastExchange"),
+      s"skyline cum frame should broadcast:\n$sPlan")
+  }
+
+  test("bigramFamiliarity: exact pair counts, OOV, and short-doc NULL ratio") {
+    val docs = Seq(
+      (0L, "the cat sat"), (1L, "the cat ran"), (2L, "the cat sat here"),
+      (3L, "solo"), (4L, "zz qq"))
+      .toDF("doc_id", "text")
+    // minCount=2 vocab: "the cat" ×3 and "cat sat" ×2 repeat
+    val (vk, vc) = TextOps.trainBigramVocab(docs)
+    assert(vk.toSeq == Seq("the cat", "cat sat") && vc.toSeq == Seq(3L, 2L))
+    val got = TextOps.bigramFamiliarity(docs, vk, vc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 5L, Some(2.5)),   // "the cat"(3) + "cat sat"(2)
+      (1L, 2L, 1L, 3L, Some(1.5)),   // "cat ran" OOV
+      (2L, 3L, 1L, 5L, Some(1.67)),  // "sat here" OOV
+      (3L, 0L, 0L, 0L, None),        // single token: no bigrams, NULL ratio
+      (4L, 1L, 1L, 0L, Some(0.0))), got.toString)
+  }
+
   test("skylineDocs equals the brute-force dominance filter, ties included") {
     // hand-shaped: doc 0 dominates 1 (longer, same diversity); 2 and 3 are
     // an equal point (co-survive); 4 is the diversity extreme; 5 dominated
