@@ -106,7 +106,7 @@ object SparkEntry {
     // construction (fixed iterations) — rows-only entry; exact-reference
     // proof in GraphSpec
     "q_pagerank" -> ev(e => {
-      val pairs = EventQueries.basketPairs(e, minSupport = 2)
+      val pairs = EventQueries.basketPairs(e, minSupport = 2, sorted = false)
         .select(col("item1"), col("item2"))
       val edges = pairs
         .select(col("item1").as("src"), col("item2").as("dst"))
@@ -121,7 +121,7 @@ object SparkEntry {
     // shuffle-order-dependent summation); the mirror unrolls the
     // identical 10 rounds in DuckDB with `//` floor division
     "q_pagerank_exact" -> ev(e => {
-      val pairs = EventQueries.basketPairs(e, minSupport = 2)
+      val pairs = EventQueries.basketPairs(e, minSupport = 2, sorted = false)
         .select(col("item1"), col("item2"))
       val edges = pairs
         .select(col("item1").as("src"), col("item2").as("dst"))
@@ -132,7 +132,7 @@ object SparkEntry {
     // wedge volume, no hub-keyed quadratic join); mirror is the naive
     // lexicographic 3-way join over the shared canonical pair list
     "q_triangle_count" -> ev(e =>
-      Graph.triangleCounts(EventQueries.basketPairs(e, minSupport = 1)
+      Graph.triangleCounts(EventQueries.basketPairs(e, minSupport = 1, sorted = false)
         .select(col("item1"), col("item2")))),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
@@ -194,6 +194,8 @@ object SparkEntry {
     // lag over the calendar-bounded daily frame; exact-decimal-derived
     // deltas, floor-rounded pct change, zero-guarded division
     "q_revenue_dod" -> ev(EventQueries.revenueDayOverDay),
+    // per-category lag (partitioned day frames) + |delta| top-k heap
+    "q_category_movers" -> ev(EventQueries.categoryMovers(_)),
     // funnel-path mining: first-20 event-type sequences per user-day,
     // capped BEFORE collect_list so aggregation state is bounded
     "q_user_paths" -> ev(EventQueries.userPaths(_)),
@@ -1170,33 +1172,33 @@ object SparkEntry {
     // mirror certifies three Ordinals passes at once
     "q_rfm_segments" ->
       """WITH p AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
-        |  WHERE event_type = 'purchase'),
-        |b AS (
-        |  SELECT user_id, max(d) AS last_day, count(*) AS frequency,
-        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-        |      AS monetary
-        |  FROM p GROUP BY 1),
-        |a AS (SELECT max(d) AS anchor,
-        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM p),
-        |r AS (
-        |  SELECT user_id,
-        |    CAST(date_diff('day', last_day, anchor) AS INT) AS recency,
-        |    frequency, monetary, n_users,
-        |    row_number() OVER (ORDER BY date_diff('day', last_day, anchor)
-        |      DESC, user_id) AS r_rn,
-        |    row_number() OVER (ORDER BY frequency, user_id) AS f_rn,
-        |    row_number() OVER (ORDER BY monetary, user_id) AS m_rn
-        |  FROM b CROSS JOIN a)
-        |SELECT user_id, recency, CAST(frequency AS BIGINT) AS frequency,
-        |  monetary,
-        |  CAST((r_rn - 1) * 5 // n_users + 1 AS BIGINT) AS r_q,
-        |  CAST((f_rn - 1) * 5 // n_users + 1 AS BIGINT) AS f_q,
-        |  CAST((m_rn - 1) * 5 // n_users + 1 AS BIGINT) AS m_q,
-        |  CAST(((r_rn - 1) * 5 // n_users + 1) * 100
-        |    + ((f_rn - 1) * 5 // n_users + 1) * 10
-        |    + ((m_rn - 1) * 5 // n_users + 1) AS BIGINT) AS segment
-        |FROM r ORDER BY user_id""".stripMargin,
+         |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |b AS (
+         |  SELECT user_id, max(d) AS last_day, count(*) AS frequency,
+         |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         |      AS monetary
+         |  FROM p GROUP BY 1),
+         |a AS (SELECT max(d) AS anchor,
+         |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM p),
+         |r AS (
+         |  SELECT user_id,
+         |    CAST(date_diff('day', last_day, anchor) AS INT) AS recency,
+         |    frequency, monetary, n_users,
+         |    row_number() OVER (ORDER BY date_diff('day', last_day, anchor)
+         |      DESC, user_id) AS r_rn,
+         |    row_number() OVER (ORDER BY frequency, user_id) AS f_rn,
+         |    row_number() OVER (ORDER BY monetary, user_id) AS m_rn
+         |  FROM b CROSS JOIN a)
+         |SELECT user_id, recency, CAST(frequency AS BIGINT) AS frequency,
+         |  monetary,
+         |  CAST((r_rn - 1) * 5 // n_users + 1 AS BIGINT) AS r_q,
+         |  CAST((f_rn - 1) * 5 // n_users + 1 AS BIGINT) AS f_q,
+         |  CAST((m_rn - 1) * 5 // n_users + 1 AS BIGINT) AS m_q,
+         |  CAST(((r_rn - 1) * 5 // n_users + 1) * 100
+         |    + ((f_rn - 1) * 5 // n_users + 1) * 10
+         |    + ((m_rn - 1) * 5 // n_users + 1) AS BIGINT) AS segment
+         |FROM r ORDER BY user_id""".stripMargin,
     // same rule order as Cleaning.standardEventRules; concat_ws skips a
     // passing rule's NULL in both engines; SHARED by the batch and
     // streamed quarantine (the gate certifies their equivalence)
@@ -1249,121 +1251,121 @@ object SparkEntry {
          |FROM c ORDER BY check_name""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT DISTINCT o_custkey AS k FROM orders
-        |           WHERE o_custkey IS NOT NULL),
-        |r AS (SELECT DISTINCT c_custkey AS k FROM customer
-        |      WHERE c_custkey IS NOT NULL),
-        |j AS (SELECT l.k AS lk, r.k AS rk
-        |      FROM l FULL OUTER JOIN r ON l.k = r.k),
-        |a AS (
-        |  SELECT CAST(count(lk) AS BIGINT) AS n_left_keys,
-        |    CAST(count(rk) AS BIGINT) AS n_right_keys,
-        |    CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1
-        |      END) AS BIGINT) AS n_shared,
-        |    CAST(count(CASE WHEN rk IS NULL THEN 1 END) AS BIGINT)
-        |      AS n_left_only,
-        |    CAST(count(CASE WHEN lk IS NULL THEN 1 END) AS BIGINT)
-        |      AS n_right_only
-        |  FROM j)
-        |SELECT n_left_keys, n_right_keys, n_shared, n_left_only,
-        |  n_right_only,
-        |  CASE WHEN n_left_keys = 0 THEN CAST(1.0 AS DOUBLE) ELSE
-        |    floor(CAST(n_shared AS DOUBLE) / n_left_keys * 1000000 + 0.5)
-        |      / 1000000
-        |  END AS left_containment
-        |FROM a""".stripMargin,
+         |           WHERE o_custkey IS NOT NULL),
+         |r AS (SELECT DISTINCT c_custkey AS k FROM customer
+         |      WHERE c_custkey IS NOT NULL),
+         |j AS (SELECT l.k AS lk, r.k AS rk
+         |      FROM l FULL OUTER JOIN r ON l.k = r.k),
+         |a AS (
+         |  SELECT CAST(count(lk) AS BIGINT) AS n_left_keys,
+         |    CAST(count(rk) AS BIGINT) AS n_right_keys,
+         |    CAST(count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1
+         |      END) AS BIGINT) AS n_shared,
+         |    CAST(count(CASE WHEN rk IS NULL THEN 1 END) AS BIGINT)
+         |      AS n_left_only,
+         |    CAST(count(CASE WHEN lk IS NULL THEN 1 END) AS BIGINT)
+         |      AS n_right_only
+         |  FROM j)
+         |SELECT n_left_keys, n_right_keys, n_shared, n_left_only,
+         |  n_right_only,
+         |  CASE WHEN n_left_keys = 0 THEN CAST(1.0 AS DOUBLE) ELSE
+         |    floor(CAST(n_shared AS DOUBLE) / n_left_keys * 1000000 + 0.5)
+         |      / 1000000
+         |  END AS left_containment
+         |FROM a""".stripMargin,
     "q_stream_quarantine" -> QuarantineSql,
     // z-scores from EXACT DECIMAL(12,2) moments: every double below
     // derives from identical exact inputs, so both engines compute
     // identical bits (see EventQueries.revenueAnomalies)
     "q_revenue_anomalies" ->
       """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS event_date,
-        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
-        |      AS DECIMAL(12,2)) AS rev
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |g AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS DOUBLE) AS s,
-        |    CAST(sum(rev * rev) AS DOUBLE) AS q
-        |  FROM d)
-        |SELECT event_date, CAST(rev AS DOUBLE) AS revenue,
-        |  floor((CAST(rev AS DOUBLE) - s / n) /
-        |    sqrt(q / n - (s / n) * (s / n)) * 100 + 0.5) / 100 AS z
-        |FROM d CROSS JOIN g
-        |WHERE q / n - (s / n) * (s / n) > 0
-        |  AND abs((CAST(rev AS DOUBLE) - s / n) /
-        |    sqrt(q / n - (s / n) * (s / n))) >= 1.5
-        |ORDER BY event_date""".stripMargin,
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+         |      AS DECIMAL(12,2)) AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS DOUBLE) AS s,
+         |    CAST(sum(rev * rev) AS DOUBLE) AS q
+         |  FROM d)
+         |SELECT event_date, CAST(rev AS DOUBLE) AS revenue,
+         |  floor((CAST(rev AS DOUBLE) - s / n) /
+         |    sqrt(q / n - (s / n) * (s / n)) * 100 + 0.5) / 100 AS z
+         |FROM d CROSS JOIN g
+         |WHERE q / n - (s / n) * (s / n) > 0
+         |  AND abs((CAST(rev AS DOUBLE) - s / n) /
+         |    sqrt(q / n - (s / n) * (s / n))) >= 1.5
+         |ORDER BY event_date""".stripMargin,
     "q_top_category_revenue" ->
       s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY revenue DESC, category LIMIT 15""".stripMargin,
     "q_conversion_funnel" ->
       """SELECT event_type, count(*) AS event_count FROM events
-        |WHERE event_type IN ('view', 'click', 'purchase')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |WHERE event_type IN ('view', 'click', 'purchase')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sketch is below capacity on this data → zero-error → the exact
     // group-by mirrors it (see EventQueries.categoryHeavyHitters)
     "q_category_heavyhitters" ->
       """SELECT json_extract_string(props, '$.k') AS category,
-        |  count(*) AS est_count
-        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
-        |GROUP BY 1 ORDER BY est_count DESC, category""".stripMargin,
+         |  count(*) AS est_count
+         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         |GROUP BY 1 ORDER BY est_count DESC, category""".stripMargin,
     "q_abandoned_cart_users" ->
       """SELECT CAST(e.ts AS DATE) AS event_date, e.user_id, count(*) AS cart_events
-        |FROM events e
-        |WHERE e.event_type = 'click' AND NOT EXISTS (
-        |  SELECT 1 FROM events p
-        |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
-        |    AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE))
-        |GROUP BY 1, 2 ORDER BY cart_events DESC, event_date, user_id""".stripMargin,
+         |FROM events e
+         |WHERE e.event_type = 'click' AND NOT EXISTS (
+         |  SELECT 1 FROM events p
+         |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+         |    AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE))
+         |GROUP BY 1, 2 ORDER BY cart_events DESC, event_date, user_id""".stripMargin,
     "q_avg_order_value_daily" ->
       """SELECT CAST(ts AS DATE) AS event_date,
-        |  floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |         / count(DISTINCT user_id)) * 100 + 0.5) / 100 AS average_order_value
-        |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |         / count(DISTINCT user_id)) * 100 + 0.5) / 100 AS average_order_value
+         |FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_daily_active_users" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
-        |  count(DISTINCT user_id) AS daily_active_users
-        |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin,
+         |  count(DISTINCT user_id) AS daily_active_users
+         |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin,
     "q_daily_topn_sample" ->
       """SELECT * FROM (
-        |  SELECT CAST(ts AS DATE) AS event_date, event_id,
-        |    row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
-        |  FROM events) t
-        |WHERE rn <= 100 ORDER BY event_date, rn""".stripMargin,
+         |  SELECT CAST(ts AS DATE) AS event_date, event_id,
+         |    row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+         |  FROM events) t
+         |WHERE rn <= 100 ORDER BY event_date, rn""".stripMargin,
     "q_extract_stats" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS event_count
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_global_rownum" ->
       """SELECT event_id,
-        |  row_number() OVER (ORDER BY ts, event_id) AS rn
-        |FROM events ORDER BY rn""".stripMargin,
+         |  row_number() OVER (ORDER BY ts, event_id) AS rn
+         |FROM events ORDER BY rn""".stripMargin,
     "q_validate_nulls" ->
       """SELECT count(*) AS null_violations FROM events
-        |WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL""".stripMargin,
+         |WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL""".stripMargin,
     "q_validate_count" -> "SELECT count(*) AS row_count FROM events",
     "q_validate_max_date" ->
       "SELECT max(CAST(ts AS DATE)) AS max_event_date FROM events",
     "q_kafka_envelope" ->
       """SELECT event_id, CAST(user_id AS VARCHAR) AS kafka_key,
-        |  '{"event_id":' || CAST(event_id AS VARCHAR)
-        |  || ',"ts_us":' || CAST(epoch_us(ts) AS VARCHAR)
-        |  || ',"event_type":"' || event_type
-        |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
-        |  || '}' AS kafka_value
-        |FROM events ORDER BY event_id""".stripMargin,
+         |  '{"event_id":' || CAST(event_id AS VARCHAR)
+         |  || ',"ts_us":' || CAST(epoch_us(ts) AS VARCHAR)
+         |  || ',"event_type":"' || event_type
+         |  || '","price":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+         |  || '}' AS kafka_value
+         |FROM events ORDER BY event_id""".stripMargin,
     // encode∘decode = identity over the AVRO wire format; the oracle is the
     // plain projection, so any envelope corruption breaks the hash
     "q_avro_envelope" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
-        |  value AS price
-        |FROM events ORDER BY event_id""".stripMargin,
+         |  value AS price
+         |FROM events ORDER BY event_id""".stripMargin,
     "q_price_quantiles" ->
       """SELECT event_type,
-        |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
-        |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
-        |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+         |  floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+         |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // winsorization: same 4dp-rounded quantile thresholds, clip + exact
     // decimal sums of raw and clamped values
     "q_winsorized_revenue" ->
@@ -1385,24 +1387,24 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dau_pivot" ->
       """SELECT CAST(ts AS DATE) AS event_date,
-        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
-        |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
-        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
-        |  count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
-        |  count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
+         |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
+         |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
+         |  count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
+         |  count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dau_unpivot" ->
       """WITH w AS (
-        |  SELECT CAST(ts AS DATE) AS event_date,
-        |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
-        |    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
-        |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
-        |    count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
-        |    count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
-        |  FROM events GROUP BY 1)
-        |SELECT event_date, event_type, dau FROM w
-        |UNPIVOT (dau FOR event_type IN ("view", click, purchase, signup, error))
-        |ORDER BY event_date, event_type""".stripMargin,
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS "view",
+         |    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS click,
+         |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchase,
+         |    count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup,
+         |    count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS error
+         |  FROM events GROUP BY 1)
+         |SELECT event_date, event_type, dau FROM w
+         |UNPIVOT (dau FOR event_type IN ("view", click, purchase, signup, error))
+         |ORDER BY event_date, event_type""".stripMargin,
     "q_revenue_gapfill" ->
       s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
          |s AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
@@ -1413,40 +1415,40 @@ object SparkEntry {
          |FROM s LEFT JOIN d USING (event_date) ORDER BY 1""".stripMargin,
     "q_user_retention" ->
       """SELECT 'retained' AS cohort, user_id FROM (
-        |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
-        |  INTERSECT
-        |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
-        |UNION ALL
-        |SELECT 'churned' AS cohort, user_id FROM (
-        |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
-        |  EXCEPT
-        |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
-        |ORDER BY cohort, user_id""".stripMargin,
+         |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+         |  INTERSECT
+         |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+         |UNION ALL
+         |SELECT 'churned' AS cohort, user_id FROM (
+         |  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+         |  EXCEPT
+         |  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+         |ORDER BY cohort, user_id""".stripMargin,
     "q_view_purchase_30m" ->
       """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS attributed_pairs
-        |FROM events v JOIN events p
-        |  ON v.user_id = p.user_id
-        | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND p.ts >= v.ts
-        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id
+         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+         | AND p.ts >= v.ts
+         | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same banded pair universe as q_view_purchase_30m, aggregated to
     // latency stats; integer µs until the final divisions (order of
     // operations mirrored exactly)
     "q_conversion_latency" ->
       """SELECT CAST(p.ts AS DATE) AS event_date, count(*) AS n_pairs,
-        |  floor(CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
-        |    / count(*) / 1000000 * 100 + 0.5) / 100 AS avg_latency_s,
-        |  floor(CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
-        |    / 1000000 * 100 + 0.5) / 100 AS min_latency_s,
-        |  floor(CAST(max(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
-        |    / 1000000 * 100 + 0.5) / 100 AS max_latency_s
-        |FROM events v JOIN events p
-        |  ON v.user_id = p.user_id
-        | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND p.ts >= v.ts
-        | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  floor(CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+         |    / count(*) / 1000000 * 100 + 0.5) / 100 AS avg_latency_s,
+         |  floor(CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+         |    / 1000000 * 100 + 0.5) / 100 AS min_latency_s,
+         |  floor(CAST(max(epoch_us(p.ts) - epoch_us(v.ts)) AS DOUBLE)
+         |    / 1000000 * 100 + 0.5) / 100 AS max_latency_s
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id
+         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+         | AND p.ts >= v.ts
+         | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the reset-on-purchase state machine, unrolled as a recursive CTE:
     // each segment is (first view after cursor) → (first click after it) →
     // (first purchase after it); the cursor jumps to the converting
@@ -1458,17 +1460,17 @@ object SparkEntry {
     "q_funnel_conversions_tws" -> FunnelConversionsSql,
     "q_asof_last_purchase" ->
       """WITH p AS (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
-        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
-        |SELECT v.event_id, v.user_id, v.ts,
-        |  p.value AS last_purchase_value,
-        |  epoch_us(v.ts) - epoch_us(p.ts) AS us_since_purchase
-        |FROM v ASOF LEFT JOIN p
-        |  ON v.user_id = p.user_id AND p.ts <= v.ts
-        |ORDER BY event_id""".stripMargin,
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+         |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+         |SELECT v.event_id, v.user_id, v.ts,
+         |  p.value AS last_purchase_value,
+         |  epoch_us(v.ts) - epoch_us(p.ts) AS us_since_purchase
+         |FROM v ASOF LEFT JOIN p
+         |  ON v.user_id = p.user_id AND p.ts <= v.ts
+         |ORDER BY event_id""".stripMargin,
     "q_revenue_rollup" ->
       s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
          |  $MoneySumValue AS revenue, count(*) AS n_events,
@@ -1514,27 +1516,27 @@ object SparkEntry {
     "q_stream_sliding_revenue" -> SlidingRevenueSql,
     "q_running_revenue" ->
       """WITH d AS (
-        |  SELECT CAST(ts AS DATE) AS event_date,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS rev
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
-        |SELECT event_date,
-        |  CAST(round(rev, 2) AS DOUBLE) AS total_revenue,
-        |  CAST(round(sum(rev) OVER (ORDER BY event_date
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
-        |  floor((CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7) * 100 + 0.5) / 100 AS ma7_revenue,
-        |  CAST(round(rev - lag(rev) OVER (ORDER BY event_date), 2) AS DOUBLE) AS delta_revenue
-        |FROM d
-        |WINDOW w7 AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_date""".stripMargin,
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT event_date,
+         |  CAST(round(rev, 2) AS DOUBLE) AS total_revenue,
+         |  CAST(round(sum(rev) OVER (ORDER BY event_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+         |  floor((CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7) * 100 + 0.5) / 100 AS ma7_revenue,
+         |  CAST(round(rev - lag(rev) OVER (ORDER BY event_date), 2) AS DOUBLE) AS delta_revenue
+         |FROM d
+         |WINDOW w7 AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_date""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-        |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_qty,
-        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_price,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+         |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_qty,
+         |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_top_selling_brands" ->
       s"""SELECT p_brand, $Rev AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1562,9 +1564,9 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_top_supplier" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey, $Rev AS total_revenue FROM lineitem
@@ -1642,34 +1644,34 @@ object SparkEntry {
          |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_order_count_dist" ->
       """WITH per AS (
-        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        |  GROUP BY 1)
-        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM per GROUP BY 1
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         |  GROUP BY 1)
+         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM per GROUP BY 1
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_supplier_variety" ->
       """SELECT p_brand, p_size,
-        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE NOT EXISTS (SELECT 1 FROM supplier
-        |  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
-        |GROUP BY 1, 2
-        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE NOT EXISTS (SELECT 1 FROM supplier
+         |  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+         |GROUP BY 1, 2
+         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     // cross-multiplied threshold: exact decimal on both sides, no division
     "q_idle_rich_customers" ->
       s"""WITH stats AS (
-        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
-        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
-        |    AS totacctbal
-        |FROM customer, stats
-        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |    AND o_orderdate >= DATE '${RelationalQueries.IdleRichSince}')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+         |    AS totacctbal
+         |FROM customer, stats
+         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |    AND o_orderdate >= DATE '${RelationalQueries.IdleRichSince}')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_local_supply_share" ->
       s"""WITH base AS (
          |  SELECT n_name,
@@ -1726,37 +1728,37 @@ object SparkEntry {
          |FROM base ORDER BY yr""".stripMargin,
     "q_profit_by_nation_year" ->
       """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS yr,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    - p_retailprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
-        |    AS sum_profit
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+         |    - p_retailprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the dim CTE mirrors partPriceHistory's deterministic construction;
     // dates compare as DATE on both sides
     "q_scd2_join" ->
       s"""WITH dim AS (
-        |  SELECT p_partkey, 'v1' AS version,
-        |    p_retailprice * ${RelationalQueries.Scd2V1Factor} AS price,
-        |    DATE '${RelationalQueries.Scd2From}' AS valid_from,
-        |    DATE '${RelationalQueries.Scd2Split}' AS valid_to
-        |  FROM part
-        |  UNION ALL
-        |  SELECT p_partkey, 'v2', p_retailprice,
-        |    DATE '${RelationalQueries.Scd2Split}',
-        |    DATE '${RelationalQueries.Scd2To}'
-        |  FROM part)
-        |SELECT version, CAST(year(l_shipdate) AS INT) AS yr,
-        |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(round(sum(CAST(price * l_quantity AS DECIMAL(18,6))), 2)
-        |    AS DOUBLE) AS hist_revenue
-        |FROM lineitem JOIN dim ON p_partkey = l_partkey
-        |  AND CAST(l_shipdate AS DATE) >= valid_from
-        |  AND CAST(l_shipdate AS DATE) < valid_to
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |  SELECT p_partkey, 'v1' AS version,
+         |    p_retailprice * ${RelationalQueries.Scd2V1Factor} AS price,
+         |    DATE '${RelationalQueries.Scd2From}' AS valid_from,
+         |    DATE '${RelationalQueries.Scd2Split}' AS valid_to
+         |  FROM part
+         |  UNION ALL
+         |  SELECT p_partkey, 'v2', p_retailprice,
+         |    DATE '${RelationalQueries.Scd2Split}',
+         |    DATE '${RelationalQueries.Scd2To}'
+         |  FROM part)
+         |SELECT version, CAST(year(l_shipdate) AS INT) AS yr,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(round(sum(CAST(price * l_quantity AS DECIMAL(18,6))), 2)
+         |    AS DOUBLE) AS hist_revenue
+         |FROM lineitem JOIN dim ON p_partkey = l_partkey
+         |  AND CAST(l_shipdate AS DATE) >= valid_from
+         |  AND CAST(l_shipdate AS DATE) < valid_to
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the OR-of-ANDs is GENERATED from RelationalQueries.DisjunctWindows —
     // the mirror states only the disjunction; Spark additionally pushes the
     // derived single-side envelopes, and the hash gate certifies they are
@@ -1801,44 +1803,44 @@ object SparkEntry {
     // reconstruction defect anywhere in the CDC pair breaks the hash
     "q_cdc_apply" ->
       """SELECT c_custkey,
-        |  c_acctbal + CASE WHEN c_custkey % 13 = 0
-        |    THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-        |    AS c_acctbal,
-        |  c_mktsegment
-        |FROM customer WHERE c_custkey % 17 <> 0
-        |UNION ALL
-        |SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
-        |FROM customer WHERE c_custkey % 19 = 0
-        |ORDER BY c_custkey""".stripMargin,
+         |  c_acctbal + CASE WHEN c_custkey % 13 = 0
+         |    THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |    AS c_acctbal,
+         |  c_mktsegment
+         |FROM customer WHERE c_custkey % 17 <> 0
+         |UNION ALL
+         |SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
+         |FROM customer WHERE c_custkey % 19 = 0
+         |ORDER BY c_custkey""".stripMargin,
     // key-presence via o/n.c_custkey IS NULL is sound here because the
     // join key is never null (the Scala op uses explicit presence markers
     // and stays correct for null keys)
     "q_snapshot_diff" ->
       """WITH newsnap AS (
-        |  SELECT c_custkey,
-        |    c_acctbal + CASE WHEN c_custkey % 13 = 0
-        |      THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-        |      AS c_acctbal,
-        |    c_mktsegment
-        |  FROM customer WHERE c_custkey % 17 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
-        |  FROM customer WHERE c_custkey % 19 = 0),
-        |d AS (
-        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
-        |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
-        |         WHEN n.c_custkey IS NULL THEN 'delete'
-        |         WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
-        |          AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
-        |           THEN 'unchanged'
-        |         ELSE 'update' END AS change_type
-        |  FROM customer o FULL OUTER JOIN newsnap n
-        |    ON o.c_custkey = n.c_custkey)
-        |SELECT c_custkey, change_type FROM d
-        |WHERE change_type <> 'unchanged' ORDER BY c_custkey""".stripMargin,
+         |  SELECT c_custkey,
+         |    c_acctbal + CASE WHEN c_custkey % 13 = 0
+         |      THEN CAST(10.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |      AS c_acctbal,
+         |    c_mktsegment
+         |  FROM customer WHERE c_custkey % 17 <> 0
+         |  UNION ALL
+         |  SELECT c_custkey + 10000000, CAST(0.0 AS DOUBLE), 'NEW'
+         |  FROM customer WHERE c_custkey % 19 = 0),
+         |d AS (
+         |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+         |         WHEN n.c_custkey IS NULL THEN 'delete'
+         |         WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+         |          AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+         |           THEN 'unchanged'
+         |         ELSE 'update' END AS change_type
+         |  FROM customer o FULL OUTER JOIN newsnap n
+         |    ON o.c_custkey = n.c_custkey)
+         |SELECT c_custkey, change_type FROM d
+         |WHERE change_type <> 'unchanged' ORDER BY c_custkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     // `kept` mirrors Spark's maxShingleDf document-frequency cap (=1000,
     // Dedup.ngramJaccardTopPairs' default): both engines drop shingles in
     // >1000 docs BEFORE sizes/intersections, so the hash gate holds even
@@ -1873,28 +1875,28 @@ object SparkEntry {
     // window starts — min(gap, width) newly covered per start
     "q_dup_ngram_spans" ->
       """WITH w AS (
-        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 5))),
-        |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM w)
-        |        GROUP BY sh HAVING count(*) >= 2),
-        |gaps AS (SELECT doc_id,
-        |           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
-        |         FROM w WHERE sh IN (SELECT sh FROM dup)),
-        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
-        |          CAST(sum(CASE WHEN gap IS NULL THEN 5
-        |                        ELSE LEAST(gap, 5) END) AS BIGINT) AS n_dup_tokens
-        |        FROM gaps GROUP BY 1)
-        |SELECT t.doc_id, t.n_tokens, t.n_tokens - 4 AS n_windows,
-        |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
-        |  COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
-        |  floor(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens * 100 + 0.5) / 100
-        |    AS dup_token_share
-        |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |      FROM documents WHERE len(string_split(text, ' ')) >= 5) t
-        |LEFT JOIN cov c ON t.doc_id = c.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+         |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 5))),
+         |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM w)
+         |        GROUP BY sh HAVING count(*) >= 2),
+         |gaps AS (SELECT doc_id,
+         |           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |         FROM w WHERE sh IN (SELECT sh FROM dup)),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |          CAST(sum(CASE WHEN gap IS NULL THEN 5
+         |                        ELSE LEAST(gap, 5) END) AS BIGINT) AS n_dup_tokens
+         |        FROM gaps GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens, t.n_tokens - 4 AS n_windows,
+         |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+         |  COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+         |  floor(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens * 100 + 0.5) / 100
+         |    AS dup_token_share
+         |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents WHERE len(string_split(text, ' ')) >= 5) t
+         |LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // span REMOVAL under the same window universe: the min-doc_id owner of
     // a duplicated 5-gram keeps all its occurrences, every other doc drops
     // every covered token; the cleaned text itself rides the hash gate.
@@ -1902,29 +1904,29 @@ object SparkEntry {
     // its own pipeline; output carries no positions)
     "q_dup_span_removal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |w AS (
-        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
-        |        FROM t WHERE len(toks) >= 5)),
-        |own AS (SELECT sh, min(doc_id) AS owner FROM w GROUP BY sh
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |rem AS (SELECT DISTINCT doc_id, rpos FROM (
-        |          SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 4)) AS rpos
-        |          FROM w JOIN own ON w.sh = own.sh AND w.doc_id <> own.owner)),
-        |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
-        |           FROM (SELECT doc_id, toks,
-        |                   unnest(generate_series(1, len(toks))) AS i FROM t)),
-        |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
-        |       FROM tokpos tp LEFT JOIN rem r
-        |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
-        |       WHERE r.rpos IS NULL GROUP BY 1),
-        |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |  COALESCE(nr.n_removed, 0) AS n_removed,
-        |  COALESCE(ct.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
-        |LEFT JOIN nr ON d.doc_id = nr.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+         |w AS (
+         |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS sh
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+         |        FROM t WHERE len(toks) >= 5)),
+         |own AS (SELECT sh, min(doc_id) AS owner FROM w GROUP BY sh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |rem AS (SELECT DISTINCT doc_id, rpos FROM (
+         |          SELECT w.doc_id, unnest(generate_series(w.pos, w.pos + 4)) AS rpos
+         |          FROM w JOIN own ON w.sh = own.sh AND w.doc_id <> own.owner)),
+         |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
+         |           FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+         |       FROM tokpos tp LEFT JOIN rem r
+         |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
+         |       WHERE r.rpos IS NULL GROUP BY 1),
+         |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(nr.n_removed, 0) AS n_removed,
+         |  COALESCE(ct.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // learned tokenizer on the hash gate: the mirror below is GENERATED
     // from the merges trained while the queries ran (Verify order:
     // queries first, oracle dump second)
@@ -1932,44 +1934,46 @@ object SparkEntry {
     // trained unigram vocab (count >= 2, top 65536 by count desc / token
     // asc) scored per doc; exact integers until the single final division
     "q_unigram_familiarity" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents),
-        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
-        |          HAVING count(*) >= 2 ORDER BY cnt DESC, tok LIMIT 65536),
-        |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
-        |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
-        |       FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY 1)
-        |SELECT doc_id, n_tokens, n_oov, vocab_sum,
-        |  floor(CAST(vocab_sum AS DOUBLE) / n_tokens * 100 + 0.5) / 100 AS familiarity
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+         |          HAVING count(*) >= ${TextOps.VocabMinCount}
+         |          ORDER BY cnt DESC, tok LIMIT ${TextOps.VocabMaxSize}),
+         |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+         |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
+         |       FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov, vocab_sum,
+         |  floor(CAST(vocab_sum AS DOUBLE) / n_tokens * 100 + 0.5) / 100 AS familiarity
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // self-contained retrain: the deterministic cap (cnt desc, key asc,
     // limit) makes the SQL recomputation identical to the Scala trainer;
     // LEFT JOIN from documents keeps <2-token docs with zero bigrams
     "q_bigram_familiarity" ->
-      """WITH bg AS (
-        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |              FROM documents)
-        |        WHERE len(toks) >= 2)),
-        |vocab AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
-        |          HAVING count(*) >= 2 ORDER BY cnt DESC, bg LIMIT 65536),
-        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |         CAST(count(*) FILTER (WHERE v.bg IS NULL) AS BIGINT) AS n_oov,
-        |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
-        |       FROM bg b LEFT JOIN vocab v USING (bg) GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
-        |  CAST(COALESCE(sc.vocab_sum, 0) AS BIGINT) AS vocab_sum,
-        |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
-        |    THEN floor(CAST(sc.vocab_sum AS DOUBLE) / sc.n_bigrams
-        |               * 100 + 0.5) / 100
-        |  END AS familiarity
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH bg AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 2)),
+         |vocab AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
+         |          HAVING count(*) >= ${TextOps.VocabMinCount}
+         |          ORDER BY cnt DESC, bg LIMIT ${TextOps.VocabMaxSize}),
+         |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(count(*) FILTER (WHERE v.bg IS NULL) AS BIGINT) AS n_oov,
+         |         CAST(COALESCE(sum(v.cnt), 0) AS BIGINT) AS vocab_sum
+         |       FROM bg b LEFT JOIN vocab v USING (bg) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(COALESCE(sc.vocab_sum, 0) AS BIGINT) AS vocab_sum,
+         |  CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+         |    THEN floor(CAST(sc.vocab_sum AS DOUBLE) / sc.n_bigrams
+         |               * 100 + 0.5) / 100
+         |  END AS familiarity
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // connected components over the jaccard >= 0.5 pair graph (same
     // DF-capped pairs as q_ngram_jaccard, same 6dp rounding before the
     // threshold so both engines draw the identical edge set); min reachable
@@ -1990,24 +1994,24 @@ object SparkEntry {
          |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100 + 0.5) / 100 AS avg_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // diversity is a RATIO OF INTEGER SUMS (one final division): a mean of
     // per-doc rounded doubles flipped a 4dp boundary between engines
     "q_corpus_card" ->
       """WITH s AS (SELECT source, lang,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-        |      AS n_distinct,
-        |    md5(text) AS digest
-        |  FROM documents)
-        |SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        |  floor((CAST(sum(n_distinct) AS DOUBLE) / sum(n_toks)) * 10000 + 0.5)
-        |    / 10000 AS diversity,
-        |  count(*) - count(DISTINCT digest) AS n_exact_dups
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_distinct,
+         |    md5(text) AS digest
+         |  FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  floor((CAST(sum(n_distinct) AS DOUBLE) / sum(n_toks)) * 10000 + 0.5)
+         |    / 10000 AS diversity,
+         |  count(*) - count(DISTINCT digest) AS n_exact_dups
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_doc_quality" ->
       s"$DocQualitySelect ORDER BY doc_id",
     // the naive quadratic dominance query the skyline DECOMPOSITION
@@ -2026,51 +2030,51 @@ object SparkEntry {
     // identical double operation sequence as the Spark plan — every input
     // an exact long, so the lift (and its ordering) is bit-deterministic
     "q_collocations" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
-        |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
-        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
-        |         SELECT toks[i] AS w1, toks[i + 1] AS w2
-        |         FROM (SELECT toks,
-        |                 unnest(generate_series(1, len(toks) - 1)) AS i
-        |               FROM t WHERE len(toks) >= 2))
-        |       GROUP BY 1, 2 HAVING count(*) >= 5),
-        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
-        |               (SELECT sum(c_xy) FROM bi) AS n_bi)
-        |SELECT b.w1, b.w2, b.c_xy,
-        |  CAST(b.c_xy AS DOUBLE) * CAST(tt.n_tok AS DOUBLE)
-        |    * CAST(tt.n_tok AS DOUBLE)
-        |  / (CAST(tt.n_bi AS DOUBLE) * CAST(x.c AS DOUBLE)
-        |     * CAST(y.c AS DOUBLE)) AS lift
-        |FROM bi b
-        |JOIN uni x ON x.w = b.w1
-        |JOIN uni y ON y.w = b.w2
-        |CROSS JOIN tot tt
-        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |         FROM (SELECT toks,
+         |                 unnest(generate_series(1, len(toks) - 1)) AS i
+         |               FROM t WHERE len(toks) >= 2))
+         |       GROUP BY 1, 2 HAVING count(*) >= ${TextOps.CollocMinCount}),
+         |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
+         |               (SELECT sum(c_xy) FROM bi) AS n_bi)
+         |SELECT b.w1, b.w2, b.c_xy,
+         |  CAST(b.c_xy AS DOUBLE) * CAST(tt.n_tok AS DOUBLE)
+         |    * CAST(tt.n_tok AS DOUBLE)
+         |  / (CAST(tt.n_bi AS DOUBLE) * CAST(x.c AS DOUBLE)
+         |     * CAST(y.c AS DOUBLE)) AS lift
+         |FROM bi b
+         |JOIN uni x ON x.w = b.w1
+         |JOIN uni y ON y.w = b.w2
+         |CROSS JOIN tot tt
+         |ORDER BY lift DESC, w1, w2 LIMIT ${TextOps.CollocTopK}""".stripMargin,
     // row_number twin of the distributed doc ordinals; cumsum over the
     // 100-row checkpoint frame only
     "q_vocab_growth" ->
-      """WITH r AS (SELECT doc_id,
-        |             row_number() OVER (ORDER BY doc_id) AS rn
-        |           FROM documents),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |db AS (SELECT doc_id, ((rn - 1) * 100) // n.n AS bucket
-        |       FROM r CROSS JOIN n),
-        |fd AS (SELECT w, min(doc_id) AS first_doc FROM (
-        |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |         FROM documents)
-        |       GROUP BY 1),
-        |np AS (SELECT db.bucket, CAST(count(*) AS BIGINT) AS n_new_tokens
-        |       FROM fd JOIN db ON fd.first_doc = db.doc_id GROUP BY 1),
-        |be AS (SELECT bucket, max(doc_id) AS last_doc_id,
-        |              CAST(count(*) AS BIGINT) AS n_docs
-        |       FROM db GROUP BY 1)
-        |SELECT be.bucket, be.last_doc_id, be.n_docs,
-        |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
-        |  CAST(sum(COALESCE(np.n_new_tokens, 0)) OVER (ORDER BY be.bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS cum_vocab
-        |FROM be LEFT JOIN np USING (bucket) ORDER BY bucket""".stripMargin,
+      s"""WITH r AS (SELECT doc_id,
+         |             row_number() OVER (ORDER BY doc_id) AS rn
+         |           FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |db AS (SELECT doc_id, ((rn - 1) * ${TextOps.GrowthBuckets}) // n.n AS bucket
+         |       FROM r CROSS JOIN n),
+         |fd AS (SELECT w, min(doc_id) AS first_doc FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |         FROM documents)
+         |       GROUP BY 1),
+         |np AS (SELECT db.bucket, CAST(count(*) AS BIGINT) AS n_new_tokens
+         |       FROM fd JOIN db ON fd.first_doc = db.doc_id GROUP BY 1),
+         |be AS (SELECT bucket, max(doc_id) AS last_doc_id,
+         |              CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM db GROUP BY 1)
+         |SELECT be.bucket, be.last_doc_id, be.n_docs,
+         |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+         |  CAST(sum(COALESCE(np.n_new_tokens, 0)) OVER (ORDER BY be.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab
+         |FROM be LEFT JOIN np USING (bucket) ORDER BY bucket""".stripMargin,
     // same rounded scores as q_doc_quality, compared against the
     // qualityFilter thresholds (15 tokens / 0.3 diversity / 0.02 stopword)
     "q_quality_filter" ->
@@ -2119,88 +2123,88 @@ object SparkEntry {
     // per-doc fraction, unreachable branch for earlier-stage drops)
     "q_curation_report" ->
       """WITH q AS (SELECT doc_id,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |        floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
-        |        floor((CAST(len(list_filter(string_split(text, ' '),
-        |                 w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS DOUBLE)
-        |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio
-        |      FROM documents WHERE doc_id % 25 <> 0),
-        |qf AS (SELECT doc_id, n_tokens,
-        |         (n_tokens < 15 OR lexical_diversity < 0.3
-        |          OR stopword_ratio < 0.02) AS q_fail FROM q),
-        |surv1 AS (SELECT d.doc_id, d.text FROM documents d
-        |          JOIN qf ON d.doc_id = qf.doc_id WHERE NOT qf.q_fail),
-        |dup AS (SELECT doc_id FROM (
-        |          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
-        |            ORDER BY doc_id) AS rk FROM surv1) WHERE rk > 1),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |                   WHERE len(string_split(text, ' ')) >= 3))),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
-        |cont AS (SELECT s.doc_id FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
-        |         LEFT JOIN bench b USING (shingle) GROUP BY 1
-        |         HAVING floor((CAST(count(b.shingle) AS DOUBLE) / count(*))
-        |                  * 1000000 + 0.5) / 1000000 >= 0.5)
-        |SELECT qf.doc_id, qf.n_tokens,
-        |  CASE WHEN qf.q_fail THEN 'quality'
-        |       WHEN qf.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
-        |       WHEN qf.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
-        |  END AS drop_reason
-        |FROM qf ORDER BY qf.doc_id""".stripMargin,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
+         |        floor((CAST(len(list_filter(string_split(text, ' '),
+         |                 w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS DOUBLE)
+         |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS stopword_ratio
+         |      FROM documents WHERE doc_id % 25 <> 0),
+         |qf AS (SELECT doc_id, n_tokens,
+         |         (n_tokens < 15 OR lexical_diversity < 0.3
+         |          OR stopword_ratio < 0.02) AS q_fail FROM q),
+         |surv1 AS (SELECT d.doc_id, d.text FROM documents d
+         |          JOIN qf ON d.doc_id = qf.doc_id WHERE NOT qf.q_fail),
+         |dup AS (SELECT doc_id FROM (
+         |          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+         |            ORDER BY doc_id) AS rk FROM surv1) WHERE rk > 1),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |                   WHERE len(string_split(text, ' ')) >= 3))),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+         |cont AS (SELECT s.doc_id FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
+         |         LEFT JOIN bench b USING (shingle) GROUP BY 1
+         |         HAVING floor((CAST(count(b.shingle) AS DOUBLE) / count(*))
+         |                  * 1000000 + 0.5) / 1000000 >= 0.5)
+         |SELECT qf.doc_id, qf.n_tokens,
+         |  CASE WHEN qf.q_fail THEN 'quality'
+         |       WHEN qf.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+         |       WHEN qf.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |  END AS drop_reason
+         |FROM qf ORDER BY qf.doc_id""".stripMargin,
     // span scrub: same doc_id%25 bench/corpus split and string-trigram
     // mirror as ContaminationSql; removal positions = union of benchmark-
     // hit trigram windows, text re-assembled minus those positions
     // (1-based positions throughout the mirror, outputs carry none)
     "q_contamination_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bw AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
-        |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |             FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 3)),
-        |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS sh
-        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-        |            FROM t WHERE doc_id % 25 <> 0 AND len(toks) >= 3)),
-        |rem AS (SELECT DISTINCT doc_id, rpos FROM (
-        |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS rpos
-        |          FROM w WHERE sh IN (SELECT sh FROM bw))),
-        |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
-        |           FROM (SELECT doc_id, toks,
-        |                   unnest(generate_series(1, len(toks))) AS i
-        |                 FROM t WHERE doc_id % 25 <> 0)),
-        |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
-        |       FROM tokpos tp LEFT JOIN rem r
-        |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
-        |       WHERE r.rpos IS NULL GROUP BY 1),
-        |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        |  COALESCE(nr.n_removed, 0) AS n_removed,
-        |  COALESCE(ct.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
-        |LEFT JOIN nr ON d.doc_id = nr.doc_id
-        |WHERE d.doc_id % 25 <> 0
-        |ORDER BY d.doc_id""".stripMargin,
+         |bw AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 3)),
+         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS sh
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |            FROM t WHERE doc_id % 25 <> 0 AND len(toks) >= 3)),
+         |rem AS (SELECT DISTINCT doc_id, rpos FROM (
+         |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS rpos
+         |          FROM w WHERE sh IN (SELECT sh FROM bw))),
+         |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
+         |           FROM (SELECT doc_id, toks,
+         |                   unnest(generate_series(1, len(toks))) AS i
+         |                 FROM t WHERE doc_id % 25 <> 0)),
+         |ct AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+         |       FROM tokpos tp LEFT JOIN rem r
+         |         ON tp.doc_id = r.doc_id AND tp.pos = r.rpos
+         |       WHERE r.rpos IS NULL GROUP BY 1),
+         |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(nr.n_removed, 0) AS n_removed,
+         |  COALESCE(ct.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |WHERE d.doc_id % 25 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (SELECT lang,
-        |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS en,
-        |  len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ich','nicht','ein','eine','zu'))) AS de,
-        |  len(list_filter(string_split(text, ' '), w -> w IN ('el','los','que','y','en','un','una','se','por','como'))) AS es,
-        |  len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','est','je','ne','pas','vous','dans','ce'))) AS fr,
-        |  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
-        |  FROM documents)
-        |SELECT lang,
-        |  CASE WHEN zh THEN 'zh'
-        |       WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
-        |       WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
-        |       WHEN es >= fr AND es > 0 THEN 'es'
-        |       WHEN fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS predicted_lang,
-        |  count(*) AS n_docs
-        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','you'))) AS en,
+         |  len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ich','nicht','ein','eine','zu'))) AS de,
+         |  len(list_filter(string_split(text, ' '), w -> w IN ('el','los','que','y','en','un','una','se','por','como'))) AS es,
+         |  len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','est','je','ne','pas','vous','dans','ce'))) AS fr,
+         |  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN zh THEN 'zh'
+         |       WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+         |       WHEN es >= fr AND es > 0 THEN 'es'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted_lang,
+         |  count(*) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_fingerprint_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
-        |  min(doc_id) AS keeper_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+         |  min(doc_id) AS keeper_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     // write∘read through JSONL = identity: the oracle is the plain
     // projection, so any escaping defect breaks the text hash
     "q_jsonl_roundtrip" ->
@@ -2214,19 +2218,19 @@ object SparkEntry {
     // timestamp-bearing CSV round-trip: µs-exact through the pinned dialect
     "q_events_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
-        |  value, props FROM events ORDER BY event_id""".stripMargin,
+         |  value, props FROM events ORDER BY event_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents) t
-        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q_train_test_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-        |            THEN 'train' ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+         |            THEN 'train' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     // epoch shuffle: the naive global row_number over the seeded hash
     "q_corpus_shuffle" ->
       s"""SELECT doc_id, CAST(row_number() OVER (
@@ -2269,15 +2273,15 @@ object SparkEntry {
     // engines; max clamps to the last bucket, constant types to bucket 0
     "q_price_histogram" ->
       """WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
-        |           FROM events GROUP BY 1)
-        |SELECT e.event_type,
-        |  CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
-        |       ELSE LEAST(CAST(9 AS BIGINT),
-        |         CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 10)) AS BIGINT))
-        |  END AS bucket,
-        |  count(*) AS n_events
-        |FROM events e JOIN s USING (event_type)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |           FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+         |       ELSE LEAST(CAST(9 AS BIGINT),
+         |         CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 10)) AS BIGINT))
+         |  END AS bucket,
+         |  count(*) AS n_events
+         |FROM events e JOIN s USING (event_type)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the window row_number twin of the distributed global-ordinal bucket
     // arithmetic; integer // matches Spark's div on the 1-based ordinals
     "q_equidepth_histogram" ->
@@ -2289,7 +2293,7 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY value, event_id) AS rn,
          |    (SELECT count(*) FROM v) AS n
          |  FROM v)
-         |SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bucket,
+         |SELECT CAST(((rn - 1) * ${EventQueries.EquidepthK}) // n AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  min(value) AS lo, max(value) AS hi,
          |  $MoneySumValue AS sum_value
@@ -2297,11 +2301,11 @@ object SparkEntry {
     // the fixed-point EWMA recurrence as a recursive CTE — identical
     // integer ops per step; constants rendered from EventQueries.Ewma*
     "q_ewma_revenue" ->
-      s"""WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE d AS MATERIALIZED (
          |  SELECT CAST(ts AS DATE) AS event_date,
          |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         |r AS (
+         |r AS MATERIALIZED (
          |  SELECT event_date, cents,
          |    row_number() OVER (ORDER BY event_date) AS i
          |  FROM d),
@@ -2318,36 +2322,36 @@ object SparkEntry {
     // naive interval join + the same integer Hamilton arithmetic; the
     // Spark side pairs via bucket decomposition keyed on (bucket, user)
     "q_multitouch_attribution" ->
-      """WITH p AS (
-        |  SELECT event_id AS p_id, user_id, CAST(ts AS DATE) AS p_date,
-        |    epoch_us(ts) AS p_us,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
-        |t AS (
-        |  SELECT event_id AS t_id, user_id, event_type AS touch_type,
-        |    epoch_us(ts) AS t_us
-        |  FROM events WHERE event_type IN ('view', 'click')),
-        |j AS (
-        |  SELECT p.p_id, p.p_date, p.cents, t.touch_type, t.t_us, t.t_id
-        |  FROM p JOIN t ON p.user_id = t.user_id
-        |    AND t.t_us >= p.p_us - 1800000000 AND t.t_us < p.p_us),
-        |r AS (
-        |  SELECT p_date, touch_type, cents,
-        |    count(*) OVER (PARTITION BY p_id) AS n,
-        |    row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk
-        |  FROM j),
-        |c AS (
-        |  SELECT p_date AS event_date, touch_type,
-        |    cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
-        |      AS credit
-        |  FROM r
-        |  UNION ALL
-        |  SELECT p_date, 'direct', cents FROM p
-        |  WHERE p_id NOT IN (SELECT p_id FROM j))
-        |SELECT event_date, touch_type,
-        |  CAST(count(*) AS BIGINT) AS n_credits,
-        |  CAST(sum(credit) AS BIGINT) AS credited_cents
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH p AS (
+         |  SELECT event_id AS p_id, user_id, CAST(ts AS DATE) AS p_date,
+         |    epoch_us(ts) AS p_us,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |t AS (
+         |  SELECT event_id AS t_id, user_id, event_type AS touch_type,
+         |    epoch_us(ts) AS t_us
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT p.p_id, p.p_date, p.cents, t.touch_type, t.t_us, t.t_id
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |    AND t.t_us >= p.p_us - ${EventQueries.AttributionWindowMinutes.toLong * 60L * 1000000L} AND t.t_us < p.p_us),
+         |r AS (
+         |  SELECT p_date, touch_type, cents,
+         |    count(*) OVER (PARTITION BY p_id) AS n,
+         |    row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk
+         |  FROM j),
+         |c AS (
+         |  SELECT p_date AS event_date, touch_type,
+         |    cents // n + CASE WHEN rk <= ((cents % n) + n) % n THEN 1 ELSE 0 END
+         |      AS credit
+         |  FROM r
+         |  UNION ALL
+         |  SELECT p_date, 'direct', cents FROM p
+         |  WHERE p_id NOT IN (SELECT p_id FROM j))
+         |SELECT event_date, touch_type,
+         |  CAST(count(*) AS BIGINT) AS n_credits,
+         |  CAST(sum(credit) AS BIGINT) AS credited_cents
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // lag twin; both engines subtract/divide the SAME materialized 2dp
     // doubles, so delta and pct_change are bit-identical
     "q_revenue_dod" ->
@@ -2365,18 +2369,37 @@ object SparkEntry {
          |    THEN floor(((revenue - prev) / prev) * 10000 + 0.5) / 10000
          |  END AS pct_change
          |FROM l ORDER BY event_date""".stripMargin,
+    // partitioned lag twin; abs() of identical doubles orders identically
+    "q_category_movers" ->
+      s"""WITH d AS (
+         |  SELECT json_extract_string(props, '$$.k') AS category,
+         |    CAST(ts AS DATE) AS event_date, $MoneySumValue AS revenue
+         |  FROM events WHERE event_type = 'purchase'
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (
+         |  SELECT category, event_date, revenue,
+         |    lag(revenue) OVER (PARTITION BY category
+         |                       ORDER BY event_date) AS prev
+         |  FROM d)
+         |SELECT category, event_date, revenue,
+         |  floor((revenue - prev) * 100 + 0.5) / 100 AS delta
+         |FROM l WHERE prev IS NOT NULL
+         |ORDER BY abs(floor((revenue - prev) * 100 + 0.5) / 100) DESC,
+         |  category, event_date
+         |LIMIT ${EventQueries.MoversTopK}""".stripMargin,
     // string_agg with ORDER BY rk mirrors the sorted-struct render
     "q_user_paths" ->
-      """WITH e AS (
-        |  SELECT CAST(ts AS DATE) AS d, user_id, event_type,
-        |    row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
-        |                       ORDER BY ts, event_id) AS rk
-        |  FROM events),
-        |p AS (
-        |  SELECT string_agg(event_type, '>' ORDER BY rk) AS path
-        |  FROM e WHERE rk <= 20 GROUP BY d, user_id)
-        |SELECT path, CAST(count(*) AS BIGINT) AS n_userdays
-        |FROM p GROUP BY 1 ORDER BY n_userdays DESC, path LIMIT 50""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) AS d, user_id, event_type,
+         |    row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |                       ORDER BY ts, event_id) AS rk
+         |  FROM events),
+         |p AS (
+         |  SELECT string_agg(event_type, '>' ORDER BY rk) AS path
+         |  FROM e WHERE rk <= ${EventQueries.PathMaxLen} GROUP BY d, user_id)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_userdays
+         |FROM p GROUP BY 1 ORDER BY n_userdays DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin,
     "q_new_users_daily" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
         |           FROM events GROUP BY 1),

@@ -20,6 +20,15 @@ object TextOps {
   /** Whitespace tokens. One place so every operator agrees. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Tuning constants shared between Spark defaults and their generated
+    * mirrors (the shared-constant discipline — a changed default
+    * re-renders the oracle, so desync is impossible by construction). */
+  val VocabMinCount = 2L
+  val VocabMaxSize = 65536
+  val GrowthBuckets = 100
+  val CollocMinCount = 5L
+  val CollocTopK = 100
+
   /** A BPE-ish subword count approximation: whitespace tokens plus
     * intra-token transitions from letter-runs to digit-runs (a cheap,
     * deterministic proxy for subword splits — real BPE needs a learned
@@ -113,17 +122,22 @@ object TextOps {
     * doubles. Minimum-count floor keeps rare-pair noise (and tiny-count
     * PMI explosions) out.
     *
-    * Shape: one tokenize pass feeds BOTH the bigram explode and the
-    * unigram explode (toks materialized before each Generate); counts are
-    * map-side-partial hash aggregates on token keys; the two total frames
-    * are 1-row broadcasts; the unigram join is vocabulary-sized (AQE
-    * picks broadcast at test SF). Top-k compiles to
-    * TakeOrderedAndProject — never a full sort. */
-  def collocations(documents: DataFrame, minCount: Long = 5L,
-      topK: Int = 100): DataFrame = {
+    * Shape: TWO pruned scans of the text column, each tokenizing once
+    * (the unigram and bigram explodes are independent subtrees — the
+    * domainRebalance multi-scan trade: re-reading a one-column projection
+    * beats materializing a corpus-sized token frame); counts are
+    * map-side-partial hash aggregates on token keys, PINNED after
+    * aggregation because each bounded frame has multiple consumers (uni
+    * feeds the totals and both endpoint joins; bi feeds the totals and
+    * the result); the two total frames are 1-row broadcasts; the unigram
+    * join is vocabulary-sized (AQE picks broadcast at test SF). Top-k
+    * compiles to TakeOrderedAndProject — never a full sort. */
+  def collocations(documents: DataFrame, minCount: Long = CollocMinCount,
+      topK: Int = CollocTopK): DataFrame = {
     val withToks = documents.select(tokens(col("text")).as("toks"))
     val uni = withToks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val bi = withToks
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -133,6 +147,7 @@ object TextOps {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
+      .localCheckpoint(true)
     val totals = uni.agg(sum(col("c")).as("n_tok"))
       .crossJoin(bi.agg(sum(col("c_xy")).as("n_bi")))
     bi
@@ -162,7 +177,7 @@ object TextOps {
     * EQUI-join of first_doc onto the ranked doc frame (never a range
     * probe), and the cumulative vocabulary is a window over the
     * `buckets`-row frame only. */
-  def vocabGrowth(documents: DataFrame, buckets: Int = 100): DataFrame = {
+  def vocabGrowth(documents: DataFrame, buckets: Int = GrowthBuckets): DataFrame = {
     val ranked = graft.ops.Ordinals.globalRowNumbers(
       documents.select(col("doc_id")), Seq(col("doc_id")))
     val n = ranked.agg(count(lit(1)).as("n"))
@@ -950,8 +965,8 @@ object TextOps {
     * vocabulary-sized, not corpus-sized) and the collect is AFTER the
     * limit, so the driver holds ≤ `maxVocab` rows — the same bounded
     * trained-artifact contract as [[Similarity.trainIvfCentroids]]. */
-  def trainUnigramVocab(documents: DataFrame, minCount: Long = 2,
-      maxVocab: Int = 65536): (Array[String], Array[Long]) = {
+  def trainUnigramVocab(documents: DataFrame, minCount: Long = VocabMinCount,
+      maxVocab: Int = VocabMaxSize): (Array[String], Array[Long]) = {
     val rows = documents
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -1058,6 +1073,10 @@ object TextOps {
   def unigramFamiliarity(documents: DataFrame, vocabTokens: Array[String],
       vocabCounts: Array[Long]): DataFrame =
     documents
+      // NULL text parity: the mirror's token CTE drops null-text docs
+      // (unnest of NULL emits no rows), so the Spark side must too —
+      // a null struct row here would hash-mismatch on a corpus regen
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextExpressions.unigramFamiliarity(col("text"),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabTokens),
@@ -1074,8 +1093,8 @@ object TextOps {
     * desc, key asc, ≤ maxVocab — fully deterministic, so the oracle can
     * recompute the identical table in SQL). Keys render space-joined;
     * collect runs AFTER the limit (driver holds ≤ maxVocab rows). */
-  def trainBigramVocab(documents: DataFrame, minCount: Long = 2,
-      maxVocab: Int = 65536): (Array[String], Array[Long]) = {
+  def trainBigramVocab(documents: DataFrame, minCount: Long = VocabMinCount,
+      maxVocab: Int = VocabMaxSize): (Array[String], Array[Long]) = {
     val rows = documents
       .select(tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -1099,8 +1118,10 @@ object TextOps {
   def bigramFamiliarity(documents: DataFrame, vocabKeys: Array[String],
       vocabCounts: Array[Long]): DataFrame =
     documents
+      // NULL text must match the mirror's LEFT-JOIN zero row, not a null
+      // struct: coalesce to '' (one empty token → zero bigrams)
       .select(col("doc_id"),
-        TextExpressions.bigramFamiliarity(col("text"),
+        TextExpressions.bigramFamiliarity(coalesce(col("text"), lit("")),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabKeys),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabCounts))
           .as("bf"))

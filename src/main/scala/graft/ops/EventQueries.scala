@@ -112,7 +112,7 @@ object EventQueries {
     * `item1 < item2` canonicalizes pair order (string compare —
     * identical in both engines). */
   def basketPairs(events: DataFrame, minSupport: Long = 2,
-      maxBasket: Int = 100): DataFrame = {
+      maxBasket: Int = 100, sorted: Boolean = true): DataFrame = {
     val raw = events.filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("d"), col("user_id"),
         get_json_object(col("props"), "$.k").as("item"))
@@ -123,13 +123,16 @@ object EventQueries {
       .filter(col("bs") <= maxBasket)
       .select("d", "user_id")
     val items = raw.join(okBaskets.hint("shuffle_hash"), Seq("d", "user_id"))
-    items.as("a").join(items.as("b"),
+    val pairs = items.as("a").join(items.as("b"),
         col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
           col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .orderBy(col("support").desc, col("item1"), col("item2"))
+    // graph consumers (pagerank, triangles) discard ordering — sorted=false
+    // skips an entire range-exchange + sort of the pair list
+    if (sorted) pairs.orderBy(col("support").desc, col("item1"), col("item2"))
+    else pairs
   }
 
   /** RFM segmentation — the classic e-commerce customer analysis the
@@ -377,7 +380,7 @@ object EventQueries {
     * `n` rides a 1-row broadcast frame off the numbered rows. Bucket
     * sizes differ by at most one row, proven by the mirror's
     * `row_number`-based twin on the hash gate. */
-  def equidepthHistogram(events: DataFrame, k: Int = 10): DataFrame = {
+  def equidepthHistogram(events: DataFrame, k: Int = EquidepthK): DataFrame = {
     val vals = events
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select(col("value"), col("event_id"))
@@ -397,6 +400,16 @@ object EventQueries {
     * can never desync (the Graph.DampNum discipline). */
   val EwmaNum = 1L
   val EwmaDen = 4L
+
+  /** Tuning constants shared between the Spark defaults and their
+    * generated mirrors (the shared-constant discipline: changing a
+    * default here re-renders the oracle — a desync is impossible by
+    * construction, not just caught by the gate). */
+  val EquidepthK = 10
+  val AttributionWindowMinutes = 30
+  val PathMaxLen = 20
+  val PathTopK = 50
+  val MoversTopK = 20
 
   /** Exponentially-weighted daily-revenue smoothing (α = 1/4) carried
     * entirely in FIXED-POINT integer cents so the inherently sequential
@@ -418,10 +431,12 @@ object EventQueries {
       aDen: Long = EwmaDen): DataFrame = {
     require(aNum > 0 && aDen > aNum, s"alpha $aNum/$aDen outside (0,1)")
     val keep = aDen - aNum
-    // exact floor division for the NON-NEGATIVE longs here; quotients sit
-    // far below 2^53 so the double division is exact
+    // TRUE floor division (pmod keeps the remainder non-negative, so the
+    // quotient floors for refund-heavy NEGATIVE days too — matching the
+    // mirror's `//`, which floors; a truncating `div` would diverge there);
+    // the subtraction makes the double division exact (quotients ≪ 2^53)
     def floorDiv(c: org.apache.spark.sql.Column) =
-      ((c - (c % aDen)) / aDen).cast(LongType)
+      ((c - pmod(c, lit(aDen))) / aDen).cast(LongType)
     val daily = events.filter(col("event_type") === "purchase")
       .groupBy(day)
       .agg(moneySum(col("value")).as("rev"))
@@ -465,7 +480,7 @@ object EventQueries {
     * one purchase's touch fan-out); the joined frame pins once for its
     * two consumers (credits + the direct anti-join). */
   def multiTouchAttribution(events: DataFrame,
-      windowMinutes: Int = 30): DataFrame = {
+      windowMinutes: Int = AttributionWindowMinutes): DataFrame = {
     val winUs = windowMinutes.toLong * 60L * 1000000L
     val p = events
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
@@ -488,10 +503,14 @@ object EventQueries {
       .withColumn("n", count(lit(1)).over(byPurchase))
       .withColumn("rk", row_number().over(
         byPurchase.orderBy(col("t_us"), col("t_id"))))
+    // floored quotient + non-negative remainder: conserves cents for
+    // refund-style NEGATIVE purchases too (a truncating `div` would mint
+    // a cent there, and the mirror's `//` floors — they must agree)
     val credits = ranked.select(col("p_date").as("event_date"),
       col("touch_type"),
-      (expr("cents div n") +
-        when(col("rk") <= col("cents") % col("n"), 1L).otherwise(0L))
+      (((col("cents") - pmod(col("cents"), col("n"))) / col("n"))
+        .cast(LongType) +
+        when(col("rk") <= pmod(col("cents"), col("n")), 1L).otherwise(0L))
         .as("credit"))
     val direct = p
       .join(joined.select(col("p_id")), Seq("p_id"), "left_anti")
@@ -535,8 +554,8 @@ object EventQueries {
     * materializing an unbounded array; the path render sorts the ≤maxLen
     * struct array (total order: rk). Top-k compiles to
     * TakeOrderedAndProject. */
-  def userPaths(events: DataFrame, maxLen: Int = 20,
-      topK: Int = 50): DataFrame = {
+  def userPaths(events: DataFrame, maxLen: Int = PathMaxLen,
+      topK: Int = PathTopK): DataFrame = {
     val w = Window.partitionBy(col("d"), col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     events.select(to_date(col("ts")).as("d"), col("user_id"),
@@ -549,6 +568,28 @@ object EventQueries {
         e => e.getField("event_type")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_userdays"))
       .orderBy(col("n_userdays").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Top movers: the `topK` largest day-over-day revenue swings across
+    * categories — the "what changed" complement of [[revenueDayOverDay]]
+    * (its lag is global; this one PARTITIONS by category, so the window
+    * sorts one category's day frame per task, calendar-bounded). First
+    * days have no predecessor and are excluded (a fabricated zero would
+    * report launch days as movers). The |delta| ranking is
+    * TakeOrderedAndProject; deltas are exact-decimal-derived 2dp doubles
+    * so the ordering mirrors bit-for-bit. */
+  def categoryMovers(events: DataFrame, topK: Int = MoversTopK): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(get_json_object(col("props"), "$.k").as("category"), day)
+      .agg(moneySum(col("value")).as("revenue"))
+      .filter(col("category").isNotNull)
+    val w = Window.partitionBy("category").orderBy("event_date")
+    daily.withColumn("prev", lag(col("revenue"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("category"), col("event_date"), col("revenue"),
+        round2(col("revenue") - col("prev"), 2).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("category"), col("event_date"))
       .limit(topK)
   }
 

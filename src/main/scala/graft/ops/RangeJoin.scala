@@ -80,7 +80,8 @@ object RangeJoin {
       floorUs: Long = 60L * 1000000L): Long = {
     require(floorUs > 0, s"floorUs must be positive: $floorUs")
     val p50 = intervals
-      .agg(percentile_approx(col(e) - col(s), lit(0.5), lit(10000)).as("p"))
+      .agg(percentile_approx((col(e) - col(s)).cast("long"), lit(0.5),
+        lit(10000)).as("p"))
       .head().getAs[java.lang.Long]("p")
     if (p50 == null) floorUs else math.max(floorUs, p50.longValue())
   }

@@ -281,9 +281,11 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1000L, 1268L))
     // randomized: the HOF fold equals a plain Scala fold of the same rule
     val rnd = new scala.util.Random(11)
+    // negatives included: refund-heavy days must FLOOR like the mirror's
+    // `//`, not truncate toward zero
     val many = (1 to 40).map { i =>
       (i.toLong, ts(f"2024-${1 + i % 3}%02d-${1 + rnd.nextInt(28)}%02d 09:00:00"),
-        i.toLong, "purchase", rnd.nextInt(10000) / 100.0, "{}")
+        i.toLong, "purchase", (rnd.nextInt(10000) - 4000) / 100.0, "{}")
     }
     val df = many.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val res = EventQueries.ewmaDailyRevenue(df)
@@ -303,6 +305,20 @@ class EventQueriesSpec extends SparkSpec {
     assert(got(0).isNullAt(2) && got(0).isNullAt(3))
     assert(got(1).getDouble(2) == 10.75)
     assert(got(1).getDouble(3) == 1.075)
+  }
+
+  test("categoryMovers ranks |delta| across categories, skipping first days") {
+    def e(id: Long, day: Int, typ: String, v: Double, k: String) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), 1L, typ, v, s"""{"k": "$k"}""")
+    val rows = Seq(
+      e(1, 1, "purchase", 10.0, "a"), e(2, 2, "purchase", 50.0, "a"), // +40
+      e(3, 1, "purchase", 30.0, "b"), e(4, 2, "purchase", 25.0, "b"), // -5
+      e(5, 1, "purchase", 7.0, "c")) // single day: no mover row
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.categoryMovers(df)
+      .as[(String, java.sql.Date, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._4)) == Seq(("a", 40.0), ("b", -5.0)),
+      got.toString)
   }
 
   test("userPaths: orders by (ts, event_id), caps length, counts user-days") {
@@ -349,16 +365,23 @@ class EventQueriesSpec extends SparkSpec {
       e(6, "2024-01-01 10:00:00", 2, "purchase", 5.0),
       // u3: touch exactly AT purchase ts is NOT attributable (strict <)
       e(7, "2024-01-02 10:00:00", 3, "click", 0.0),
-      e(8, "2024-01-02 10:00:00", 3, "purchase", 2.5))
+      e(8, "2024-01-02 10:00:00", 3, "purchase", 2.5),
+      // u4: a REFUND (-10.00) with 3 touches — floored quotient +
+      // non-negative remainder must conserve the negative cents too
+      e(9, "2024-01-03 09:35:00", 4, "view", 0.0),
+      e(10, "2024-01-03 09:45:00", 4, "view", 0.0),
+      e(11, "2024-01-03 09:55:00", 4, "view", 0.0),
+      e(12, "2024-01-03 10:00:00", 4, "purchase", -10.0))
     val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val got = EventQueries.multiTouchAttribution(df)
       .as[(java.sql.Date, String, Long, Long)].collect().toSeq
     val byType = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
-    // view gets 334 (earliest remainder cent) + 333; click 333
-    assert(byType("view") == 667L, got.toString)
+    // day1: view gets 334 (earliest remainder cent) + 333; click 333
+    // day3 refund: -1000 = 3·(-334) + 2 remainder cents to the earliest
+    assert(byType("view") == 667L - 1000L, got.toString)
     assert(byType("click") == 333L)
     assert(byType("direct") == 500L + 250L)
-    // every purchase cent lands somewhere, none minted
-    assert(got.map(_._4).sum == 1000L + 500L + 250L)
+    // every purchase cent lands somewhere, none minted — refunds included
+    assert(got.map(_._4).sum == 1000L + 500L + 250L - 1000L)
   }
 }
