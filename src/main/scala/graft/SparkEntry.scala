@@ -134,6 +134,10 @@ object SparkEntry {
     "q_triangle_count" -> ev(e =>
       Graph.triangleCounts(EventQueries.basketPairs(e, minSupport = 1, sorted = false)
         .select(col("item1"), col("item2")))),
+    // k-core peeling: fixed idempotent rounds, generated unrolled mirror
+    "q_kcore" -> ev(e =>
+      Graph.kCore(EventQueries.basketPairs(e, minSupport = 1, sorted = false)
+        .select(col("item1"), col("item2")))),
     // LTV matrix: first-purchase cohorts × whole weeks since acquisition
     "q_cohort_revenue" -> ev(EventQueries.cohortRevenue),
     // Deequ-shape constraint suite: one aggregate pass, per-constraint
@@ -1083,6 +1087,33 @@ object SparkEntry {
 
   private val BasketPairsCte = basketPairsCte(2)
 
+  /** Generated mirror for `q_kcore`: the SAME fixed peeling rounds
+    * unrolled (the pagerank-mirror discipline), each round one degree CTE
+    * + two keep joins, every CTE MATERIALIZED (the FD rule). Peeling is
+    * idempotent once converged, so fixed rounds are gate-safe by
+    * construction — both engines compute the identical partial peel. */
+  private def kCoreSql(k: Int = 2,
+      rounds: Int = graft.ext.Graph.KCoreRounds): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${i - 1}
+         |    UNION ALL SELECT b AS node FROM e${i - 1})
+         |  GROUP BY 1),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i da ON da.node = e.a AND da.deg >= $k
+         |  JOIN d$i db ON db.node = e.b AND db.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${basketPairsCte(1)},
+       |e0 AS MATERIALIZED (SELECT item1 AS a, item2 AS b FROM pairs),
+       |$rs
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e$rounds
+       |  UNION ALL SELECT b AS node FROM e$rounds)
+       |GROUP BY 1 ORDER BY deg DESC, node""".stripMargin
+  }
+
   /** Generated mirror for `q_pagerank_exact`: the SAME fixed-point power
     * iteration as [[graft.ext.Graph.pageRankFixedPoint]], unrolled one CTE
     * per round (standard SQL recursion cannot aggregate over the recursive
@@ -1167,6 +1198,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY n_triangles DESC, node""".stripMargin,
     // ten unrolled fixed-point power-iteration rounds — see pageRankExactSql
     "q_pagerank_exact" -> pageRankExactSql(),
+    // ten unrolled peeling rounds — see kCoreSql
+    "q_kcore" -> kCoreSql(),
     // quintiles via integer floor-div over the global ordinal: Spark's
     // `div` ≡ DuckDB's `//` on non-negative BIGINTs; the naive-window
     // mirror certifies three Ordinals passes at once

@@ -150,6 +150,44 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("node"))
   }
 
+  /** Peeling rounds for [[kCore]] — shared with the generated mirror
+    * (the DampNum discipline). Peeling is IDEMPOTENT once converged, so
+    * a fixed round count is hash-gate-safe by construction: both engines
+    * compute the identical (possibly partial) peel; convergence on real
+    * data is spec-evidence, not a gate precondition. */
+  val KCoreRounds = 10
+
+  /** k-core of a CANONICAL undirected edge list `(a, b)`, `a < b`: the
+    * maximal subgraph where every node keeps degree ≥ k — the classic
+    * graph-density filter (spam rings, community cores) and the third
+    * member of the iterative family (CC, PageRank, now peeling).
+    *
+    * Per round: one degree aggregate (map-side partials over 2 rows per
+    * edge) and two keep-semi-joins back onto the edge list — all
+    * equi-joins AQE can split; per-round localCheckpoint keeps the plan
+    * flat (the CC-loop lineage discipline). Rounds are FIXED
+    * ([[KCoreRounds]]), not convergence-detected: no driver-side count
+    * inside the loop, and the generated mirror unrolls the identical
+    * rounds with MATERIALIZED CTEs, so the gate certifies every peel
+    * step. Output: surviving `(node, deg)`, deg ≥ k, ordered deg desc
+    * with node tiebreak. */
+  def kCore(edges: DataFrame, k: Int = 2,
+      rounds: Int = KCoreRounds): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad kCore params: k=$k rounds=$rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges.toDF("a", "b").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = e
+        .join(keep.select(col("node").as("a")).hint("shuffle_hash"), "a")
+        .join(keep.select(col("node").as("b")).hint("shuffle_hash"), "b")
+        .select("a", "b").localCheckpoint()
+    }
+    degrees(e).orderBy(col("deg").desc, col("node"))
+  }
+
   /** Exact per-node triangle counts over a CANONICAL undirected edge list
     * `(a, b)` with `a < b`, distinct — the community-structure metric
     * (clustering, spam-graph detection) the co-purchase graph feeds.

@@ -146,6 +146,53 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference peel-to-convergence over canonical edges. */
+  private def refKCore(edges: Seq[(String, String)],
+      k: Int): Map[String, Long] = {
+    var es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore peels to the converged 2-core on known and random graphs") {
+    // triangle core + two pendant chains that must peel away entirely
+    val edges = Seq(
+      ("A", "B"), ("B", "C"), ("A", "C"),
+      ("C", "D"), ("D", "E"), ("E", "F"))
+    val got = Graph.kCore(edges.toDF("a", "b"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 2L, "B" -> 2L, "C" -> 2L), got.toString)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 14 + trial * 4
+      val nodes = (1 to n).map(i => f"n$i%02d")
+      val re = (for {
+        i <- nodes.indices; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.18
+      } yield (nodes(i), nodes(j))).toSeq
+      val g = Graph.kCore(re.toDF("a", "b"))
+        .as[(String, Long)].collect().toMap
+      assert(g == refKCore(re, 2), s"trial $trial")
+    }
+  }
+
+  test("kCore fixed rounds are idempotent once converged") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"))
+    val r10 = Graph.kCore(edges.toDF("a", "b"), rounds = 10)
+      .as[(String, Long)].collect().toSeq
+    val r13 = Graph.kCore(edges.toDF("a", "b"), rounds = 13)
+      .as[(String, Long)].collect().toSeq
+    assert(r10 == r13)
+  }
+
   test("triangleCounts plans as equi-joins — no nested loop, no cartesian") {
     val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "D"))
     val plan = Graph.triangleCounts(edges.toDF("a", "b"))
