@@ -200,6 +200,34 @@ object SparkEntry {
     "q_revenue_dod" -> ev(EventQueries.revenueDayOverDay),
     // per-category lag (partitioned day frames) + |delta| top-k heap
     "q_category_movers" -> ev(EventQueries.categoryMovers(_)),
+    // cohort-retention triangle: dedup-then-count distinct users, share
+    // of cohort size as a 4dp-rounded exact-long ratio
+    "q_retention_matrix" -> ev(EventQueries.cohortRetention),
+    // Markov transition matrix: per-user lag window (hot key bounded by
+    // the busiest user), out-share over the ≤|types|² aggregate frame
+    "q_event_transitions" -> ev(EventQueries.eventTransitions),
+    // feature-store extraction: one hash aggregate per user, corpus
+    // anchor date as a 1-row broadcast scalar
+    "q_user_features" -> ev(EventQueries.userFeatures),
+    // smoothed target encoding (m=10 pseudo-count): exact cents sums,
+    // identical double op sequence both engines
+    "q_target_encoding" -> ev(EventQueries.targetEncoding(_)),
+    // schema-on-read JSON flatten (from_json with declared schema) +
+    // per-type attribute profile
+    "q_json_flatten" -> ev(EventQueries.propsFlatten),
+    // Holt level+trend smoothing in fixed-point longs: the two-state
+    // sequential recurrence (incl. one-day-ahead forecast) on the gate
+    "q_holt_trend" -> ev(EventQueries.holtDailyRevenue(_)),
+    // clamped running sum (max() destroys prefix-sum decomposability):
+    // the first non-linear recurrence on the gate; conservation
+    // invariant spec-pinned
+    "q_backlog_queue" -> ev(EventQueries.backlogQueue),
+    // robust MAD outlier flags: median/MAD 4dp-rounded in both engines
+    // before any comparison (quantile-parity discipline)
+    "q_mad_anomalies" -> ev(EventQueries.madAnomalies(_)),
+    // join-key skew profile: heaviest keys + skew factor (freq ÷ mean),
+    // cost ∝ keys; the pre-join straggler predictor
+    "q_skew_report" -> ev(ops.Checks.keySkewReport(_, "user_id")),
     // funnel-path mining: first-20 event-type sequences per user-day,
     // capped BEFORE collect_list so aggregation state is bounded
     "q_user_paths" -> ev(EventQueries.userPaths(_)),
@@ -769,6 +797,18 @@ object SparkEntry {
       StreamingQueries.runCompleteMode(s, dir, "stream_segment_rev")(
         StreamingQueries.segmentRevenue(_, cust)).orderBy("segment")
     }),
+    // streaming top categories: the aggregate runs IN-stream (complete
+    // mode), the rank+limit on the materialized result — shares
+    // q_top_category_revenue's oracle verbatim, certifying batch ≡
+    // streamed category revenue (the q_stream_daily_revenue pattern
+    // extended to a top-k consumer)
+    "q_stream_top_categories" -> ((s, dir) =>
+      StreamingQueries.runCompleteMode(s, dir, "stream_top_cat")(ev =>
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(get_json_object(col("props"), "$.k").as("category"))
+          .agg(Exprs.moneySum(col("value")).as("revenue")))
+        .orderBy(col("revenue").desc, col("category").asc_nulls_last)
+        .limit(15)),
     // exact first-seen dedup for the hash-checked entry: the bounded
     // (watermark-evicting) variant can re-emit a duplicate that arrives
     // after its state was evicted, so its exact match is batch-order-
@@ -1159,6 +1199,12 @@ object SparkEntry {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Shared by `q_top_category_revenue` and its streaming twin. */
+  private val TopCategorySql =
+    s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY revenue DESC, category LIMIT 15""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
     "q_stream_daily_revenue_append" -> DailyRevenueSql,
@@ -1328,10 +1374,9 @@ object SparkEntry {
          |  AND abs((CAST(rev AS DOUBLE) - s / n) /
          |    sqrt(q / n - (s / n) * (s / n))) >= 1.5
          |ORDER BY event_date""".stripMargin,
-    "q_top_category_revenue" ->
-      s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
-         |FROM events WHERE event_type = 'purchase'
-         |GROUP BY 1 ORDER BY revenue DESC, category LIMIT 15""".stripMargin,
+    "q_top_category_revenue" -> TopCategorySql,
+    // streaming twin on the SAME oracle verbatim: batch ≡ streamed
+    "q_stream_top_categories" -> TopCategorySql,
     "q_conversion_funnel" ->
       """SELECT event_type, count(*) AS event_count FROM events
          |WHERE event_type IN ('view', 'click', 'purchase')
@@ -2346,8 +2391,12 @@ object SparkEntry {
          |  SELECT i, event_date, cents, cents AS ewma FROM r WHERE i = 1
          |  UNION ALL
          |  SELECT r.i, r.event_date, r.cents,
-         |    (${EventQueries.EwmaNum} * r.cents +
-         |     ${EventQueries.EwmaDen - EventQueries.EwmaNum} * e.ewma)
+         |    ((${EventQueries.EwmaNum} * r.cents +
+         |      ${EventQueries.EwmaDen - EventQueries.EwmaNum} * e.ewma) -
+         |     (((${EventQueries.EwmaNum} * r.cents +
+         |        ${EventQueries.EwmaDen - EventQueries.EwmaNum} * e.ewma)
+         |       % ${EventQueries.EwmaDen}) + ${EventQueries.EwmaDen})
+         |      % ${EventQueries.EwmaDen})
          |      // ${EventQueries.EwmaDen}
          |  FROM e JOIN r ON r.i = e.i + 1)
          |SELECT event_date, cents, CAST(ewma AS BIGINT) AS ewma_cents
@@ -2375,7 +2424,8 @@ object SparkEntry {
          |  FROM j),
          |c AS (
          |  SELECT p_date AS event_date, touch_type,
-         |    cents // n + CASE WHEN rk <= ((cents % n) + n) % n THEN 1 ELSE 0 END
+         |    (cents - ((cents % n) + n) % n) // n
+         |      + CASE WHEN rk <= ((cents % n) + n) % n THEN 1 ELSE 0 END
          |      AS credit
          |  FROM r
          |  UNION ALL
@@ -2433,6 +2483,205 @@ object SparkEntry {
          |  FROM e WHERE rk <= ${EventQueries.PathMaxLen} GROUP BY d, user_id)
          |SELECT path, CAST(count(*) AS BIGINT) AS n_userdays
          |FROM p GROUP BY 1 ORDER BY n_userdays DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin,
+    // dedup-then-count retention cells; `//7` ≡ Spark floor(datediff/7)
+    // on non-negative ages (the cohortRevenue-proven identity)
+    "q_retention_matrix" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |           FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_date FROM a GROUP BY 1),
+        |s AS (SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_users
+        |      FROM c GROUP BY 1),
+        |w AS (SELECT DISTINCT c.cohort_date,
+        |        CAST((a.d - c.cohort_date) // 7 AS BIGINT) AS week, a.user_id
+        |      FROM a JOIN c USING (user_id)),
+        |m AS (SELECT cohort_date, week, CAST(count(*) AS BIGINT)
+        |        AS active_users
+        |      FROM w GROUP BY 1, 2)
+        |SELECT m.cohort_date, m.week, m.active_users, s.cohort_users,
+        |  floor((CAST(m.active_users AS DOUBLE) / s.cohort_users) * 10000
+        |    + 0.5) / 10000 AS retention_pct
+        |FROM m JOIN s USING (cohort_date)
+        |ORDER BY cohort_date, week""".stripMargin,
+    // per-user lag twin; out-share divides exact longs as doubles
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  floor((CAST(n_transitions AS DOUBLE) /
+        |    sum(n_transitions) OVER (PARTITION BY prev_type)) * 10000 + 0.5)
+        |    / 10000 AS share
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // one-pass per-user aggregate + the corpus anchor as a scalar CTE
+    "q_user_features" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS BIGINT) AS n_purchases,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS monetary_cents,
+        |    min(CAST(ts AS DATE)) AS first_seen,
+        |    max(CAST(ts AS DATE)) AS last_seen,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+        |    CAST(count(DISTINCT json_extract_string(props, '$.k'))
+        |      AS BIGINT) AS n_categories
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events)
+        |SELECT user_id, n_events, n_purchases, monetary_cents, first_seen,
+        |  last_seen, active_days, n_categories,
+        |  CAST(date_diff('day', last_seen, anchor) AS INT) AS recency_days,
+        |  CAST(date_diff('day', first_seen, last_seen) + 1 AS INT)
+        |    AS tenure_days,
+        |  floor((CAST(n_purchases AS DOUBLE) / n_events) * 10000 + 0.5)
+        |    / 10000 AS purchase_rate
+        |FROM f CROSS JOIN x ORDER BY user_id""".stripMargin,
+    // smoothing pseudo-count interpolated from TargetEncodingM; encoder
+    // arithmetic is the identical double op sequence on exact longs
+    "q_target_encoding" ->
+      s"""WITH p AS (
+         |  SELECT json_extract_string(props, '$$.k') AS category,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |c AS (SELECT category, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(cents) AS BIGINT) AS sum_cents
+         |      FROM p GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS g_n,
+         |        CAST(sum(cents) AS BIGINT) AS g_sum FROM p)
+         |SELECT category, n, sum_cents,
+         |  floor(((CAST(sum_cents AS DOUBLE) +
+         |    ${EventQueries.TargetEncodingM} *
+         |      (CAST(g_sum AS DOUBLE) / g_n)) /
+         |    (n + ${EventQueries.TargetEncodingM})) * 10000 + 0.5) / 10000
+         |    AS encoded_cents
+         |FROM c CROSS JOIN g ORDER BY category""".stripMargin,
+    // typed JSON attribute extraction ≡ from_json(schema).k
+    "q_json_flatten" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Holt level+trend recurrence unrolled recursively: identical
+    // fixed-point ops per step. The trend goes NEGATIVE on declines and
+    // DuckDB's integer `//` TRUNCATES toward zero (observed: -2700//8 =
+    // -337, not floor's -338) — so every mirror division first subtracts
+    // the non-negative remainder (divisibility reduction): on an exactly
+    // divisible numerator, truncate ≡ floor ≡ Spark's pmod floorDiv.
+    "q_holt_trend" -> {
+      val (an, ad) = (EventQueries.HoltANum, EventQueries.HoltADen)
+      val (bn, bd) = (EventQueries.HoltBNum, EventQueries.HoltBDen)
+      def fdiv(num: String, den: Long) =
+        s"(($num) - ((($num) % $den) + $den) % $den) // $den"
+      val lvl = fdiv(s"$an * r.cents + ${ad - an} * (h.level + h.trend)", ad)
+      val tr = fdiv(s"$bn * (level - prev_level) + ${bd - bn} * prev_trend",
+        bd)
+      s"""WITH RECURSIVE d AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |r AS MATERIALIZED (
+         |  SELECT event_date, cents,
+         |    row_number() OVER (ORDER BY event_date) AS i
+         |  FROM d),
+         |h AS (
+         |  SELECT i, event_date, cents, cents AS level,
+         |    CAST(0 AS BIGINT) AS trend
+         |  FROM r WHERE i = 1
+         |  UNION ALL
+         |  SELECT i, event_date, cents, level, $tr AS trend
+         |  FROM (
+         |    SELECT r.i, r.event_date, r.cents, $lvl AS level,
+         |      h.level AS prev_level, h.trend AS prev_trend
+         |    FROM h JOIN r ON r.i = h.i + 1))
+         |SELECT event_date, cents, CAST(level AS BIGINT) AS level_cents,
+         |  CAST(trend AS BIGINT) AS trend_cents,
+         |  CAST(level + trend AS BIGINT) AS forecast_cents
+         |FROM h ORDER BY event_date""".stripMargin
+    },
+    // clamped running sum: greatest() in the recursive step ≡ the fold's
+    // clamp; capacity CTE = the same floored-mean longs
+    "q_backlog_queue" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(count(*) AS BIGINT) AS arrivals
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT CAST(sum(arrivals) AS BIGINT) //
+        |    CAST(count(*) AS BIGINT) AS cap FROM d),
+        |r AS MATERIALIZED (
+        |  SELECT event_date, arrivals,
+        |    row_number() OVER (ORDER BY event_date) AS i
+        |  FROM d),
+        |b AS (
+        |  SELECT r.i, r.event_date, r.arrivals,
+        |    greatest(r.arrivals - c.cap, 0) AS backlog,
+        |    r.arrivals - greatest(r.arrivals - c.cap, 0) AS served
+        |  FROM r CROSS JOIN c WHERE r.i = 1
+        |  UNION ALL
+        |  SELECT r.i, r.event_date, r.arrivals,
+        |    greatest(b.backlog + r.arrivals - c.cap, 0),
+        |    b.backlog + r.arrivals -
+        |      greatest(b.backlog + r.arrivals - c.cap, 0)
+        |  FROM b JOIN r ON r.i = b.i + 1 CROSS JOIN c)
+        |SELECT event_date, arrivals, CAST(backlog AS BIGINT) AS backlog,
+        |  CAST(served AS BIGINT) AS served
+        |FROM b ORDER BY event_date""".stripMargin,
+    // median/MAD each 4dp-rounded BEFORE deviations/compare (quantile
+    // parity); middle ranks via integer floor-div
+    "q_mad_anomalies" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date, $MoneySumValue AS revenue
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |n1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |r1 AS MATERIALIZED (
+         |  SELECT revenue,
+         |    row_number() OVER (ORDER BY revenue, event_date) AS rk FROM d),
+         |m1 AS MATERIALIZED (
+         |  SELECT floor(avg(revenue) * 10000 + 0.5) / 10000 AS med
+         |  FROM r1 CROSS JOIN n1
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2),
+         |dv AS MATERIALIZED (
+         |  SELECT event_date, revenue,
+         |    floor(abs(revenue - med) * 10000 + 0.5) / 10000 AS dev
+         |  FROM d CROSS JOIN m1),
+         |r2 AS MATERIALIZED (
+         |  SELECT dev, row_number() OVER (ORDER BY dev, event_date) AS rk
+         |  FROM dv),
+         |m2 AS MATERIALIZED (
+         |  SELECT floor(avg(dev) * 10000 + 0.5) / 10000 AS mad
+         |  FROM r2 CROSS JOIN n1
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2)
+         |SELECT event_date, revenue, dev,
+         |  dev > ${EventQueries.MadSigma} * mad AS is_anomaly
+         |FROM dv CROSS JOIN m2 ORDER BY event_date""".stripMargin,
+    // keys-sized count frame + scalar totals; skew factor = freq ÷ mean
+    "q_skew_report" ->
+      s"""WITH c AS (
+         |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS freq
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total_rows,
+         |        CAST(count(*) AS BIGINT) AS n_keys FROM c)
+         |SELECT key, freq, n_keys,
+         |  floor((CAST(freq AS DOUBLE) / total_rows) * 1000000 + 0.5)
+         |    / 1000000 AS share,
+         |  floor((CAST(freq AS DOUBLE) * n_keys / total_rows) * 10000 + 0.5)
+         |    / 10000 AS skew_factor
+         |FROM c CROSS JOIN t
+         |ORDER BY freq DESC, key LIMIT ${ops.Checks.SkewTopK}""".stripMargin,
     "q_new_users_daily" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
         |           FROM events GROUP BY 1),

@@ -184,6 +184,9 @@ object Checks {
     * input-sized work, map-side partial dedup), then a keys-sized FULL
     * OUTER join and a single-row aggregate. Never joins the fact tables
     * themselves — cost ∝ distinct keys, not rows. */
+  /** Top-key count of [[keySkewReport]] — shared with its mirror. */
+  val SkewTopK = 10
+
   def joinProfile(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String): DataFrame = {
     val l = left.select(col(leftKey).as("k")).filter(col("k").isNotNull)
@@ -200,5 +203,28 @@ object Checks {
         count(when(col("in_l").isNull, 1)).as("n_right_only"))
       .withColumn("left_containment",
         vacuousRatio(col("n_shared"), col("n_left_keys")))
+  }
+
+  /** Join-key SKEW profile — the other half of the pre-join toolkit
+    * next to [[joinProfile]] (that one predicts match rates; this one
+    * predicts straggler tasks): the `topK` heaviest keys with their row
+    * share and skew factor (frequency ÷ mean frequency — the AQE
+    * skew-split trigger is exactly this ratio). Cost ∝ keys, not rows:
+    * one partial-aggregated count shuffle, the global totals as a 1-row
+    * broadcast frame, top-k via TakeOrderedAndProject. Shares divide
+    * exact longs as doubles with shared rounding — hash-gated. */
+  def keySkewReport(df: DataFrame, keyCol: String,
+      topK: Int = SkewTopK): DataFrame = {
+    val counts = df.select(col(keyCol).as("key")).filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("freq"))
+    val tot = counts.agg(sum(col("freq")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("freq"), col("n_keys"),
+        round2(col("freq").cast("double") / col("total_rows"), 6).as("share"),
+        round2(col("freq").cast("double") * col("n_keys") / col("total_rows"),
+          4).as("skew_factor"))
+      .orderBy(col("freq").desc, col("key"))
+      .limit(topK)
   }
 }

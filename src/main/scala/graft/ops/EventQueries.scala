@@ -410,6 +410,15 @@ object EventQueries {
   val PathMaxLen = 20
   val PathTopK = 50
   val MoversTopK = 20
+  /** Target-encoding smoothing pseudo-count (Micci-Barreca m). */
+  val TargetEncodingM = 10L
+  /** Holt double-exponential smoothing rationals: α = 1/4, β = 1/8. */
+  val HoltANum = 1L
+  val HoltADen = 4L
+  val HoltBNum = 1L
+  val HoltBDen = 8L
+  /** MAD anomaly threshold multiplier (|dev| > sigma·MAD flags). */
+  val MadSigma = 3L
 
   /** Exponentially-weighted daily-revenue smoothing (α = 1/4) carried
     * entirely in FIXED-POINT integer cents so the inherently sequential
@@ -768,6 +777,277 @@ object EventQueries {
           .as("avg_latency_s"),
         round2(min(col("lat_us")).cast("double") / 1e6).as("min_latency_s"),
         round2(max(col("lat_us")).cast("double") / 1e6).as("max_latency_s"))
+      .orderBy("event_date")
+  }
+
+  /** Classic cohort-retention triangle: distinct users active in week `w`
+    * after their first-seen day, per first-seen-day cohort, with the
+    * retention share against the cohort size. The companion of
+    * [[cohortRevenue]] (which sums LTV over the same axes) — this one
+    * counts USERS, the churn metric product teams actually read.
+    *
+    * Exactness: counts are deduped-then-counted longs (one distinct on
+    * the narrow (cohort, week, user) triple — never a per-cell
+    * count-distinct Expand), and the share divides two exact longs as
+    * doubles with the shared 4dp floor rounding. Scale shape: the
+    * activity frame dedups (user, day) FIRST (events → user-days, the
+    * big cardinality drop), and every later shuffle is user- or
+    * cohort-keyed on the reduced frame. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min("d").as("cohort_date"))
+    val sizes = cohorts.groupBy("cohort_date")
+      .agg(count(lit(1)).as("cohort_users"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_date"),
+        floor(datediff(col("d"), col("cohort_date")) / 7).cast(LongType)
+          .as("week"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_date", "week")
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_date")
+      .select(col("cohort_date"), col("week"), col("active_users"),
+        col("cohort_users"),
+        round2(col("active_users").cast("double") / col("cohort_users"), 4)
+          .as("retention_pct"))
+      .orderBy("cohort_date", "week")
+  }
+
+  /** Event-type transition matrix (the Markov/Sankey view of user flow):
+    * for each consecutive in-user event pair, the transition count and
+    * its share of all transitions leaving the source type. The lag
+    * window partitions by user — each task sorts one user's events, so
+    * the hot key is bounded by the busiest user, never the corpus — and
+    * the share's second window runs over the ≤|types|² aggregate frame.
+    * Counts are exact longs; the share divides them as doubles with
+    * shared 4dp rounding, so the whole matrix rides the hash gate. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    pairs
+      .withColumn("out_total",
+        sum(col("n_transitions")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        round2(col("n_transitions").cast("double") / col("out_total"), 4)
+          .as("share"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Per-user ML feature matrix — the feature-store extraction pass a
+    * churn/LTV model trains on: engagement volume, purchase behaviour in
+    * exact integer cents, activity span, and recency against the corpus
+    * anchor date (a 1-row broadcast scalar, never a driver round-trip).
+    *
+    * One hash aggregate over the events scan; the two distinct
+    * aggregates (active days, categories) Expand the projection ×3, but
+    * over a three-narrow-column frame — the wide-text discipline
+    * (md5-digest distincts) is unnecessary for date/short-string keys.
+    * The purchase rate divides exact longs as doubles (shared 4dp
+    * rounding), so the matrix rides the hash gate. */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("anchor"))
+    val feats = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+      sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast(LongType)).otherwise(0L))
+        .as("monetary_cents"),
+      min(to_date(col("ts"))).as("first_seen"),
+      max(to_date(col("ts"))).as("last_seen"),
+      countDistinct(to_date(col("ts"))).as("active_days"),
+      countDistinct(get_json_object(col("props"), "$.k")).as("n_categories"))
+    feats.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("monetary_cents"), col("first_seen"), col("last_seen"),
+        col("active_days"), col("n_categories"),
+        datediff(col("anchor"), col("last_seen")).as("recency_days"),
+        (datediff(col("last_seen"), col("first_seen")) + 1).as("tenure_days"),
+        round2(col("n_purchases").cast("double") / col("n_events"), 4)
+          .as("purchase_rate"))
+      .orderBy("user_id")
+  }
+
+  /** Smoothed target encoding of the category attribute against purchase
+    * value (the Micci-Barreca encoder feature pipelines apply before
+    * gradient boosting): `enc = (sum + m·prior) / (n + m)` with
+    * pseudo-count [[TargetEncodingM]], where the global prior rides a
+    * 1-row broadcast frame. Sums are exact integer cents; the encoder
+    * arithmetic then runs the IDENTICAL double op sequence in both
+    * engines (prior division, multiply, add, divide) with shared 4dp
+    * floor rounding — so a trained-feature transform rides the hash
+    * gate. One category-keyed shuffle over the pruned purchase scan. */
+  def targetEncoding(events: DataFrame, m: Long = TargetEncodingM): DataFrame = {
+    val p = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(get_json_object(col("props"), "$.k").as("category"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .filter(col("category").isNotNull)
+    val per = p.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val glob = p.agg(count(lit(1)).as("g_n"), sum("cents").as("g_sum"))
+    per.crossJoin(broadcast(glob))
+      .select(col("category"), col("n"), col("sum_cents"),
+        round2((col("sum_cents").cast("double") +
+          lit(m) * (col("g_sum").cast("double") / col("g_n"))) /
+          (col("n") + m), 4)
+          .as("encoded_cents"))
+      .orderBy("category")
+  }
+
+  /** JSON attribute flatten + profile: parse the `props` document with a
+    * declared schema (`from_json`, codegen'd — never a per-row UDF),
+    * project the typed attribute, and profile it per event type (count,
+    * coverage, sum/min/max, exact distinct). The schema-on-read pattern
+    * every semi-structured ingest needs; the parse prunes to the one
+    * declared field. Longs only, so it rides the hash gate. */
+  def propsFlatten(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  /** Holt double-exponential smoothing (level + trend) over daily
+    * revenue, entirely in FIXED-POINT integer cents — [[ewmaDailyRevenue]]
+    * extended with a trend state, so the one-day-ahead forecast
+    * `level + trend` rides the hash gate too:
+    * `level_t = (α·cents_t + (1-α)(level+trend)) ;
+    *  trend_t = (β·(level_t - level_{t-1}) + (1-β)·trend)` with α,β as
+    * shared rationals and TRUE floor division (pmod remainders) on both
+    * sides — the trend state goes NEGATIVE on declines, exactly where a
+    * truncating `div` would desync from the mirror's flooring `//`.
+    * Same calendar-bounded fold as the EWMA: sorted collect_list +
+    * aggregate HOF on one row, corpus-sized work stays in the daily
+    * aggregate shuffle. */
+  def holtDailyRevenue(events: DataFrame,
+      aNum: Long = HoltANum, aDen: Long = HoltADen,
+      bNum: Long = HoltBNum, bDen: Long = HoltBDen): DataFrame = {
+    require(aNum > 0 && aDen > aNum && bNum > 0 && bDen > bNum,
+      s"smoothing factors $aNum/$aDen, $bNum/$bDen outside (0,1)")
+    def floorDiv(c: org.apache.spark.sql.Column, den: Long) =
+      ((c - pmod(c, lit(den))) / den).cast(LongType)
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val folded = daily
+      .agg(array_sort(collect_list(struct(col("event_date"), col("cents"))))
+        .as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS ARRAY<STRUCT<event_date: DATE, " +
+          "cents: BIGINT, level: BIGINT, trend: BIGINT>>)"),
+        (acc, x) => {
+          val prevL = element_at(acc, -1).getField("level")
+          val prevT = element_at(acc, -1).getField("trend")
+          val lvl = when(size(acc) === 0, x.getField("cents"))
+            .otherwise(floorDiv(x.getField("cents") * aNum +
+              (prevL + prevT) * (aDen - aNum), aDen))
+          val tr = when(size(acc) === 0, lit(0L))
+            .otherwise(floorDiv((lvl - prevL) * bNum +
+              prevT * (bDen - bNum), bDen))
+          concat(acc, array(struct(
+            x.getField("event_date").as("event_date"),
+            x.getField("cents").as("cents"),
+            lvl.as("level"), tr.as("trend"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.event_date").as("event_date"), col("r.cents").as("cents"),
+        col("r.level").as("level_cents"), col("r.trend").as("trend_cents"),
+        (col("r.level") + col("r.trend")).as("forecast_cents"))
+      .orderBy("event_date")
+  }
+
+  /** Bounded-capacity order backlog: a CLAMPED running sum —
+    * `backlog_t = max(0, backlog_{t-1} + arrivals_t − capacity)` — the
+    * first NON-LINEAR recurrence on the hash gate (the EWMA/Holt folds
+    * are linear; the max() clamp destroys prefix-sum decomposability, so
+    * the sequential fold is the only exact shape). Daily capacity is the
+    * floored mean arrival rate, computed as a 1-row scalar that rides
+    * INSIDE each folded element (both engines floor-divide the same
+    * exact longs). `served_t = backlog_{t-1} + arrivals_t − backlog_t`
+    * closes the conservation identity (spec-pinned:
+    * Σserved + final backlog ≡ Σarrivals). Calendar-bounded fold, same
+    * scale shape as [[ewmaDailyRevenue]]. */
+  def backlogQueue(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(count(lit(1)).as("arrivals"))
+    val cap = daily.agg(sum("arrivals").as("t"), count(lit(1)).as("nd"))
+      .select(expr("t div nd").as("cap"))
+    val folded = daily.crossJoin(broadcast(cap))
+      .agg(array_sort(collect_list(
+        struct(col("event_date"), col("arrivals"), col("cap")))).as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS ARRAY<STRUCT<event_date: DATE, " +
+          "arrivals: BIGINT, backlog: BIGINT, served: BIGINT>>)"),
+        (acc, x) => {
+          val prevB = when(size(acc) === 0, 0L)
+            .otherwise(element_at(acc, -1).getField("backlog"))
+          val avail = prevB + x.getField("arrivals")
+          val backlog = greatest(avail - x.getField("cap"), lit(0L))
+          concat(acc, array(struct(
+            x.getField("event_date").as("event_date"),
+            x.getField("arrivals").as("arrivals"),
+            backlog.as("backlog"), (avail - backlog).as("served"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.event_date").as("event_date"),
+        col("r.arrivals").as("arrivals"), col("r.backlog").as("backlog"),
+        col("r.served").as("served"))
+      .orderBy("event_date")
+  }
+
+  /** Median-absolute-deviation anomaly flags over daily revenue — the
+    * ROBUST twin of [[revenueAnomalies]] (a z-score's mean/σ are dragged
+    * by the very outliers it hunts; median/MAD are 50%-breakdown).
+    *
+    * Exact-median discipline: revenues are exact-decimal-derived 2dp
+    * doubles; the median is the average of the two middle ranks (IEEE
+    * addition of two identical doubles — commutative, order-free), and
+    * per the quantile-parity rule both the median and the MAD are
+    * 4dp-floor-rounded in BOTH engines BEFORE any deviation or
+    * comparison, so the ≥σ·MAD flag predicate can never flip on a
+    * last-ulp disagreement. The rank windows run over the
+    * calendar-bounded daily frame (the [[revenueDayOverDay]] scale
+    * argument); medians broadcast back as 1-row frames. */
+  def madAnomalies(events: DataFrame, sigma: Long = MadSigma): DataFrame = {
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      val ranked = df.withColumn("rk",
+        row_number().over(Window.orderBy(col(valueCol), col("event_date"))))
+      val n = df.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rk") === expr("(n + 1) div 2") ||
+          col("rk") === expr("(n + 2) div 2"))
+        .agg(round2(avg(col(valueCol)), 4).as("med"))
+    }
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(moneySum(col("value")).as("revenue"))
+    val med = medianOf(daily, "revenue")
+    val devs = daily.crossJoin(broadcast(med))
+      .select(col("event_date"), col("revenue"), col("med"),
+        round2(abs(col("revenue") - col("med")), 4).as("dev"))
+    val mad = medianOf(devs.select(col("event_date"), col("dev")), "dev")
+      .select(col("med").as("mad"))
+    devs.crossJoin(broadcast(mad))
+      .select(col("event_date"), col("revenue"), col("dev"),
+        (col("dev") > lit(sigma) * col("mad")).as("is_anomaly"))
       .orderBy("event_date")
   }
 

@@ -319,6 +319,27 @@ object Sinks {
     n
   }
 
+  /** Bucketed catalog-table layout — the CO-LOCATED join at 100 TB: two
+    * fact tables bucketed (and sorted) on the same key with the same
+    * bucket count join with NO exchange and NO per-task sort — each task
+    * zips bucket i of both sides. The shuffle a repeated fact⋈fact join
+    * would otherwise pay on every run is paid ONCE at write time and
+    * amortized over every subsequent join/aggregate on the bucket key
+    * (bucketing survives restarts via the catalog; `spark.table` restores
+    * the output partitioning). `path` pins the data location explicitly
+    * so the table is not tied to the session's warehouse dir. Bucket
+    * pruning also applies: an equality predicate on the bucket key scans
+    * 1/`buckets` of the files. Exchange-free plan + result parity are
+    * spec-asserted (WarehouseSpec). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** Batch-level validation gate in front of [[warehouseBatch]] — the
     * Deequ-discipline "verify before you publish": run a constraint suite
     * (e.g. [[graft.ops.Checks.dataChecks]], any fn emitting a `passed`

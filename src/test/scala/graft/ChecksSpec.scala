@@ -69,6 +69,20 @@ class ChecksSpec extends SparkSpec {
     assert(got("domain_lang")._2 == 1.0)
   }
 
+  test("keySkewReport ranks heavy keys with share and skew factor") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, t, u, "view", 0.0, "{}") }
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Checks.keySkewReport(df, "user_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // 10 rows / 3 keys: key 1 holds 60% of rows at 1.8× the mean frequency
+    assert(got == Seq(
+      (1L, 6L, 3L, 0.6, 1.8), (2L, 2L, 3L, 0.2, 0.6),
+      (3L, 2L, 3L, 0.2, 0.6)), got.toString)
+  }
+
   test("joinProfile counts shared keys and orphans in both directions") {
     val left = Seq(1L, 1L, 2L, 3L, 5L).toDF("lk")   // dup key collapses
     val right = Seq(2L, 3L, 4L).toDF("rk")

@@ -384,4 +384,128 @@ class EventQueriesSpec extends SparkSpec {
     // every purchase cent lands somewhere, none minted — refunds included
     assert(got.map(_._4).sum == 1000L + 500L + 250L - 1000L)
   }
+
+  test("holtDailyRevenue: level+trend recurrence matches a reference fold, " +
+      "trend goes negative on declines") {
+    // steadily declining revenue → negative trend (the floor-vs-truncate
+    // trap the mirror's divisibility reduction exists for)
+    val rows = Seq(100.0, 80.0, 60.0, 40.0, 20.0, 10.0).zipWithIndex.map {
+      case (v, i) =>
+        (i.toLong, ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "purchase", v, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.holtDailyRevenue(df)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    // reference Scala fold of the identical fixed-point rule
+    var (l, t) = (0L, 0L)
+    val ref = got.map(_._2).zipWithIndex.map { case (c, i) =>
+      if (i == 0) { l = c; t = 0L }
+      else {
+        val nl = Math.floorDiv(1L * c + 3L * (l + t), 4L)
+        t = Math.floorDiv(1L * (nl - l) + 7L * t, 8L)
+        l = nl
+      }
+      (l, t, l + t)
+    }
+    assert(got.map(r => (r._3, r._4, r._5)) == ref, got.toString)
+    assert(got.last._4 < 0, s"declining series must show negative trend: $got")
+  }
+
+  test("backlogQueue: clamps at zero and conserves arrivals " +
+      "(served + final backlog)") {
+    // arrivals 10,1,9,2 → cap = 22 div 4 = 5
+    val rows = Seq(10, 1, 9, 2).zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(j => ((d * 100 + j).toLong,
+        ts(f"2024-01-${d + 1}%02d 10:00:00"), j.toLong, "purchase", 1.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.backlogQueue(df)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(10L, 1L, 9L, 2L))
+    assert(got.map(_._3) == Seq(5L, 1L, 5L, 2L), got.toString) // backlog
+    assert(got.map(_._4) == Seq(5L, 5L, 5L, 5L))               // served
+    assert(got.map(_._4).sum + got.last._3 == got.map(_._2).sum)
+  }
+
+  test("backlogQueue: capacity above demand keeps backlog at zero") {
+    val rows = Seq(1, 3).zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(j => ((d * 100 + j).toLong,
+        ts(f"2024-01-${d + 1}%02d 10:00:00"), j.toLong, "purchase", 1.0, "{}"))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.backlogQueue(df)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    // cap = 4 div 2 = 2: day1 serves its 1; day2 backlog 1, serves 2
+    assert(got.map(_._3) == Seq(0L, 1L))
+    assert(got.map(_._4) == Seq(1L, 2L))
+  }
+
+  test("madAnomalies flags the planted spike; the median ignores it") {
+    val vals = Seq(100.0, 101.0, 99.0, 100.0, 102.0, 98.0, 100.0, 1000.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 10:00:00"), 1L, "purchase", v, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.madAnomalies(df)
+      .as[(java.sql.Date, Double, Double, Boolean)].collect().toSeq
+    assert(got.count(_._4) == 1, got.toString)
+    assert(got.find(_._4).get._2 == 1000.0)
+    // robustness: the spike's own deviation is measured against a median
+    // (≈100) the spike did not drag — a mean would sit at ~212
+    assert(got.find(_._4).get._3 > 850.0)
+  }
+
+  test("cohortRetention: week-0 share is 1.0, later weeks dedup user-days") {
+    def e(id: Long, t: String, u: Long) = (id, ts(t), u, "view", 0.0, "{}")
+    val rows = Seq(
+      e(1, "2024-01-01 10:00:00", 1), e(2, "2024-01-01 11:00:00", 2),
+      // u1 active twice in week 1 → one retained user, not two
+      e(3, "2024-01-08 10:00:00", 1), e(4, "2024-01-09 10:00:00", 1))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.cohortRetention(df)
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 2L, 2L, 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 2L, 0.5)), got.toString)
+  }
+
+  test("eventTransitions: per-user consecutive pairs, out-shares per source") {
+    val got = EventQueries.eventTransitions(events)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 2L, 0.6667), ("click", "signup", 1L, 0.3333),
+      ("purchase", "error", 1L, 1.0), ("signup", "click", 1L, 1.0),
+      ("view", "click", 1L, 1.0)), got.toString)
+  }
+
+  test("userFeatures: exact per-user engagement/monetary/recency features") {
+    val got = EventQueries.userFeatures(events)
+      .as[(Long, Long, Long, Long, java.sql.Date, java.sql.Date, Long, Long,
+        Int, Int, Double)].collect().toSeq
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(got == Seq(
+      (1L, 3L, 1L, 1000L, d1, d1, 1L, 1L, 1, 1, 0.3333),
+      (2L, 4L, 1L, 2050L, d1, d2, 2L, 1L, 0, 2, 0.25),
+      (3L, 2L, 1L, 25L, d2, d2, 1L, 2L, 0, 1, 0.5)), got.toString)
+  }
+
+  test("targetEncoding: smoothed encoder pulls small categories to the prior") {
+    val got = EventQueries.targetEncoding(events)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // prior = 3075/3 = 1025; enc = (sum + 10·prior) / (n + 10)
+    assert(got == Seq(
+      ("1", 2L, 1025L, 939.5833), ("2", 1L, 2050L, 1118.1818)), got.toString)
+  }
+
+  test("propsFlatten profiles the typed JSON attribute per event type") {
+    val got = EventQueries.propsFlatten(events)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 3L, 3L, 5L, 1L, 2L, 2L),
+      ("error", 1L, 1L, 3L, 3L, 3L, 1L),
+      ("purchase", 3L, 3L, 4L, 1L, 2L, 2L),
+      ("signup", 1L, 1L, 2L, 2L, 2L, 1L),
+      ("view", 1L, 1L, 1L, 1L, 1L, 1L)), got.toString)
+  }
 }

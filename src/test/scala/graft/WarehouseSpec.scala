@@ -683,6 +683,37 @@ class WarehouseSpec extends SparkSpec {
     assert(fromStore == inline && fromStore.nonEmpty)
   }
 
+  test("writeBucketed: co-bucketed tables join with NO exchange and match " +
+      "the plain join") {
+    val ev = Sources.events(spark, sf("sf0.001"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_buys"))
+    val dir = Files.createTempDirectory("graft-bucketed")
+    Sinks.writeBucketed(views, "b_views", s"$dir/views", "user_id", 8)
+    Sinks.writeBucketed(buys, "b_buys", s"$dir/buys", "user_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_views").join(spark.table("b_buys"), "user_id")
+      val rows = j.collect() // finalize AQE before inspecting the plan
+      val plan = j.queryExecution.executedPlan.toString
+      // the write-time layout replaces the per-join shuffle: no Exchange
+      // of ANY kind (a BroadcastExchange would also match), SMJ zips
+      // co-located buckets
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      val plain = views.join(buys, "user_id").collect()
+      assert(rows.map(_.toSeq).toSet == plain.map(_.toSeq).toSet)
+      assert(rows.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_views")
+      spark.sql("DROP TABLE IF EXISTS b_buys")
+    }
+  }
+
   test("repartitionByBytes sizes partitions by payload volume") {
     val meta = Multimodal.mediaByteStats(
       Sources.table(spark, sf("sf0.001"), "documents"))
