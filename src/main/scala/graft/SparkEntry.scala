@@ -228,6 +228,32 @@ object SparkEntry {
     // join-key skew profile: heaviest keys + skew factor (freq ÷ mean),
     // cost ∝ keys; the pre-join straggler predictor
     "q_skew_report" -> ev(ops.Checks.keySkewReport(_, "user_id")),
+    // two-proportion z-test between deterministic arms (user_id % 2):
+    // exact counts, identical double op sequence, 4dp-rounded verdict
+    "q_ab_test" -> ev(EventQueries.abTest),
+    // min-max + z-score + rank-percentile scaling of the per-user
+    // monetary feature; third certification of the distributed ordinal
+    "q_feature_scaling" -> ev(EventQueries.featureScaling),
+    // schema-evolution read: two parquet generations (v1 lacks value/
+    // props) merged via mergeSchema with null back-fill — the migration
+    // every long-lived lakehouse table goes through; split determinism
+    // via event_id parity so the mirror reconstructs the merge
+    "q_schema_evolution" -> ((s, dir) => {
+      val ev = Sources.events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-schemev")
+      try {
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(col("event_id"), col("user_id"))
+          .write.parquet(s"$tmp/t/v1")
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("props"))
+          .write.parquet(s"$tmp/t/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/t/v1", s"$tmp/t/v2")
+          .orderBy("event_id").localCheckpoint(true)
+      } finally Fs.deleteRecursively(tmp)
+    }),
     // funnel-path mining: first-20 event-type sequences per user-day,
     // capped BEFORE collect_list so aggregation state is bounded
     "q_user_paths" -> ev(EventQueries.userPaths(_)),
@@ -318,6 +344,15 @@ object SparkEntry {
       Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
       Sources.table(s, dir, "customer"), Sources.table(s, dir, "supplier"),
       Sources.table(s, dir, "nation"), Sources.table(s, dir, "region"))),
+    // TPC-H Q5 shape: local-supplier revenue per nation within a region
+    // (the local constraint rides the supplier join condition)
+    "q_regional_revenue" -> ((s, dir) => RelationalQueries.regionalRevenue(
+      Sources.table(s, dir, "lineitem"), Sources.table(s, dir, "orders"),
+      Sources.table(s, dir, "customer"), Sources.table(s, dir, "supplier"),
+      Sources.table(s, dir, "nation"), Sources.table(s, dir, "region"))),
+    // TPC-H Q6 shape: the no-join fully-pushed-down quantified aggregate
+    "q_revenue_delta" -> ((s, dir) =>
+      RelationalQueries.revenueDelta(Sources.table(s, dir, "lineitem"))),
     // TPC-H Q9 shape: profit rollup by supplier nation and order year
     "q_profit_by_nation_year" -> ((s, dir) => RelationalQueries
       .profitByNationYear(Sources.table(s, dir, "lineitem"),
@@ -1804,6 +1839,35 @@ object SparkEntry {
          |  floor(nation_revenue / total_revenue * 10000 + 0.5) / 10000
          |    AS mkt_share
          |FROM base ORDER BY yr""".stripMargin,
+    // Q5 mirror: the standard SQL statement of the 6-table chain with
+    // the local-supplier equality; join order is Spark's concern
+    "q_regional_revenue" ->
+      s"""SELECT n_name, $Rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '${RelationalQueries.RegionalRegion}'
+         |  AND o_orderdate >= DATE '${RelationalQueries.RegionalFrom}'
+         |  AND o_orderdate < DATE '${RelationalQueries.RegionalUntil}'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    // Q6 mirror: bare quantified aggregate; discount bounds compare the
+    // stored doubles verbatim (DuckDB's decimal literals convert to the
+    // identical doubles)
+    "q_revenue_delta" ->
+      s"""SELECT
+         |  CAST(round(sum(CAST(l_extendedprice * l_discount
+         |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS forecast_delta,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '${RelationalQueries.DeltaFrom}'
+         |  AND l_shipdate < DATE '${RelationalQueries.DeltaUntil}'
+         |  AND l_discount >= ${RelationalQueries.DeltaDiscLo}
+         |  AND l_discount <= ${RelationalQueries.DeltaDiscHi}
+         |  AND l_quantity < ${RelationalQueries.DeltaQtyMax}""".stripMargin,
     "q_profit_by_nation_year" ->
       """SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS yr,
          |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
@@ -2682,6 +2746,85 @@ object SparkEntry {
          |    / 10000 AS skew_factor
          |FROM c CROSS JOIN t
          |ORDER BY freq DESC, key LIMIT ${ops.Checks.SkewTopK}""".stripMargin,
+    // two-proportion z-test: raw rates recomputed in the outer select
+    // (identical op order), verdict on the 4dp-rounded z
+    "q_ab_test" ->
+      s"""WITH per AS (
+         |  SELECT user_id % 2 AS grp, user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |s AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_a,
+         |    CAST(count(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_b
+         |  FROM per)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  floor(CAST(conv_a AS DOUBLE) / n_a * 10000 + 0.5) / 10000 AS p_a,
+         |  floor(CAST(conv_b AS DOUBLE) / n_b * 10000 + 0.5) / 10000 AS p_b,
+         |  CASE WHEN sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b)) > 0
+         |    THEN floor((CAST(conv_a AS DOUBLE) / n_a -
+         |        CAST(conv_b AS DOUBLE) / n_b) /
+         |      sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |        (1.0 / n_a + 1.0 / n_b)) * 10000 + 0.5) / 10000 END
+         |    AS z_score,
+         |  CASE WHEN sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b)) > 0
+         |    THEN abs(floor((CAST(conv_a AS DOUBLE) / n_a -
+         |        CAST(conv_b AS DOUBLE) / n_b) /
+         |      sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |        (1.0 / n_a + 1.0 / n_b)) * 10000 + 0.5) / 10000)
+         |      > ${EventQueries.AbZCrit} END AS significant
+         |FROM s""".stripMargin,
+    // three scalings off one stats row; naive global row_number mirror
+    // certifies the distributed ordinal a third time
+    "q_feature_scaling" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS DOUBLE) AS s,
+        |    CAST(sum(cents * cents) AS DOUBLE) AS q,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM per),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (ORDER BY cents, user_id) AS rn
+        |  FROM per)
+        |SELECT user_id, cents,
+        |  CASE WHEN mx > mn
+        |    THEN floor(CAST(cents - mn AS DOUBLE) / (mx - mn) * 1000000
+        |      + 0.5) / 1000000 END AS minmax,
+        |  CASE WHEN q / n - (s / n) * (s / n) > 0
+        |    THEN floor((CAST(cents AS DOUBLE) - s / n) /
+        |      sqrt(q / n - (s / n) * (s / n)) * 10000 + 0.5) / 10000 END
+        |    AS zscore,
+        |  CASE WHEN n > 1
+        |    THEN floor(CAST(rn - 1 AS DOUBLE) / (n - 1) * 1000000 + 0.5)
+        |      / 1000000 END AS rank_pct
+        |FROM r CROSS JOIN g ORDER BY user_id""".stripMargin,
+    // the merged read reconstructed: v1-parity rows null their late
+    // columns
+    "q_schema_evolution" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 2 = 1 THEN value END AS value,
+        |  CASE WHEN event_id % 2 = 1 THEN props END AS props
+        |FROM events WHERE event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q_new_users_daily" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS event_date
         |           FROM events GROUP BY 1),

@@ -1051,6 +1051,86 @@ object EventQueries {
       .orderBy("event_date")
   }
 
+  /** Critical z for the [[abTest]] significance flag (two-sided 95%). */
+  val AbZCrit = 1.96
+
+  /** Two-proportion z-test between DETERMINISTIC experiment arms
+    * (`user_id % 2` — the hash-bucket assignment every A/B platform
+    * uses, reproducible across engines): did arm A's user-level purchase
+    * conversion differ significantly from arm B's?
+    *
+    * Counts are exact longs from one user-keyed aggregate + one
+    * single-row rollup; the z statistic then runs the IDENTICAL double
+    * op sequence in both engines (pooled rate, standard error via
+    * correctly-rounded sqrt, difference over SE), and the significance
+    * flag compares the 4dp-ROUNDED z against [[AbZCrit]] (the
+    * quantile-parity discipline) — so the whole test report, verdict
+    * included, rides the hash gate. Zero-variance pools (all or none
+    * converted) yield NULL z/verdict rather than a division blowup. */
+  def abTest(events: DataFrame): DataFrame = {
+    val per = events.filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(2)).as("grp"), col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
+      .groupBy("grp", "user_id")
+      .agg(max(col("c")).as("conv"))
+    val wide = per.agg(
+      count(when(col("grp") === 0, 1)).as("n_a"),
+      sum(when(col("grp") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      count(when(col("grp") === 1, 1)).as("n_b"),
+      sum(when(col("grp") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a")
+    val pB = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round2(pA, 4).as("p_a"), round2(pB, 4).as("p_b"),
+      when(se > 0, round2((pA - pB) / se, 4)).as("z_score"),
+      when(se > 0, abs(round2((pA - pB) / se, 4)) > AbZCrit)
+        .as("significant"))
+  }
+
+  /** Feature normalization — the three standard scalings of a per-user
+    * monetary feature in ONE report: min-max to [0,1], z-score against
+    * exact moments, and rank-percentile via the DISTRIBUTED global
+    * ordinal (never a one-task window over users). Min/max/moments ride
+    * a 1-row broadcast frame; the moment discipline is
+    * [[revenueAnomalies]]'s (exact integer sums and sums-of-squares —
+    * cents² accumulate in DECIMAL(38,0) ≡ DuckDB's HUGEINT — then
+    * identical IEEE mean/var/sqrt), and the ordinal machinery is
+    * certified against the mirror's naive global row_number a THIRD time
+    * (after q_global_rownum and q_rfm_segments) on a new shape. */
+  def featureScaling(events: DataFrame): DataFrame = {
+    val per = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+        col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("cents"))
+    val stats = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).cast("double").as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+        .cast("double").as("q"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val numbered = Ordinals.globalRowNumbers(per,
+      Seq(col("cents"), col("user_id")))
+    val mean = col("s") / col("n")
+    val variance = col("q") / col("n") - mean * mean
+    numbered.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("cents"),
+        when(col("mx") > col("mn"),
+          round2((col("cents") - col("mn")).cast("double") /
+            (col("mx") - col("mn")), 6)).as("minmax"),
+        when(variance > 0,
+          round2((col("cents").cast("double") - mean) / sqrt(variance), 4))
+          .as("zscore"),
+        when(col("n") > 1,
+          round2((col("rn") - 1).cast("double") / (col("n") - 1), 6))
+          .as("rank_pct"))
+      .orderBy("user_id")
+  }
+
   // ---- data-quality validations (reference:airflow_docker/dags/ecomm_pipeline/snowflake.py) ----
 
   /** Count of rows with any key column null (`snowflake.py:27-36`). */

@@ -33,6 +33,14 @@ object RelationalQueries {
   val IdleRichSince = "2000-01-01"
   val MarketShareRegion = "ASIA"
   val MarketShareNation = "NATION_2"
+  val RegionalRegion = "EUROPE"
+  val RegionalFrom = "1996-01-01"
+  val RegionalUntil = "1997-01-01"
+  val DeltaFrom = "1996-01-01"
+  val DeltaUntil = "1997-01-01"
+  val DeltaDiscLo = 0.03
+  val DeltaDiscHi = 0.05
+  val DeltaQtyMax = 24
   val Scd2From = "1995-01-01"
   val Scd2Split = "1998-07-01"
   val Scd2To = "2002-01-01"
@@ -500,6 +508,66 @@ object RelationalQueries {
       .agg(moneySum(revenue - col("p_retailprice") * col("l_quantity"))
         .as("sum_profit"))
       .orderBy("supp_nation", "yr")
+
+  /** TPC-H Q5-style local-supplier revenue per nation within one region
+    * and order year: the classic 6-table star-chain with the LOCAL
+    * constraint (`s_nationkey = c_nationkey`) riding the supplier join
+    * condition. The region membership reduces nation to a ≤25-row
+    * broadcast filter applied to customers BEFORE the fact join (non-
+    * region orders never shuffle); the date window prunes orders at the
+    * scan. The supplier join carries BOTH the key equality and the
+    * nation equality, so Catalyst hashes on (suppkey) with the local
+    * predicate as a join filter — one fact-fact shuffle total, the Q7/Q8
+    * dimension discipline on a new shape (Q7 groups by nation PAIR; Q5
+    * keeps only the local diagonal). */
+  def regionalRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, targetRegion: String = RegionalRegion,
+      from: String = RegionalFrom, until: String = RegionalUntil): DataFrame = {
+    val regionNations = nation
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .join(broadcast(region.filter(col("r_name") === targetRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(from).cast("date") &&
+          col("o_orderdate") < lit(until).cast("date"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style forecast-revenue-change probe: the no-join,
+    * fully-pushed-down quantified aggregate — how much revenue a
+    * discount-band elimination would have added. All three predicates
+    * (date window, discount band, quantity cap) reach the parquet scan
+    * (`PushedFilters`), the projection prunes to three columns, and the
+    * answer is one exact-decimal row. The canonical scan-selectivity
+    * probe next to Q1's full-scan throughput probe. Discount values are
+    * stored doubles compared verbatim — no derived arithmetic in the
+    * predicate, so both engines select identical rows. */
+  def revenueDelta(lineitem: DataFrame, from: String = DeltaFrom,
+      until: String = DeltaUntil, discLo: Double = DeltaDiscLo,
+      discHi: Double = DeltaDiscHi, qtyMax: Int = DeltaQtyMax): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("date") &&
+        col("l_shipdate") < lit(until).cast("date") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < qtyMax)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+        .as("forecast_delta"),
+        count(lit(1)).as("n_items"))
 
   /** Deterministic two-version price history for [[scd2Revenue]] — the
     * SCD-type-2 dimension shape (one row per (key, validity window))

@@ -319,26 +319,6 @@ object Sinks {
     n
   }
 
-  /** Bucketed catalog-table layout — the CO-LOCATED join at 100 TB: two
-    * fact tables bucketed (and sorted) on the same key with the same
-    * bucket count join with NO exchange and NO per-task sort — each task
-    * zips bucket i of both sides. The shuffle a repeated fact⋈fact join
-    * would otherwise pay on every run is paid ONCE at write time and
-    * amortized over every subsequent join/aggregate on the bucket key
-    * (bucketing survives restarts via the catalog; `spark.table` restores
-    * the output partitioning). `path` pins the data location explicitly
-    * so the table is not tied to the session's warehouse dir. Bucket
-    * pruning also applies: an equality predicate on the bucket key scans
-    * 1/`buckets` of the files. Exchange-free plan + result parity are
-    * spec-asserted (WarehouseSpec). */
-  def writeBucketed(df: DataFrame, table: String, path: String,
-      key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .format("parquet")
-      .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
 
   /** Batch-level validation gate in front of [[warehouseBatch]] — the
     * Deequ-discipline "verify before you publish": run a constraint suite
@@ -867,12 +847,19 @@ object Sinks {
   /** Bucketed + sorted table: two tables bucketed on the same key join
     * co-located — no Exchange on either side — which is the pre-partitioning
     * strategy for repeated fact-fact joins at 100 TB (pay the shuffle once
-    * at write time, never again). */
+    * at write time, never again). Pass `path` to pin the data location
+    * outside the session warehouse dir (external table); bucketing info
+    * lives in the catalog either way and `spark.table` restores the
+    * output partitioning. Bucket pruning applies too: an equality
+    * predicate on the bucket key scans 1/`buckets` of the files.
+    * Exchange-free plan + result parity are spec-asserted
+    * (RelationalAndSinksSpec, WarehouseSpec). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -498,6 +498,47 @@ class EventQueriesSpec extends SparkSpec {
       ("1", 2L, 1025L, 939.5833), ("2", 1L, 2050L, 1118.1818)), got.toString)
   }
 
+  test("abTest: two-proportion z-test matches the hand-computed statistic") {
+    def e(id: Long, u: Long, typ: String) =
+      (id, ts("2024-01-01 10:00:00"), u, typ, 1.0, "{}")
+    // arm A (even users): u0 converts, u2 does not → p_a = 0.5
+    // arm B (odd users): u1, u3 convert → p_b = 1.0
+    val rows = Seq(e(1, 0, "purchase"), e(2, 2, "view"),
+      e(3, 1, "purchase"), e(4, 3, "purchase"), e(5, 3, "view"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.abTest(df)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head
+    assert((got._1, got._2, got._3, got._4) == ((2L, 1L, 2L, 2L)))
+    assert((got._5, got._6) == ((0.5, 1.0)))
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val se = math.sqrt(0.75 * 0.25 * 1.0)
+    assert(got._7 == r4((0.5 - 1.0) / se), got.toString) // -1.1547
+    assert(!got._8) // |z| < 1.96
+  }
+
+  test("featureScaling: min-max, z-score and rank-percentile agree with " +
+      "reference arithmetic") {
+    val rows = Seq((1L, 0.10), (2L, 0.20), (3L, 0.20), (4L, 0.30), (5L, 0.40))
+      .map { case (u, v) =>
+        (u, ts("2024-01-01 10:00:00"), u, "purchase", v, "{}") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.featureScaling(df)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(10L, 20L, 20L, 30L, 40L))
+    def r(x: Double, dp: Int) = {
+      val s = math.pow(10, dp); math.floor(x * s + 0.5) / s
+    }
+    val mean = 120.0 / 5
+    val std = math.sqrt(3400.0 / 5 - mean * mean)
+    got.foreach { case (_, c, mm, z, _) =>
+      assert(mm == r((c - 10.0) / 30.0, 6), s"minmax $c")
+      assert(z == r((c - mean) / std, 4), s"zscore $c")
+    }
+    // ties rank by (cents, user_id): u2 before u3
+    assert(got.map(_._5) == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

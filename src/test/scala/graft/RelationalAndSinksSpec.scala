@@ -153,6 +153,53 @@ class RelationalAndSinksSpec extends SparkSpec {
       "conditional numerator never fired at sf0.01")
   }
 
+  test("regionalRevenue: local-supplier constraint and pushed region filter") {
+    val dir = sf("sf0.001")
+    def t(n: String) = Sources.table(spark, dir, n)
+    val got = RelationalQueries.regionalRevenue(t("lineitem"), t("orders"),
+      t("customer"), t("supplier"), t("nation"), t("region"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter not pushed in:\n$plan")
+    // independent naive recomputation: join on the supp key only, apply
+    // the local-nation equality as a post-filter
+    val naive = t("lineitem")
+      .join(t("orders").filter(col("o_orderdate") >= lit("1996-01-01")
+        .cast("date") && col("o_orderdate") < lit("1997-01-01").cast("date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t("region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(graft.Exprs.moneySum(col("l_extendedprice") *
+        (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+    val g = got.as[(String, Double)].collect().toSeq
+    assert(g == naive.as[(String, Double)].collect().toSeq && g.nonEmpty)
+  }
+
+  test("revenueDelta pushes all three predicates to the parquet scan") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val got = RelationalQueries.revenueDelta(li)
+    val plan = got.queryExecution.executedPlan.toString
+    // the PushedFilters render truncates; the scan-adjacent Filter node
+    // carries the full predicate list (expr-id suffixed)
+    for (p <- Seq(raw"l_discount#\d+ >= 0\.03", raw"l_discount#\d+ <= 0\.05",
+        raw"l_quantity#\d+ < 24\.0"))
+      assert(p.r.findFirstIn(plan).isDefined, s"$p not pushed in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushdown in:\n$plan")
+    val (delta, n) = got.as[(Double, Long)].collect().head
+    val naive = li.filter(col("l_shipdate") >= lit("1996-01-01").cast("date")
+        && col("l_shipdate") < lit("1997-01-01").cast("date")
+        && col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+    assert(n == naive.count() && n > 0)
+    assert(delta > 0)
+  }
+
   test("idleRichCustomers keeps only order-less rich customers (planted)") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("1999-06-01 00:00:00")

@@ -691,8 +691,8 @@ class WarehouseSpec extends SparkSpec {
     val buys = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(count(lit(1)).as("n_buys"))
     val dir = Files.createTempDirectory("graft-bucketed")
-    Sinks.writeBucketed(views, "b_views", s"$dir/views", "user_id", 8)
-    Sinks.writeBucketed(buys, "b_buys", s"$dir/buys", "user_id", 8)
+    Sinks.writeBucketed(views, "b_views", "user_id", 8, Some(s"$dir/views"))
+    Sinks.writeBucketed(buys, "b_buys", "user_id", 8, Some(s"$dir/buys"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
