@@ -585,6 +585,21 @@ object SparkEntry {
           ArtifactStore.bpeMerges(s, dir, "bpe-n50-m2-v65536")(
             TextOps.trainBpeMerges(d))))
     }),
+    // per-lang tokenizer fertility under the SAME trained merges (the
+    // multilingual fairness diagnostic); shares the generated
+    // merge-chain oracle machinery
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      lastBpeDir.set(dir)
+      TextOps.bpeFertility(d,
+        bpeMerges.getOrElseUpdate(dir,
+          ArtifactStore.bpeMerges(s, dir, "bpe-n50-m2-v65536")(
+            TextOps.trainBpeMerges(d))))
+    }),
+    // duplicate-cluster size distribution incl. the subtraction-derived
+    // singleton row — the pre-dedup sizing report on the shared
+    // reachability oracle
+    "q_cluster_size_dist" -> docs(Dedup.clusterSizeDist),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
     // JSONL interchange round-trip: write the corpus as JSON-lines, read
     // it back, and hash-gate the full text content — decode∘encode =
@@ -983,7 +998,10 @@ object SparkEntry {
     * (`replace` is left-to-right non-overlapping in both). With no merges
     * cached yet (oracleSql read before any query ran — not the Verify
     * order) the chain is empty and the mirror counts codepoints. */
-  private def bpeOracleSql: String = {
+  /** The trained-merge replace-chain CTEs (`tok`, `enc`) shared by the
+    * per-doc mirror ([[bpeOracleSql]]) and the per-lang fertility
+    * rollup ([[bpeFertilitySql]]). */
+  private def bpeEncCte: String = {
     val merges = Option(lastBpeDir.get).flatMap(bpeMerges.get)
       .getOrElse(Seq.empty)
     def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
@@ -993,19 +1011,40 @@ object SparkEntry {
     val enc = merges.foldLeft(base) { case (acc, (a, b)) =>
       s"replace($acc, ${sqlLit(S + a + S + S + b + S)}, ${sqlLit(S + a + b + S)})"
     }
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |             FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents),
        |enc AS (SELECT doc_id,
        |          CASE WHEN tok = '' THEN 1
        |               ELSE len(string_split($enc, chr(31) || chr(31)))
        |          END AS n_sub
-       |        FROM tok)
+       |        FROM tok)""".stripMargin
+  }
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeEncCte
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
        |  floor(CAST(sum(n_sub) AS DOUBLE) / count(*) * 100 + 0.5) / 100
        |    AS subwords_per_token
        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** Per-lang fertility mirror over the SAME generated merge chain. */
+  private def bpeFertilitySql: String =
+    s"""WITH $bpeEncCte,
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |          CAST(sum(n_sub) AS BIGINT) AS n_sub
+       |        FROM enc GROUP BY 1)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(len(d.text)) AS BIGINT) AS n_chars,
+       |  floor(CAST(sum(p.n_sub) AS DOUBLE) / sum(p.n_tokens) * 10000
+       |    + 0.5) / 10000 AS fertility,
+       |  floor(CAST(sum(len(d.text)) AS DOUBLE) / sum(p.n_sub) * 10000
+       |    + 0.5) / 10000 AS chars_per_subword
+       |FROM documents d JOIN per p USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The DuckDB rendering of [[TextOps.normalizeExpr]], generated ONCE
     * from the shared NormSteps constants and referenced by both
@@ -2073,6 +2112,28 @@ object SparkEntry {
     // from the merges trained while the queries ran (Verify order:
     // queries first, oracle dump second)
     "q_bpe_tokens" -> bpeOracleSql,
+    "q_tokenizer_fertility" -> bpeFertilitySql,
+    // the reachability CTE evaluated ONCE, distribution + singleton row
+    // derived from it (cluster members always have a partner, so size-1
+    // can only be the subtraction row — no collision in the union)
+    "q_cluster_size_dist" ->
+      s"""WITH c AS MATERIALIZED ($DupClustersSql),
+         |per AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |          AS cluster_size
+         |        FROM c GROUP BY 1),
+         |dist AS (SELECT cluster_size,
+         |           CAST(count(*) AS BIGINT) AS n_clusters,
+         |           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |         FROM per GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cl AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM c)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size, (n - n2) AS n_clusters,
+         |    (n - n2) AS n_docs
+         |  FROM tot CROSS JOIN cl
+         |  UNION ALL
+         |  SELECT cluster_size, n_clusters, n_docs FROM dist)
+         |ORDER BY cluster_size""".stripMargin,
     // trained unigram vocab (count >= 2, top 65536 by count desc / token
     // asc) scored per doc; exact integers until the single final division
     "q_unigram_familiarity" ->

@@ -297,6 +297,32 @@ object Dedup {
     clustersOf(documents, minJaccard, maxShingleDf,
       connectedComponents(_, maxIters))
 
+  /** Duplicate-cluster SIZE DISTRIBUTION — the report that sizes a dedup
+    * run before it executes (how many docs does keeper-selection delete?
+    * is there a mega-cluster that needs a template rule instead?):
+    * clusters-per-size over [[dupClusters]]' labeling, with the
+    * singleton row (docs in NO near-dup pair) derived by subtraction
+    * from the corpus total. The clusters frame pins once for its two
+    * consumers (the distribution + the clustered-doc count — the
+    * topSupplier discipline); all aggregates are exact longs over
+    * clusters-sized frames, so the report rides the hash gate on the
+    * shared reachability oracle. */
+  def clusterSizeDist(documents: DataFrame): DataFrame = {
+    val clusters = dupClusters(documents).localCheckpoint(true)
+    val dist = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val tot = documents.agg(count(lit(1)).as("n"))
+    val clustered = clusters.agg(count(lit(1)).as("n2"))
+    val singles = tot.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("cluster_size"),
+        (col("n") - col("n2")).as("n_clusters"),
+        (col("n") - col("n2")).as("n_docs"))
+    singles.unionByName(dist).orderBy("cluster_size")
+  }
+
   /** [[dupClusters]] on the [[connectedComponentsStar]] scale path —
     * identical output (both label with the component-min doc_id), different
     * round complexity: O(log n) alternating-star rounds instead of

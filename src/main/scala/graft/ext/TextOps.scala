@@ -1061,6 +1061,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — the multilingual diagnostic that
+    * decides whether a tokenizer is fair to a language (high fertility =
+    * more subwords per word = more compute per content unit; the reason
+    * multilingual vocabs get re-balanced): per-lang document/word/subword/
+    * char totals under the trained merges, with subwords-per-word and
+    * chars-per-subword ratios. Same one-pass serving expression as
+    * [[bpeStats]], rolled up by `lang` instead of per doc — one
+    * ≤|langs|-keyed shuffle over map-side partials; ratios divide exact
+    * longs as doubles with shared 4dp rounding, so the report rides the
+    * hash gate on the same GENERATED merge-chain oracle. */
+  def bpeFertility(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (pats, reps) = bpeReplaceChain(merges)
+    documents.filter(col("text").isNotNull)
+      .select(col("lang"), length(col("text")).as("n_chars"),
+        TextExpressions.bpeSubwordStats(col("text"), pats, reps).as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s.n_tokens")).as("n_words"),
+        sum(col("s.n_subwords")).as("n_subwords"),
+        sum(col("n_chars").cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_chars"),
+        round2(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("fertility"),
+        round2(col("n_chars").cast("double") / col("n_subwords"), 4)
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
   /** SERVE step: per-document familiarity against a trained vocabulary —
     * CCNet's "score every document with a cheap corpus-trained LM" filter
     * (Wenzek et al. 2019, arXiv:1911.00359), with avg-corpus-frequency

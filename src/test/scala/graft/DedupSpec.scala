@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(30L)) // unclustered docs don't appear
   }
 
+  test("clusterSizeDist: distribution rows + subtraction-derived singletons " +
+      "cover the corpus exactly") {
+    // same planted corpus as the clustering test: one 3-chain, one exact
+    // pair, one singleton → sizes {1:1, 2:1, 3:1}
+    val a = (1 to 40).map(i => s"c${i % 17}").mkString(" ")
+    val b = a.split(" ").updated(3, "XX").mkString(" ")
+    val c = b.split(" ").updated(30, "YY").mkString(" ")
+    val other = (1 to 40).map(i => s"q$i").mkString(" ")
+    val df = Seq((10L, a), (11L, b), (12L, c), (20L, other), (21L, other),
+      (30L, (1 to 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterSizeDist(df)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)), got.toString)
+    // conservation: Σ n_docs over all rows = corpus size
+    assert(got.map(_._3).sum == 6L)
+  }
+
   test("star CC converges on a long chain where propagation hits its bound") {
     // path graph 0-1-…-80: diameter 80. Min-label propagation moves the
     // min one hop per round, so 25 rounds can't finish; alternating stars

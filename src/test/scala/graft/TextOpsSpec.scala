@@ -449,6 +449,18 @@ class TextOpsSpec extends SparkSpec {
     assert(gaps == ((0L, 3L, 3L, 1.0)))
   }
 
+  test("bpeFertility rolls per-doc subword stats up by language") {
+    val d = Seq((0L, "aa ab aaa b", "en"), (1L, "abab", "de"),
+      (2L, "aa", "en")).toDF("doc_id", "text", "lang")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val got = TextOps.bpeFertility(d, merges)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // en: words 4+1=5, subwords 5+1=6, chars 11+2=13 → fertility 1.2,
+    //     chars/subword 13/6 → 2.1667; de: abab → [ab,ab]: 1/2/4 → 2.0/2.0
+    assert(got == Seq(("de", 1L, 1L, 2L, 4L, 2.0, 2.0),
+      ("en", 2L, 5L, 6L, 13L, 1.2, 2.1667)), got.toString)
+  }
+
   test("trainUnigramVocab thresholds, and caps by count desc / token asc") {
     val d = Seq((0L, "b b a a c c c"), (1L, "once")).toDF("doc_id", "text")
     val (vt, vc) = TextOps.trainUnigramVocab(d, minCount = 2, maxVocab = 2)
