@@ -847,6 +847,20 @@ object SparkEntry {
       StreamingQueries.runCompleteMode(s, dir, "stream_segment_rev")(
         StreamingQueries.segmentRevenue(_, cust)).orderBy("segment")
     }),
+    // the STATEFUL streaming lag: one last-event record per user emits
+    // transition pairs incrementally (flatMapGroupsWithState); the
+    // rollup runs on the materialized pair stream and shares
+    // q_event_transitions' oracle verbatim — stateful ≡ window lag
+    "q_stream_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = StreamingQueries.runStream(s, dir,
+        "stream_transitions", "append")(ev =>
+        streaming.TransitionState.transitions(s,
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type")).as[streaming.TransitionState.In]).toDF)
+      EventQueries.transitionRollup(
+        pairs.select(col("prev_type"), col("next_type")))
+    }),
     // streaming top categories: the aggregate runs IN-stream (complete
     // mode), the rank+limit on the materialized result — shares
     // q_top_category_revenue's oracle verbatim, certifying batch ≡
@@ -1272,6 +1286,23 @@ object SparkEntry {
        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
+
+  /** Shared by `q_event_transitions` (window lag) and
+    * `q_stream_event_transitions` (stateful streaming lag). */
+  private val EventTransitionsSql =
+    """WITH p AS (
+      |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(count(*) AS BIGINT) AS n_transitions
+      |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n_transitions,
+      |  floor((CAST(n_transitions AS DOUBLE) /
+      |    sum(n_transitions) OVER (PARTITION BY prev_type)) * 10000 + 0.5)
+      |    / 10000 AS share
+      |FROM t ORDER BY prev_type, next_type""".stripMargin
 
   /** Shared by `q_top_category_revenue` and its streaming twin. */
   private val TopCategorySql =
@@ -2628,20 +2659,10 @@ object SparkEntry {
         |FROM m JOIN s USING (cohort_date)
         |ORDER BY cohort_date, week""".stripMargin,
     // per-user lag twin; out-share divides exact longs as doubles
-    "q_event_transitions" ->
-      """WITH p AS (
-        |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |t AS (
-        |  SELECT prev_type, event_type AS next_type,
-        |    CAST(count(*) AS BIGINT) AS n_transitions
-        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT prev_type, next_type, n_transitions,
-        |  floor((CAST(n_transitions AS DOUBLE) /
-        |    sum(n_transitions) OVER (PARTITION BY prev_type)) * 10000 + 0.5)
-        |    / 10000 AS share
-        |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    "q_event_transitions" -> EventTransitionsSql,
+    // the stateful streaming lag on the SAME oracle verbatim: the gate
+    // certifies flatMapGroupsWithState-lag ≡ window-lag on real data
+    "q_stream_event_transitions" -> EventTransitionsSql,
     // one-pass per-user aggregate + the corpus anchor as a scalar CTE
     "q_user_features" ->
       """WITH f AS (

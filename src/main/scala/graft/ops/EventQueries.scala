@@ -826,20 +826,27 @@ object EventQueries {
     * shared 4dp rounding, so the whole matrix rides the hash gate. */
   def eventTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    transitionRollup(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .select(col("prev_type"), col("event_type").as("next_type")))
+  }
+
+  /** The count + out-share rollup over a (prev_type, next_type) pair
+    * stream — shared by the batch window lag and the STATEFUL streaming
+    * lag ([[graft.streaming.TransitionState]]), so both keys certify the
+    * same aggregation against one oracle and differ only in how pairs
+    * were produced. */
+  def transitionRollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n_transitions"))
-    pairs
       .withColumn("out_total",
         sum(col("n_transitions")).over(Window.partitionBy("prev_type")))
       .select(col("prev_type"), col("next_type"), col("n_transitions"),
         round2(col("n_transitions").cast("double") / col("out_total"), 4)
           .as("share"))
       .orderBy("prev_type", "next_type")
-  }
 
   /** Per-user ML feature matrix — the feature-store extraction pass a
     * churn/LTV model trains on: engagement volume, purchase behaviour in

@@ -263,6 +263,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("TransitionState emits the boundary transition when a user's " +
+      "sequence splits across micro-batches") {
+    import graft.streaming.TransitionState
+    import graft.streaming.TransitionState.In
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val q = TransitionState.transitions(spark, mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_transitions")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-trans").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // batch 1: u1 view→click (also out-of-order arrival inside the
+      // batch — the in-batch sort must fix it); u2 view
+      mem.addData(
+        In(2, ts("2024-01-01 10:05:00"), 1, "click"),
+        In(1, ts("2024-01-01 10:00:00"), 1, "view"),
+        In(3, ts("2024-01-01 10:00:00"), 2, "view"))
+      q.processAllAvailable()
+      // batch 2: u1 purchase (boundary transition click→purchase must
+      // come from CARRIED STATE), u2 error
+      mem.addData(
+        In(4, ts("2024-01-01 11:00:00"), 1, "purchase"),
+        In(5, ts("2024-01-01 11:00:00"), 2, "error"))
+      q.processAllAvailable()
+      val got = spark.table("t_transitions")
+        .as[TransitionState.Transition].collect()
+        .map(t => (t.user_id, t.prev_type, t.next_type)).sorted.toSeq
+      assert(got == Seq((1L, "click", "purchase"), (1L, "view", "click"),
+        (2L, "view", "error")), got.toString)
+    } finally q.stop()
+  }
+
   test("countUniqueDocs pins a null lang LAST — a planted null-lang doc " +
       "keeps the q_stream_doc_dedup row order engine-agnostic") {
     import spark.implicits._
