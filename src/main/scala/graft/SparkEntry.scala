@@ -100,6 +100,21 @@ object SparkEntry {
     // "bought together": basket-keyed self-join, per-basket fan-out
     // capped, support counts baskets (items deduped per basket)
     "q_basket_pairs" -> ev(EventQueries.basketPairs(_)),
+    // Apriori rule readout over the same pair list: both directed rules
+    // per pair, confidence/lift as single divisions of exact counts
+    "q_assoc_rules" -> ev(EventQueries.assocRules(_)),
+    // weekday revenue profile; index = two materialized exact-derived
+    // doubles divided in the outer select (share discipline)
+    "q_weekday_seasonality" -> ev(EventQueries.weekdaySeasonality),
+    // repeat-purchase cadence: per-user lag gaps, median = mean of the
+    // two middle ranks (never an interpolated percentile)
+    "q_interpurchase_gaps" -> ev(EventQueries.interPurchaseGaps),
+    // Gini + top-share concentration over the distributed global ordinal;
+    // rank-weighted sum in DECIMAL(38,0) ≡ HUGEINT
+    "q_revenue_concentration" -> ev(EventQueries.revenueConcentration),
+    // trailing-7-day per-user features: RANGE frame over integer day
+    // numbers, exact integer cents end-to-end
+    "q_rolling_user_revenue" -> ev(WindowedQueries.rollingUserRevenue),
     // PageRank over the symmetrized co-purchase graph: Pregel-shaped
     // power iteration (one edge-keyed shuffle + one node aggregate per
     // round, dangling mass as a broadcast scalar). Approximate by
@@ -1331,6 +1346,128 @@ object SparkEntry {
       s"""WITH $BasketPairsCte
          |SELECT item1, item2, support FROM pairs
          |ORDER BY support DESC, item1, item2""".stripMargin,
+    // both directed rules per supported pair; confidence and lift divide
+    // exact longs with the identical op sequence (mul, mul, div), 4dp
+    // floor-rounded — the ORDER BY runs on the rounded lift
+    "q_assoc_rules" ->
+      s"""WITH $BasketPairsCte,
+         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM i2 GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT DISTINCT d, user_id FROM i2)),
+         |dir AS (
+         |  SELECT item1 AS antecedent, item2 AS consequent, support FROM pairs
+         |  UNION ALL
+         |  SELECT item2, item1, support FROM pairs)
+         |SELECT antecedent, consequent, support,
+         |  floor((CAST(support AS DOUBLE) / ca.cnt) * 10000 + 0.5) / 10000
+         |    AS confidence,
+         |  floor(((CAST(support AS DOUBLE) * nb.n) /
+         |      (CAST(ca.cnt AS DOUBLE) * cb.cnt)) * 10000 + 0.5) / 10000
+         |    AS lift
+         |FROM dir
+         |JOIN ic ca ON ca.item = dir.antecedent
+         |JOIN ic cb ON cb.item = dir.consequent
+         |CROSS JOIN nb
+         |ORDER BY lift DESC, antecedent, consequent""".stripMargin,
+    // Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
+    "q_weekday_seasonality" ->
+      s"""WITH d AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |wd AS (
+         |  SELECT CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday,
+         |    CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(round(sum(rev), 2) AS DOUBLE) AS weekday_revenue
+         |  FROM d GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
+         |    CAST(count(*) AS BIGINT) AS total_days
+         |  FROM d)
+         |SELECT weekday, n_days, weekday_revenue,
+         |  floor(((weekday_revenue / n_days) / (total_rev / total_days))
+         |    * 10000 + 0.5) / 10000 AS seasonal_index
+         |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin,
+    // per-user lag gaps; median = mean of the two middle ranks (one row
+    // when n is odd) — two exact longs divided, never an interpolated
+    // percentile
+    "q_interpurchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id, us,
+        |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+        |      // 1000000 AS gap_s
+        |  FROM p),
+        |g2 AS (SELECT user_id, us, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, gap_s,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY gap_s, us) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS nw
+        |  FROM g2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  min(gap_s) AS min_gap_s,
+        |  max(gap_s) AS max_gap_s,
+        |  CAST(sum(CASE WHEN rk = (nw + 1) // 2 OR rk = (nw + 2) // 2
+        |      THEN gap_s END) AS DOUBLE) /
+        |    sum(CASE WHEN rk = (nw + 1) // 2 OR rk = (nw + 2) // 2
+        |      THEN 1 END) AS median_gap_s
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // naive window row_number mirror of the distributed ordinal; the
+    // rank-weighted sum runs in HUGEINT ≡ Spark DECIMAL(38,0); every
+    // ratio divides exact-integer-derived doubles and 4dp floor-rounds
+    "q_revenue_concentration" ->
+      s"""WITH s AS (
+         |  SELECT user_id,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |r AS MATERIALIZED (
+         |  SELECT user_id, cents,
+         |    CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rn
+         |  FROM s),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(cents) AS BIGINT) AS total_cents,
+         |    sum(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT)) AS s1
+         |  FROM r),
+         |sh AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN rn > t.n_users -
+         |      greatest(1, t.n_users // 100) THEN cents END) AS BIGINT)
+         |      AS top1_cents,
+         |    CAST(sum(CASE WHEN rn > t.n_users -
+         |      greatest(1, t.n_users // 10) THEN cents END) AS BIGINT)
+         |      AS top10_cents
+         |  FROM r CROSS JOIN t)
+         |SELECT n_users, total_cents,
+         |  floor((CAST(s1 * 2 - (n_users + 1) * CAST(total_cents AS HUGEINT)
+         |      AS DOUBLE) /
+         |    CAST(CAST(n_users AS HUGEINT) * CAST(total_cents AS HUGEINT)
+         |      AS DOUBLE)) * 10000 + 0.5) / 10000 AS gini,
+         |  floor((CAST(top1_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+         |    * 10000 + 0.5) / 10000 AS top1_share,
+         |  floor((CAST(top10_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
+         |    * 10000 + 0.5) / 10000 AS top10_share
+         |FROM sh CROSS JOIN t ORDER BY n_users""".stripMargin,
+    // RANGE frame over integer day numbers — a calendar week even when
+    // the user skips days; all values exact integer cents
+    "q_rolling_user_revenue" ->
+      s"""WITH d AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS day_cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT user_id, event_date, day_cents,
+         |  CAST(sum(day_cents) OVER w AS BIGINT) AS r7_cents,
+         |  CAST(count(*) OVER w AS BIGINT) AS r7_days
+         |FROM d
+         |WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY event_date - DATE '1970-01-01'
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_date""".stripMargin,
     // naive lexicographic 3-way triangle join over the SAME canonical pair
     // list; the Spark side counts via degree-ordered orientation — the
     // gate certifies orientation ≡ naive (participation counts are

@@ -113,16 +113,7 @@ object EventQueries {
     * identical in both engines). */
   def basketPairs(events: DataFrame, minSupport: Long = 2,
       maxBasket: Int = 100, sorted: Boolean = true): DataFrame = {
-    val raw = events.filter(col("event_type") === "purchase")
-      .select(to_date(col("ts")).as("d"), col("user_id"),
-        get_json_object(col("props"), "$.k").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
-    val okBaskets = raw.groupBy("d", "user_id")
-      .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= maxBasket)
-      .select("d", "user_id")
-    val items = raw.join(okBaskets.hint("shuffle_hash"), Seq("d", "user_id"))
+    val items = basketItems(events, maxBasket)
     val pairs = items.as("a").join(items.as("b"),
         col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
           col("a.item") < col("b.item"))
@@ -133,6 +124,186 @@ object EventQueries {
     // skips an entire range-exchange + sort of the pair list
     if (sorted) pairs.orderBy(col("support").desc, col("item1"), col("item2"))
     else pairs
+  }
+
+  /** The deduped, size-capped per-basket item frame shared by
+    * [[basketPairs]] and [[assocRules]] — one definition, three oracle
+    * mirrors (pairs, pagerank edges, rules) rendering from the same CTE. */
+  private[ops] def basketItems(events: DataFrame, maxBasket: Int): DataFrame = {
+    val raw = events.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"), col("user_id"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val okBaskets = raw.groupBy("d", "user_id")
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBasket)
+      .select("d", "user_id")
+    raw.join(okBaskets.hint("shuffle_hash"), Seq("d", "user_id"))
+  }
+
+  /** Association rules (the Apriori readout over [[basketPairs]]'
+    * frequent 2-itemsets): each supported pair emits BOTH directed rules
+    * antecedent → consequent with confidence = support / baskets(antecedent)
+    * and lift = confidence / P(consequent) — the "customers who bought X
+    * also bought Y" ranking with its popularity correction.
+    *
+    * All counts are exact longs from ONE pinned item frame (pair support,
+    * per-item basket counts, the global basket total as a 1-row broadcast
+    * scalar); confidence and lift are single double divisions of those
+    * exact inputs — identical IEEE bits in both engines (the collocations
+    * PMI discipline), 4dp floor-rounded, so even the ORDER BY lift rides
+    * the hash gate. Scale: the self-join keys on the basket id exactly as
+    * basketPairs (per-basket fan-out capped); the count joins are
+    * item-keyed equi-joins over aggregate frames AQE can split. */
+  def assocRules(events: DataFrame, minSupport: Long = 2,
+      maxBasket: Int = 100): DataFrame = {
+    // pinned: pairs, per-item counts and the basket total all branch from
+    // this frame — without pinning the corpus scan+dedup would run once
+    // per branch (the Ordinals discipline)
+    val items = basketItems(events, maxBasket).localCheckpoint(true)
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.d") === col("b.d") && col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val counts = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val nb = items.select("d", "user_id").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val directed = pairs.select(col("item1").as("antecedent"),
+        col("item2").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("item2").as("antecedent"),
+        col("item1").as("consequent"), col("support")))
+    directed
+      .join(counts.select(col("item").as("antecedent"), col("cnt").as("ca")),
+        Seq("antecedent"))
+      .join(counts.select(col("item").as("consequent"), col("cnt").as("cb")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        round2(col("support").cast("double") / col("ca"), 4).as("confidence"),
+        round2((col("support").cast("double") * col("n_baskets")) /
+          (col("ca").cast("double") * col("cb")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+  }
+
+  /** Weekday seasonality — the revenue profile over the trading week
+    * (1 = Sunday … 7 = Saturday, Spark's `dayofweek`): per weekday the
+    * day count, exact 2dp revenue, and the seasonal index = weekday mean
+    * daily revenue ÷ overall mean daily revenue, the multiplicative
+    * factor a forecast or anomaly baseline would apply.
+    *
+    * The index divides doubles derived from exact decimal sums with the
+    * IDENTICAL op sequence in both engines — (wd_rev/wd_days) /
+    * (total_rev/total_days), then one 4dp floor-round (the share/ratio
+    * discipline: numerator and denominator materialize in subqueries,
+    * the outer select divides). The overall mean rides a 1-row broadcast.
+    * Scale: two aggregates over the calendar-bounded daily frame. */
+  def weekdaySeasonality(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(exactSum(col("value")).as("rev"))
+    val byWd = daily
+      .groupBy(dayofweek(col("event_date")).as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("rev")), 2).cast("double").as("weekday_revenue"))
+    val overall = daily.agg(
+      round(sum(col("rev")), 2).cast("double").as("total_rev"),
+      count(lit(1)).as("total_days"))
+    byWd.crossJoin(broadcast(overall))
+      .select(col("weekday"), col("n_days"), col("weekday_revenue"),
+        round2((col("weekday_revenue") / col("n_days")) /
+          (col("total_rev") / col("total_days")), 4).as("seasonal_index"))
+      .orderBy("weekday")
+  }
+
+  /** Per-user inter-purchase gap statistics — the repeat-purchase cadence
+    * feature (count, min/max and MEDIAN seconds between consecutive
+    * purchases) for every user with ≥ 2 purchases.
+    *
+    * Gaps come from a per-user lag window ordered by (ts, event_id) — the
+    * hot partition is bounded by the busiest user (the eventTransitions
+    * scale argument). The median is the mean of the two middle ranks
+    * (the q_mad_anomalies discipline): a second per-user window ranks the
+    * gaps, a window count marks the middle row(s), and the aggregate
+    * divides two exact longs — no interpolated percentile whose last ulp
+    * could differ between engines. */
+  def interPurchaseGaps(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val gaps = p
+      .withColumn("prev", lag(col("us"), 1)
+        .over(byUser.orderBy(col("us"), col("event_id"))))
+      .filter(col("prev").isNotNull)
+      // non-negative numerator: truncating div ≡ floor ≡ DuckDB //
+      .select(col("user_id"), col("us"),
+        expr("(us - prev) div 1000000").cast(LongType).as("gap_s"))
+    val ranked = gaps
+      .withColumn("rk", row_number()
+        .over(byUser.orderBy(col("gap_s"), col("us"))).cast(LongType))
+      .withColumn("nw", count(lit(1)).over(byUser))
+      .withColumn("mid",
+        col("rk") === expr("(nw + 1) div 2") ||
+          col("rk") === expr("(nw + 2) div 2"))
+    ranked.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        (sum(when(col("mid"), col("gap_s"))).cast("double") /
+          sum(when(col("mid"), 1L))).as("median_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Revenue concentration — Gini coefficient plus top-1% / top-10%
+    * spend shares over per-user purchase revenue: the whale-dependence
+    * readout (how much of the business a handful of users carry).
+    *
+    * Gini rides the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over ascending-spend ranks — the ranks are
+    * [[Ordinals.globalRowNumbers]] (range repartition + bounded offset
+    * frame), never a corpus-wide single-task `row_number()` window. The
+    * rank-weighted sum accumulates in DECIMAL(38,0) (mirrored as DuckDB
+    * HUGEINT — i·xᵢ overflows a long at warehouse scale), and the final
+    * divisions cast those exact integers to double — correctly-rounded
+    * nearest in both engines, then 4dp floor-rounded. Top-k% cutoffs are
+    * integer floor-div counts (≥ 1), applied to the SAME pinned ranked
+    * frame as the totals — one corpus aggregate, three bounded readouts. */
+  def revenueConcentration(events: DataFrame): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("user_id"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val ranked = Ordinals.globalRowNumbers(spend,
+        Seq(col("cents"), col("user_id")), "rn")
+      .localCheckpoint(true)
+    val tot = ranked.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("cents")).as("total_cents"),
+      sum(col("rn").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+        .as("s1"))
+    val shares = ranked.crossJoin(broadcast(tot))
+      .agg(
+        sum(when(col("rn") > col("n_users") -
+          greatest(lit(1L), expr("n_users div 100")), col("cents")))
+          .as("top1_cents"),
+        sum(when(col("rn") > col("n_users") -
+          greatest(lit(1L), expr("n_users div 10")), col("cents")))
+          .as("top10_cents"))
+    shares.crossJoin(broadcast(tot))
+      .select(col("n_users"), col("total_cents"),
+        round2((col("s1") * 2 -
+            (col("n_users") + 1).cast("decimal(38,0)") *
+              col("total_cents").cast("decimal(38,0)")).cast("double") /
+          (col("n_users").cast("decimal(38,0)") *
+            col("total_cents").cast("decimal(38,0)")).cast("double"), 4)
+          .as("gini"),
+        round2(col("top1_cents").cast("double") /
+          col("total_cents").cast("double"), 4).as("top1_share"),
+        round2(col("top10_cents").cast("double") /
+          col("total_cents").cast("double"), 4).as("top10_share"))
+      .orderBy("n_users")
   }
 
   /** RFM segmentation — the classic e-commerce customer analysis the

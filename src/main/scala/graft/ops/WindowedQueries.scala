@@ -110,4 +110,34 @@ object WindowedQueries {
       .select(to_date(col("window.start")).as("window_start"),
         col("revenue"), col("n_purchases"))
       .orderBy("window_start")
+
+  /** Per-user trailing-7-day revenue features — the feature-store rolling
+    * window (for every purchase-day of every user: that day's spend and
+    * the spend/active-day count over the preceding week) that a churn or
+    * LTV model trains on.
+    *
+    * The frame is a RANGE window over the integer day number (days since
+    * epoch), so a user who skips days still gets a true calendar week —
+    * a ROWS frame would silently widen over gaps. All values are exact
+    * integer cents (window sums of longs — no IEEE accumulation), making
+    * the whole feature table hash-exact. Scale: one events-sized hash
+    * aggregate down to (user, day), then a window partitioned by user —
+    * each partition bounded by that user's active days (≤ calendar), with
+    * AQE-free skew impossible by construction. */
+  def rollingUserRevenue(events: DataFrame): DataFrame = {
+    val perDay = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("user_id"), col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast("long").as("day_cents"),
+        datediff(col("event_date"), lit("1970-01-01").cast("date"))
+          .as("day_num"))
+    val w7 = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    perDay
+      .select(col("user_id"), col("event_date"), col("day_cents"),
+        sum(col("day_cents")).over(w7).as("r7_cents"),
+        count(lit(1)).over(w7).as("r7_days"))
+      .orderBy("user_id", "event_date")
+  }
 }

@@ -539,6 +539,68 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.map(_._5) == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
   }
 
+  test("assocRules: both directed rules, confidence and lift from exact counts") {
+    def ev(id: Long, day: Int, user: Long, item: String) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), user, "purchase", 1.0,
+        s"""{"k": "$item"}""")
+    val rows = Seq(
+      ev(1, 1, 1, "A"), ev(2, 1, 1, "B"),   // basket 1: {A,B}
+      ev(3, 2, 1, "A"), ev(4, 2, 1, "B"),   // basket 2: {A,B}
+      ev(5, 1, 2, "A"), ev(6, 1, 2, "C"))   // basket 3: {A,C}
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.assocRules(df)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // counts: A=3, B=2, C=1; baskets=3; supported pair (A,B): 2
+    // A→B: conf 2/3 → 0.6667, lift (2·3)/(3·2) = 1.0
+    // B→A: conf 2/2 = 1.0,    lift 1.0
+    assert(got == Seq(
+      ("A", "B", 2L, 0.6667, 1.0),
+      ("B", "A", 2L, 1.0, 1.0)), got.toString)
+  }
+
+  test("weekdaySeasonality: index = weekday mean over overall mean") {
+    // fixture purchases: Mon 2024-01-01 → 10.0, Tue 2024-01-02 → 20.75
+    val got = EventQueries.weekdaySeasonality(events)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // overall mean 30.75/2 = 15.375; Mon 10/15.375 = 0.6504,
+    // Tue 20.75/15.375 = 1.3496; Spark dayofweek: Mon=2, Tue=3
+    assert(got == Seq((2, 1L, 10.0, 0.6504), (3, 1L, 20.75, 1.3496)),
+      got.toString)
+  }
+
+  test("interPurchaseGaps: median is the mean of the two middle ranks") {
+    def p(id: Long, user: Long, t: String) =
+      (id, ts(t), user, "purchase", 1.0, "{}")
+    val rows = Seq(
+      // u1: gaps 10 s and 20 s → median 15.0 (even count)
+      p(1, 1, "2024-01-01 10:00:00"), p(2, 1, "2024-01-01 10:00:10"),
+      p(3, 1, "2024-01-01 10:00:30"),
+      // u2: one purchase → no gaps, excluded
+      p(4, 2, "2024-01-01 11:00:00"),
+      // u3: gaps 5, 100, 10 → sorted 5,10,100, median 10.0 (odd count)
+      p(5, 3, "2024-01-01 12:00:00"), p(6, 3, "2024-01-01 12:00:05"),
+      p(7, 3, "2024-01-01 12:01:45"), p(8, 3, "2024-01-01 12:01:55"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.interPurchaseGaps(df)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 10L, 20L, 15.0),
+      (3L, 3L, 5L, 100L, 10.0)), got.toString)
+  }
+
+  test("revenueConcentration: Gini rank formula and top-k% shares") {
+    def p(id: Long, user: Long, v: Double) =
+      (id, ts("2024-01-01 10:00:00"), user, "purchase", v, "{}")
+    val df = Seq(p(1, 1, 1.0), p(2, 2, 2.0), p(3, 3, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.revenueConcentration(df)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // cents 100,200,300 asc → S1 = 1·100+2·200+3·300 = 1400, S0 = 600
+    // gini = (2800 − 4·600)/(3·600) = 0.2222…; top-1% and top-10% cutoffs
+    // both floor to 1 user → share 300/600 = 0.5
+    assert(got == Seq((3L, 600L, 0.2222, 0.5, 0.5)), got.toString)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

@@ -91,4 +91,21 @@ class WindowedQueriesSpec extends SparkSpec {
       assert(out.contains((1L, ts("2024-01-01 10:00:00"), 2L)))
     } finally q.stop()
   }
+
+  test("rollingUserRevenue: RANGE frame spans a calendar week across gaps") {
+    def p(id: Long, day: Int, user: Long, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), user, "purchase", v, "{}")
+    val df = Seq(
+      p(1, 1, 1, 10.0), p(2, 3, 1, 5.0), p(3, 10, 1, 2.0),
+      p(4, 1, 2, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = WindowedQueries.rollingUserRevenue(df)
+      .as[(Long, java.sql.Date, Long, Long, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(got == Seq(
+      (1L, d("2024-01-01"), 1000L, 1000L, 1L),
+      (1L, d("2024-01-03"), 500L, 1500L, 2L),   // day 1 inside the week
+      (1L, d("2024-01-10"), 200L, 200L, 1L),    // 7-day-old row aged out
+      (2L, d("2024-01-01"), 100L, 100L, 1L)), got.toString)
+  }
 }
