@@ -115,6 +115,16 @@ object SparkEntry {
     // trailing-7-day per-user features: RANGE frame over integer day
     // numbers, exact integer cents end-to-end
     "q_rolling_user_revenue" -> ev(WindowedQueries.rollingUserRevenue),
+    // deterministic Poisson bootstrap (md5-hash weights, never rand()):
+    // replicate means divide exact longs, CI bounds are rank selections
+    "q_bootstrap_ci" -> ev(EventQueries.bootstrapCi(_)),
+    // next-fit-decreasing bin packing of per-day partition sizes — the
+    // third sequential recurrence on the gate (backlogQueue's shape)
+    "q_compaction_plan" -> ev(EventQueries.compactionPlan(_)),
+    // blocked entity resolution on the part-name vocabulary: equi-join
+    // on the block key, Levenshtein only within blocks
+    "q_part_matching" -> ((s, dir) =>
+      RelationalQueries.nameMatching(Sources.table(s, dir, "part"))),
     // PageRank over the symmetrized co-purchase graph: Pregel-shaped
     // power iteration (one edge-keyed shuffle + one node aggregate per
     // round, dangling mass as a broadcast scalar). Approximate by
@@ -1453,6 +1463,83 @@ object SparkEntry {
          |  floor((CAST(top10_cents AS DOUBLE) / CAST(total_cents AS DOUBLE))
          |    * 10000 + 0.5) / 10000 AS top10_share
          |FROM sh CROSS JOIN t ORDER BY n_users""".stripMargin,
+    // hash-seeded Poisson weights via the SHARED hex thresholds (the
+    // CASE chain renders from the same Scala list as the when-chain);
+    // replicate means divide exact longs; CI bounds are rank selections
+    // over the 4dp-rounded means
+    "q_bootstrap_ci" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |pt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |    floor((CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*))
+         |      * 10000 + 0.5) / 10000 AS mean_daily_cents
+         |  FROM d),
+         |e AS (
+         |  SELECT r.rep, d.cents,
+         |    ${EventQueries.poissonWeightSql(
+              "substring(md5(concat(CAST(d.event_date AS VARCHAR), ':', " +
+                "CAST(r.rep AS VARCHAR))), 1, 8)")} AS w
+         |  FROM d CROSS JOIN
+         |    generate_series(1, ${EventQueries.BootstrapReps}) AS r(rep)),
+         |rm AS MATERIALIZED (
+         |  SELECT rep,
+         |    floor((CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE) /
+         |      CAST(sum(w) AS BIGINT)) * 10000 + 0.5) / 10000 AS m
+         |  FROM e GROUP BY rep HAVING sum(w) > 0),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reps FROM rm),
+         |rk AS (
+         |  SELECT m, CAST(row_number() OVER (ORDER BY m, rep) AS BIGINT)
+         |    AS rk
+         |  FROM rm)
+         |SELECT pt.n_days, pt.mean_daily_cents, nr.n_reps,
+         |  max(CASE WHEN rk.rk = greatest(1, (nr.n_reps * 25) // 1000)
+         |    THEN m END) AS ci_lo,
+         |  max(CASE WHEN rk.rk = nr.n_reps -
+         |      greatest(1, (nr.n_reps * 25) // 1000) + 1
+         |    THEN m END) AS ci_hi
+         |FROM rk CROSS JOIN nr CROSS JOIN pt
+         |GROUP BY pt.n_days, pt.mean_daily_cents, nr.n_reps
+         |ORDER BY n_days""".stripMargin,
+    // the identical next-fit CASE stepped by a recursive CTE over the
+    // same (bytes DESC, day) order; day > cap opens its own bin
+    "q_compaction_plan" ->
+      s"""WITH RECURSIVE s AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(sum(coalesce(length(props), 0) + 64) AS BIGINT) AS bytes
+         |  FROM events GROUP BY 1),
+         |r AS MATERIALIZED (
+         |  SELECT event_date, bytes,
+         |    row_number() OVER (ORDER BY bytes DESC, event_date) AS i
+         |  FROM s),
+         |b AS (
+         |  SELECT i, event_date, bytes, 1 AS bin, bytes AS fill
+         |  FROM r WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.i, r.event_date, r.bytes,
+         |    CASE WHEN b.fill + r.bytes <= ${EventQueries.CompactionCapBytes}
+         |      THEN b.bin ELSE b.bin + 1 END,
+         |    CASE WHEN b.fill + r.bytes <= ${EventQueries.CompactionCapBytes}
+         |      THEN b.fill + r.bytes ELSE r.bytes END
+         |  FROM b JOIN r ON r.i = b.i + 1)
+         |SELECT event_date, bytes, CAST(bin AS BIGINT) AS bin
+         |FROM b ORDER BY event_date""".stripMargin,
+    // same block + threshold in both engines — the gate certifies pair
+    // parity given the blocking; Levenshtein is the classic unit-cost
+    // edit distance in both
+    "q_part_matching" ->
+      s"""WITH n AS (
+         |  SELECT DISTINCT p_name AS name,
+         |    string_split(p_name, ' ')[-1] AS block
+         |  FROM part)
+         |SELECT a.block AS block, a.name AS name1, b.name AS name2,
+         |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+         |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+         |WHERE levenshtein(a.name, b.name) <=
+         |  ${RelationalQueries.NameMatchMaxDist}
+         |ORDER BY block, name1, name2""".stripMargin,
     // RANGE frame over integer day numbers — a calendar week even when
     // the user skips days; all values exact integer cents
     "q_rolling_user_revenue" ->

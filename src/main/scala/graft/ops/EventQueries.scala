@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, LongType}
@@ -1189,6 +1189,138 @@ object EventQueries {
       .select(col("r.event_date").as("event_date"),
         col("r.arrivals").as("arrivals"), col("r.backlog").as("backlog"),
         col("r.served").as("served"))
+      .orderBy("event_date")
+  }
+
+  /** Poisson-bootstrap replicate count — shared with the mirror. */
+  val BootstrapReps = 200
+
+  /** Cumulative Poisson(1) probabilities F(0)…F(7), rendered ONCE as
+    * 8-hex-digit thresholds on the md5-derived uniform. Both the Spark
+    * when-chain and the SQL CASE chain render from THIS list (the
+    * shared-constant discipline) — the literals need not equal the true
+    * CDF to the last ulp, they only need to be the SAME in both engines. */
+  val PoissonHexThresholds: Seq[String] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 0)) {
+      case (p, k) => (p / (k + 1), k + 1)
+    }.map(_._1).take(8).toSeq
+    pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(f => f"${(f * 4294967296.0).toLong}%08x")
+  }
+
+  /** Poisson(1) draw from the first 8 md5 hex digits: hex-string compare
+    * against the shared thresholds — a uniform [0,1) comparison that is
+    * pure string collation, identical in any engine. */
+  private def poissonWeight(u: Column): Column =
+    PoissonHexThresholds.zipWithIndex.reverse.foldLeft(lit(8L)) {
+      case (acc, (t, k)) => when(u < lit(t), lit(k.toLong)).otherwise(acc)
+    }
+
+  /** SQL rendering of [[poissonWeight]] over expression `u`. */
+  private[graft] def poissonWeightSql(u: String): String =
+    PoissonHexThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < '$t' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** Poisson bootstrap confidence interval for mean daily revenue — the
+    * resampling-uncertainty readout (n_days, point estimate in cents,
+    * replicate count, 2.5%/97.5% percentile bounds), fully DETERMINISTIC:
+    * replicate weights are Poisson(1) draws from md5(day:rep) — the
+    * hash-based resampling that survives reprocessing at 100 TB exactly
+    * like [[graft.ext.TextOps.splitExpr]]'s split (rand() never appears).
+    *
+    * Every replicate mean divides two exact longs (weighted cents sum /
+    * weight sum) with the identical op sequence, 4dp-rounds, and the
+    * percentile bounds are RANK SELECTIONS over the rounded means
+    * (quantile-parity discipline — never an interpolated percentile).
+    * Scale: the corpus collapses to the calendar-bounded daily frame
+    * FIRST; the ×[[BootstrapReps]] fan-out (a bounded per-row explode)
+    * and everything after runs on days×reps rows, and the rank window is
+    * over the reps-sized frame (the mixture-allocation argument). */
+  def bootstrapCi(events: DataFrame, reps: Int = BootstrapReps): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val point = daily
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("total_cents"))
+      .select(col("n_days"),
+        round2(col("total_cents").cast("double") / col("n_days"), 4)
+          .as("mean_daily_cents"))
+    val repMeans = daily
+      .withColumn("rep", explode(sequence(lit(1), lit(reps))))
+      .withColumn("w", poissonWeight(substring(md5(concat_ws(":",
+        col("event_date").cast("string"), col("rep").cast("string"))), 1, 8)))
+      .groupBy("rep")
+      .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
+      // an all-zero-weight replicate (P ≈ e^(−n_days)) drops in BOTH
+      // engines — loud in n_reps, never a fabricated 0/0
+      .filter(col("den") > 0)
+      .select(col("rep"),
+        round2(col("num").cast("double") / col("den"), 4).as("m"))
+    val nr = repMeans.agg(count(lit(1)).as("n_reps"))
+    val ranked = repMeans.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("rep"))).cast(LongType))
+    ranked.crossJoin(broadcast(nr))
+      .agg(max(col("n_reps")).as("n_reps"),
+        max(when(col("rk") ===
+          greatest(lit(1L), expr("(n_reps * 25) div 1000")), col("m")))
+          .as("ci_lo"),
+        max(when(col("rk") === col("n_reps") -
+          greatest(lit(1L), expr("(n_reps * 25) div 1000")) + 1, col("m")))
+          .as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_days"), col("mean_daily_cents"), col("n_reps"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("n_days")
+  }
+
+  /** Compaction bin capacity (logical payload bytes) — shared with the
+    * recursive mirror. */
+  val CompactionCapBytes = 16L * 1024
+
+  /** Small-file compaction plan — next-fit-DECREASING bin packing of
+    * per-day logical partition sizes (Σ payload bytes, a pure data
+    * computation both engines can evaluate) into ≤ [[CompactionCapBytes]]
+    * target bins: the lakehouse maintenance step that decides which
+    * partitions coalesce into one rewrite task.
+    *
+    * Next-fit's single (bin, fill) state makes this a SEQUENTIAL
+    * NON-LINEAR recurrence over the size-sorted day frame — exactly the
+    * [[backlogQueue]] shape, so it folds via sorted collect_list +
+    * aggregate HOF (calendar-bounded elements) and mirrors as a DuckDB
+    * recursive CTE stepping the identical CASE. A day larger than the cap
+    * opens its own (overflowing) bin — deterministic in both engines.
+    * The descending sort rides the ascending array_sort via a negated
+    * leading key. */
+  def compactionPlan(events: DataFrame,
+      cap: Long = CompactionCapBytes): DataFrame = {
+    val sizes = events.groupBy(day)
+      .agg(sum(coalesce(length(col("props")), lit(0)) + 64).as("bytes"))
+    val folded = sizes
+      .select(struct((-col("bytes")).as("nb"),
+        col("event_date").as("event_date"), col("bytes").as("bytes")).as("s"))
+      .agg(array_sort(collect_list(col("s"))).as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS ARRAY<STRUCT<event_date: DATE, " +
+          "bytes: BIGINT, bin: BIGINT, fill: BIGINT>>)"),
+        (acc, x) => {
+          val b = x.getField("bytes")
+          val prevBin = element_at(acc, -1).getField("bin")
+          val prevFill = element_at(acc, -1).getField("fill")
+          val bin = when(size(acc) === 0, 1L)
+            .otherwise(when(prevFill + b <= cap, prevBin)
+              .otherwise(prevBin + 1))
+          val fill = when(size(acc) === 0, b)
+            .otherwise(when(prevFill + b <= cap, prevFill + b).otherwise(b))
+          concat(acc, array(struct(
+            x.getField("event_date").as("event_date"), b.as("bytes"),
+            bin.as("bin"), fill.as("fill"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.event_date").as("event_date"), col("r.bytes").as("bytes"),
+        col("r.bin").as("bin"))
       .orderBy("event_date")
   }
 

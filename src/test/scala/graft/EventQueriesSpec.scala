@@ -601,6 +601,63 @@ class EventQueriesSpec extends SparkSpec {
     assert(got == Seq((3L, 600L, 0.2222, 0.5, 0.5)), got.toString)
   }
 
+  test("compactionPlan: next-fit-decreasing packs into capped bins") {
+    def ev(id: Long, day: Int, propLen: Int) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), 1L, "view", 1.0, "a" * propLen)
+    // per-day bytes = len + 64: d1 → 150, d2 → 100, d3 → 70; cap 200:
+    // NFD order 150,100,70 → bins 1, 2, 2
+    val df = Seq(ev(1, 1, 86), ev(2, 2, 36), ev(3, 3, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.compactionPlan(df, cap = 200L)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(got == Seq(
+      (d("2024-01-01"), 150L, 1L),
+      (d("2024-01-02"), 100L, 2L),
+      (d("2024-01-03"), 70L, 2L)), got.toString)
+  }
+
+  test("compactionPlan: an oversized day opens its own overflowing bin") {
+    def ev(id: Long, day: Int, propLen: Int) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), 1L, "view", 1.0, "a" * propLen)
+    // bytes: 250, 180, 100; cap 200 → 250 overflows bin 1 alone, 180
+    // opens bin 2, 100 doesn't fit after 180 → bin 3
+    val df = Seq(ev(1, 1, 186), ev(2, 2, 116), ev(3, 3, 36))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.compactionPlan(df, cap = 200L)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 2L, 3L), got.toString)
+  }
+
+  test("bootstrapCi: deterministic hash resampling brackets the mean") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    val df = (1 to 20).map(i => p(i.toLong, (i % 10) + 1, 10.0 + (i % 7)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.bootstrapCi(df)
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    val (nDays, mean, nReps, lo, hi) = got.head
+    assert(nDays == 10L)
+    assert(nReps == EventQueries.BootstrapReps.toLong) // no empty replicate
+    assert(lo <= hi, s"lo $lo hi $hi")
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] should bracket $mean")
+    // hash-determinism: a second evaluation is bit-identical
+    val again = EventQueries.bootstrapCi(df)
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("poisson hex thresholds are ascending 8-hex-digit strings") {
+    val ts0 = EventQueries.PoissonHexThresholds
+    assert(ts0.size == 8)
+    assert(ts0.forall(_.length == 8))
+    assert(ts0 == ts0.sorted)
+    // F(0) ≈ e^−1 and F(7) ≈ 1 as 32-bit hex fractions
+    assert(math.abs(java.lang.Long.parseLong(ts0.head, 16) / 4294967296.0 -
+      math.exp(-1.0)) < 1e-9)
+    assert(java.lang.Long.parseLong(ts0.last, 16) / 4294967296.0 > 0.9999)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

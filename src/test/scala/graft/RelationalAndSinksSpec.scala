@@ -354,4 +354,19 @@ class RelationalAndSinksSpec extends SparkSpec {
       .select("checksum").as[Long].collect().sorted.toSeq
     assert(cs1 == cs2)
   }
+
+  test("nameMatching: same-block pairs within the edit-distance cap") {
+    val part = Seq(
+      (1L, "old bolt"), (2L, "small bolt"), (3L, "red bolt"),
+      (4L, "blue gear"), (5L, "tiny gear"), (6L, "hot plate"),
+      (7L, "old bolt")) // duplicate name — vocabulary dedupes
+      .toDF("p_partkey", "p_name")
+    val got = RelationalQueries.nameMatching(part)
+      .as[(String, String, String, Int)].collect().toSeq
+    // red↔small bolt is distance 5 → excluded; hot plate has no peer
+    assert(got == Seq(
+      ("bolt", "old bolt", "red bolt", 2),
+      ("bolt", "old bolt", "small bolt", 4),
+      ("gear", "blue gear", "tiny gear", 4)), got.toString)
+  }
 }
