@@ -125,6 +125,25 @@ object SparkEntry {
     // on the block key, Levenshtein only within blocks
     "q_part_matching" -> ((s, dir) =>
       RelationalQueries.nameMatching(Sources.table(s, dir, "part"))),
+    // Benford first-digit screen: exact counts, per-digit χ² contribs,
+    // the total added left-associatively in digit order (generated chain)
+    "q_benford" -> ev(EventQueries.benford),
+    // Flesch–Kincaid grade + band per document; band decided on the
+    // 4dp-rounded score
+    "q_readability" -> docs(TextOps.readability),
+    // single-source BFS over the co-purchase graph: fixed idempotent
+    // relaxation rounds, generated unrolled mirror (the kCore shape)
+    "q_bfs_hops" -> ev(e =>
+      Graph.bfsHops(EventQueries.basketPairs(e, minSupport = 1,
+        sorted = false).select(col("item1"), col("item2")))),
+    // streaming complete-mode twin of q_weekday_seasonality: in-stream
+    // exact-decimal daily aggregate + the shared weekdayRollup finisher
+    "q_stream_weekday" -> ((s, dir) =>
+      EventQueries.weekdayRollup(
+        StreamingQueries.runCompleteMode(s, dir, "stream_weekday")(e =>
+          e.filter(col("event_type") === "purchase")
+            .groupBy(to_date(col("ts")).as("event_date"))
+            .agg(Exprs.exactSum(col("value")).as("rev"))))),
     // PageRank over the symmetrized co-purchase graph: Pregel-shaped
     // power iteration (one edge-keyed shuffle + one node aggregate per
     // round, dangling mass as a broadcast scalar). Approximate by
@@ -1205,6 +1224,28 @@ object SparkEntry {
       |SELECT event_id, event_type, value, quarantine_reason
       |FROM t WHERE quarantine_reason <> '' ORDER BY event_id""".stripMargin
 
+  /** Shared by `q_weekday_seasonality` (batch) and `q_stream_weekday`
+    * (complete-mode streaming daily aggregate + the same
+    * [[graft.ops.EventQueries.weekdayRollup]] finisher). */
+  private val WeekdaySeasonalitySql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |wd AS (
+      |  SELECT CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(round(sum(rev), 2) AS DOUBLE) AS weekday_revenue
+      |  FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
+      |    CAST(count(*) AS BIGINT) AS total_days
+      |  FROM d)
+      |SELECT weekday, n_days, weekday_revenue,
+      |  floor(((weekday_revenue / n_days) / (total_rev / total_days))
+      |    * 10000 + 0.5) / 10000 AS seasonal_index
+      |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin
+
   // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
   // (watermark + append-mode tumbling windows, sentinel-finalized): the
   // production streaming configuration must hash-match the batch SQL
@@ -1265,6 +1306,81 @@ object SparkEntry {
        |  SELECT a AS node FROM e$rounds
        |  UNION ALL SELECT b AS node FROM e$rounds)
        |GROUP BY 1 ORDER BY deg DESC, node""".stripMargin
+  }
+
+  /** Generated mirror for `q_bfs_hops`: the SAME fixed relaxation rounds
+    * unrolled (the kCoreSql discipline) — each round one min-aggregate
+    * over last round's distances unioned with edge-relaxed candidates,
+    * every CTE MATERIALIZED (the FD rule). The source is the
+    * lexicographically-smallest node in both engines. */
+  private def bfsHopsSql(rounds: Int = graft.ext.Graph.BfsRounds): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + 1 AS dist
+         |    FROM d${i - 1} d JOIN e ON e.a = d.node
+         |    WHERE d.dist IS NOT NULL) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${basketPairsCte(1)},
+       |e AS MATERIALIZED (
+       |  SELECT item1 AS a, item2 AS b FROM pairs
+       |  UNION ALL SELECT item2, item1 FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
+       |src AS (SELECT min(node) AS s FROM nodes),
+       |d0 AS MATERIALIZED (
+       |  SELECT node, CASE WHEN node = src.s THEN 0 END AS dist
+       |  FROM nodes CROSS JOIN src),
+       |$rs
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
+       |WHERE dist IS NOT NULL ORDER BY dist, node""".stripMargin
+  }
+
+  /** Generated mirror for `q_benford`: the expected-probability list and
+    * the χ² chain-sum both render from the SAME Scala constants
+    * ([[graft.ops.EventQueries.BenfordP]]); the nine contributions add
+    * left-associatively in digit order — never an order-free double SUM. */
+  private def benfordSql(): String = {
+    // DuckDB bare numeric literals are DECIMAL, and its DECIMAL→DOUBLE
+    // conversion can land one ulp off the correctly-rounded string parse —
+    // an exponent suffix forces a true DOUBLE literal (strtod path)
+    val ps = graft.ops.EventQueries.BenfordP
+      .map(p => s"CAST(${p}e0 AS DOUBLE)").mkString("[", ", ", "]")
+    val chain = (1 to 9)
+      .map(d => s"max(CASE WHEN digit = $d THEN contrib_raw END)")
+      .mkString(" + ")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+       |      AS digit,
+       |    CAST(count(*) AS BIGINT) AS observed
+       |  FROM (
+       |    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |    FROM events
+       |    WHERE event_type = 'purchase' AND value IS NOT NULL) t
+       |  WHERE cents > 0 GROUP BY 1),
+       |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+       |x AS (
+       |  SELECT CAST(d.digit AS INTEGER) AS digit,
+       |    CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
+       |    ($ps)[d.digit] AS expected_p,
+       |    CAST(n.n AS DOUBLE) * ($ps)[d.digit] AS np
+       |  FROM generate_series(1, 9) AS d(digit)
+       |  LEFT JOIN c ON c.digit = d.digit CROSS JOIN n),
+       |z AS MATERIALIZED (
+       |  SELECT digit, observed, expected_p,
+       |    ((CAST(observed AS DOUBLE) - np) * (CAST(observed AS DOUBLE) - np))
+       |      / np AS contrib_raw
+       |  FROM x),
+       |t AS (
+       |  SELECT floor(($chain) * 10000 + 0.5) / 10000 AS chi2 FROM z)
+       |SELECT z.digit, z.observed, z.expected_p,
+       |  floor(z.contrib_raw * 10000 + 0.5) / 10000 AS contrib,
+       |  t.chi2,
+       |  CASE WHEN t.chi2 > ${graft.ops.EventQueries.BenfordChiCrit}
+       |    THEN 'reject' ELSE 'consistent' END AS verdict
+       |FROM z CROSS JOIN t ORDER BY digit""".stripMargin
   }
 
   /** Generated mirror for `q_pagerank_exact`: the SAME fixed-point power
@@ -1381,24 +1497,10 @@ object SparkEntry {
          |CROSS JOIN nb
          |ORDER BY lift DESC, antecedent, consequent""".stripMargin,
     // Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
-    "q_weekday_seasonality" ->
-      s"""WITH d AS (
-         |  SELECT CAST(ts AS DATE) AS event_date,
-         |    sum(CAST(value AS DECIMAL(18,6))) AS rev
-         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-         |wd AS (
-         |  SELECT CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday,
-         |    CAST(count(*) AS BIGINT) AS n_days,
-         |    CAST(round(sum(rev), 2) AS DOUBLE) AS weekday_revenue
-         |  FROM d GROUP BY 1),
-         |t AS (
-         |  SELECT CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
-         |    CAST(count(*) AS BIGINT) AS total_days
-         |  FROM d)
-         |SELECT weekday, n_days, weekday_revenue,
-         |  floor(((weekday_revenue / n_days) / (total_rev / total_days))
-         |    * 10000 + 0.5) / 10000 AS seasonal_index
-         |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin,
+    "q_weekday_seasonality" -> WeekdaySeasonalitySql,
+    // the streaming complete-mode twin shares the batch oracle VERBATIM —
+    // the gate certifies only the daily-frame production differs
+    "q_stream_weekday" -> WeekdaySeasonalitySql,
     // per-user lag gaps; median = mean of the two middle ranks (one row
     // when n is odd) — two exact longs divided, never an interpolated
     // percentile
@@ -1575,6 +1677,34 @@ object SparkEntry {
     "q_pagerank_exact" -> pageRankExactSql(),
     // ten unrolled peeling rounds — see kCoreSql
     "q_kcore" -> kCoreSql(),
+    // six unrolled BFS relaxation rounds — see bfsHopsSql
+    "q_bfs_hops" -> bfsHopsSql(),
+    // generated chain-sum χ² mirror — see benfordSql
+    "q_benford" -> benfordSql(),
+    // identical regex/split semantics in both engines; empty and null
+    // docs drop on stated filters (null-text parity)
+    "q_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(list_filter(
+        |      string_split_regex(text, '[.!?]+'), x -> trim(x) <> ''))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents WHERE text IS NOT NULL),
+        |y AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences) +
+        |      11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+        |      * 10000 + 0.5) / 10000 AS fk_grade
+        |  FROM b WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, fk_grade,
+        |  CASE WHEN fk_grade < 8.0 THEN 'easy'
+        |    WHEN fk_grade < 12.0 THEN 'medium'
+        |    ELSE 'hard' END AS band
+        |FROM y ORDER BY doc_id""".stripMargin,
     // quintiles via integer floor-div over the global ordinal: Spark's
     // `div` ≡ DuckDB's `//` on non-negative BIGINTs; the naive-window
     // mirror certifies three Ordinals passes at once

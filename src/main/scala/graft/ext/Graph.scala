@@ -171,6 +171,41 @@ object Graph {
     * rounds with MATERIALIZED CTEs, so the gate certifies every peel
     * step. Output: surviving `(node, deg)`, deg ≥ k, ordered deg desc
     * with node tiebreak. */
+  /** Fixed BFS relaxation rounds — shared with the unrolled mirror. */
+  val BfsRounds = 6
+
+  /** Single-source BFS hop distances over a canonical undirected pair
+    * list `(x, y)`: [[BfsRounds]] synchronous frontier relaxations
+    * d_{i+1}(v) = min(d_i(v), 1 + min_{(u,v)∈E} d_i(u)) from the
+    * lexicographically-smallest node (a deterministic source both
+    * engines agree on, carried as a 1-row broadcast frame — no driver
+    * action). The step is IDEMPOTENT once converged (the kCore
+    * discipline: fixed rounds are gate-safe; should the graph's
+    * diameter exceed the rounds, both engines compute the identical
+    * partial relaxation). Per round: one edge-keyed shuffle join + one
+    * node-keyed min aggregate, lineage truncated by localCheckpoint.
+    * Unreached nodes stay NULL and are filtered in BOTH engines. */
+  def bfsHops(pairs: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val p = pairs.toDF("x", "y")
+    val e = p.union(p.select(col("y"), col("x"))).toDF("a", "b")
+      .localCheckpoint()
+    // symmetric list: every node appears on the `a` side
+    val nodes = e.select(col("a").as("node")).distinct().localCheckpoint()
+    val src = nodes.agg(min(col("node")).as("s"))
+    var dist = nodes.crossJoin(broadcast(src))
+      .select(col("node"), when(col("node") === col("s"), 0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.filter(col("dist").isNotNull)
+        .join(e.hint("shuffle_hash"), col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist").isNotNull).orderBy(col("dist"), col("node"))
+  }
+
   def kCore(edges: DataFrame, k: Int = 2,
       rounds: Int = KCoreRounds): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad kCore params: k=$k rounds=$rounds")

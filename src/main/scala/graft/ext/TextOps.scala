@@ -1161,4 +1161,42 @@ object TextOps {
         when(col("n_bigrams") > 0,
           round2(col("vocab_sum").cast("double") / col("n_bigrams"))))
       .orderBy("doc_id")
+
+  /** Flesch–Kincaid grade per document: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59, with syllables approximated by
+    * vowel-group count (the standard regex heuristic) and a grade band
+    * decided on the 4dp-ROUNDED score (quantile-parity discipline).
+    *
+    * All three counts are exact longs from ONE pass of string ops with
+    * identical regex semantics in both engines ([aeiou]+ vowel groups,
+    * [.!?]+ sentence split with blank segments dropped, space-split words
+    * with empties dropped); the grade is one fixed double op sequence
+    * from those exact inputs. The HOF lambdas touch only materialized
+    * attributes (the round-6 small-fan-out rule); null/empty docs drop in
+    * both engines (null-text parity rule — `text IS NOT NULL` and
+    * `n_words > 0` are stated filters, not silent coalesces). */
+  def readability(documents: DataFrame): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sents", split(col("text"), "[.!?]+"))
+      .withColumn("vg",
+        regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => t =!= "")).cast(LongType).as("n_words"),
+        greatest(lit(1L),
+          size(filter(col("sents"), s => trim(s) =!= "")).cast(LongType))
+          .as("n_sentences"),
+        size(col("vg")).cast(LongType).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fk_grade", round2(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+          lit(15.59), 4))
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_grade"),
+        when(col("fk_grade") < 8.0, "easy")
+          .when(col("fk_grade") < 12.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
+  }
 }

@@ -200,9 +200,16 @@ object EventQueries {
     * discipline: numerator and denominator materialize in subqueries,
     * the outer select divides). The overall mean rides a 1-row broadcast.
     * Scale: two aggregates over the calendar-bounded daily frame. */
-  def weekdaySeasonality(events: DataFrame): DataFrame = {
-    val daily = events.filter(col("event_type") === "purchase")
-      .groupBy(day).agg(exactSum(col("value")).as("rev"))
+  def weekdaySeasonality(events: DataFrame): DataFrame =
+    weekdayRollup(events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(exactSum(col("value")).as("rev")))
+
+  /** Shared finisher over a `(event_date, rev DECIMAL)` daily frame —
+    * called by [[weekdaySeasonality]] (batch) and the streaming twin
+    * `q_stream_weekday` (complete-mode daily aggregate), which share one
+    * oracle verbatim (the transitionRollup discipline: the gate then
+    * certifies only the daily-frame production differs). */
+  def weekdayRollup(daily: DataFrame): DataFrame = {
     val byWd = daily
       .groupBy(dayofweek(col("event_date")).as("weekday"))
       .agg(count(lit(1)).as("n_days"),
@@ -1273,6 +1280,70 @@ object EventQueries {
       .select(col("n_days"), col("mean_daily_cents"), col("n_reps"),
         col("ci_lo"), col("ci_hi"))
       .orderBy("n_days")
+  }
+
+  /** Benford first-digit expected probabilities log₁₀(1 + 1/d), d = 1…9 —
+    * ONE Scala list renders both the Spark array literal and the mirror's
+    * list literal (shared-constant discipline; Double.toString roundtrips,
+    * so both engines parse the identical binary double). */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** χ²(8 df, α = 0.01) critical value for the Benford verdict — the
+    * comparison runs on the 4dp-ROUNDED statistic in both engines. */
+  val BenfordChiCrit = 20.09
+
+  /** Benford's-law first-digit screen over purchase amounts — the classic
+    * fraud/data-fabrication detector: per leading cent digit the observed
+    * count, expected Benford probability, χ² contribution, plus the
+    * corpus-level χ² statistic and its α = 0.01 verdict replicated onto
+    * each row (the one-report shape).
+    *
+    * Digit extraction is pure string arithmetic (first char of the
+    * rendered positive cents long — engines render integers identically);
+    * counts are exact; each χ² contribution is the identical double op
+    * sequence ((obs − n·p)² / (n·p)) from exact inputs, and the total
+    * adds the NINE contributions left-associatively in digit order via a
+    * generated c₁+c₂+…+c₉ expression — never an order-free SUM of
+    * doubles. The digit spine (explode 1…9) makes absent digits
+    * contribute (0 − n·p)²/(n·p) in both engines. Scale: one events-sized
+    * aggregate to ≤ 9 rows; everything after is digit-frame arithmetic. */
+  def benford(events: DataFrame): DataFrame = {
+    val digits = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    // ONE corpus aggregate; n and the digit spine derive from the ≤9-row
+    // count frame (pinned for its three consumers)
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("observed"))
+      .localCheckpoint(true)
+    val n = counts.agg(sum(col("observed")).as("n"))
+    val spine = counts.agg(count(lit(1)).as("_c"))
+      .select(explode(sequence(lit(1), lit(9))).as("digit"))
+    val perDigit = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_p",
+        element_at(array(BenfordP.map(lit): _*), col("digit")))
+      .withColumn("np", col("n").cast("double") * col("expected_p"))
+      .withColumn("diff", col("observed").cast("double") - col("np"))
+      .withColumn("contrib_raw", col("diff") * col("diff") / col("np"))
+      .localCheckpoint(true)
+    val pivots = (1 to 9).map(d =>
+      max(when(col("digit") === d, col("contrib_raw"))).as(s"c$d"))
+    val chi2 = perDigit.groupBy()
+      .agg(pivots.head, pivots.tail: _*)
+      .select(round2((1 to 9).map(d => col(s"c$d"))
+        .reduceLeft(_ + _), 4).as("chi2"))
+      .select(col("chi2"),
+        when(col("chi2") > BenfordChiCrit, "reject")
+          .otherwise("consistent").as("verdict"))
+    perDigit.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("observed"), col("expected_p"),
+        round2(col("contrib_raw"), 4).as("contrib"),
+        col("chi2"), col("verdict"))
+      .orderBy("digit")
   }
 
   /** Compaction bin capacity (logical payload bytes) — shared with the

@@ -658,6 +658,29 @@ class EventQueriesSpec extends SparkSpec {
     assert(java.lang.Long.parseLong(ts0.last, 16) / 4294967296.0 > 0.9999)
   }
 
+  test("benford: uniform digits, exact chain-summed chi-square, verdict") {
+    def p(id: Long, v: Double) =
+      (id, ts("2024-01-01 10:00:00"), id, "purchase", v, "{}")
+    // one purchase per leading digit (1.00 … 9.00) + an excluded zero
+    val df = ((1 to 9).map(d => p(d.toLong, d.toDouble)) :+ p(10, 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.benford(df)
+      .as[(Int, Long, Double, Double, Double, String)].collect().toSeq
+    assert(got.map(_._1) == (1 to 9))
+    assert(got.map(_._2) == Seq.fill(9)(1L))
+    assert(got.map(_._3) == EventQueries.BenfordP)
+    // independent plain-Scala arithmetic: contrib_d = (1−9p)²/(9p),
+    // chi2 = left-assoc sum, both 4dp floor-rounded
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val contribs = EventQueries.BenfordP.map { pd =>
+      val np = 9.0 * pd; val d = 1.0 - np; d * d / np
+    }
+    assert(got.map(_._4) == contribs.map(r4))
+    val chi2 = r4(contribs.reduceLeft(_ + _))
+    assert(got.forall(_._5 == chi2), got.map(_._5).toString)
+    assert(got.forall(_._6 == "consistent")) // 3.6153 < 20.09
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

@@ -211,4 +211,17 @@ class GraphSpec extends SparkSpec {
     val counts = rows.map(_._2).toSeq
     assert(counts == counts.sorted.reverse)
   }
+
+  test("bfsHops: hop distances from the smallest node; unreached dropped") {
+    val pairs = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("E", "F"))
+      .toDF("item1", "item2")
+    val got = Graph.bfsHops(pairs).as[(String, Long)].collect().toSeq
+    // source = min node "A"; the E–F component is unreachable
+    assert(got == Seq(("A", 0L), ("B", 1L), ("C", 2L), ("D", 3L)),
+      got.toString)
+    // idempotent past convergence: extra rounds change nothing
+    val more = Graph.bfsHops(pairs, rounds = 9).as[(String, Long)]
+      .collect().toSeq
+    assert(more == got)
+  }
 }

@@ -676,4 +676,22 @@ class TextOpsSpec extends SparkSpec {
     // the two identical points either co-survive or co-die
     assert(got.count(r => r._1 == 100L || r._1 == 101L) % 2 == 0)
   }
+
+  test("readability: FK grade from exact word/sentence/vowel-group counts") {
+    val docs = Seq(
+      (1L, "the cat sat. a dog ran!"),
+      (2L, ""),              // no words → dropped
+      (3L, "zzz zzz"))       // no vowels → syllables 0
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs)
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    // doc 1: words 6 (incl 'sat.'/'ran!'), sentences 2, vowel groups 6 →
+    // 0.39·3 + 11.8·1 − 15.59 = −2.62
+    assert(got.map(_._1) == Seq(1L, 3L))
+    assert(got.head == (1L, 6L, 2L, 6L, -2.62, "easy"), got.head.toString)
+    val d3 = got(1)
+    assert(d3 == (3L, 2L, 1L, 0L,
+      math.floor((0.39 * 2.0 + 0.0 - 15.59) * 10000 + 0.5) / 10000, "easy"),
+      d3.toString)
+  }
 }
