@@ -128,6 +128,12 @@ object SparkEntry {
     // Benford first-digit screen: exact counts, per-digit χ² contribs,
     // the total added left-associatively in digit order (generated chain)
     "q_benford" -> ev(EventQueries.benford),
+    // Z-order layout report: Morton interleave generated from ONE Scala
+    // loop for both engines; 64 blocks with min/max zone-map envelopes
+    "q_zorder_layout" -> ev(EventQueries.zorderLayout),
+    // trailing-hour per-user velocity rule (RANGE frame over epoch
+    // seconds): exact counts, integer threshold — the fraud flag
+    "q_velocity_flags" -> ev(EventQueries.velocityFlags),
     // Flesch–Kincaid grade + band per document; band decided on the
     // 4dp-rounded score
     "q_readability" -> docs(TextOps.readability),
@@ -1679,6 +1685,38 @@ object SparkEntry {
     "q_kcore" -> kCoreSql(),
     // six unrolled BFS relaxation rounds — see bfsHopsSql
     "q_bfs_hops" -> bfsHopsSql(),
+    // the same generated Morton interleave (one Scala loop renders both
+    // engines' bit arithmetic); integer ops are bit-exact
+    "q_zorder_layout" ->
+      s"""WITH c AS (
+         |  SELECT user_id % ${1L << graft.ops.EventQueries.ZOrderBits} AS x,
+         |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') %
+         |      ${1 << graft.ops.EventQueries.ZOrderBits} AS BIGINT) AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT x, y,
+         |    (${graft.ops.EventQueries.mortonSql("x", "y")})
+         |      >> ${graft.ops.EventQueries.ZOrderBlockShift} AS block
+         |  FROM c)
+         |SELECT block, CAST(count(*) AS BIGINT) AS n_events,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM m GROUP BY block ORDER BY block""".stripMargin,
+    // RANGE frame over epoch seconds, inclusive trailing window; the
+    // non-negative epoch makes `div` ≡ `//`
+    "q_velocity_flags" ->
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, user_id, sec,
+         |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+         |      RANGE BETWEEN ${EventQueries.VelocityWindowSec} PRECEDING
+         |        AND CURRENT ROW) AS BIGINT) AS n_in_window
+         |  FROM b)
+         |SELECT event_id, user_id, sec, n_in_window
+         |FROM w WHERE n_in_window >= ${EventQueries.VelocityMinEvents}
+         |ORDER BY event_id""".stripMargin,
     // generated chain-sum χ² mirror — see benfordSql
     "q_benford" -> benfordSql(),
     // identical regex/split semantics in both engines; empty and null

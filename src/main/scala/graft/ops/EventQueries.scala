@@ -1282,6 +1282,80 @@ object EventQueries {
       .orderBy("n_days")
   }
 
+  /** Z-order curve bit width per dimension (8 → a 16-bit Morton code)
+    * and the block shift (top 6 bits → 64 layout blocks) — shared with
+    * the generated mirror. */
+  val ZOrderBits = 8
+  val ZOrderBlockShift = 10
+
+  /** Morton (Z-order) interleave of two [[ZOrderBits]]-bit dimensions —
+    * x on even bit positions, y on odd. Pure integer bit arithmetic
+    * (shift / mask / multiply-by-power-of-two / add), generated from one
+    * Scala loop for BOTH engines. */
+  private def mortonCol(x: Column, y: Column): Column =
+    (0 until ZOrderBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduceLeft(_ + _)
+
+  /** SQL rendering of [[mortonCol]] — the same loop, the same constants. */
+  private[graft] def mortonSql(x: String, y: String): String =
+    (0 until ZOrderBits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Z-order data-layout report — the data-skipping diagnostic behind a
+    * lakehouse Z-ORDER/cluster-by decision: events map onto a 2-D Morton
+    * curve over (user bucket, day number), the curve splits into 64
+    * blocks (the would-be file boundaries), and each block reports its
+    * row count and per-dimension min/max envelope. Tight envelopes on
+    * BOTH dimensions are exactly what lets min/max zone maps skip files
+    * for either a user- or a date-predicate — the report a layout
+    * optimizer reads before rewriting. All arithmetic is integer
+    * shift/mask/add — bit-exact in any engine; one events-sized
+    * aggregate to ≤ 64 rows. */
+  def zorderLayout(events: DataFrame): DataFrame = {
+    val coords = events.select(
+      pmod(col("user_id"), lit(1L << ZOrderBits)).as("x"),
+      (datediff(to_date(col("ts")), lit("1970-01-01").cast(DateType)) %
+        (1 << ZOrderBits)).cast(LongType).as("y"))
+    coords
+      .select(col("x"), col("y"),
+        shiftright(mortonCol(col("x"), col("y")), ZOrderBlockShift)
+          .as("block"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("block")
+  }
+
+  /** Velocity-rule window: events within the trailing
+    * [[VelocityWindowSec]] seconds (inclusive) per user; flag at
+    * ≥ [[VelocityMinEvents]]. Shared with the mirror. */
+  val VelocityWindowSec = 3600L
+  val VelocityMinEvents = 3L
+
+  /** Velocity fraud flags — the rate-limit/fraud rule every risk engine
+    * runs: events whose trailing one-hour per-user window (RANGE frame
+    * over epoch seconds — a true time window even across idle gaps, the
+    * rollingUserRevenue discipline) contains ≥ [[VelocityMinEvents]]
+    * events. Counts are exact longs; the flag is an integer comparison —
+    * nothing to round. The window partitions by user (hot partition
+    * bounded by the busiest user, the interPurchaseGaps argument). */
+  def velocityFlags(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 1000000").cast(LongType).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-VelocityWindowSec, Window.currentRow)
+    base
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .filter(col("n_in_window") >= VelocityMinEvents)
+      .select(col("event_id"), col("user_id"), col("sec"), col("n_in_window"))
+      .orderBy("event_id")
+  }
+
   /** Benford first-digit expected probabilities log₁₀(1 + 1/d), d = 1…9 —
     * ONE Scala list renders both the Spark array literal and the mirror's
     * list literal (shared-constant discipline; Double.toString roundtrips,

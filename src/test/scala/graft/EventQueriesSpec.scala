@@ -681,6 +681,37 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.forall(_._6 == "consistent")) // 3.6153 < 20.09
   }
 
+  test("zorderLayout: Morton interleave and zone-map envelopes") {
+    // x = user_id % 256, y = days-since-epoch % 256; morton(x=3, y=5):
+    // x bits on even positions (1+4=5), y bits on odd (2·(1+16)=34) → 39
+    // 2024-01-01 is day 19723 → y = 19723 % 256 = 11
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 259L, "view", 1.0, "{}")) // x also 3
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.zorderLayout(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // morton(3, 11) = 5 + 2·(1 + 0·4 + 16) = 5 + 34 = 39 → block 39>>10=0
+    assert(got == Seq((0L, 2L, 3L, 3L, 11L, 11L)), got.toString)
+  }
+
+  test("velocityFlags: trailing-hour RANGE window flags bursts only") {
+    def e(id: Long, t: String, u: Long) = (id, ts(t), u, "view", 1.0, "{}")
+    val df = Seq(
+      // u1: three events inside one hour → 3rd (and later) flagged
+      e(1, "2024-01-01 10:00:00", 1), e(2, "2024-01-01 10:20:00", 1),
+      e(3, "2024-01-01 10:59:00", 1),
+      // a 4th event 2h later: window holds only itself → unflagged
+      e(4, "2024-01-01 13:00:00", 1),
+      // u2: two events → never reaches 3
+      e(5, "2024-01-01 10:00:00", 2), e(6, "2024-01-01 10:01:00", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.velocityFlags(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L), got.toString)
+    assert(got.head._4 == 3L)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
