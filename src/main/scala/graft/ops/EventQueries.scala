@@ -1282,6 +1282,94 @@ object EventQueries {
       .orderBy("n_days")
   }
 
+  /** Additive seasonal decomposition of daily revenue — trend (centered
+    * 7-day moving average, NULL at the 3-day edges rather than a
+    * fabricated partial mean), seasonal (weekday mean − overall mean, the
+    * additive twin of [[weekdaySeasonality]]'s index) and residual
+    * (revenue − trend − seasonal) — the STL-lite readout an anomaly
+    * baseline subtracts before thresholding.
+    *
+    * The trend frame sums the EXACT decimal daily revenue (order-fixed
+    * ROWS frame + exact accumulator, the runningRevenue discipline) and
+    * divides once as double; seasonal and residual are fixed double op
+    * sequences over exact-derived inputs, 4dp floor-rounded for display
+    * while the residual subtracts the RAW (unrounded) components — the
+    * mirror states the identical structure. Scale: everything after the
+    * events-sized daily aggregate runs on the calendar-bounded frame. */
+  def seasonalDecomposition(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(exactSum(col("value")).as("rev"))
+      .localCheckpoint(true)
+    val w = Window.orderBy("event_date").rowsBetween(-3, 3)
+    val wd = daily.groupBy(dayofweek(col("event_date")).as("weekday"))
+      .agg(count(lit(1)).as("wd_days"),
+        round(sum(col("rev")), 2).cast("double").as("wd_rev"))
+      .select(col("weekday"),
+        (col("wd_rev") / col("wd_days")).as("wd_mean"))
+    val overall = daily.agg(
+      (round(sum(col("rev")), 2).cast("double") / count(lit(1)))
+        .as("om"))
+    daily
+      .withColumn("trend_raw",
+        when(count(lit(1)).over(w) === 7,
+          round(sum(col("rev")).over(w), 2).cast("double") / 7))
+      .withColumn("weekday", dayofweek(col("event_date")))
+      .join(broadcast(wd), Seq("weekday"))
+      .crossJoin(broadcast(overall))
+      .select(col("event_date"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round2(col("trend_raw"), 4).as("trend"),
+        round2(col("wd_mean") - col("om"), 4).as("seasonal"),
+        round2(round(col("rev"), 2).cast("double") - col("trend_raw") -
+          (col("wd_mean") - col("om")), 4).as("residual"))
+      .orderBy("event_date")
+  }
+
+  /** OLS trend of daily revenue against the day index — slope
+    * (cents/day), intercept and r² from the closed-form normal equations
+    * over EXACT integer moment sums (Σx, Σy, Σxy, Σx², Σy² accumulate in
+    * DECIMAL(38,0) ≡ HUGEINT — the q_revenue_concentration discipline;
+    * x·y and y² overflow a long at warehouse scale), divided once as
+    * doubles with the identical op sequence and 4dp floor-rounded. The
+    * day index anchors to the first purchase day via a 1-row broadcast.
+    * Scale: one events-sized aggregate to the daily frame, then a
+    * five-sum aggregate to ONE row. */
+  def revenueTrend(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val first = daily.agg(min(col("event_date")).as("d0"))
+    val xy = daily.crossJoin(broadcast(first))
+      .select((datediff(col("event_date"), col("d0")) + 1)
+        .cast("decimal(19,0)").as("x"),
+        col("cents").cast("decimal(19,0)").as("y"))
+    val sums = xy.agg(
+      count(lit(1)).cast("decimal(19,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums
+      .withColumn("d1", (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)"))
+      .withColumn("d2", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)"))
+      .withColumn("d3", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("decimal(38,0)"))
+      .withColumn("slope_raw",
+        col("d1").cast("double") / col("d2").cast("double"))
+      .select(col("n").cast("long").as("n_days"),
+        round2(col("slope_raw"), 4).as("slope_cents_per_day"),
+        round2((col("sy").cast("double") -
+          col("slope_raw") * col("sx").cast("double")) /
+          col("n").cast("double"), 4).as("intercept_cents"),
+        round2((col("d1").cast("double") * col("d1").cast("double")) /
+          (col("d2").cast("double") * col("d3").cast("double")), 4)
+          .as("r2"))
+      .orderBy("n_days")
+  }
+
   /** Z-order curve bit width per dimension (8 → a 16-bit Morton code)
     * and the block shift (top 6 bits → 64 layout blocks) — shared with
     * the generated mirror. */

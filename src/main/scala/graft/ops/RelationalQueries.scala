@@ -677,6 +677,32 @@ object RelationalQueries {
     * catalog-sized, not row-sized — and Levenshtein is evaluated only on
     * within-block pairs. Spark and DuckDB both implement the classic
     * unit-cost edit distance, so the integer rides the gate. */
+  /** Exact per-brand retail-price quartile anchors — count, min/max and
+    * MEDIAN cents per brand, the two-middle-ranks discipline
+    * (q_mad_anomalies) generalized to PER-GROUP medians: the rank and
+    * count windows partition by brand (each partition bounded by the
+    * largest brand's catalog slice, never the corpus), and the median
+    * divides two exact longs — no interpolated percentile. */
+  def brandMedianPrice(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBrand = Window.partitionBy(col("p_brand"))
+    val ranked = part.select(col("p_brand"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"),
+        col("p_partkey"))
+      .withColumn("rk", row_number().over(
+        byBrand.orderBy(col("cents"), col("p_partkey"))).cast("long"))
+      .withColumn("nb", count(lit(1)).over(byBrand))
+      .withColumn("mid", col("rk") === expr("(nb + 1) div 2") ||
+        col("rk") === expr("(nb + 2) div 2"))
+    ranked.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        (sum(when(col("mid"), col("cents"))).cast("double") /
+          sum(when(col("mid"), 1L))).as("median_cents"))
+      .orderBy("p_brand")
+  }
+
   def nameMatching(part: DataFrame,
       maxDist: Int = NameMatchMaxDist): DataFrame = {
     val names = part.select(col("p_name")).distinct()

@@ -712,6 +712,34 @@ class EventQueriesSpec extends SparkSpec {
     assert(got.head._4 == 3L)
   }
 
+  test("seasonalDecomposition: flat series → zero seasonal/residual, edge-null trend") {
+    def p(id: Long, day: Int) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", 10.0, "{}")
+    val df = (1 to 14).map(d => p(d.toLong, d))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.seasonalDecomposition(df)
+      .as[(java.sql.Date, Double, Option[Double], Double, Option[Double])]
+      .collect().toSeq
+    assert(got.size == 14)
+    assert(got.forall(_._2 == 10.0))
+    assert(got.forall(_._4 == 0.0))             // constant → no seasonality
+    val (edges, interior) = got.partition(r =>
+      r._1.toLocalDate.getDayOfMonth <= 3 || r._1.toLocalDate.getDayOfMonth >= 12)
+    assert(edges.forall(r => r._3.isEmpty && r._5.isEmpty))
+    assert(interior.forall(r => r._3.contains(10.0) && r._5.contains(0.0)))
+  }
+
+  test("revenueTrend: exact OLS on a perfect line") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    // cents = 100 + 50·x for x = 1..5
+    val df = (1 to 5).map(d => p(d.toLong, d, 1.0 + 0.5 * d))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.revenueTrend(df)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((5L, 50.0, 100.0, 1.0)), got.toString)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

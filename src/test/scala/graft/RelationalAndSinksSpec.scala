@@ -355,6 +355,18 @@ class RelationalAndSinksSpec extends SparkSpec {
     assert(cs1 == cs2)
   }
 
+  test("brandMedianPrice: per-group two-middle-ranks median") {
+    val part = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),   // odd → 200
+      (4L, "B", 1.0), (5L, "B", 2.0))                   // even → 150
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    val got = RelationalQueries.brandMedianPrice(part)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 100L, 300L, 200.0),
+      ("B", 2L, 100L, 200L, 150.0)), got.toString)
+  }
+
   test("nameMatching: same-block pairs within the edit-distance cap") {
     val part = Seq(
       (1L, "old bolt"), (2L, "small bolt"), (3L, "red bolt"),
