@@ -142,6 +142,13 @@ object SparkEntry {
     // per-group exact medians: two-middle-ranks generalized per brand
     "q_brand_median_price" -> ((s, dir) =>
       RelationalQueries.brandMedianPrice(Sources.table(s, dir, "part"))),
+    // ER survivorship: match pairs → min-label CC clusters → golden
+    // records; certifies connectedComponents on STRING vertex ids
+    "q_name_survivorship" -> ((s, dir) =>
+      RelationalQueries.nameSurvivorship(Sources.table(s, dir, "part"))),
+    // zone-map pruning over a Z-ordered partitioned layout: the gate
+    // certifies candidate selection lossless; PartitionFilters spec-pinned
+    "q_zorder_prune" -> ev(EventQueries.zorderPrune),
     // Flesch–Kincaid grade + band per document; band decided on the
     // 4dp-rounded score
     "q_readability" -> docs(TextOps.readability),
@@ -1642,6 +1649,34 @@ object SparkEntry {
          |  FROM b JOIN r ON r.i = b.i + 1)
          |SELECT event_date, bytes, CAST(bin AS BIGINT) AS bin
          |FROM b ORDER BY event_date""".stripMargin,
+    // naive recursive reachability over the same match-pair edges; the
+    // left join keeps unmatched names as their own canonical
+    "q_name_survivorship" ->
+      s"""WITH RECURSIVE n AS (
+         |  SELECT DISTINCT p_name AS name,
+         |    string_split(p_name, ' ')[-1] AS block
+         |  FROM part),
+         |p AS (
+         |  SELECT a.name AS name1, b.name AS name2
+         |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+         |  WHERE levenshtein(a.name, b.name) <=
+         |    ${RelationalQueries.NameMatchMaxDist}),
+         |e AS (SELECT name1 AS src, name2 AS dst FROM p
+         |      UNION SELECT name2, name1 FROM p),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src),
+         |lab AS (SELECT src AS name, min(node) AS canonical
+         |        FROM reach GROUP BY 1),
+         |m AS (
+         |  SELECT part.p_name,
+         |    coalesce(lab.canonical, part.p_name) AS canonical_name
+         |  FROM part LEFT JOIN lab ON lab.name = part.p_name)
+         |SELECT canonical_name,
+         |  CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
+         |  CAST(count(*) AS BIGINT) AS n_parts
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // same block + threshold in both engines — the gate certifies pair
     // parity given the blocking; Levenshtein is the classic unit-cost
     // edit distance in both
@@ -1797,6 +1832,36 @@ object SparkEntry {
         |    sum(CASE WHEN rk = (nb + 1) // 2 OR rk = (nb + 2) // 2
         |      THEN 1 END) AS median_cents
         |FROM r GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the same Morton arithmetic reconstructs the layout, the zone-map
+    // candidate set and the probe count — pruning is lossless by the gate
+    "q_zorder_prune" -> {
+      val b = 1L << graft.ops.EventQueries.ZOrderBits
+      s"""WITH c AS (
+         |  SELECT user_id % $b AS x,
+         |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') % $b AS BIGINT)
+         |      AS y
+         |  FROM events),
+         |m AS MATERIALIZED (
+         |  SELECT x, y,
+         |    (${graft.ops.EventQueries.mortonSql("x", "y")})
+         |      >> ${graft.ops.EventQueries.ZOrderBlockShift} AS block
+         |  FROM c),
+         |l AS MATERIALIZED (
+         |  SELECT block, min(x) AS x_min, max(x) AS x_max
+         |  FROM m GROUP BY 1)
+         |SELECT
+         |  CAST(${graft.ops.EventQueries.ZOrderProbeX} AS BIGINT)
+         |    AS x_target,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_blocks,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM l
+         |   WHERE x_min <= ${graft.ops.EventQueries.ZOrderProbeX}
+         |     AND x_max >= ${graft.ops.EventQueries.ZOrderProbeX})
+         |    AS n_candidate_blocks,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m
+         |   WHERE x = ${graft.ops.EventQueries.ZOrderProbeX})
+         |    AS n_rows_matched
+         |ORDER BY x_target""".stripMargin
+    },
     // RANGE frame over epoch seconds, inclusive trailing window; the
     // non-negative epoch makes `div` ≡ `//`
     "q_velocity_flags" ->

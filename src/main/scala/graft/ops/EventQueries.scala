@@ -1419,6 +1419,56 @@ object EventQueries {
       .orderBy("block")
   }
 
+  /** Probe user-bucket for the [[zorderPrune]] demo — shared with the
+    * mirror. */
+  val ZOrderProbeX = 5L
+
+  /** Zone-map-driven scan pruning over a Z-ordered layout — the payoff
+    * end of [[zorderLayout]]: events land in a parquet table PARTITIONED
+    * by Morton block (a fresh temp dir per invocation — the round-6
+    * side-effect rule), the per-block x-envelopes become the zone map,
+    * and a probe predicate `x = [[ZOrderProbeX]]` reads ONLY the blocks
+    * whose envelope can match (a partition-column IN filter Spark prunes
+    * at listing time — the spec pins `PartitionFilters` in the plan).
+    * Output: one row (probe, total blocks, candidate blocks, matched
+    * rows) — all mirrorable from the same Morton arithmetic, so the gate
+    * certifies the candidate selection is LOSSLESS (the pruned count
+    * equals the full-scan predicate count). The candidate-block collect
+    * is ≤ 64 rows (a bounded driver scalar, like the erasure key list). */
+  def zorderPrune(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+    try {
+      val coords = events.select(
+          pmod(col("user_id"), lit(1L << ZOrderBits)).as("x"),
+          (datediff(to_date(col("ts")), lit("1970-01-01").cast(DateType)) %
+            (1 << ZOrderBits)).cast(LongType).as("y"))
+        .withColumn("block",
+          shiftright(mortonCol(col("x"), col("y")), ZOrderBlockShift))
+      coords.write.partitionBy("block").parquet(s"$tmp/t")
+      val table = spark.read.parquet(s"$tmp/t")
+        .withColumn("block", col("block").cast(LongType))
+      val layout = table.groupBy("block")
+        .agg(min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+        .localCheckpoint(true)
+      val nBlocks = layout.count()
+      val cands = layout
+        .filter(col("x_min") <= ZOrderProbeX && col("x_max") >= ZOrderProbeX)
+        .select(col("block")).as[Long].collect().toSeq.sorted
+      val matched = table
+        .filter(col("block").isin(cands: _*) && col("x") === ZOrderProbeX)
+        .count()
+      spark.range(1).select(
+          lit(ZOrderProbeX).as("x_target"),
+          lit(nBlocks).as("n_blocks"),
+          lit(cands.size.toLong).as("n_candidate_blocks"),
+          lit(matched).as("n_rows_matched"))
+        .orderBy("x_target")
+        .localCheckpoint(true)
+    } finally graft.Fs.deleteRecursively(tmp)
+  }
+
   /** Velocity-rule window: events within the trailing
     * [[VelocityWindowSec]] seconds (inclusive) per user; flag at
     * ≥ [[VelocityMinEvents]]. Shared with the mirror. */

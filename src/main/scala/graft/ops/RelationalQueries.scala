@@ -703,6 +703,35 @@ object RelationalQueries {
       .orderBy("p_brand")
   }
 
+  /** Golden-record survivorship — the entity-resolution closer over
+    * [[nameMatching]]: matched name pairs become edges, transitive match
+    * clusters resolve by min-label connected components
+    * ([[graft.ext.Dedup.connectedComponents]] — the SAME primitive the
+    * dedup family certifies), the lexicographically-smallest member
+    * survives as the canonical name, and the catalog rolls up to one
+    * golden record per canonical (names merged, parts covered; unmatched
+    * names survive as their own canonical via the left join — never
+    * silently dropped).
+    *
+    * Mirror = the naive recursive-CTE reachability over the same edge
+    * list (the q_dup_clusters discipline), so the gate certifies the
+    * iterative min-label propagation a third time, now on STRING vertex
+    * ids. Scale: the cluster frame is vocabulary-sized — the join back
+    * onto the catalog broadcasts. */
+  def nameSurvivorship(part: DataFrame): DataFrame = {
+    val pairs = nameMatching(part).select(col("name1"), col("name2"))
+    val labels = graft.ext.Dedup.connectedComponents(pairs)
+      .select(col("id").as("name"), col("component").as("canonical"))
+    part.select(col("p_name"))
+      .join(broadcast(labels), col("p_name") === col("name"), "left")
+      .select(col("p_name"),
+        coalesce(col("canonical"), col("p_name")).as("canonical_name"))
+      .groupBy("canonical_name")
+      .agg(countDistinct(col("p_name")).as("n_names"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("canonical_name")
+  }
+
   def nameMatching(part: DataFrame,
       maxDist: Int = NameMatchMaxDist): DataFrame = {
     val names = part.select(col("p_name")).distinct()

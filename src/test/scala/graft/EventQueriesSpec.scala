@@ -740,6 +740,38 @@ class EventQueriesSpec extends SparkSpec {
     assert(got == Seq((5L, 50.0, 100.0, 1.0)), got.toString)
   }
 
+  test("zorderPrune: lossless candidate selection over a partitioned layout") {
+    // users 5 and 133 share x=5 after %256; user 7 does not
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 133L + 256L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 7L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-04 10:00:00"), 5L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.zorderPrune(df)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._1 == EventQueries.ZOrderProbeX)
+    // pruned read returns exactly the full-scan predicate count
+    assert(got._4 == 2L, got.toString)
+    assert(got._3 <= got._2)
+  }
+
+  test("zone-map partition pruning reaches PartitionFilters in the plan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune")
+    try {
+      spark.range(100)
+        .selectExpr("id AS x", "id % 4 AS block")
+        .write.partitionBy("block").parquet(s"$tmp/t")
+      val pruned = spark.read.parquet(s"$tmp/t")
+        .filter(col("block").isin(1, 3) && col("x") > 10)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[.*block#\\d+.* IN \\(1,3\\)".r
+        .findFirstIn(plan).isDefined, plan.take(2000))
+    } finally graft.Fs.deleteRecursively(tmp)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

@@ -367,6 +367,21 @@ class RelationalAndSinksSpec extends SparkSpec {
       ("B", 2L, 100L, 200L, 150.0)), got.toString)
   }
 
+  test("nameSurvivorship: transitive clusters resolve to the min name") {
+    val part = Seq(
+      // bolt chain: old↔red (2), old↔small (4) — red↔small is 5 but the
+      // transitive cluster still merges all three under "old bolt"
+      (1L, "old bolt"), (2L, "small bolt"), (3L, "red bolt"),
+      (4L, "red bolt"),                      // duplicate row, same name
+      (5L, "hot plate"))                     // unmatched → own canonical
+      .toDF("p_partkey", "p_name")
+    val got = RelationalQueries.nameSurvivorship(part)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("hot plate", 1L, 1L),
+      ("old bolt", 3L, 4L)), got.toString)
+  }
+
   test("nameMatching: same-block pairs within the edit-distance cap") {
     val part = Seq(
       (1L, "old bolt"), (2L, "small bolt"), (3L, "red bolt"),
