@@ -772,6 +772,27 @@ class EventQueriesSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(tmp)
   }
 
+  test("dynamic partition pruning fires on a dim-filtered fact join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      // fact partitioned by day; dim maps day → label with a selective
+      // filter — Spark should inject a dynamicpruning#N subquery on the
+      // fact's PARTITION column instead of scanning all partitions
+      spark.range(1000)
+        .selectExpr("id", "CAST(id % 10 AS INT) AS day")
+        .write.partitionBy("day").parquet(s"$tmp/fact")
+      val dim = spark.range(10)
+        .selectExpr("CAST(id AS INT) AS day",
+          "CASE WHEN id < 2 THEN 'hot' ELSE 'cold' END AS label")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val joined = fact.join(dim.filter(col("label") === lit("hot")), "day")
+      assert(joined.count() == 200L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(3000))
+    } finally graft.Fs.deleteRecursively(tmp)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
