@@ -137,6 +137,17 @@ object SparkEntry {
     // STL-lite: centered-7 trend (NULL edges), additive weekday
     // seasonal, residual from the RAW components
     "q_seasonal_decomposition" -> ev(EventQueries.seasonalDecomposition),
+    // median/MAD screen on the DESEASONALIZED residuals — expected
+    // weekday peaks no longer trip the detector
+    "q_residual_anomalies" -> ev(EventQueries.residualAnomalies(_)),
+    // gaps-and-islands longest consecutive-day streak per user
+    "q_user_streaks" -> ev(EventQueries.userStreaks),
+    // streaming complete-mode digit counts + shared benfordRollup —
+    // batch ≡ streamed Benford screen on the gate
+    "q_stream_benford" -> ((s, dir) =>
+      EventQueries.benfordRollup(
+        StreamingQueries.runCompleteMode(s, dir, "stream_benford")(
+          EventQueries.benfordDigitCounts))),
     // OLS normal equations over exact DECIMAL(38,0) ≡ HUGEINT moments
     "q_revenue_trend" -> ev(EventQueries.revenueTrend),
     // per-group exact medians: two-middle-ranks generalized per brand
@@ -1267,6 +1278,38 @@ object SparkEntry {
       |    * 10000 + 0.5) / 10000 AS seasonal_index
       |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin
 
+  /** Shared by `q_seasonal_decomposition` (directly) and
+    * `q_residual_anomalies` (as a MATERIALIZED prologue CTE). */
+  private val SeasonalDecompSql =
+    """WITH d AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |wd AS (
+      |  SELECT CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday,
+      |    CAST(round(sum(rev), 2) AS DOUBLE) / count(*) AS wd_mean
+      |  FROM d GROUP BY 1),
+      |o AS (
+      |  SELECT CAST(round(sum(rev), 2) AS DOUBLE) / count(*) AS om
+      |  FROM d),
+      |t AS (
+      |  SELECT event_date, rev,
+      |    CASE WHEN count(*) OVER w = 7
+      |      THEN CAST(round(sum(rev) OVER w, 2) AS DOUBLE) / 7 END
+      |      AS trend_raw,
+      |    CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday
+      |  FROM d
+      |  WINDOW w AS (ORDER BY event_date
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      |SELECT t.event_date,
+      |  CAST(round(t.rev, 2) AS DOUBLE) AS revenue,
+      |  floor(t.trend_raw * 10000 + 0.5) / 10000 AS trend,
+      |  floor((wd.wd_mean - o.om) * 10000 + 0.5) / 10000 AS seasonal,
+      |  floor((CAST(round(t.rev, 2) AS DOUBLE) - t.trend_raw -
+      |    (wd.wd_mean - o.om)) * 10000 + 0.5) / 10000 AS residual
+      |FROM t JOIN wd USING (weekday) CROSS JOIN o
+      |ORDER BY event_date""".stripMargin
+
   // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
   // (watermark + append-mode tumbling windows, sentinel-finalized): the
   // production streaming configuration must hash-match the batch SQL
@@ -1748,35 +1791,60 @@ object SparkEntry {
     // trend/seasonal/residual all from exact-derived inputs; the
     // residual subtracts RAW components, display 4dp-rounds — identical
     // structure both engines; NULL trend at the centered-window edges
-    "q_seasonal_decomposition" ->
-      """WITH d AS MATERIALIZED (
-        |  SELECT CAST(ts AS DATE) AS event_date,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS rev
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |wd AS (
-        |  SELECT CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday,
-        |    CAST(round(sum(rev), 2) AS DOUBLE) / count(*) AS wd_mean
-        |  FROM d GROUP BY 1),
-        |o AS (
-        |  SELECT CAST(round(sum(rev), 2) AS DOUBLE) / count(*) AS om
+    "q_seasonal_decomposition" -> SeasonalDecompSql,
+    // the decomposition as a MATERIALIZED prologue + the q_mad_anomalies
+    // median/MAD machinery on its residuals; edge days excluded by the
+    // same stated filter
+    "q_residual_anomalies" ->
+      s"""WITH sd AS MATERIALIZED ($SeasonalDecompSql),
+         |r AS MATERIALIZED (
+         |  SELECT event_date, residual FROM sd
+         |  WHERE residual IS NOT NULL),
+         |n1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+         |r1 AS MATERIALIZED (
+         |  SELECT residual,
+         |    row_number() OVER (ORDER BY residual, event_date) AS rk
+         |  FROM r),
+         |m1 AS MATERIALIZED (
+         |  SELECT floor(avg(residual) * 10000 + 0.5) / 10000 AS med
+         |  FROM r1 CROSS JOIN n1
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2),
+         |dv AS MATERIALIZED (
+         |  SELECT event_date, residual,
+         |    floor(abs(residual - med) * 10000 + 0.5) / 10000 AS dev
+         |  FROM r CROSS JOIN m1),
+         |r2 AS MATERIALIZED (
+         |  SELECT dev, row_number() OVER (ORDER BY dev, event_date) AS rk
+         |  FROM dv),
+         |m2 AS MATERIALIZED (
+         |  SELECT floor(avg(dev) * 10000 + 0.5) / 10000 AS mad
+         |  FROM r2 CROSS JOIN n1
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2)
+         |SELECT event_date, residual, dev, mad,
+         |  dev > ${EventQueries.MadSigma} * mad AS is_anomaly
+         |FROM dv CROSS JOIN m2 ORDER BY event_date""".stripMargin,
+    // gaps-and-islands: island key = day_num − row_number, constant
+    // within a consecutive run; all integer arithmetic
+    "q_user_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    day_num - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day_num) AS grp
         |  FROM d),
-        |t AS (
-        |  SELECT event_date, rev,
-        |    CASE WHEN count(*) OVER w = 7
-        |      THEN CAST(round(sum(rev) OVER w, 2) AS DOUBLE) / 7 END
-        |      AS trend_raw,
-        |    CAST(dayofweek(event_date) + 1 AS INTEGER) AS weekday
-        |  FROM d
-        |  WINDOW w AS (ORDER BY event_date
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
-        |SELECT t.event_date,
-        |  CAST(round(t.rev, 2) AS DOUBLE) AS revenue,
-        |  floor(t.trend_raw * 10000 + 0.5) / 10000 AS trend,
-        |  floor((wd.wd_mean - o.om) * 10000 + 0.5) / 10000 AS seasonal,
-        |  floor((CAST(round(t.rev, 2) AS DOUBLE) - t.trend_raw -
-        |    (wd.wd_mean - o.om)) * 10000 + 0.5) / 10000 AS residual
-        |FROM t JOIN wd USING (weekday) CROSS JOIN o
-        |ORDER BY event_date""".stripMargin,
+        |s AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  max(len) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // streaming complete-mode digit counts + the shared benfordRollup
+    // finisher — the batch oracle verbatim
+    "q_stream_benford" -> benfordSql(),
     // five HUGEINT moment sums → one double division each; x anchors to
     // the first purchase day
     "q_revenue_trend" ->

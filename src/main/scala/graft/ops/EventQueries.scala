@@ -1519,17 +1519,26 @@ object EventQueries {
     * doubles. The digit spine (explode 1…9) makes absent digits
     * contribute (0 − n·p)²/(n·p) in both engines. Scale: one events-sized
     * aggregate to ≤ 9 rows; everything after is digit-frame arithmetic. */
-  def benford(events: DataFrame): DataFrame = {
-    val digits = events
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .select(floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
-      .filter(col("cents") > 0)
-      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
-        .as("digit"))
-    // ONE corpus aggregate; n and the digit spine derive from the ≤9-row
-    // count frame (pinned for its three consumers)
-    val counts = digits.groupBy("digit").agg(count(lit(1)).as("observed"))
-      .localCheckpoint(true)
+  def benford(events: DataFrame): DataFrame =
+    benfordRollup(benfordDigitCounts(events))
+
+  /** The ONE corpus aggregate under [[benford]]: per-leading-digit
+    * purchase counts — also runnable unchanged as a streaming
+    * complete-mode aggregation (`q_stream_benford` shares the batch
+    * oracle verbatim through [[benfordRollup]]). */
+  def benfordDigitCounts(events: DataFrame): DataFrame = events
+    .filter(col("event_type") === "purchase" && col("value").isNotNull)
+    .select(floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+    .filter(col("cents") > 0)
+    .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+      .as("digit"))
+    .groupBy("digit").agg(count(lit(1)).as("observed"))
+
+  /** Shared finisher over a `(digit, observed)` count frame — n and the
+    * digit spine derive from the ≤ 9-row frame (pinned for its three
+    * consumers). */
+  def benfordRollup(countsIn: DataFrame): DataFrame = {
+    val counts = countsIn.localCheckpoint(true)
     val n = counts.agg(sum(col("observed")).as("n"))
     val spine = counts.agg(count(lit(1)).as("_c"))
       .select(explode(sequence(lit(1), lit(9))).as("digit"))
@@ -1620,16 +1629,20 @@ object EventQueries {
     * last-ulp disagreement. The rank windows run over the
     * calendar-bounded daily frame (the [[revenueDayOverDay]] scale
     * argument); medians broadcast back as 1-row frames. */
+  /** 4dp-rounded two-middle-ranks median of `valueCol` over a
+    * calendar-bounded frame keyed by `event_date` — shared by
+    * [[madAnomalies]] and [[residualAnomalies]]. */
+  private def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+    val ranked = df.withColumn("rk",
+      row_number().over(Window.orderBy(col(valueCol), col("event_date"))))
+    val n = df.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .filter(col("rk") === expr("(n + 1) div 2") ||
+        col("rk") === expr("(n + 2) div 2"))
+      .agg(round2(avg(col(valueCol)), 4).as("med"))
+  }
+
   def madAnomalies(events: DataFrame, sigma: Long = MadSigma): DataFrame = {
-    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
-      val ranked = df.withColumn("rk",
-        row_number().over(Window.orderBy(col(valueCol), col("event_date"))))
-      val n = df.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(n))
-        .filter(col("rk") === expr("(n + 1) div 2") ||
-          col("rk") === expr("(n + 2) div 2"))
-        .agg(round2(avg(col(valueCol)), 4).as("med"))
-    }
     val daily = events.filter(col("event_type") === "purchase")
       .groupBy(day).agg(moneySum(col("value")).as("revenue"))
     val med = medianOf(daily, "revenue")
@@ -1642,6 +1655,57 @@ object EventQueries {
       .select(col("event_date"), col("revenue"), col("dev"),
         (col("dev") > lit(sigma) * col("mad")).as("is_anomaly"))
       .orderBy("event_date")
+  }
+
+  /** Seasonal-adjusted anomaly flags — [[madAnomalies]]' robust
+    * median/MAD screen applied to [[seasonalDecomposition]]'s RESIDUALS
+    * instead of raw revenue: a strong-but-expected weekday peak no
+    * longer trips the detector, a modest off-pattern day does. Inputs
+    * are the decomposition's 4dp-rounded residuals (exact after
+    * rounding); median and MAD re-use the shared two-middle-ranks
+    * helper, and the flag compares the rounded dev against σ·MAD — the
+    * quantile-parity discipline end to end. Edge days (NULL trend →
+    * NULL residual) are excluded by a stated filter in both engines. */
+  def residualAnomalies(events: DataFrame,
+      sigma: Long = MadSigma): DataFrame = {
+    val resid = seasonalDecomposition(events)
+      .filter(col("residual").isNotNull)
+      .select(col("event_date"), col("residual"))
+      .localCheckpoint(true)
+    val med = medianOf(resid, "residual")
+    val devs = resid.crossJoin(broadcast(med))
+      .select(col("event_date"), col("residual"),
+        round2(abs(col("residual") - col("med")), 4).as("dev"))
+    val mad = medianOf(devs.select(col("event_date"), col("dev")), "dev")
+      .select(col("med").as("mad"))
+    devs.crossJoin(broadcast(mad))
+      .select(col("event_date"), col("residual"), col("dev"), col("mad"),
+        (col("dev") > lit(sigma) * col("mad")).as("is_anomaly"))
+      .orderBy("event_date")
+  }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands engagement metric: distinct active day numbers,
+    * island key = day_num − row_number (constant within a consecutive
+    * run), per-island lengths, then the per-user rollup (active days,
+    * longest streak, streak count). All integer arithmetic; the windows
+    * partition by user (bounded by the busiest user's distinct days ≤
+    * calendar). */
+  def userStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("day_num"))
+      .distinct()
+    val grouped = days.withColumn("grp",
+      col("day_num") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day_num"))))
+    grouped.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
   }
 
   /** Critical z for the [[abTest]] significance flag (two-sided 95%). */

@@ -793,6 +793,38 @@ class EventQueriesSpec extends SparkSpec {
     } finally graft.Fs.deleteRecursively(tmp)
   }
 
+  test("userStreaks: gaps-and-islands consecutive-day runs") {
+    def e(id: Long, day: Int, u: Long) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), u, "view", 1.0, "{}")
+    val df = Seq(
+      e(1, 1, 1), e(2, 2, 1), e(3, 3, 1),   // streak of 3
+      e(4, 5, 1), e(5, 6, 1),               // streak of 2
+      e(6, 6, 1),                           // same day — distinct dedupes
+      e(7, 4, 2))                           // singleton
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.userStreaks(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3L, 2L), (2L, 1L, 1L, 1L)), got.toString)
+  }
+
+  test("residualAnomalies: flat series clean, a spike day flags") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    val flat = (1 to 14).map(d => p(d.toLong, d, 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val clean = EventQueries.residualAnomalies(flat)
+      .as[(java.sql.Date, Double, Double, Double, Boolean)].collect().toSeq
+    assert(clean.size == 8)                  // 14 days minus 3-day edges
+    assert(clean.forall(r => r._3 == 0.0 && !r._5), clean.toString)
+    val spiked = ((1 to 14).map(d => p(d.toLong, d, 10.0)) :+
+      p(100L, 7, 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.residualAnomalies(spiked)
+      .as[(java.sql.Date, Double, Double, Double, Boolean)].collect().toSeq
+    val flagged = got.filter(_._5).map(_._1.toLocalDate.getDayOfMonth)
+    assert(flagged.contains(7), got.toString)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
