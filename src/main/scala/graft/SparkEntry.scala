@@ -148,6 +148,12 @@ object SparkEntry {
       EventQueries.benfordRollup(
         StreamingQueries.runCompleteMode(s, dir, "stream_benford")(
           EventQueries.benfordDigitCounts))),
+    // gains table: engagement deciles via the global ordinal, conversion
+    // lift over the overall rate (fourth Ordinals certification)
+    "q_decile_lift" -> ev(EventQueries.decileLift),
+    // systematic PPS sampling in pure integer arithmetic (weighted
+    // sibling of the md5 split); bucketed prefix-sum decomposition
+    "q_pps_sample" -> docs(TextOps.ppsSample(_)),
     // OLS normal equations over exact DECIMAL(38,0) ≡ HUGEINT moments
     "q_revenue_trend" -> ev(EventQueries.revenueTrend),
     // per-group exact medians: two-middle-ranks generalized per brand
@@ -1845,6 +1851,54 @@ object SparkEntry {
     // streaming complete-mode digit counts + the shared benfordRollup
     // finisher — the batch oracle verbatim
     "q_stream_benford" -> benfordSql(),
+    // naive global-window mirror of the decomposed ordinal + the same
+    // raw-then-round rate/lift op order
+    "q_decile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |r AS MATERIALIZED (
+        |  SELECT user_id, score, CAST(converted AS BIGINT) AS converted,
+        |    CAST(row_number() OVER (ORDER BY score DESC, user_id)
+        |      AS BIGINT) AS rn
+        |  FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(sum(converted) AS BIGINT) AS c_total FROM r),
+        |d AS (
+        |  SELECT (rn - 1) * 10 // t.n_total + 1 AS decile,
+        |    converted, t.n_total AS nt, t.c_total AS ct
+        |  FROM r CROSS JOIN t)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converters,
+        |  floor((CAST(sum(converted) AS BIGINT) / CAST(count(*) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS conv_rate,
+        |  floor(((CAST(sum(converted) AS BIGINT) /
+        |      CAST(count(*) AS DOUBLE)) /
+        |    (CAST(max(ct) AS DOUBLE) / max(nt))) * 10000 + 0.5) / 10000
+        |    AS lift
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // the same integer crossing rule over a naive global cumsum
+    "q_pps_sample" -> {
+      val k = graft.ext.TextOps.PpsSampleK
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+         |  FROM documents WHERE n_chars > 0),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, wt,
+         |    CAST(sum(wt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_incl
+         |  FROM w),
+         |t AS (SELECT CAST(sum(wt) AS BIGINT) AS w_total FROM w)
+         |SELECT doc_id, wt,
+         |  CAST(cum_incl - wt AS BIGINT) AS cum_before, cum_incl
+         |FROM c CROSS JOIN t
+         |WHERE (cum_incl * $k) // w_total >
+         |  ((cum_incl - wt) * $k) // w_total
+         |ORDER BY doc_id""".stripMargin
+    },
     // five HUGEINT moment sums → one double division each; x anchors to
     // the first purchase day
     "q_revenue_trend" ->

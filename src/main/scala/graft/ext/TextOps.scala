@@ -1162,6 +1162,49 @@ object TextOps {
           round2(col("vocab_sum").cast("double") / col("n_bigrams"))))
       .orderBy("doc_id")
 
+  /** [[ppsSample]] target size and the doc-id bucket width for the
+    * decomposed prefix sum — shared with the mirror. */
+  val PpsSampleK = 100L
+  val PpsBucketWidth = 65536L
+
+  /** Systematic probability-proportional-to-size sample — k documents
+    * drawn with inclusion probability ∝ n_chars via the classic
+    * systematic rule: lay all weights on a line, select every doc whose
+    * cumulative interval crosses a multiple of W/k. Entirely INTEGER
+    * arithmetic (doc selected iff ⌊cum_incl·k/W⌋ > ⌊cum_before·k/W⌋ —
+    * non-negative, so truncating div ≡ floor ≡ `//`): deterministic,
+    * reproducible under any partitioning, and exactly mirrorable — the
+    * weighted sibling of [[splitExpr]], with none of pow/exp's
+    * cross-engine rounding hazards.
+    *
+    * The corpus-ordered prefix sum uses the budgetCore decomposition
+    * over doc-id buckets of [[PpsBucketWidth]]: per-bucket sums cumsum
+    * on the buckets frame (N/65536 rows — bounded single-task at any
+    * realistic corpus), per-doc runs window WITHIN a bucket (≤ 65536
+    * rows per partition) — no global sort anywhere. */
+  def ppsSample(documents: DataFrame, k: Long = PpsSampleK): DataFrame = {
+    val w = documents
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("wt"))
+      .filter(col("wt") > 0)
+      .withColumn("bucket", expr(s"doc_id div $PpsBucketWidth"))
+    val bsums = w.groupBy("bucket").agg(sum(col("wt")).as("b_wt"))
+    val bcum = bsums.withColumn("b_before",
+        coalesce(sum(col("b_wt")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("b_before"))
+    val tot = bsums.agg(sum(col("b_wt")).as("w_total"))
+    val wb = Window.partitionBy(col("bucket")).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.join(broadcast(bcum), Seq("bucket"))
+      .withColumn("cum_incl", col("b_before") + sum(col("wt")).over(wb))
+      .withColumn("cum_before", col("cum_incl") - col("wt"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(s"(cum_incl * $k) div w_total") >
+        expr(s"(cum_before * $k) div w_total"))
+      .select(col("doc_id"), col("wt"), col("cum_before"), col("cum_incl"))
+      .orderBy("doc_id")
+  }
+
   /** Flesch–Kincaid grade per document: 0.39·(words/sentences) +
     * 11.8·(syllables/words) − 15.59, with syllables approximated by
     * vowel-group count (the standard regex heuristic) and a grade band

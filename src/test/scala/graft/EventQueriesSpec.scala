@@ -825,6 +825,27 @@ class EventQueriesSpec extends SparkSpec {
     assert(flagged.contains(7), got.toString)
   }
 
+  test("decileLift: top-score deciles carry the conversion lift") {
+    val rows = (1 to 10).flatMap { i =>
+      val views = (1 to (11 - i)).map(j =>
+        (i * 100L + j, ts("2024-01-01 10:00:00"), i.toLong, "view", 1.0, "{}"))
+      val buy = if (i <= 3)
+        Seq((i * 100L + 99, ts("2024-01-01 11:00:00"), i.toLong,
+          "purchase", 5.0, "{}"))
+      else Seq.empty
+      views ++ buy
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.decileLift(df)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == (1L to 10L))
+    assert(got.forall(_._2 == 1L))           // one user per decile
+    assert(got.map(_._3) == Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // overall rate 0.3 → converter deciles lift 1/0.3 = 3.3333
+    assert(got.take(3).forall(r => r._4 == 1.0 && r._5 == 3.3333),
+      got.toString)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq

@@ -677,6 +677,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got.count(r => r._1 == 100L || r._1 == 101L) % 2 == 0)
   }
 
+  test("ppsSample: systematic crossings select proportionally to weight") {
+    val docs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("doc_id", "n_chars")
+    val got = TextOps.ppsSample(docs, k = 2).as[(Long, Long, Long, Long)]
+      .collect().toSeq.map(_._1)
+    // W=40, k=2: cum/20 crosses at docs 2 and 4
+    assert(got == Seq(2L, 4L), got.toString)
+    // a dominant weight captures a selection slot
+    val skewed = Seq((1L, 30L), (2L, 5L), (3L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got2 = TextOps.ppsSample(skewed, k = 2).as[(Long, Long, Long, Long)]
+      .collect().toSeq.map(_._1)
+    assert(got2 == Seq(1L, 3L), got2.toString)
+  }
+
   test("readability: FK grade from exact word/sentence/vowel-group counts") {
     val docs = Seq(
       (1L, "the cat sat. a dog ran!"),
