@@ -142,6 +142,13 @@ object SparkEntry {
     "q_residual_anomalies" -> ev(EventQueries.residualAnomalies(_)),
     // gaps-and-islands longest consecutive-day streak per user
     "q_user_streaks" -> ev(EventQueries.userStreaks),
+    // streaming twin: first-seen stateful dedup in-stream, the shared
+    // gaps-and-islands finisher on the materialized pairs
+    "q_stream_user_streaks" -> ((s, dir) =>
+      EventQueries.streaksFromDays(
+        StreamingQueries.runStream(s, dir, "stream_streaks", "append")(
+          StreamingQueries.dedupDailyUsers)
+          .select(col("user_id"), col("event_date")))),
     // streaming complete-mode digit counts + shared benfordRollup —
     // batch ≡ streamed Benford screen on the gate
     "q_stream_benford" -> ((s, dir) =>
@@ -154,6 +161,9 @@ object SparkEntry {
     // systematic PPS sampling in pure integer arithmetic (weighted
     // sibling of the md5 split); bucketed prefix-sum decomposition
     "q_pps_sample" -> docs(TextOps.ppsSample(_)),
+    // partition-layout advisor: candidate keys scored on cardinality,
+    // skew and small-files risk; verdicts on 4dp-rounded metrics
+    "q_partition_advice" -> ev(ops.Checks.partitionAdvice),
     // OLS normal equations over exact DECIMAL(38,0) ≡ HUGEINT moments
     "q_revenue_trend" -> ev(EventQueries.revenueTrend),
     // per-group exact medians: two-middle-ranks generalized per brand
@@ -1316,6 +1326,26 @@ object SparkEntry {
       |FROM t JOIN wd USING (weekday) CROSS JOIN o
       |ORDER BY event_date""".stripMargin
 
+  /** Shared by `q_user_streaks` (batch) and `q_stream_user_streaks`
+    * (stateful streaming dedup + the same streaksFromDays finisher). */
+  private val UserStreaksSql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    day_num - row_number() OVER (PARTITION BY user_id
+      |      ORDER BY day_num) AS grp
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  max(len) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
   // (watermark + append-mode tumbling windows, sentinel-finalized): the
   // production streaming configuration must hash-match the batch SQL
@@ -1831,23 +1861,10 @@ object SparkEntry {
          |FROM dv CROSS JOIN m2 ORDER BY event_date""".stripMargin,
     // gaps-and-islands: island key = day_num − row_number, constant
     // within a consecutive run; all integer arithmetic
-    "q_user_streaks" ->
-      """WITH d AS (
-        |  SELECT DISTINCT user_id,
-        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id,
-        |    day_num - row_number() OVER (PARTITION BY user_id
-        |      ORDER BY day_num) AS grp
-        |  FROM d),
-        |s AS (
-        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
-        |  FROM g GROUP BY 1, 2)
-        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
-        |  max(len) AS longest_streak,
-        |  CAST(count(*) AS BIGINT) AS n_streaks
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_user_streaks" -> UserStreaksSql,
+    // the streaming stateful-dedup twin shares the batch oracle VERBATIM
+    // (streaksFromDays finisher over the streamed first-seen pairs)
+    "q_stream_user_streaks" -> UserStreaksSql,
     // streaming complete-mode digit counts + the shared benfordRollup
     // finisher — the batch oracle verbatim
     "q_stream_benford" -> benfordSql(),
@@ -1879,6 +1896,37 @@ object SparkEntry {
         |    (CAST(max(ct) AS DOUBLE) / max(nt))) * 10000 + 0.5) / 10000
         |    AS lift
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    // one value-counts aggregate per candidate; identical CASE ladder on
+    // the rounded metrics (date/user rendered as strings in both engines)
+    "q_partition_advice" -> {
+      import ops.Checks._
+      def candSql(name: String, v: String) =
+        s"""SELECT '$name' AS part_col,
+           |  CAST(count(*) AS BIGINT) AS n_partitions,
+           |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+           |  CAST(sum(cnt) AS BIGINT) AS total
+           |FROM (SELECT $v AS v, count(*) AS cnt FROM events GROUP BY 1)
+           |  f_$name""".stripMargin
+      s"""WITH u AS (
+         |${candSql("event_type", "event_type")}
+         |UNION ALL
+         |${candSql("event_date", "CAST(CAST(ts AS DATE) AS VARCHAR)")}
+         |UNION ALL
+         |${candSql("user_id", "CAST(user_id AS VARCHAR)")}),
+         |m AS (
+         |  SELECT part_col, n_partitions,
+         |    floor((CAST(top_cnt AS DOUBLE) / total) * 10000 + 0.5) / 10000
+         |      AS top_share,
+         |    floor((CAST(total AS DOUBLE) / n_partitions) * 10000 + 0.5)
+         |      / 10000 AS avg_rows
+         |  FROM u)
+         |SELECT part_col, n_partitions, top_share, avg_rows,
+         |  CASE WHEN n_partitions < $AdviceMinPartitions THEN 'too_coarse'
+         |    WHEN top_share > $AdviceSkewShare THEN 'skewed'
+         |    WHEN avg_rows < $AdviceMinRowsPerPartition THEN 'too_fine'
+         |    ELSE 'ok' END AS advice
+         |FROM m ORDER BY part_col""".stripMargin
+    },
     // the same integer crossing rule over a naive global cumsum
     "q_pps_sample" -> {
       val k = graft.ext.TextOps.PpsSampleK

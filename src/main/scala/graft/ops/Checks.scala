@@ -227,4 +227,46 @@ object Checks {
       .orderBy(col("freq").desc, col("key"))
       .limit(topK)
   }
+
+  /** Partition-advisor thresholds — shared with the mirror's CASE. */
+  val AdviceMinPartitions = 8L
+  val AdviceSkewShare = 0.2
+  val AdviceMinRowsPerPartition = 1000.0
+
+  /** Partition-layout advisor — the lakehouse design check run before
+    * picking a table's partition column: for each CANDIDATE key
+    * (event_type, event day, user_id) the distinct-partition count, the
+    * heaviest partition's row share, mean rows per partition, and a
+    * verdict — `too_coarse` (< [[AdviceMinPartitions]] partitions: no
+    * parallelism/pruning), `skewed` (one partition holds >
+    * [[AdviceSkewShare]] of rows: a straggler by construction),
+    * `too_fine` (mean rows < [[AdviceMinRowsPerPartition]]: the
+    * small-files problem q_compaction_plan then has to fix), else `ok`.
+    *
+    * One value-counts aggregate per candidate (map-side partials; the
+    * per-value frame is partitions-sized), verdicts compared on the
+    * 4dp-ROUNDED share/mean (quantile-parity discipline). */
+  def partitionAdvice(events: DataFrame): DataFrame = {
+    def cand(name: String, v: Column): DataFrame =
+      events.select(v.as("v")).groupBy("v")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(lit(name).as("part_col"),
+          count(lit(1)).as("n_partitions"),
+          max(col("cnt")).as("top_cnt"),
+          sum(col("cnt")).as("total"))
+    cand("event_type", col("event_type"))
+      .unionByName(cand("event_date", to_date(col("ts")).cast("string")))
+      .unionByName(cand("user_id", col("user_id").cast("string")))
+      .select(col("part_col"), col("n_partitions"),
+        round2(col("top_cnt").cast("double") / col("total"), 4)
+          .as("top_share"),
+        round2(col("total").cast("double") / col("n_partitions"), 4)
+          .as("avg_rows"))
+      .withColumn("advice",
+        when(col("n_partitions") < AdviceMinPartitions, "too_coarse")
+          .when(col("top_share") > AdviceSkewShare, "skewed")
+          .when(col("avg_rows") < AdviceMinRowsPerPartition, "too_fine")
+          .otherwise("ok"))
+      .orderBy("part_col")
+  }
 }

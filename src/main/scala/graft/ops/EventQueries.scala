@@ -1691,9 +1691,17 @@ object EventQueries {
     * longest streak, streak count). All integer arithmetic; the windows
     * partition by user (bounded by the busiest user's distinct days ≤
     * calendar). */
-  def userStreaks(events: DataFrame): DataFrame = {
-    val days = events.select(col("user_id"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast(DateType))
+  def userStreaks(events: DataFrame): DataFrame =
+    streaksFromDays(events.select(col("user_id"),
+      to_date(col("ts")).as("event_date")))
+
+  /** Shared finisher over a `(user_id, event_date)` frame (distinct
+    * applied here, so a pre-shrunk streamed dedup feeds it unchanged) —
+    * called by [[userStreaks]] (batch) and the streaming twin
+    * `q_stream_user_streaks`, which share one oracle verbatim. */
+  def streaksFromDays(daysIn: DataFrame): DataFrame = {
+    val days = daysIn.select(col("user_id"),
+        datediff(col("event_date"), lit("1970-01-01").cast(DateType))
           .cast(LongType).as("day_num"))
       .distinct()
     val grouped = days.withColumn("grp",

@@ -131,4 +131,23 @@ class ChecksSpec extends SparkSpec {
     assert(observed.sortBy(_._1) == viaSuite.sortBy(_._1),
       s"observed $observed != suite $viaSuite")
   }
+
+  test("partitionAdvice: verdict ladder on cardinality, skew, small files") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // one event type (too coarse); 20 uniform users (fine-grained but
+    // tiny → too_fine); 2 days (too coarse)
+    val df = (1 to 20).map(i =>
+      (i.toLong, new Timestamp(t.getTime + (i % 2) * 86400000L),
+        i.toLong, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = ops.Checks.partitionAdvice(df)
+      .as[(String, Long, Double, Double, String)].collect().toSeq
+    val byCol = got.map(r => r._1 -> r).toMap
+    assert(byCol("event_type")._2 == 1L)
+    assert(byCol("event_type")._5 == "too_coarse")
+    assert(byCol("event_date")._5 == "too_coarse")
+    assert(byCol("user_id")._2 == 20L)
+    assert(byCol("user_id")._3 == 0.05)
+    assert(byCol("user_id")._5 == "too_fine", got.toString)
+  }
 }

@@ -402,4 +402,45 @@ object GraftProperties extends Properties("graft") {
         out.map(_._2).sorted.toSeq == (1L to ids.length).toSeq
     }
   }
+
+  property("zorder blocks partition events; envelopes bracket the data") = {
+    forAll(genEvents) { rows =>
+      val layout = EventQueries.zorderLayout(toDf(rows))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      layout.map(_._2).sum == rows.length &&
+        layout.forall { case (b, _, xMin, xMax, yMin, yMax) =>
+          b >= 0 && b < 64 && xMin <= xMax && yMin <= yMax
+        }
+    }
+  }
+
+  property("compactionPlan: only oversized singleton bins exceed the cap") = {
+    forAll(genEvents, Gen.choose(200L, 5000L)) { (rows, cap) =>
+      val plan = EventQueries.compactionPlan(toDf(rows), cap)
+        .as[(java.sql.Date, Long, Long)].collect().toSeq
+      val byBin = plan.groupBy(_._3).values.toSeq
+      // bins are contiguous 1..k and either fit the cap or hold one
+      // oversized day
+      plan.map(_._3).distinct.sorted == (1L to byBin.size.toLong) &&
+        byBin.forall(b => b.map(_._2).sum <= cap ||
+          (b.size == 1 && b.head._2 > cap))
+    }
+  }
+
+  property("ppsSample: k crossings when no weight exceeds a stride") = {
+    val genDocs = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 50L)))
+    forAll(genDocs, Gen.choose(1L, 5L)) { (weights, k) =>
+      val docs = weights.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "n_chars")
+      val sel = graft.ext.TextOps.ppsSample(docs, k)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val total = weights.sum
+      // each selected doc's interval crosses ≥1 multiple of W/k; with
+      // every weight < W/k strides can't skip a doc entirely, so the
+      // count is exactly k (general bound: ≤ k + docs ≥ stride)
+      if (weights.forall(_ * k < total)) sel.size == k.toInt
+      else sel.size <= k.toInt + weights.count(_ * k >= total)
+    }
+  }
 }
