@@ -164,6 +164,11 @@ object SparkEntry {
     // partition-layout advisor: candidate keys scored on cardinality,
     // skew and small-files risk; verdicts on 4dp-rounded metrics
     "q_partition_advice" -> ev(ops.Checks.partitionAdvice),
+    // deterministic export shard manifest (fifth Ordinals certification)
+    "q_export_shards" -> docs(TextOps.exportShards(_)),
+    // inverse-frequency class weights over the labeled embedding table
+    "q_label_balance" -> ((s, dir) =>
+      TextOps.labelBalance(Sources.table(s, dir, "embeddings"))),
     // OLS normal equations over exact DECIMAL(38,0) ≡ HUGEINT moments
     "q_revenue_trend" -> ev(EventQueries.revenueTrend),
     // per-group exact medians: two-middle-ranks generalized per brand
@@ -1927,6 +1932,30 @@ object SparkEntry {
          |    ELSE 'ok' END AS advice
          |FROM m ORDER BY part_col""".stripMargin
     },
+    // naive global row_number mirror of the decomposed ordinal
+    "q_export_shards" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM documents)
+         |SELECT (rn - 1) // ${graft.ext.TextOps.ExportShardSize} AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // counts exact; share and weight single double divisions
+    "q_label_balance" ->
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |        CAST(count(*) AS BIGINT) AS n_labels FROM c)
+        |SELECT label, n,
+        |  floor((CAST(n AS DOUBLE) / n_total) * 10000 + 0.5) / 10000
+        |    AS share,
+        |  floor((CAST(n_total AS DOUBLE) /
+        |    CAST(n_labels * n AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS class_weight
+        |FROM c CROSS JOIN t ORDER BY label""".stripMargin,
     // the same integer crossing rule over a naive global cumsum
     "q_pps_sample" -> {
       val k = graft.ext.TextOps.PpsSampleK

@@ -1205,6 +1205,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[exportShards]] rows-per-shard target — shared with the mirror. */
+  val ExportShardSize = 100L
+
+  /** Training-data export sharding — the deterministic shard map a
+    * corpus release writes alongside its JSONL/parquet shards: documents
+    * in doc-id order split into fixed-size shards (shard = ⌊ordinal /
+    * [[ExportShardSize]]⌋), reported as one manifest row per shard with
+    * its row count and id range. The ordinal is
+    * [[graft.ops.Ordinals.globalRowNumbers]] (fifth gate certification)
+    * — a deterministic map any engine reproduces, unlike
+    * `maxRecordsPerFile`'s partition-dependent file splits. */
+  def exportShards(documents: DataFrame,
+      shardSize: Long = ExportShardSize): DataFrame =
+    graft.ops.Ordinals.globalRowNumbers(
+        documents.select(col("doc_id")), Seq(col("doc_id")), "rn")
+      .withColumn("shard", expr(s"(rn - 1) div $shardSize"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+
+  /** Class-weight balance over the labeled embedding table — per label
+    * the example count, share, and the inverse-frequency training weight
+    * n_total / (n_labels · n) every imbalanced-classification recipe
+    * uses. Counts exact; share and weight are single double divisions of
+    * exact longs (identical op sequence), 4dp floor-rounded. */
+  def labelBalance(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_labels"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        round2(col("n").cast("double") / col("n_total"), 4).as("share"),
+        round2(col("n_total").cast("double") /
+          (col("n_labels") * col("n")).cast("double"), 4).as("class_weight"))
+      .orderBy("label")
+  }
+
   /** Flesch–Kincaid grade per document: 0.39·(words/sentences) +
     * 11.8·(syllables/words) − 15.59, with syllables approximated by
     * vowel-group count (the standard regex heuristic) and a grade band

@@ -677,6 +677,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got.count(r => r._1 == 100L || r._1 == 101L) % 2 == 0)
   }
 
+  test("exportShards: contiguous fixed-size shards in doc-id order") {
+    val docs = (1L to 25L).map(i => (i * 10, "t")).toDF("doc_id", "text")
+    val got = TextOps.exportShards(docs, shardSize = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 10L, 10L, 100L),
+      (1L, 10L, 110L, 200L),
+      (2L, 5L, 210L, 250L)), got.toString)
+  }
+
+  test("labelBalance: inverse-frequency class weights") {
+    val emb = (Seq.fill(6)(0) ++ Seq.fill(2)(1) ++ Seq.fill(2)(2))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("vec_id", "label")
+    val got = TextOps.labelBalance(emb)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // 10 rows, 3 labels: weight(l) = 10/(3·n)
+    assert(got == Seq(
+      (0, 6L, 0.6, 0.5556),
+      (1, 2L, 0.2, 1.6667),
+      (2, 2L, 0.2, 1.6667)), got.toString)
+  }
+
   test("ppsSample: systematic crossings select proportionally to weight") {
     val docs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
       .toDF("doc_id", "n_chars")
