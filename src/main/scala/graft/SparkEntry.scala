@@ -134,6 +134,16 @@ object SparkEntry {
     // trailing-hour per-user velocity rule (RANGE frame over epoch
     // seconds): exact counts, integer threshold — the fraud flag
     "q_velocity_flags" -> ev(EventQueries.velocityFlags),
+    // stateful streaming twin: per-user trailing buffer of event seconds
+    // (flatMapGroupsWithState), shared velocityRollup finisher
+    "q_stream_velocity" -> ((s, dir) => {
+      import s.implicits._
+      EventQueries.velocityRollup(
+        StreamingQueries.runStream(s, dir, "stream_velocity", "append")(e =>
+          streaming.VelocityState.flags(s,
+            e.select(col("event_id"), col("ts"), col("user_id"))
+              .as[streaming.VelocityState.In]).toDF))
+    }),
     // STL-lite: centered-7 trend (NULL edges), additive weekday
     // seasonal, residual from the RAW components
     "q_seasonal_decomposition" -> ev(EventQueries.seasonalDecomposition),
@@ -1351,6 +1361,23 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_streaks
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Shared by `q_velocity_flags` (batch RANGE window) and
+    * `q_stream_velocity` (stateful trailing buffer + the same
+    * velocityRollup finisher). */
+  private val VelocityFlagsSql =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, sec,
+       |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+       |      RANGE BETWEEN ${EventQueries.VelocityWindowSec} PRECEDING
+       |        AND CURRENT ROW) AS BIGINT) AS n_in_window
+       |  FROM b)
+       |SELECT event_id, user_id, sec, n_in_window
+       |FROM w WHERE n_in_window >= ${EventQueries.VelocityMinEvents}
+       |ORDER BY event_id""".stripMargin
+
   // shared by q_daily_revenue (batch) and q_stream_daily_revenue_append
   // (watermark + append-mode tumbling windows, sentinel-finalized): the
   // production streaming configuration must hash-match the batch SQL
@@ -2063,19 +2090,10 @@ object SparkEntry {
     },
     // RANGE frame over epoch seconds, inclusive trailing window; the
     // non-negative epoch makes `div` ≡ `//`
-    "q_velocity_flags" ->
-      s"""WITH b AS (
-         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
-         |  FROM events),
-         |w AS (
-         |  SELECT event_id, user_id, sec,
-         |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
-         |      RANGE BETWEEN ${EventQueries.VelocityWindowSec} PRECEDING
-         |        AND CURRENT ROW) AS BIGINT) AS n_in_window
-         |  FROM b)
-         |SELECT event_id, user_id, sec, n_in_window
-         |FROM w WHERE n_in_window >= ${EventQueries.VelocityMinEvents}
-         |ORDER BY event_id""".stripMargin,
+    "q_velocity_flags" -> VelocityFlagsSql,
+    // the stateful trailing-buffer twin shares the batch oracle VERBATIM
+    // — the gate certifies stateful-buffer ≡ RANGE-window
+    "q_stream_velocity" -> VelocityFlagsSql,
     // generated chain-sum χ² mirror — see benfordSql
     "q_benford" -> benfordSql(),
     // identical regex/split semantics in both engines; empty and null

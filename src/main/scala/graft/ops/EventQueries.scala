@@ -1487,12 +1487,18 @@ object EventQueries {
       expr("unix_micros(ts) div 1000000").cast(LongType).as("sec"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
       .rangeBetween(-VelocityWindowSec, Window.currentRow)
-    base
-      .withColumn("n_in_window", count(lit(1)).over(w))
-      .filter(col("n_in_window") >= VelocityMinEvents)
-      .select(col("event_id"), col("user_id"), col("sec"), col("n_in_window"))
-      .orderBy("event_id")
+    velocityRollup(base.withColumn("n_in_window", count(lit(1)).over(w)))
   }
+
+  /** Shared threshold/order finisher over a
+    * `(event_id, user_id, sec, n_in_window)` frame — called by
+    * [[velocityFlags]] (batch RANGE window) and the stateful streaming
+    * twin `q_stream_velocity`, which share one oracle verbatim. */
+  def velocityRollup(flags: DataFrame): DataFrame =
+    flags.filter(col("n_in_window") >= VelocityMinEvents)
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("n_in_window"))
+      .orderBy("event_id")
 
   /** Benford first-digit expected probabilities log₁₀(1 + 1/d), d = 1…9 —
     * ONE Scala list renders both the Spark array literal and the mirror's

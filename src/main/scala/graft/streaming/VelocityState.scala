@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming velocity-rule counter — the STATEFUL twin of
+  * [[graft.ops.EventQueries.velocityFlags]]' trailing-hour RANGE window:
+  * per user a buffer of event seconds inside the last
+  * [[graft.ops.EventQueries.VelocityWindowSec]] is carried as group state,
+  * so every incoming event's in-window count emits incrementally — the
+  * fraud rule evaluated as events arrive instead of in a batch window.
+  * The hash-gated entry shares the batch oracle verbatim
+  * (`VelocityFlagsSql`), certifying stateful-buffer ≡ RANGE-window.
+  *
+  * Tie semantics: the batch RANGE frame counts PEERS (events in the same
+  * second, regardless of sort position), so within a batch events process
+  * in runs of equal second — every event of a run reports the run-complete
+  * count. Across micro-batches arrival order stands in for event order and
+  * a same-second run split between batches would undercount its earlier
+  * members — the same documented stand-in as [[TransitionState]] (the
+  * file stream replays in time order, and the boundary case is spec-pinned
+  * for the cross-batch window, not the cross-batch tie).
+  *
+  * Scale design: state per user is the event seconds of ONE trailing
+  * window — memory ∝ the busiest user's events/hour, aged out on every
+  * update. No idle eviction (an evicted user's return event must still
+  * see its surviving window; here aging empties the buffer naturally). */
+object VelocityState {
+  case class In(event_id: Long, ts: Timestamp, user_id: Long)
+
+  case class Recent(times: List[Long])
+
+  case class Flag(event_id: Long, user_id: Long, sec: Long,
+      n_in_window: Long)
+
+  private val windowSec = graft.ops.EventQueries.VelocityWindowSec
+
+  def update(userId: Long, events: Iterator[In],
+      state: GroupState[Recent]): Iterator[Flag] = {
+    var buf = state.getOption.map(_.times).getOrElse(Nil)
+    val out = Seq.newBuilder[Flag]
+    val sorted = events.toSeq
+      .map(e => (FunnelState.micros(e.ts) / 1000000L, e))
+      .sortBy { case (sec, e) => (sec, e.event_id) }
+    // process runs of equal second together: the RANGE frame counts
+    // peers, so every event of a run reports the run-complete count
+    var i = 0
+    while (i < sorted.length) {
+      val sec = sorted(i)._1
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sec) j += 1
+      val run = sorted.slice(i, j)
+      buf = buf.filter(_ >= sec - windowSec) ++ run.map(_ => sec)
+      val n = buf.size.toLong
+      run.foreach { case (_, e) => out += Flag(e.event_id, userId, sec, n) }
+      i = j
+    }
+    state.update(Recent(buf))
+    out.result().iterator
+  }
+
+  /** Wires the stateful counter over a (possibly streaming) event set. */
+  def flags(spark: SparkSession, events: Dataset[In]): Dataset[Flag] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

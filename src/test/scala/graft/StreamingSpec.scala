@@ -298,6 +298,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("VelocityState counts across the micro-batch boundary and ages out") {
+    import graft.streaming.VelocityState
+    import graft.streaming.VelocityState.In
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val q = VelocityState.flags(spark, mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_velocity")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vel").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // batch 1: two u1 events inside the hour (out-of-order arrival —
+      // the in-batch sort must fix it), plus a same-second TIE: the
+      // RANGE frame counts peers, so both tie members report 3
+      mem.addData(
+        In(2, ts("2024-01-01 10:20:00"), 1),
+        In(1, ts("2024-01-01 10:20:00"), 1),
+        In(3, ts("2024-01-01 10:00:00"), 1))
+      q.processAllAvailable()
+      // batch 2: the boundary event must see all three CARRIED entries
+      // (n=4); a later event past the window ages everything out (n=1)
+      mem.addData(
+        In(4, ts("2024-01-01 10:59:00"), 1),
+        In(5, ts("2024-01-01 13:00:00"), 1))
+      q.processAllAvailable()
+      val got = spark.table("t_velocity")
+        .as[VelocityState.Flag].collect()
+        .map(f => (f.event_id, f.n_in_window)).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 4L), (5L, 1L)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("countUniqueDocs pins a null lang LAST — a planted null-lang doc " +
       "keeps the q_stream_doc_dedup row order engine-agnostic") {
     import spark.implicits._
