@@ -176,6 +176,9 @@ object SparkEntry {
     "q_partition_advice" -> ev(ops.Checks.partitionAdvice),
     // deterministic export shard manifest (fifth Ordinals certification)
     "q_export_shards" -> docs(TextOps.exportShards(_)),
+    // training/serving drift monitor: equi-width buckets in integer
+    // arithmetic, L1 distance via the generated left-assoc chain
+    "q_revenue_drift" -> ev(EventQueries.revenueDrift),
     // inverse-frequency class weights over the labeled embedding table
     "q_label_balance" -> ((s, dir) =>
       TextOps.labelBalance(Sources.table(s, dir, "embeddings"))),
@@ -1515,6 +1518,63 @@ object SparkEntry {
        |FROM z CROSS JOIN t ORDER BY digit""".stripMargin
   }
 
+  /** Generated mirror for `q_revenue_drift`: bucket arithmetic in
+    * integers, shares as exact-long divisions, the L1 total added
+    * left-associatively over the bucket pivot (the benfordSql chain
+    * discipline), the verdict on the rounded statistic. */
+  private def revenueDriftSql(): String = {
+    import graft.ops.EventQueries.{DriftBuckets, DriftThreshold}
+    val chain = (0 until DriftBuckets)
+      .map(b => s"max(CASE WHEN bucket = $b THEN ad END)")
+      .mkString(" + ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(ts AS DATE) AS event_date,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+       |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |bo AS (SELECT min(day_num) AS d_mn, max(day_num) AS d_mx,
+       |         min(cents) AS mn, max(cents) AS mx FROM d),
+       |bk AS (
+       |  SELECT CASE WHEN day_num <= (bo.d_mn + bo.d_mx) // 2
+       |      THEN 'ref' ELSE 'cur' END AS half,
+       |    ((cents - bo.mn) * $DriftBuckets) // (bo.mx - bo.mn + 1)
+       |      AS bucket
+       |  FROM d CROSS JOIN bo),
+       |c AS MATERIALIZED (
+       |  SELECT half, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM bk GROUP BY 1, 2),
+       |t AS (SELECT half, CAST(sum(n) AS BIGINT) AS t
+       |      FROM c GROUP BY 1),
+       |sp AS (SELECT CAST(b AS BIGINT) AS bucket
+       |       FROM generate_series(0, ${DriftBuckets - 1}) AS g(b)),
+       |rs AS (
+       |  SELECT c.bucket, c.n AS n_ref,
+       |    CAST(c.n AS DOUBLE) / t.t AS p
+       |  FROM c CROSS JOIN t WHERE c.half = 'ref' AND t.half = 'ref'),
+       |cs AS (
+       |  SELECT c.bucket, c.n AS n_cur,
+       |    CAST(c.n AS DOUBLE) / t.t AS q
+       |  FROM c CROSS JOIN t WHERE c.half = 'cur' AND t.half = 'cur'),
+       |j AS MATERIALIZED (
+       |  SELECT sp.bucket,
+       |    CAST(coalesce(rs.n_ref, 0) AS BIGINT) AS n_ref,
+       |    CAST(coalesce(cs.n_cur, 0) AS BIGINT) AS n_cur,
+       |    coalesce(rs.p, CAST(0.0 AS DOUBLE)) AS p,
+       |    coalesce(cs.q, CAST(0.0 AS DOUBLE)) AS q
+       |  FROM sp LEFT JOIN rs ON rs.bucket = sp.bucket
+       |  LEFT JOIN cs ON cs.bucket = sp.bucket),
+       |a AS (SELECT bucket, abs(p - q) AS ad FROM j),
+       |l AS (
+       |  SELECT floor(($chain) * 10000 + 0.5) / 10000 AS l1 FROM a)
+       |SELECT j.bucket, j.n_ref, j.n_cur,
+       |  floor(j.p * 10000 + 0.5) / 10000 AS ref_share,
+       |  floor(j.q * 10000 + 0.5) / 10000 AS cur_share,
+       |  l.l1,
+       |  CASE WHEN l.l1 > $DriftThreshold THEN 'drift' ELSE 'stable' END
+       |    AS verdict
+       |FROM j CROSS JOIN l ORDER BY bucket""".stripMargin
+  }
+
   /** Generated mirror for `q_pagerank_exact`: the SAME fixed-point power
     * iteration as [[graft.ext.Graph.pageRankFixedPoint]], unrolled one CTE
     * per round (standard SQL recursion cannot aggregate over the recursive
@@ -1959,6 +2019,8 @@ object SparkEntry {
          |    ELSE 'ok' END AS advice
          |FROM m ORDER BY part_col""".stripMargin
     },
+    // generated chain-sum L1 mirror — see revenueDriftSql
+    "q_revenue_drift" -> revenueDriftSql(),
     // naive global row_number mirror of the decomposed ordinal
     "q_export_shards" ->
       s"""WITH r AS (

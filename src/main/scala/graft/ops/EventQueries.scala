@@ -1754,6 +1754,79 @@ object EventQueries {
       .orderBy("decile")
   }
 
+  /** [[revenueDrift]] bucket count and L1 alarm threshold — shared with
+    * the generated mirror. */
+  val DriftBuckets = 10
+  val DriftThreshold = 0.25
+
+  /** Distribution-drift monitor — the training/serving-skew check every
+    * ML pipeline runs before trusting a model on fresh data: daily
+    * revenue split into a reference half and a current half (by the
+    * calendar midpoint), bucketed into [[DriftBuckets]] equi-width bins
+    * over the COMBINED range (pure integer arithmetic), per-bin shares,
+    * and the L1 distance between the two distributions with a verdict on
+    * the 4dp-rounded statistic.
+    *
+    * No logs anywhere (a PSI's ln is not correctly-rounded-guaranteed
+    * cross-engine; L1 needs only subtraction and abs): shares divide
+    * exact longs, and the L1 total adds the ten |p−q| terms
+    * LEFT-ASSOCIATIVELY via a generated chain (the q_benford
+    * discipline). Empty bins zero-fill through the bucket spine in both
+    * engines. Scale: one events-sized aggregate to the daily frame;
+    * everything after is bucket-frame arithmetic. */
+  def revenueDrift(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        datediff(col("event_date"), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("day_num"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+      .localCheckpoint(true)
+    val bounds = daily.agg(
+      min(col("day_num")).as("d_mn"), max(col("day_num")).as("d_mx"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val bucketed = daily.crossJoin(broadcast(bounds))
+      .select(
+        when(col("day_num") <= expr("(d_mn + d_mx) div 2"), "ref")
+          .otherwise("cur").as("half"),
+        expr(s"((cents - mn) * $DriftBuckets) div (mx - mn + 1)")
+          .cast(LongType).as("bucket"))
+    val counts = bucketed.groupBy("half", "bucket")
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val totals = counts.groupBy("half").agg(sum(col("n")).as("t"))
+    val spine = counts.agg(count(lit(1)).as("_c"))
+      .select(explode(sequence(lit(0), lit(DriftBuckets - 1))).as("b"))
+      .select(col("b").cast(LongType).as("bucket"))
+    def side(h: String, out: String) = counts.filter(col("half") === h)
+      .crossJoin(broadcast(totals.filter(col("half") === h)
+        .select(col("t"))))
+      .select(col("bucket"), col("n").as(s"n_$out"),
+        (col("n").cast("double") / col("t")).as(s"${out}_share_raw"))
+    val joined = spine
+      .join(side("ref", "ref"), Seq("bucket"), "left")
+      .join(side("cur", "cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("ref_share_raw"), lit(0.0)).as("p"),
+        coalesce(col("cur_share_raw"), lit(0.0)).as("q"))
+      .localCheckpoint(true)
+    val pivots = (0 until DriftBuckets).map(b =>
+      max(when(col("bucket") === b, abs(col("p") - col("q")))).as(s"a$b"))
+    val l1 = joined.groupBy().agg(pivots.head, pivots.tail: _*)
+      .select(round2((0 until DriftBuckets).map(b => col(s"a$b"))
+        .reduceLeft(_ + _), 4).as("l1"))
+      .select(col("l1"),
+        when(col("l1") > DriftThreshold, "drift").otherwise("stable")
+          .as("verdict"))
+    joined.crossJoin(broadcast(l1))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round2(col("p"), 4).as("ref_share"),
+        round2(col("q"), 4).as("cur_share"),
+        col("l1"), col("verdict"))
+      .orderBy("bucket")
+  }
+
   /** Critical z for the [[abTest]] significance flag (two-sided 95%). */
   val AbZCrit = 1.96
 

@@ -846,6 +846,28 @@ class EventQueriesSpec extends SparkSpec {
       got.toString)
   }
 
+  test("revenueDrift: shifted halves max out L1, flat halves are stable") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    // ref days 1–10 at $1.00, cur days 11–20 at $2.00 → disjoint buckets
+    val shifted = ((1 to 10).map(d => p(d.toLong, d, 1.0)) ++
+      (11 to 20).map(d => p(d.toLong, d, 2.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.revenueDrift(shifted)
+      .as[(Long, Long, Long, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(got.map(_._1) == (0L to 9L))
+    assert(got.forall(r => r._6 == 2.0 && r._7 == "drift"), got.toString)
+    assert(got.head == (0L, 10L, 0L, 1.0, 0.0, 2.0, "drift"))
+    assert(got.last == (9L, 0L, 10L, 0.0, 1.0, 2.0, "drift"))
+    val flat = (1 to 20).map(d => p(d.toLong, d, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val g2 = EventQueries.revenueDrift(flat)
+      .as[(Long, Long, Long, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(g2.forall(r => r._6 == 0.0 && r._7 == "stable"), g2.toString)
+  }
+
   test("propsFlatten profiles the typed JSON attribute per event type") {
     val got = EventQueries.propsFlatten(events)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
