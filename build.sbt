@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout straight through (no `[info] ` prefix)
+// and drop sbt's trailing `[success] Total time …` line, so the LAST
+// stdout line of `sbt -batch "runMain graft.Bench"` is the bare headline
+// JSON — the driver's tail-capture parser needs the literal final line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

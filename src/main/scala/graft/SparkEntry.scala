@@ -144,6 +144,19 @@ object SparkEntry {
             e.select(col("event_id"), col("ts"), col("user_id"))
               .as[streaming.VelocityState.In]).toDF))
     }),
+    // watermark-aligned-TTL twin: horizon = the velocity window, so
+    // eviction is lossless for on-time traffic (an evicted user's buffer
+    // would have aged empty anyway) — shares VelocityFlagsSql verbatim;
+    // the late-return miss is spec-pinned (StreamingSpec)
+    "q_stream_velocity_ttl" -> ((s, dir) => {
+      import s.implicits._
+      EventQueries.velocityRollup(
+        StreamingQueries.runStream(s, dir, "stream_velocity_ttl",
+          "append")(e =>
+          streaming.VelocityState.flagsTtl(s,
+            e.select(col("event_id"), col("ts"), col("user_id"))
+              .as[streaming.VelocityState.In]).toDF))
+    }),
     // STL-lite: centered-7 trend (NULL edges), additive weekday
     // seasonal, residual from the RAW components
     "q_seasonal_decomposition" -> ev(EventQueries.seasonalDecomposition),
@@ -158,6 +171,16 @@ object SparkEntry {
       EventQueries.streaksFromDays(
         StreamingQueries.runStream(s, dir, "stream_streaks", "append")(
           StreamingQueries.dedupDailyUsers)
+          .select(col("user_id"), col("event_date")))),
+    // watermark-aligned-TTL twin: the bounded dedup can RE-EMIT a
+    // duplicate whose state was evicted, but streaksFromDays' distinct
+    // absorbs re-emissions — eventual dedup is lossless for this
+    // consumer, so the entry shares UserStreaksSql verbatim (the
+    // re-emission absorption is additionally spec-pinned)
+    "q_stream_user_streaks_ttl" -> ((s, dir) =>
+      EventQueries.streaksFromDays(
+        StreamingQueries.runStream(s, dir, "stream_streaks_ttl", "append")(
+          StreamingQueries.dedupDailyUsersBounded(_))
           .select(col("user_id"), col("event_date")))),
     // streaming complete-mode digit counts + shared benfordRollup —
     // batch ≡ streamed Benford screen on the gate
@@ -966,6 +989,22 @@ object SparkEntry {
       val pairs = StreamingQueries.runStream(s, dir,
         "stream_transitions", "append")(ev =>
         streaming.TransitionState.transitions(s,
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type")).as[streaming.TransitionState.In]).toDF)
+      EventQueries.transitionRollup(
+        pairs.select(col("prev_type"), col("next_type")))
+    }),
+    // watermark-aligned-TTL twin: per-user last-event state evicts once
+    // the watermark passes the user's last activity by the horizon —
+    // state bounded by the active-user window, the 100 TB-stream
+    // configuration. Parity holds inside the horizon (a bounded replay
+    // never evicts mid-stream), so the entry shares EventTransitionsSql;
+    // the evicted-key return miss is spec-pinned (StreamingSpec)
+    "q_stream_event_transitions_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = StreamingQueries.runStream(s, dir,
+        "stream_transitions_ttl", "append")(ev =>
+        streaming.TransitionState.transitionsTtl(s,
           ev.select(col("event_id"), col("ts"), col("user_id"),
             col("event_type")).as[streaming.TransitionState.In]).toDF)
       EventQueries.transitionRollup(
@@ -1823,16 +1862,16 @@ object SparkEntry {
     // naive recursive reachability over the same match-pair edges; the
     // left join keeps unmatched names as their own canonical
     "q_name_survivorship" ->
-      s"""WITH RECURSIVE n AS (
+      s"""WITH RECURSIVE n AS MATERIALIZED (
          |  SELECT DISTINCT p_name AS name,
          |    string_split(p_name, ' ')[-1] AS block
          |  FROM part),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT a.name AS name1, b.name AS name2
          |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
          |  WHERE levenshtein(a.name, b.name) <=
          |    ${RelationalQueries.NameMatchMaxDist}),
-         |e AS (SELECT name1 AS src, name2 AS dst FROM p
+         |e AS MATERIALIZED (SELECT name1 AS src, name2 AS dst FROM p
          |      UNION SELECT name2, name1 FROM p),
          |reach(src, node) AS (
          |  SELECT DISTINCT src, src FROM e
@@ -1903,7 +1942,9 @@ object SparkEntry {
     // engines' bit arithmetic); integer ops are bit-exact
     "q_zorder_layout" ->
       s"""WITH c AS (
-         |  SELECT user_id % ${1L << graft.ops.EventQueries.ZOrderBits} AS x,
+         |  SELECT ((user_id % ${1L << graft.ops.EventQueries.ZOrderBits}) +
+         |      ${1L << graft.ops.EventQueries.ZOrderBits}) %
+         |      ${1L << graft.ops.EventQueries.ZOrderBits} AS x,
          |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') %
          |      ${1 << graft.ops.EventQueries.ZOrderBits} AS BIGINT) AS y
          |  FROM events),
@@ -1957,6 +1998,9 @@ object SparkEntry {
     // the streaming stateful-dedup twin shares the batch oracle VERBATIM
     // (streaksFromDays finisher over the streamed first-seen pairs)
     "q_stream_user_streaks" -> UserStreaksSql,
+    // TTL twin: the finisher's distinct absorbs eviction re-emissions,
+    // so the bounded dedup shares the oracle verbatim
+    "q_stream_user_streaks_ttl" -> UserStreaksSql,
     // streaming complete-mode digit counts + the shared benfordRollup
     // finisher — the batch oracle verbatim
     "q_stream_benford" -> benfordSql(),
@@ -2125,7 +2169,7 @@ object SparkEntry {
     "q_zorder_prune" -> {
       val b = 1L << graft.ops.EventQueries.ZOrderBits
       s"""WITH c AS (
-         |  SELECT user_id % $b AS x,
+         |  SELECT ((user_id % $b) + $b) % $b AS x,
          |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') % $b AS BIGINT)
          |      AS y
          |  FROM events),
@@ -2156,6 +2200,9 @@ object SparkEntry {
     // the stateful trailing-buffer twin shares the batch oracle VERBATIM
     // — the gate certifies stateful-buffer ≡ RANGE-window
     "q_stream_velocity" -> VelocityFlagsSql,
+    // TTL twin: horizon = velocity window makes eviction lossless for
+    // on-time traffic — the same oracle verbatim
+    "q_stream_velocity_ttl" -> VelocityFlagsSql,
     // generated chain-sum χ² mirror — see benfordSql
     "q_benford" -> benfordSql(),
     // identical regex/split semantics in both engines; empty and null
@@ -3494,6 +3541,9 @@ object SparkEntry {
     // the stateful streaming lag on the SAME oracle verbatim: the gate
     // certifies flatMapGroupsWithState-lag ≡ window-lag on real data
     "q_stream_event_transitions" -> EventTransitionsSql,
+    // TTL twin: parity inside the horizon (a bounded replay never
+    // evicts mid-stream) — the same oracle verbatim
+    "q_stream_event_transitions_ttl" -> EventTransitionsSql,
     // one-pass per-user aggregate + the corpus anchor as a scalar CTE
     "q_user_features" ->
       """WITH f AS (

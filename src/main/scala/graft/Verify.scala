@@ -22,6 +22,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema pin FIRST (the r9 lesson: a driver-side testdata regen can
+    // silently retype/rename any column — fail here with a one-line diff
+    // per table, not with N downstream AnalysisExceptions). Footer reads
+    // only; post-normalization, so known encoding flips still pass.
+    val schemaDiffs = graft.model.TestdataContract.check(spark, sfDir)
+    if (schemaDiffs.nonEmpty) {
+      schemaDiffs.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT $d"))
+      System.err.println(
+        s"[verify] testdata schema contract violated (${schemaDiffs.size} " +
+        "tables) — update graft.model.TestdataContract / the normalizers " +
+        "in graft.ingest.Sources before trusting any query output")
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     val failed = collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries

@@ -663,20 +663,6 @@ object RelationalQueries {
     * with the mirror (the shared-constant discipline). */
   val NameMatchMaxDist = 4
 
-  /** Blocked entity resolution over the part-name vocabulary: candidate
-    * near-duplicate name pairs = same blocking key (the last name token —
-    * the head noun) and Levenshtein distance ≤ [[NameMatchMaxDist]].
-    * Classic record-linkage shape: BLOCK first (an equi-join Catalyst
-    * hashes and AQE can split — never an all-pairs cross join), then the
-    * expensive pairwise metric only within blocks.
-    *
-    * The pair list is EXACT GIVEN THE BLOCKING (both engines apply the
-    * identical block + threshold, so the gate certifies pair parity;
-    * blocking recall is a documented trade, as in every real linkage
-    * pipeline). Scale: the join runs on the DISTINCT name vocabulary —
-    * catalog-sized, not row-sized — and Levenshtein is evaluated only on
-    * within-block pairs. Spark and DuckDB both implement the classic
-    * unit-cost edit distance, so the integer rides the gate. */
   /** Exact per-brand retail-price quartile anchors — count, min/max and
     * MEDIAN cents per brand, the two-middle-ranks discipline
     * (q_mad_anomalies) generalized to PER-GROUP medians: the rank and
@@ -732,6 +718,20 @@ object RelationalQueries {
       .orderBy("canonical_name")
   }
 
+  /** Blocked entity resolution over the part-name vocabulary: candidate
+    * near-duplicate name pairs = same blocking key (the last name token —
+    * the head noun) and Levenshtein distance ≤ [[NameMatchMaxDist]].
+    * Classic record-linkage shape: BLOCK first (an equi-join Catalyst
+    * hashes and AQE can split — never an all-pairs cross join), then the
+    * expensive pairwise metric only within blocks.
+    *
+    * The pair list is EXACT GIVEN THE BLOCKING (both engines apply the
+    * identical block + threshold, so the gate certifies pair parity;
+    * blocking recall is a documented trade, as in every real linkage
+    * pipeline). Scale: the join runs on the DISTINCT name vocabulary —
+    * catalog-sized, not row-sized — and Levenshtein is evaluated only on
+    * within-block pairs. Spark and DuckDB both implement the classic
+    * unit-cost edit distance, so the integer rides the gate. */
   def nameMatching(part: DataFrame,
       maxDist: Int = NameMatchMaxDist): DataFrame = {
     val names = part.select(col("p_name")).distinct()

@@ -68,4 +68,48 @@ object VelocityState {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** [[update]] under a watermark-aligned TTL (the [[TransitionState]]
+    * discipline): timed-out keys drop their buffer, otherwise the base
+    * counter runs unchanged and the eviction clock re-arms to
+    * `max(batch max event sec, watermark) + horizonMs`. */
+  def updateTtl(horizonMs: Long)(userId: Long, events: Iterator[In],
+      state: GroupState[Recent]): Iterator[Flag] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val batch = events.toSeq
+    val out = update(userId, batch.iterator, state)
+    val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+    val maxEventMs = batch
+      .map(e => (FunnelState.micros(e.ts) / 1000000L) * 1000L).max
+    if (state.exists)
+      state.setTimeoutTimestamp(math.max(maxEventMs, wm) + horizonMs)
+    out
+  }
+
+  /** The watermark-aligned-TTL twin of [[flags]]. Unlike
+    * [[TransitionState.transitionsTtl]], eviction here is LOSSLESS for
+    * on-time traffic whenever the horizon covers the velocity window
+    * (the default: horizon = watermark delay = [[windowSec]]): a buffer
+    * entry only influences events within [[windowSec]] of it, and an
+    * evicted user's on-time return event is by construction at least the
+    * horizon past their last activity — the aging filter would have
+    * emptied the buffer anyway. The residual trade is LATE return events
+    * (behind the watermark): the watermark filter ahead of the stateful
+    * operator DROPS them outright (no flag emitted at all — the standard
+    * late-data discipline), where the unbounded twin would still have
+    * counted them against surviving peers — spec-pinned over a
+    * multi-batch MemoryStream. */
+  def flagsTtl(spark: SparkSession, events: Dataset[In],
+      delay: String = s"${graft.ops.EventQueries.VelocityWindowSec} seconds")
+      : Dataset[Flag] = {
+    import spark.implicits._
+    val ms = TransitionState.horizonMs(delay)
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateTtl(ms))
+  }
 }

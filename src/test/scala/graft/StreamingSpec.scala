@@ -333,6 +333,165 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("VelocityState same-second run split across micro-batches: the " +
+      "earlier member undercounts its peers (documented stand-in)") {
+    import graft.streaming.VelocityState
+    import graft.streaming.VelocityState.In
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val q = VelocityState.flags(spark, mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_velocity_split")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vel-split").toString)
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // batch 1 carries the FIRST member of a same-second run
+      mem.addData(In(1, ts("2024-01-01 10:20:00"), 1))
+      q.processAllAvailable()
+      // batch 2 carries the SECOND member of the SAME second: arrival
+      // order stands in for event order across batches, so the earlier
+      // member keeps its partial count (1) while the later member sees
+      // the full run (2) — a batch RANGE frame would report 2 for BOTH.
+      // This is the documented cross-batch-tie trade, pinned here.
+      mem.addData(In(2, ts("2024-01-01 10:20:00"), 1))
+      q.processAllAvailable()
+      val got = spark.table("t_velocity_split")
+        .as[VelocityState.Flag].collect()
+        .map(f => (f.event_id, f.n_in_window)).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1L), (2L, 2L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("TransitionState TTL twin: an evicted user's return event emits NO " +
+      "boundary transition (the documented horizon miss), while the " +
+      "unbounded machine emits it") {
+    import graft.streaming.TransitionState
+    import graft.streaming.TransitionState.In
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def run(name: String,
+        wire: (org.apache.spark.sql.Dataset[In]) =>
+          org.apache.spark.sql.Dataset[TransitionState.Transition]) = {
+      val mem = MemoryStream[In]
+      val q = wire(mem.toDS()).writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-$name").toString)
+        .start()
+      try {
+        // batch 1: u1 click, u2 view (both keys get state)
+        mem.addData(In(1, ts("2024-01-01 10:00:00"), 1, "click"),
+          In(2, ts("2024-01-01 10:00:00"), 2, "view"))
+        q.processAllAvailable()
+        // batch 2: only u2 — advances the watermark 10 hours past u1's
+        // last activity (horizon = 1h), so u1's state times out in the
+        // flush batch that follows the watermark update
+        mem.addData(In(3, ts("2024-01-01 20:00:00"), 2, "view"))
+        q.processAllAvailable()
+        // batch 3: u1 returns (on-time: ahead of the 19:00 watermark)
+        mem.addData(In(4, ts("2024-01-01 20:30:00"), 1, "purchase"))
+        q.processAllAvailable()
+        spark.table(name).as[TransitionState.Transition].collect()
+          .map(t => (t.user_id, t.prev_type, t.next_type)).sorted.toSeq
+      } finally q.stop()
+    }
+    val unbounded = run("t_trans_nottl",
+      ds => TransitionState.transitions(spark, ds))
+    val ttl = run("t_trans_ttl",
+      ds => TransitionState.transitionsTtl(spark, ds, "1 hour"))
+    // the unbounded machine emits u1's boundary transition; the TTL twin
+    // evicted u1 and misses it — everything else identical
+    assert(unbounded == Seq((1L, "click", "purchase"), (2L, "view", "view")),
+      unbounded.toString)
+    assert(ttl == Seq((2L, "view", "view")), ttl.toString)
+  }
+
+  test("VelocityState TTL twin: a LATE return event behind the watermark " +
+      "is DROPPED by the watermark filter (no flag at all); the unbounded " +
+      "twin still counts it against the surviving window peer") {
+    import graft.streaming.VelocityState
+    import graft.streaming.VelocityState.In
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def run(name: String,
+        wire: (org.apache.spark.sql.Dataset[In]) =>
+          org.apache.spark.sql.Dataset[VelocityState.Flag]) = {
+      val mem = MemoryStream[In]
+      val q = wire(mem.toDS()).writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-$name").toString)
+        .start()
+      try {
+        mem.addData(In(1, ts("2024-01-01 10:00:00"), 1),
+          In(2, ts("2024-01-01 10:00:00"), 2))
+        q.processAllAvailable()
+        // u2 advances the watermark to 12:00 (delay = 1h); u1's timeout
+        // (11:00) fires in the flush batch → buffer evicted
+        mem.addData(In(3, ts("2024-01-01 13:00:00"), 2))
+        q.processAllAvailable()
+        // u1 returns LATE (10:30 < watermark 12:00): inside the window
+        // of its 10:00 event, but behind the watermark
+        mem.addData(In(4, ts("2024-01-01 10:30:00"), 1))
+        q.processAllAvailable()
+        spark.table(name).as[VelocityState.Flag].collect()
+          .map(f => (f.event_id, f.n_in_window)).sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val unbounded = run("t_vel_nottl",
+      ds => VelocityState.flags(spark, ds))
+    val ttl = run("t_vel_ttl",
+      ds => VelocityState.flagsTtl(spark, ds, "1 hour"))
+    assert(unbounded == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)),
+      unbounded.toString)
+    // the watermark filter ahead of the stateful operator DROPS the late
+    // return outright — no flag, rather than an undercounted one; on-time
+    // traffic (events 1-3) is untouched (the lossless-for-on-time claim)
+    assert(ttl == Seq((1L, 1L), (2L, 1L), (3L, 1L)), ttl.toString)
+  }
+
+  test("dedupDailyUsersBounded: an evicted key RE-EMITS its duplicate, " +
+      "and streaksFromDays' distinct absorbs the re-emission (the TTL " +
+      "streaks entry's lossless claim)") {
+    import graft.streaming.TransitionState.In // (event_id, ts, user_id, event_type)
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[In]
+    val q = StreamingQueries.dedupDailyUsersBounded(
+        mem.toDS().toDF(), delay = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_streaks_ttl")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-streaks-ttl").toString)
+      .start()
+    try {
+      mem.addData(In(1, ts("2024-01-01 00:00:00"), 1, "view"))
+      q.processAllAvailable()
+      // u9 advances the watermark to 02:00 > u1's 00:00 + 1h horizon →
+      // (Jan1, view, u1) dedup state evicts
+      mem.addData(In(2, ts("2024-01-01 03:00:00"), 9, "view"))
+      q.processAllAvailable()
+      // duplicate KEY, later ON-TIME ts (02:30 > watermark 02:00):
+      // state is gone, so the row re-emits — bounded state trades
+      // exactly-once for eventual dedup
+      mem.addData(In(3, ts("2024-01-01 02:30:00"), 1, "view"))
+      q.processAllAvailable()
+      val emitted = spark.table("t_streaks_ttl")
+      val u1Rows = emitted.filter(col("user_id") === 1L).collect()
+      assert(u1Rows.length == 2, s"expected a re-emission: ${u1Rows.toSeq}")
+      // the finisher's distinct absorbs the duplicate: streaks over the
+      // re-emitting bounded stream ≡ streaks over exact dedup
+      val viaTtl = graft.ops.EventQueries.streaksFromDays(
+        emitted.select(col("user_id"), col("event_date"))).collect().toSeq
+      val exact = graft.ops.EventQueries.streaksFromDays(
+        emitted.select(col("user_id"), col("event_date")).distinct())
+        .collect().toSeq
+      assert(viaTtl.map(_.toSeq) == exact.map(_.toSeq))
+    } finally q.stop()
+  }
+
   test("countUniqueDocs pins a null lang LAST — a planted null-lang doc " +
       "keeps the q_stream_doc_dedup row order engine-agnostic") {
     import spark.implicits._

@@ -152,6 +152,46 @@ class TimestampContractSpec extends SparkSpec {
     } finally Fs.deleteQuietly(dir)
   }
 
+  test("TestdataContract: the live driver testdata passes the schema pin") {
+    assert(graft.model.TestdataContract.check(spark, sf("sf0.001")).isEmpty)
+  }
+
+  test("TestdataContract: a perturbed fixture produces a one-line diff " +
+    "naming exactly what changed (the Verify fail-fast path)") {
+    val src = java.nio.file.Paths.get(sf("sf0.001"))
+    val dir = Files.createTempDirectory("graft-contract")
+    try {
+      // symlink every table except events; perturb events: rename
+      // user_id → uid, retype value double → string
+      graft.model.TestdataContract.expected.keys
+        .filter(_ != "events").foreach { t =>
+          Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
+            src.resolve(s"$t.parquet"))
+        }
+      val perturbed = Sources.events(spark, sf("sf0.001"))
+        .withColumnRenamed("user_id", "uid")
+        .withColumn("value", col("value").cast(StringType))
+      perturbed.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage")
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(dir.resolve("stage"))
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      }
+      Files.move(part, dir.resolve("events.parquet"))
+      Fs.deleteQuietly(dir.resolve("stage"))
+
+      val diffs = graft.model.TestdataContract.check(spark, dir.toString)
+      assert(diffs.size == 1, diffs.mkString("\n"))
+      val d = diffs.head
+      assert(d.startsWith("events:") && d.contains("MISSING user_id") &&
+        d.contains("RETYPED value: expected double, got string") &&
+        d.contains("EXTRA uid"), d)
+    } finally Fs.deleteQuietly(dir)
+  }
+
   test("driver testdata: events/lineitem/orders timestamp columns land LTZ") {
     val sfDir = sf("sf0.001")
     assert(Sources.events(spark, sfDir).schema("ts").dataType
