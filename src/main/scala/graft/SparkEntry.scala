@@ -856,6 +856,12 @@ object SparkEntry {
     "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
       Multimodal.attachMedia(Sources.table(s, dir, "documents")))
       .toDF().orderBy("doc_id")),
+    // REAL codec round trip on the hash gate: synthesize a PNG per doc
+    // (dims derived from doc_id), decode back via javax.imageio, report
+    // width/height/bands — the mirror recomputes the dimension
+    // arithmetic, so the hash match certifies encode → decode identity
+    "q_media_decode_real" -> ((s, dir) => Multimodal.decodeRealRoundTrip(s,
+      Sources.table(s, dir, "documents"))),
     // video-to-training-examples fan-out: 4 evenly-spaced frames per
     // payload via the mapPartitions/flatMap batch shape; the frame
     // BOUNDARIES are pure integer arithmetic on the byte length, so the
@@ -3931,6 +3937,16 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the real-codec round trip: the mirror recomputes the doc_id-derived
+    // dimensions synthesizePng encodes, so the hash match certifies the
+    // javax.imageio encode → decode identity (channels: the PNGs are
+    // written from TYPE_INT_RGB, so the decoded raster has 3 bands)
+    "q_media_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // same floor-division frame boundaries over the byte length; empty
     // payloads emit no frames on either side; frame count rendered from

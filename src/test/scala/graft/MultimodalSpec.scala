@@ -1,0 +1,105 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.{ImageCodec, MediaItem}
+import graft.ingest.Sources
+
+/** The REAL codec path of the multimodal family: `javax.imageio` decode
+  * (PNG/JPEG → pixels → exact width/height/band counts), bilinear resize
+  * with aspect preserved, the stub fallback for opaque payloads, and the
+  * gated round-trip query. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic RGB test image. */
+  private def pattern(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 37 + y * 101) & 0xFFFFFF)
+    img
+  }
+
+  private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeMeta decodes a REAL generated PNG: exact width/height/" +
+      "channels and a pixel-content checksum") {
+    val png = ImageCodec.encodePng(pattern(64, 32))
+    assert(ImageCodec.looksLikeImage(png))
+    val meta = Multimodal.decodeMeta(spark,
+      Seq(MediaItem(7L, "image", png)).toDS().toDF()).collect()
+    assert(meta.length == 1)
+    val m = meta.head
+    assert(m.width == 64 && m.height == 32 && m.channels == 3,
+      s"real decode dims: $m")
+    assert(m.n_bytes == png.length.toLong)
+    // checksum is over pixel CONTENT: recompute from the source image
+    var want = 0L
+    val src = pattern(64, 32)
+    for (y <- 0 until 32; x <- 0 until 64) want = want * 31 + src.getRGB(x, y)
+    assert(m.checksum == want, "pixel-fold checksum mismatch")
+  }
+
+  test("decodeMeta decodes a REAL generated JPEG (dims + bands exact; " +
+      "decode is deterministic)") {
+    val jpg = jpegBytes(pattern(48, 20))
+    assert(ImageCodec.looksLikeImage(jpg))
+    val run = () => Multimodal.decodeMeta(spark,
+      Seq(MediaItem(1L, "image", jpg)).toDS().toDF()).collect().head
+    val a = run(); val b = run()
+    assert(a.width == 48 && a.height == 20 && a.channels == 3, a.toString)
+    assert(a == b, "JPEG decode must be deterministic within one JVM")
+  }
+
+  test("opaque payloads take the FakeDecoder fallback, marked channels=0") {
+    val m = Multimodal.decodeMeta(spark,
+      Seq(MediaItem(3L, "audio", "not an image".getBytes("UTF-8")))
+        .toDS().toDF()).collect().head
+    assert(m.channels == 0 && m.n_bytes == 12L &&
+      m.width == 12 && m.height == 12, s"stub path: $m")
+  }
+
+  test("resizeImages: oversized images scale to maxDim with aspect " +
+      "preserved; small images and opaque payloads pass through unchanged") {
+    val big = MediaItem(1L, "image", ImageCodec.encodePng(pattern(64, 32)))
+    val small = MediaItem(2L, "image", ImageCodec.encodePng(pattern(8, 4)))
+    val opaque = MediaItem(3L, "audio", "raw audio bytes".getBytes("UTF-8"))
+    val out = Multimodal.resizeImages(spark,
+        Seq(big, small, opaque).toDS().toDF(), maxDim = 16)
+      .collect().map(m => m.doc_id -> m).toMap
+    val resized = ImageCodec.readImage(out(1L).media).get
+    assert(resized.getWidth == 16 && resized.getHeight == 8,
+      s"64x32 @ maxDim 16 -> 16x8, got ${resized.getWidth}x${resized.getHeight}")
+    assert(out(2L).media.sameElements(small.media), "small image untouched")
+    assert(out(3L).media.sameElements(opaque.media), "opaque untouched")
+  }
+
+  test("q_media_decode_real: synthesized PNGs decode back to the doc_id-" +
+      "derived dimensions (the gated round trip) on live testdata") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(50)
+    val got = Multimodal.decodeRealRoundTrip(spark, docs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, c) =>
+      assert(w == 1 + id % 16 && h == 1 + id % 8 && c == 3L,
+        s"round trip broke for doc $id: ${(w, h, c)}")
+    }
+  }
+
+  test("synthesizePng payloads are stable across invocations (the PNG " +
+      "writer is deterministic)") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(5)
+    val a = Multimodal.synthesizePng(spark, docs).collect()
+      .map(m => m.doc_id -> m.media.toSeq).toMap
+    val b = Multimodal.synthesizePng(spark, docs).collect()
+      .map(m => m.doc_id -> m.media.toSeq).toMap
+    assert(a == b)
+  }
+}
