@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-engine differential fuzzer — automates the hunt that r10's
+  * sessions each did by hand (DuckDB `//` truncation vs Spark `div`,
+  * DECIMAL literal parsing, one-ulp DOUBLE conversions): seeded random
+  * event frames stream through the ARITHMETIC-HEAVY hash-gated queries on
+  * both engines and every output must hash-match, exactly like the
+  * driver's gate.
+  *
+  * Generator coverage (the traps that have actually bitten): same-second
+  * ties, sub-millisecond µs components, duplicate (user, day) activity,
+  * full-mantissa doubles next to exact 2dp money, zero values, declining
+  * revenue days (negative Holt trend / EWMA deltas — the divisibility-
+  * reduction path), null/empty/typed props, and all five event types.
+  *
+  * The compare IS the driver's own `tools/oracle_check.py` (shelled per
+  * frame against a temp dir shaped like the testdata layout), so any
+  * discrepancy found here is a discrepancy the round gate would hit.
+  * Self-gating: cancels when python3+duckdb is unavailable (the
+  * KafkaReadinessSpec discipline).
+  *
+  * Frames default to 100 (`GRAFT_FUZZ_FRAMES=N` to change — an env var,
+  * because sbt's forked test JVM doesn't inherit `-D` flags); each frame
+  * runs a rotating subset of the query set so every query sees ≥25
+  * distinct random frames while the suite stays CI-sized. A failure
+  * prints the frame seed — `genFrame(seed)` reproduces the exact input.
+  */
+class DifferentialFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val duckdbAvailable =
+    try scala.sys.process.Process(
+      Seq("python3", "-c", "import duckdb")).! == 0
+    catch { case _: Throwable => false }
+
+  /** Events-only, hash-gated, arithmetic-heavy entries. */
+  private val FuzzQueries = Vector(
+    "q_daily_revenue", "q_avg_order_value_daily", "q_ewma_revenue",
+    "q_holt_trend", "q_backlog_queue", "q_benford", "q_ab_test",
+    "q_mad_anomalies", "q_revenue_anomalies", "q_revenue_dod",
+    "q_rolling_user_revenue", "q_user_streaks", "q_velocity_flags",
+    "q_zorder_layout", "q_event_transitions", "q_weekday_seasonality")
+
+  private val Frames =
+    sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(100)
+  private val QueriesPerFrame = 4
+
+  /** Deterministic random event frame for `seed` (reproduce any failure
+    * with the printed seed). */
+  private def genFrame(seed: Int, n: Int = 220): DataFrame = {
+    val r = new scala.util.Random(seed)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val rows = (0 until n).map { i =>
+      val dayUs = r.nextInt(6).toLong * 86400000000L
+      // cluster into few distinct seconds per day → same-second ties
+      val secUs = r.nextInt(120).toLong * 997L * 1000000L % 86400000000L
+      val subUs = if (r.nextBoolean()) r.nextInt(1000000).toLong else 0L
+      val value = r.nextInt(5) match {
+        case 0 => 0.0
+        case 1 | 2 => math.floor(r.nextDouble() * 10000) / 100.0 // 2dp money
+        case _ => r.nextDouble() * 1000.0 // full-mantissa double
+      }
+      val props = r.nextInt(4) match {
+        case 0 => null
+        case 1 => "{}"
+        case _ => s"""{"k":${r.nextInt(20)}}"""
+      }
+      (i.toLong, baseUs + dayUs + secUs + subUs, r.nextInt(30).toLong,
+        types(r.nextInt(types.length)), value, props)
+    }
+    rows.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Writes `df` as the single-file `<dir>/events.parquet` driver layout
+    * and symlinks every other table from sf0.001 (the oracle tool binds
+    * all ten views up front). */
+  private def fuzzDir(df: DataFrame): Path = {
+    val dir = Files.createTempDirectory("graft-fuzz")
+    graft.model.TestdataContract.expected.keys.filter(_ != "events")
+      .foreach { t =>
+        Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
+          java.nio.file.Paths.get(sf("sf0.001")).resolve(s"$t.parquet"))
+      }
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+    val part = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(dir.resolve("stage"))
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    Files.move(part, dir.resolve("events.parquet"))
+    Fs.deleteQuietly(dir.resolve("stage"))
+    dir
+  }
+
+  test(s"differential fuzz: $Frames seeded random frames hash-match " +
+      "DuckDB on the arithmetic-heavy gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    val queries = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    val failures = collection.mutable.ArrayBuffer[String]()
+    for (seed <- 0 until Frames) {
+      val dir = fuzzDir(genFrame(seed))
+      val out = Files.createTempDirectory("graft-fuzz-out")
+      try {
+        // rotate so each frame runs a subset but all queries get covered
+        val subset = (0 until QueriesPerFrame)
+          .map(j => FuzzQueries((seed * QueriesPerFrame + j) % FuzzQueries.size))
+        subset.foreach { name =>
+          queries(name)(spark, dir.toString).coalesce(1)
+            .write.mode("overwrite").parquet(s"$out/$name")
+        }
+        Files.writeString(out.resolve("oracle_sql.json"),
+          Verify.oracleSqlJson(subset.map(n => n -> oracles(n)).toMap))
+        val log = new StringBuilder
+        val rc = scala.sys.process.Process(
+          Seq("python3", "tools/oracle_check.py", dir.toString, out.toString),
+          new java.io.File("/root/repo"))
+          .!(scala.sys.process.ProcessLogger(l => log.append(l).append('\n')))
+        if (rc != 0)
+          failures += s"seed=$seed queries=${subset.mkString(",")}\n$log"
+      } finally { Fs.deleteQuietly(dir); Fs.deleteQuietly(out) }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} fuzz frames diverged:\n${failures.mkString("\n")}")
+  }
+}
