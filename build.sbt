@@ -16,7 +16,8 @@ run / fork := true
 // stdout line of `sbt -batch "runMain graft.Bench"` is the bare headline
 // JSON — the driver's tail-capture parser needs the literal final line.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
-Global / showSuccess := false
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,6 +89,16 @@ object SparkEntry {
   private val lastBpeDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Per-bucket DEFLATE-ratio doc counts cached per sfDir during
+    * `q_compression_dist` evaluation (≤ ~25 rows — a bounded driver
+    * artifact) and replayed by the generated mirror as a VALUES CTE: the
+    * downstream distribution arithmetic then rides the hash gate even
+    * though the ratio itself has no portable SQL (the BPE discipline). */
+  private val compressionBuckets =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, Long)]]
+  private val lastCompressionDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -826,6 +836,20 @@ object SparkEntry {
     // DEFLATE-ratio quality signal (Gopher/C4 family): JVM-deterministic
     // but not portable SQL — rows-only entry, ground truth in TextOpsSpec
     "q_compression_quality" -> docs(TextOps.compressionQuality(_)),
+    // the derived HALF of the compression signal on the hash gate: the
+    // corpus pass buckets the non-portable ratio (bounded ≤ ~25 counts,
+    // cached for the generated mirror), and the distribution report —
+    // cum docs / 4dp share / integer-compare verdict — is cross-engine
+    // arithmetic certified against the planted-counts VALUES CTE
+    "q_compression_dist" -> ((s, dir) => {
+      val counts = TextOps.compressionBuckets(
+          Sources.table(s, dir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sortBy(_._1)
+      compressionBuckets.put(dir, counts)
+      lastCompressionDir.set(dir)
+      TextOps.compressionDistFromCounts(s, counts)
+    }),
     "q_domain_mix" -> docs(TextOps.domainMixSample(_,
       Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5), defaultRate = 0.25)),
     // one-pass per-column profiling (count/null/distinct/length stats)
@@ -1187,6 +1211,37 @@ object SparkEntry {
        |               ELSE len(string_split($enc, chr(31) || chr(31)))
        |          END AS n_sub
        |        FROM tok)""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_compression_dist` (see
+    * [[compressionBuckets]]): the cached per-bucket doc counts replay as
+    * a VALUES CTE and the distribution arithmetic — bounded cumulative
+    * window, 4dp share, edge double, integer-compare verdict — runs
+    * cross-engine. Constants interpolate from the shared
+    * [[TextOps.CompressionBucketWidth]]/[[TextOps.CompressionFlagBucket]]
+    * (the shared-constant discipline); the exponent-suffix double literal
+    * is the benfordSql rule. */
+  private def compressionDistSql: String = {
+    val counts = Option(lastCompressionDir.get)
+      .flatMap(compressionBuckets.get).getOrElse(Seq.empty)
+    val values =
+      if (counts.isEmpty) "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+      else counts.map { case (b, n) =>
+        s"(CAST($b AS BIGINT), CAST($n AS BIGINT))" }.mkString(", ")
+    s"""WITH b(bucket, n_docs) AS (VALUES $values),
+       |c AS (SELECT bucket, n_docs,
+       |  CAST(sum(n_docs) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_docs,
+       |  CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM b)
+       |SELECT bucket,
+       |  CAST(bucket AS DOUBLE) / ${TextOps.CompressionBucketWidth}e0
+       |    AS ratio_lo,
+       |  n_docs, cum_docs,
+       |  floor(CAST(cum_docs AS DOUBLE) / CAST(total AS DOUBLE) * 10000
+       |    + 0.5) / 10000 AS cum_share,
+       |  bucket < ${TextOps.CompressionFlagBucket} AS too_compressible
+       |FROM c ORDER BY bucket""".stripMargin
   }
 
   private def bpeOracleSql: String =
@@ -3027,6 +3082,8 @@ object SparkEntry {
     // from the merges trained while the queries ran (Verify order:
     // queries first, oracle dump second)
     "q_bpe_tokens" -> bpeOracleSql,
+    // planted-counts VALUES CTE + cross-engine distribution arithmetic
+    "q_compression_dist" -> compressionDistSql,
     "q_tokenizer_fertility" -> bpeFertilitySql,
     // the reachability CTE evaluated ONCE, distribution + singleton row
     // derived from it (cluster members always have a partner, so size-1

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -399,6 +399,59 @@ object TextOps {
       .withColumn("too_compressible",
         coalesce(col("deflate_ratio") < minRatio, lit(true)))
       .orderBy("doc_id")
+
+  /** [[compressionDistribution]] bucket width denominator (0.05-wide
+    * ratio buckets) — shared with the generated mirror. */
+  val CompressionBucketWidth = 20
+
+  /** Buckets strictly below this index flag too-compressible (bucket 6 =
+    * ratio 0.30, the [[compressionQuality]] default boundary) — shared
+    * with the generated mirror as an INTEGER compare, so the verdict
+    * never touches a float threshold. */
+  val CompressionFlagBucket = 6
+
+  /** The CORPUS half of the compression-distribution report: DEFLATE
+    * ratio per doc (one map-side expression pass), 4dp-rounded, floored
+    * onto [[CompressionBucketWidth]]-denominator buckets, counted per
+    * bucket. Null ratios (empty docs) drop on a stated filter. The
+    * result is BOUNDED (≤ ~25 occupied buckets) — the planted artifact
+    * the generated mirror replays. */
+  def compressionBuckets(documents: DataFrame): DataFrame =
+    documents
+      .select(round2(
+        graft.ext.TextExpressions.deflateRatio(col("text")), 4).as("ratio"))
+      .filter(col("ratio").isNotNull)
+      .select(floor(col("ratio") * CompressionBucketWidth)
+        .cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+
+  /** The DERIVED half, promoted onto the hash gate (the q_bpe_tokens
+    * generated-oracle discipline): everything after the non-portable
+    * ratio — cumulative docs over the bounded bucket frame, the 4dp
+    * cumulative share (double division of exact longs, floor-trick
+    * rounded), the bucket's lower edge as an IEEE-exact-op double, and
+    * the too-compressible verdict as an integer bucket compare — runs
+    * identically in both engines from the same planted (bucket, n_docs)
+    * pairs. */
+  def compressionDistFromCounts(spark: SparkSession,
+      counts: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    counts.toDF("bucket", "n_docs")
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("total", sum(col("n_docs")).over(wAll))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(CompressionBucketWidth.toDouble))
+          .as("ratio_lo"),
+        col("n_docs"), col("cum_docs"),
+        round2(col("cum_docs").cast("double") / col("total").cast("double"),
+          4).as("cum_share"),
+        (col("bucket") < lit(CompressionFlagBucket.toLong))
+          .as("too_compressible"))
+      .orderBy("bucket")
+  }
 
   /** Seeded deterministic corpus shuffle — the per-epoch training-order
     * reshuffle every LLM data loader needs: position = global rank of
