@@ -365,6 +365,12 @@ object SparkEntry {
     // the first non-linear recurrence on the gate; conservation
     // invariant spec-pinned
     "q_backlog_queue" -> ev(EventQueries.backlogQueue),
+    // lag-1..7 autocorrelation: exact long deviations around the
+    // floor-cent mean; r_k divides two long→double conversions
+    "q_revenue_acf" -> ev(EventQueries.revenueAcf(_)),
+    // one-sided CUSUM drift screen: the clamped backlog fold in integer
+    // cents; slack/threshold = σ quantized via the shared floor trick
+    "q_revenue_cusum" -> ev(EventQueries.revenueCusum),
     // robust MAD outlier flags: median/MAD 4dp-rounded in both engines
     // before any comparison (quantile-parity discipline)
     "q_mad_anomalies" -> ev(EventQueries.madAnomalies(_)),
@@ -1064,6 +1070,15 @@ object SparkEntry {
       StreamingQueries.countDailyActiveUsers(
         StreamingQueries.runStream(s, dir, "stream_dau_b", "append")(
           StreamingQueries.dedupDailyUsersBounded(_)))),
+    // the GATED TTL variant: a distinct on the dedup key before the count
+    // absorbs eviction re-emissions (the q_stream_user_streaks_ttl
+    // absorption discipline), so bounded state + exact counts coexist —
+    // shares q_stream_dau's oracle verbatim
+    "q_stream_dau_ttl" -> ((s, dir) =>
+      StreamingQueries.countDailyActiveUsers(
+        StreamingQueries.runStream(s, dir, "stream_dau_ttl", "append")(
+          StreamingQueries.dedupDailyUsersBounded(_))
+          .dropDuplicates("event_date", "event_type", "user_id"))),
     "q_stream_attribution" -> ((s, dir) =>
       StreamingQueries.countAttributionPairs(
         StreamingQueries.runStream(s, dir, "stream_attr", "append")(
@@ -3704,6 +3719,71 @@ object SparkEntry {
     },
     // clamped running sum: greatest() in the recursive step ≡ the fold's
     // clamp; capacity CTE = the same floored-mean longs
+    // exact-long deviation products over the calendar-bounded lag
+    // self-join; t // n safe (non-negative); the final division is of
+    // two correctly-rounded long→double conversions
+    "q_revenue_acf" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |s AS MATERIALIZED (
+         |  SELECT cents, row_number() OVER (ORDER BY event_date) AS rn
+         |  FROM d),
+         |st AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS t FROM s),
+         |v AS MATERIALIZED (
+         |  SELECT rn, cents - (st.t // st.n) AS dev FROM s, st),
+         |den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM v),
+         |num AS (
+         |  SELECT g.k AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+         |  FROM generate_series(1, ${EventQueries.AcfMaxLag}) g(k), v a
+         |  JOIN v b ON b.rn = a.rn + g.k
+         |  GROUP BY 1)
+         |SELECT CAST(num.k AS BIGINT) AS k, num.n_pairs,
+         |  floor(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) * 10000
+         |    + 0.5) / 10000 AS acf
+         |FROM num, den ORDER BY k""".stripMargin,
+    // the clamped fold in integer cents (backlog discipline); σ from
+    // exact long moments, quantized by the shared floor trick before the
+    // recursion so the recurrence never touches a double
+    "q_revenue_cusum" ->
+      s"""WITH RECURSIVE d AS MATERIALIZED (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(floor($MoneySumValue * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |st AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS t,
+         |    CAST(sum(cents * cents) AS BIGINT) AS q FROM d),
+         |c AS MATERIALIZED (
+         |  SELECT (t // n) AS mean_cents,
+         |    CAST(floor(0.5e0 * sqrt(greatest(CAST(q AS DOUBLE) / n
+         |      - (CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n),
+         |      0e0)) + 0.5) AS BIGINT) AS slack,
+         |    CAST(floor(4e0 * sqrt(greatest(CAST(q AS DOUBLE) / n
+         |      - (CAST(t AS DOUBLE) / n) * (CAST(t AS DOUBLE) / n),
+         |      0e0)) + 0.5) AS BIGINT) AS thr
+         |  FROM st),
+         |r AS MATERIALIZED (
+         |  SELECT event_date, cents,
+         |    row_number() OVER (ORDER BY event_date) AS i
+         |  FROM d),
+         |b AS (
+         |  SELECT r.i, r.event_date, r.cents,
+         |    greatest(r.cents - c.mean_cents - c.slack, 0) AS cusum,
+         |    c.thr
+         |  FROM r CROSS JOIN c WHERE r.i = 1
+         |  UNION ALL
+         |  SELECT r.i, r.event_date, r.cents,
+         |    greatest(b.cusum + r.cents - c.mean_cents - c.slack, 0),
+         |    c.thr
+         |  FROM b JOIN r ON r.i = b.i + 1 CROSS JOIN c)
+         |SELECT event_date, cents, CAST(cusum AS BIGINT) AS cusum,
+         |  cusum > thr AS drift_flag
+         |FROM b ORDER BY event_date""".stripMargin,
     "q_backlog_queue" ->
       """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT CAST(ts AS DATE) AS event_date,
@@ -4168,6 +4248,11 @@ object SparkEntry {
         |FROM (SELECT DISTINCT lang, text FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dau" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  count(DISTINCT user_id) AS daily_active_users
+        |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin,
+    // bounded dedup + distinct-absorbing finisher ≡ exact DAU
+    "q_stream_dau_ttl" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |  count(DISTINCT user_id) AS daily_active_users
         |FROM events GROUP BY 1, 2 ORDER BY event_date DESC, event_type""".stripMargin,

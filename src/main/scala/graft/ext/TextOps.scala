@@ -45,7 +45,9 @@ object TextOps {
         sum(size(tokens(col("text"))).cast(LongType)).as("total_tokens"),
         round2(sum(col("n_chars")).cast("double") / count(lit(1)))
           .as("avg_chars"))
-      .orderBy("lang")
+      // NULLS LAST pinned (the countUniqueDocs rule): a null lang would
+      // otherwise flip row order between engines — found by the fuzzer
+      .orderBy(col("lang").asc_nulls_last)
 
   /** Per-document quality signals: length, token count, mean word length,
     * lexical diversity (distinct/total tokens), stopword ratio,
@@ -351,7 +353,8 @@ object TextOps {
       .select(col("lang"), langIdExpr(col("text")).as("predicted_lang"))
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "predicted_lang")
+      // NULLS LAST pinned: fuzzer-found engine row-order divergence
+      .orderBy(col("lang").asc_nulls_last, col("predicted_lang"))
 
   /** Top-k terms per document by a TF-IDF-style weight,
     * `tf * (N+1)/(df+1)` — a rational idf instead of the logarithmic one so
@@ -543,7 +546,8 @@ object TextOps {
       .groupBy(splitExpr(col("doc_id")).as("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
-      .orderBy("split", "lang")
+      // NULLS LAST pinned: fuzzer-found engine row-order divergence
+      .orderBy(col("split"), col("lang").asc_nulls_last)
 
   /** Deterministic stratified sample: the `perStratum` docs with the
     * smallest md5(doc_id) per language — hash-ordering is a uniform draw
@@ -558,7 +562,8 @@ object TextOps {
       .select(col("lang"), col("doc_id"),
         row_number().over(w).cast(LongType).as("rn"))
       .filter(col("rn") <= perStratum)
-      .orderBy("lang", "rn")
+      // NULLS LAST pinned (the countUniqueDocs rule)
+      .orderBy(col("lang").asc_nulls_last, col("rn"))
   }
 
   /** Token-budget curation — keep the highest-QUALITY documents until a
@@ -612,7 +617,15 @@ object TextOps {
       .withColumn("cum_incl", sum(col("bucket_tokens")).over(wq))
       .withColumn("cum_before", col("cum_incl") - col("bucket_tokens"))
       .select(g ++ Seq(col("quality"), col("cum_incl"), col("cum_before")): _*)
-    val joined = scored.join(broadcast(cum), groupCols :+ "quality")
+    // NULL-SAFE join keys: a plain equi-join DROPS null-key rows (null
+    // lang, or null quality from null text) while the mirror's PARTITION
+    // BY windows group them — a silent whole-stratum loss the fuzzer
+    // caught. `<=>` restores the window semantics.
+    val joinCols = groupCols :+ "quality"
+    val cond = joinCols.map(c => scored(c) <=> cum(c)).reduce(_ && _)
+    val joined = joinCols.foldLeft(scored.join(broadcast(cum), cond)) {
+      (df, c) => df.drop(cum(c))
+    }
     val fullKept = joined.filter(col("cum_incl") <= budget)
     val wb = Window.partitionBy(g :+ col("quality"): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1141,7 +1154,8 @@ object TextOps {
           .as("fertility"),
         round2(col("n_chars").cast("double") / col("n_subwords"), 4)
           .as("chars_per_subword"))
-      .orderBy("lang")
+      // NULLS LAST pinned (the countUniqueDocs rule)
+      .orderBy(col("lang").asc_nulls_last)
   }
 
   /** SERVE step: per-document familiarity against a trained vocabulary —

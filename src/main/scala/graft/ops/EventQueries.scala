@@ -1199,6 +1199,108 @@ object EventQueries {
       .orderBy("event_date")
   }
 
+  /** [[revenueAcf]] maximum lag — shared with the mirror. */
+  val AcfMaxLag = 7
+
+  /** Lag-1..[[AcfMaxLag]] autocorrelation of the daily-revenue series —
+    * the seasonality screen that tells a pipeline whether the weekday
+    * model (q_weekday_seasonality) is even warranted: ACF(7) ≫ ACF(1-6)
+    * confirms a weekly cycle.
+    *
+    * Numeric discipline: deviations are EXACT LONGS around the
+    * floor-cent mean (`t div n` — quantizing the mean to whole cents
+    * changes the statistic by < 1 cent/day, and buys bit-exactness:
+    * dev products and their sums stay in int64 for daily revenue up to
+    * ~5×10^8 cents over a 31-day frame; beyond that the products
+    * escalate to DECIMAL the way q_revenue_anomalies' moments do). The
+    * final r_k divides two correctly-rounded long→double conversions —
+    * identical bits in both engines, so the 4dp readout rides the gate.
+    *
+    * Scale shape: one shuffle (per-day aggregate); the series frame is
+    * calendar-bounded, so the rn window and the lag self-join run on a
+    * ≤|days| frame — never the event stream. */
+  def revenueAcf(events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    // bounded calendar frame: the unpartitioned window runs on ≤|days|
+    val s = daily.withColumn("rn",
+      row_number().over(Window.orderBy("event_date")).cast(LongType))
+    val stats = s.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"))
+      .select(expr("t div n").as("mean_cents"))
+    val v = s.crossJoin(broadcast(stats))
+      .select(col("rn"), (col("cents") - col("mean_cents")).as("dev"))
+    val den = v.agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("k"))
+    val num = v.as("a").crossJoin(lags)
+      .join(v.as("b"), col("b.rn") === col("a.rn") + col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.dev") * col("b.dev")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        round2(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("acf"))
+      .orderBy("k")
+  }
+
+  /** One-sided CUSUM drift detector over daily revenue — the changepoint
+    * screen (persistent upward shift) complementing the pointwise z-score
+    * of q_revenue_anomalies: `S_t = max(0, S_{t-1} + dev_t − slack)`
+    * accumulates deviations that EXCEED half a standard deviation and
+    * flags days where the accumulation passes 4σ.
+    *
+    * The recurrence is the [[backlogQueue]] clamped fold (non-linear —
+    * prefix sums don't decompose; sorted collect_list + aggregate HOF on
+    * the calendar-bounded frame). All state is integer cents: slack and
+    * threshold quantize σ (computed from exact long moments via
+    * correctly-rounded IEEE double ops, identical bits in both engines)
+    * to whole cents with the shared floor trick, so the fold itself never
+    * touches a double and the drift verdict is an integer compare. */
+  def revenueCusum(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(day)
+      .agg(moneySum(col("value")).as("rev"))
+      .select(col("event_date"),
+        floor(col("rev") * 100 + 0.5).cast(LongType).as("cents"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("t"),
+      sum(col("cents") * col("cents")).as("q"))
+    val sigma = {
+      val mean = col("t").cast("double") / col("n")
+      sqrt(greatest(col("q").cast("double") / col("n") - mean * mean,
+        lit(0.0)))
+    }
+    val params = stats.select(
+      expr("t div n").as("mean_cents"),
+      floor(lit(0.5) * sigma + 0.5).cast(LongType).as("slack"),
+      floor(lit(4.0) * sigma + 0.5).cast(LongType).as("thr"))
+    val folded = daily.crossJoin(broadcast(params))
+      .agg(array_sort(collect_list(struct(col("event_date"), col("cents"),
+        col("mean_cents"), col("slack"), col("thr")))).as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS ARRAY<STRUCT<event_date: DATE, " +
+          "cents: BIGINT, cusum: BIGINT, thr: BIGINT>>)"),
+        (acc, x) => {
+          val prevS = when(size(acc) === 0, 0L)
+            .otherwise(element_at(acc, -1).getField("cusum"))
+          val s = greatest(prevS + x.getField("cents") -
+            x.getField("mean_cents") - x.getField("slack"), lit(0L))
+          concat(acc, array(struct(
+            x.getField("event_date").as("event_date"),
+            x.getField("cents").as("cents"),
+            s.as("cusum"), x.getField("thr").as("thr"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.event_date").as("event_date"),
+        col("r.cents").as("cents"), col("r.cusum").as("cusum"),
+        (col("r.cusum") > col("r.thr")).as("drift_flag"))
+      .orderBy("event_date")
+  }
+
   /** Poisson-bootstrap replicate count — shared with the mirror. */
   val BootstrapReps = 200
 

@@ -44,7 +44,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_holt_trend", "q_backlog_queue", "q_benford", "q_ab_test",
     "q_mad_anomalies", "q_revenue_anomalies", "q_revenue_dod",
     "q_rolling_user_revenue", "q_user_streaks", "q_velocity_flags",
-    "q_zorder_layout", "q_event_transitions", "q_weekday_seasonality")
+    "q_zorder_layout", "q_event_transitions", "q_weekday_seasonality",
+    "q_revenue_acf", "q_revenue_cusum")
 
   private val Frames =
     sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(100)
@@ -79,12 +80,12 @@ class DifferentialFuzzSpec extends SparkSpec {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  /** Writes `df` as the single-file `<dir>/events.parquet` driver layout
+  /** Writes `df` as the single-file `<dir>/<table>.parquet` driver layout
     * and symlinks every other table from sf0.001 (the oracle tool binds
     * all ten views up front). */
-  private def fuzzDir(df: DataFrame): Path = {
+  private def fuzzDir(df: DataFrame, table: String): Path = {
     val dir = Files.createTempDirectory("graft-fuzz")
-    graft.model.TestdataContract.expected.keys.filter(_ != "events")
+    graft.model.TestdataContract.expected.keys.filter(_ != table)
       .foreach { t =>
         Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
           java.nio.file.Paths.get(sf("sf0.001")).resolve(s"$t.parquet"))
@@ -97,28 +98,33 @@ class DifferentialFuzzSpec extends SparkSpec {
         .find(_.getFileName.toString.endsWith(".parquet")).get
       finally ls.close()
     }
-    Files.move(part, dir.resolve("events.parquet"))
+    Files.move(part, dir.resolve(s"$table.parquet"))
     Fs.deleteQuietly(dir.resolve("stage"))
     dir
   }
 
-  test(s"differential fuzz: $Frames seeded random frames hash-match " +
-      "DuckDB on the arithmetic-heavy gated queries") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+  /** Runs `frames` fuzz rounds: per seed, materialize the generated frame
+    * as `table`, run a rotating query subset, and shell the driver's
+    * oracle tool. `SparkEntry.oracleSql` re-renders AFTER the queries ran
+    * (it is a def) so data-dependent generated mirrors — planted-counts
+    * CTEs like q_compression_dist — are keyed to the fuzz frame, exactly
+    * as in the Verify ordering. */
+  private def runFuzz(frames: Int, table: String,
+      gen: Int => DataFrame, fuzzQueries: Vector[String]): Unit = {
     val queries = SparkEntry.queries
-    val oracles = SparkEntry.oracleSql
     val failures = collection.mutable.ArrayBuffer[String]()
-    for (seed <- 0 until Frames) {
-      val dir = fuzzDir(genFrame(seed))
+    for (seed <- 0 until frames) {
+      val dir = fuzzDir(gen(seed), table)
       val out = Files.createTempDirectory("graft-fuzz-out")
       try {
         // rotate so each frame runs a subset but all queries get covered
         val subset = (0 until QueriesPerFrame)
-          .map(j => FuzzQueries((seed * QueriesPerFrame + j) % FuzzQueries.size))
+          .map(j => fuzzQueries((seed * QueriesPerFrame + j) % fuzzQueries.size))
         subset.foreach { name =>
           queries(name)(spark, dir.toString).coalesce(1)
             .write.mode("overwrite").parquet(s"$out/$name")
         }
+        val oracles = SparkEntry.oracleSql // AFTER the queries: see scaladoc
         Files.writeString(out.resolve("oracle_sql.json"),
           Verify.oracleSqlJson(subset.map(n => n -> oracles(n)).toMap))
         val log = new StringBuilder
@@ -132,5 +138,66 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
     assert(failures.isEmpty,
       s"${failures.size} fuzz frames diverged:\n${failures.mkString("\n")}")
+  }
+
+  test(s"differential fuzz: $Frames seeded random EVENT frames hash-match " +
+      "DuckDB on the arithmetic-heavy gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, "events", genFrame(_), FuzzQueries)
+  }
+
+  // ---- document-frame fuzzing: the text machinery (tokenization, null
+  // handling, shingles, span removal, TF-IDF, budgets) has historically
+  // been the richest source of cross-engine traps ----
+
+  /** Documents-only, hash-gated, untrained text queries. */
+  private val DocFuzzQueries = Vector(
+    "q_token_stats", "q_doc_quality", "q_lang_id", "q_readability",
+    "q_text_normalize", "q_normalized_dedup", "q_dedup_exact",
+    "q_fingerprint_dedup", "q_intradoc_dedup", "q_ngram_jaccard",
+    "q_dup_span_removal", "q_tfidf_top_terms", "q_collocations",
+    "q_token_budget_by_lang", "q_sequence_packing", "q_doc_chunks",
+    "q_media_frames", "q_compression_dist", "q_pii_scrub",
+    "q_train_test_split")
+
+  /** Deterministic random document frame: small vocabulary (forces
+    * shingle collisions), planted exact + one-token-off near duplicates,
+    * repeated-token runs, PII-looking tokens, empty texts, null langs —
+    * ASCII-only on purpose (DuckDB `strlen` is BYTES; the byte↔char
+    * question is pinned separately, not fuzzed). */
+  private def genDocFrame(seed: Int, n: Int = 120): DataFrame = {
+    val r = new scala.util.Random(0x5EED0000 + seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "model", "data", "train", "line", "graph", "the", "a", "of", "and",
+      "x1", "y2", "z3", "Spark!", "quick,", "brown.", "fox?")
+    val langs = Vector("en", "de", "fr", null)
+    val sources = Vector("web", "books", "code")
+    def text(docSeed: Int): String = {
+      val rd = new scala.util.Random(docSeed)
+      val len = rd.nextInt(60)
+      if (len == 0) ""
+      else (0 until len).map { _ =>
+        if (rd.nextInt(12) == 0) "bob@example.com" // PII-looking
+        else if (rd.nextInt(10) == 0) vocab(0) // boilerplate run fodder
+        else vocab(rd.nextInt(vocab.size))
+      }.mkString(" ")
+    }
+    val rows = (0 until n).map { i =>
+      val docSeed = r.nextInt(1 << 20)
+      val t = r.nextInt(10) match {
+        case 0 if i > 0 => text(docSeed % 7) // planted exact duplicates
+        case 1 => text(docSeed % 7) + " extra" // near duplicate
+        case _ => text(docSeed)
+      }
+      (i.toLong, t, langs(r.nextInt(langs.size)),
+        sources(r.nextInt(sources.size)), t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test(s"differential fuzz: $Frames seeded random DOCUMENT frames " +
+      "hash-match DuckDB on the text-pipeline gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, "documents", genDocFrame(_), DocFuzzQueries)
   }
 }

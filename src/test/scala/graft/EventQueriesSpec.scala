@@ -825,6 +825,42 @@ class EventQueriesSpec extends SparkSpec {
     assert(flagged.contains(7), got.toString)
   }
 
+  test("revenueCusum: stationary series stays unflagged; a sustained " +
+      "mean shift accumulates past 4 sigma and flags") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    // mild noise, zero drift: cusum never escapes the slack band
+    val flat = (1 to 20).map(d => p(d.toLong, d, 10.0 + (d % 2)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val clean = EventQueries.revenueCusum(flat)
+      .as[(java.sql.Date, Long, Long, Boolean)].collect().toSeq
+    assert(clean.size == 20 && clean.forall(!_._4), clean.toString)
+    // a persistent upward shift from day 13: the one-sided accumulation
+    // must cross the 4-sigma threshold before the series ends
+    val shifted = (1 to 20).map { d =>
+      p(d.toLong, d, if (d >= 13) 40.0 + (d % 2) else 10.0 + (d % 2))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.revenueCusum(shifted)
+      .as[(java.sql.Date, Long, Long, Boolean)].collect().toSeq
+    val flaggedDays = got.filter(_._4).map(_._1.toLocalDate.getDayOfMonth)
+    assert(flaggedDays.nonEmpty && flaggedDays.forall(_ >= 13),
+      got.toString)
+    // cusum is zero before the shift (deviations sit inside the slack)
+    assert(got.filter(_._1.toLocalDate.getDayOfMonth < 13)
+      .forall(_._3 == 0L), got.toString)
+  }
+
+  test("revenueAcf: a planted period-2 alternation yields strongly " +
+      "negative ACF(1) and positive ACF(2)") {
+    def p(id: Long, day: Int, v: Double) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), id, "purchase", v, "{}")
+    val alt = (1 to 20).map(d => p(d.toLong, d, if (d % 2 == 0) 100.0 else 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val acf = EventQueries.revenueAcf(alt)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(acf(1L) < -0.8 && acf(2L) > 0.8, acf.toString)
+  }
+
   test("decileLift: top-score deciles carry the conversion lift") {
     val rows = (1 to 10).flatMap { i =>
       val views = (1 to (11 - i)).map(j =>
