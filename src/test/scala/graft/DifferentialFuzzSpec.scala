@@ -80,26 +80,29 @@ class DifferentialFuzzSpec extends SparkSpec {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  /** Writes `df` as the single-file `<dir>/<table>.parquet` driver layout
-    * and symlinks every other table from sf0.001 (the oracle tool binds
-    * all ten views up front). */
-  private def fuzzDir(df: DataFrame, table: String): Path = {
+  /** Writes each frame as the single-file `<dir>/<table>.parquet` driver
+    * layout and symlinks every other table from sf0.001 (the oracle tool
+    * binds all ten views up front). */
+  private def fuzzDir(frames: Seq[(String, DataFrame)]): Path = {
     val dir = Files.createTempDirectory("graft-fuzz")
-    graft.model.TestdataContract.expected.keys.filter(_ != table)
-      .foreach { t =>
+    val generated = frames.map(_._1).toSet
+    graft.model.TestdataContract.expected.keys
+      .filterNot(generated.contains).foreach { t =>
         Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
           java.nio.file.Paths.get(sf("sf0.001")).resolve(s"$t.parquet"))
       }
-    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
-    val part = {
-      import scala.jdk.CollectionConverters._
-      val ls = Files.list(dir.resolve("stage"))
-      try ls.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      finally ls.close()
+    frames.foreach { case (table, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(dir.resolve("stage"))
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally ls.close()
+      }
+      Files.move(part, dir.resolve(s"$table.parquet"))
+      Fs.deleteQuietly(dir.resolve("stage"))
     }
-    Files.move(part, dir.resolve(s"$table.parquet"))
-    Fs.deleteQuietly(dir.resolve("stage"))
     dir
   }
 
@@ -109,12 +112,13 @@ class DifferentialFuzzSpec extends SparkSpec {
     * (it is a def) so data-dependent generated mirrors — planted-counts
     * CTEs like q_compression_dist — are keyed to the fuzz frame, exactly
     * as in the Verify ordering. */
-  private def runFuzz(frames: Int, table: String,
-      gen: Int => DataFrame, fuzzQueries: Vector[String]): Unit = {
+  private def runFuzz(frames: Int,
+      gen: Int => Seq[(String, DataFrame)],
+      fuzzQueries: Vector[String]): Unit = {
     val queries = SparkEntry.queries
     val failures = collection.mutable.ArrayBuffer[String]()
     for (seed <- 0 until frames) {
-      val dir = fuzzDir(gen(seed), table)
+      val dir = fuzzDir(gen(seed))
       val out = Files.createTempDirectory("graft-fuzz-out")
       try {
         // rotate so each frame runs a subset but all queries get covered
@@ -143,7 +147,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   test(s"differential fuzz: $Frames seeded random EVENT frames hash-match " +
       "DuckDB on the arithmetic-heavy gated queries") {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, "events", genFrame(_), FuzzQueries)
+    runFuzz(Frames, s => Seq("events" -> genFrame(s)), FuzzQueries)
   }
 
   // ---- document-frame fuzzing: the text machinery (tokenization, null
@@ -198,6 +202,76 @@ class DifferentialFuzzSpec extends SparkSpec {
   test(s"differential fuzz: $Frames seeded random DOCUMENT frames " +
       "hash-match DuckDB on the text-pipeline gated queries") {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, "documents", genDocFrame(_), DocFuzzQueries)
+    runFuzz(Frames, s => Seq("documents" -> genDocFrame(s)), DocFuzzQueries)
+  }
+
+  // ---- relational (lineitem + orders) fuzzing: the TPC-H-shape family —
+  // decimal money sums, date-window predicates, outer-join count
+  // distributions, winsorized thresholds, pushdown disjunctions ----
+
+  /** Gated queries over the relational star (dims stay the real sf0.001
+    * tables; generated fact keys land inside their domains). */
+  private val RelFuzzQueries = Vector(
+    "q_pricing_summary", "q_returned_items", "q_small_qty_revenue",
+    "q_large_orders", "q_order_priority", "q_order_count_dist",
+    "q_ship_latency_priority", "q_top_orders", "q_market_share",
+    "q_profit_by_nation_year", "q_revenue_by_nation",
+    "q_revenue_by_nation_salted", "q_winsorized_revenue",
+    "q_disjunctive_revenue", "q_supplier_variety", "q_waiting_suppliers",
+    "q_top_supplier", "q_idle_rich_customers", "q_regional_revenue",
+    "q_top_selling_brands")
+
+  /** Correlated orders + lineitem frames: every l_orderkey exists in
+    * orders (0-line orders stress the Q13 outer-join count path);
+    * foreign keys stay inside the real dimension domains (custkey 0-149,
+    * partkey 0-199, suppkey 0-9); dates span the real 1995-2001 window
+    * so year-literal predicates select non-trivially; money mixes exact
+    * 2dp values with full-mantissa doubles; discounts/taxes are the
+    * TPC-H 0.00-0.10 / 0.00-0.08 cent steps. */
+  private def genRelFrames(seed: Int,
+      nOrders: Int = 150): Seq[(String, DataFrame)] = {
+    val r = new scala.util.Random(0x07DE7000 + seed)
+    val prios = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val statuses = Vector("F", "O", "P")
+    val flags = Vector("A", "N", "R")
+    val lstat = Vector("F", "O")
+    val epoch95Us = 788918400000000L // 1995-01-01T00:00:00Z
+    def money(): Double =
+      if (r.nextBoolean()) math.floor(r.nextDouble() * 10000000) / 100.0
+      else r.nextDouble() * 100000.0
+    val orders = (0 until nOrders).map { i =>
+      val dayUs = r.nextInt(2400).toLong * 86400000000L
+      (i.toLong, r.nextInt(150).toLong, statuses(r.nextInt(3)),
+        money(), epoch95Us + dayUs, prios(r.nextInt(5)))
+    }
+    val lines = orders.flatMap { o =>
+      (1 to r.nextInt(6)).map { ln =>
+        val shipUs = o._5 + (1 + r.nextInt(120)).toLong * 86400000000L
+        (o._1, r.nextInt(200).toLong, r.nextInt(10).toLong, ln,
+          (1 + r.nextInt(50)).toDouble, money(),
+          r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
+          flags(r.nextInt(3)), lstat(r.nextInt(2)), shipUs)
+      }
+    }
+    val ordersDf = orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "tsus", "o_orderpriority")
+      .withColumn("o_orderdate", timestamp_micros(col("tsus"))).drop("tsus")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val linesDf = lines.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "tsus")
+      .withColumn("l_shipdate", timestamp_micros(col("tsus"))).drop("tsus")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    Seq("orders" -> ordersDf, "lineitem" -> linesDf)
+  }
+
+  test(s"differential fuzz: $Frames seeded random ORDERS+LINEITEM frames " +
+      "hash-match DuckDB on the relational gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, genRelFrames(_), RelFuzzQueries)
   }
 }
