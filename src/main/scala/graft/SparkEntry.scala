@@ -203,6 +203,10 @@ object SparkEntry {
     "q_decile_lift" -> ev(EventQueries.decileLift),
     // systematic PPS sampling in pure integer arithmetic (weighted
     // sibling of the md5 split); bucketed prefix-sum decomposition
+    // positional inverted-index build + exact phrase probe: adjacency
+    // joins over 1-based postings, generated-mirror join chain from the
+    // shared phrase constant
+    "q_phrase_search" -> docs(TextOps.phraseSearch(_)),
     "q_pps_sample" -> docs(TextOps.ppsSample(_)),
     // partition-layout advisor: candidate keys scored on cardinality,
     // skew and small-files risk; verdicts on 4dp-rounded metrics
@@ -349,6 +353,9 @@ object SparkEntry {
     // Markov transition matrix: per-user lag window (hot key bounded by
     // the busiest user), out-share over the ≤|types|² aggregate frame
     "q_event_transitions" -> ev(EventQueries.eventTransitions),
+    // stationary distribution of the transition chain: fixed-point power
+    // iteration in scale-1e9 longs (pagerank discipline on P's rationals)
+    "q_markov_stationary" -> ev(EventQueries.markovStationary(_)),
     // feature-store extraction: one hash aggregate per user, corpus
     // anchor date as a 1-row broadcast scalar
     "q_user_features" -> ev(EventQueries.userFeatures),
@@ -1733,6 +1740,78 @@ object SparkEntry {
        |$rounds
        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
        |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_markov_stationary`: the power-iteration
+    * rounds unroll as CTEs (the pageRankExactSql discipline), each
+    * MATERIALIZED per the recursion/FD rule; `(w * n) // tot` matches
+    * Spark `div` on the non-negative mass/count/total longs. Scale and
+    * round count interpolate from the shared EventQueries constants. */
+  private def markovStationarySql: String = {
+    val s = EventQueries.MarkovScale
+    val iters = EventQueries.MarkovIters
+    val rounds = (1 to iters).map { i =>
+      s"""x$i AS MATERIALIZED (
+         |  SELECT st.state, CAST(coalesce(sum((x${i - 1}.w * t.n) // t.tot),
+         |    0) AS BIGINT) AS w
+         |  FROM states st
+         |  LEFT JOIN (t JOIN x${i - 1} ON x${i - 1}.state = t.prev_type)
+         |    ON t.next_type = st.state
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |t0 AS MATERIALIZED (
+       |  SELECT prev_type, event_type AS next_type,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+       |  FROM t0 GROUP BY 1),
+       |t AS MATERIALIZED (
+       |  SELECT t0.prev_type, t0.next_type, t0.n, tot.tot
+       |  FROM t0 JOIN tot ON tot.prev_type = t0.prev_type),
+       |states AS MATERIALIZED (
+       |  SELECT DISTINCT prev_type AS state FROM t0
+       |  UNION SELECT DISTINCT next_type FROM t0),
+       |k AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       |x0 AS MATERIALIZED (
+       |  SELECT state, CAST($s // greatest(k.k, 1) AS BIGINT) AS w
+       |  FROM states CROSS JOIN k),
+       |$rounds
+       |SELECT state, CAST(w AS BIGINT) AS mass_fp,
+       |  floor(CAST(w AS DOUBLE) / ${s}e0 * 10000 + 0.5) / 10000 AS prob
+       |FROM x$iters ORDER BY state""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_phrase_search`: 1-based postings via
+    * generate_series (the cleaned-text position convention) and an
+    * adjacency-join chain rendered from the SAME [[TextOps.PhraseTokens]]
+    * constant as the Spark fold. */
+  private def phraseSearchSql: String = {
+    val ph = TextOps.PhraseTokens
+    def l(t: String) = "'" + t.replace("'", "''") + "'"
+    val joins = ph.zipWithIndex.tail.map { case (t, i) =>
+      s"  JOIN p b$i ON b$i.doc_id = a.doc_id AND b$i.pos = a.pos + $i\n" +
+        s"    AND b$i.term = ${l(t)}"
+    }.mkString("\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS term
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts))) AS i
+       |        FROM toks)),
+       |m AS (
+       |  SELECT a.doc_id, a.pos FROM p a
+       |$joins
+       |  WHERE a.term = ${l(ph.head)})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** Shared by `q_event_transitions` (window lag) and
@@ -3616,6 +3695,10 @@ object SparkEntry {
         |ORDER BY cohort_date, week""".stripMargin,
     // per-user lag twin; out-share divides exact longs as doubles
     "q_event_transitions" -> EventTransitionsSql,
+    // unrolled fixed-point power-iteration rounds — see markovStationarySql
+    "q_markov_stationary" -> markovStationarySql,
+    // generated adjacency-join chain over 1-based postings
+    "q_phrase_search" -> phraseSearchSql,
     // the stateful streaming lag on the SAME oracle verbatim: the gate
     // certifies flatMapGroupsWithState-lag ≡ window-lag on real data
     "q_stream_event_transitions" -> EventTransitionsSql,

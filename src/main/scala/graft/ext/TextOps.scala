@@ -456,6 +456,48 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** [[phraseSearch]] probe phrase — shared with the generated mirror. */
+  val PhraseTokens: Seq[String] = Seq("hash", "join")
+
+  /** Positional inverted-index postings: one (doc_id, pos, term) row per
+    * token occurrence, positions 1-BASED (the DuckDB array convention the
+    * cleaned-text mirrors already pinned). This is the classic build side
+    * of a distributed search index — term-keyed, explode-only (no
+    * shuffle until a consumer aggregates by term). Null texts drop on
+    * both engines (posexplode of a null array emits nothing). */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("term"))
+
+  /** Exact phrase search over [[positionalPostings]]: consecutive-position
+    * adjacency joins chain one per phrase token (the standard positional-
+    * index probe), then a per-doc rollup of match count and first hit.
+    * Each join side filters to ONE term before joining — at index scale
+    * the probe touches only the phrase terms' postings lists, never the
+    * corpus. Output rides the hash gate against a generated mirror whose
+    * join chain renders from the SAME phrase constant. */
+  def phraseSearch(documents: DataFrame,
+      phrase: Seq[String] = PhraseTokens): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val postings = positionalPostings(documents)
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (tok, i)) =>
+        acc.as("a").join(
+          postings.filter(col("term") === tok)
+            .select(col("doc_id").as("d"), col("pos").as("p")).as("b"),
+          col("a.doc_id") === col("b.d") && col("b.p") === col("a.pos") + i)
+          .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Seeded deterministic corpus shuffle — the per-epoch training-order
     * reshuffle every LLM data loader needs: position = global rank of
     * `md5(seed:doc_id)` (doc_id tiebreak for a TOTAL order). A new seed

@@ -1026,6 +1026,57 @@ object EventQueries {
           .as("share"))
       .orderBy("prev_type", "next_type")
 
+  /** [[markovStationary]] fixed-point scale and iteration count — shared
+    * with the generated mirror (the q_pagerank_exact discipline). */
+  val MarkovScale = 1000000000L
+  val MarkovIters = 12
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run "where does a user's attention settle" readout over the
+    * q_event_transitions matrix: fixed-point power iteration
+    * `x' = x·P` with P's row probabilities kept as RATIONALS
+    * (count/row-total) and mass in scale-[[MarkovScale]] longs, floored
+    * per multiplication (`(w·n) div tot` ≡ DuckDB `//` on non-negatives)
+    * — the q_pagerank_exact fixed-point discipline on a transition
+    * matrix. Fixed [[MarkovIters]] rounds, no convergence gate
+    * (idempotence at the fixed point is spec evidence); states with no
+    * inbound transitions re-enter each round with mass 0 via the
+    * state-universe left join. The state set is the event-type domain —
+    * a tiny frame, so each round is a broadcast-sized join; the only
+    * corpus pass is the lag-pair aggregate. */
+  def markovStationary(events: DataFrame,
+      iters: Int = MarkovIters): DataFrame = {
+    val p = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("prev_type").isNotNull)
+    val t = p.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("event_type", "next_type")
+      .localCheckpoint(true)
+    val tot = t.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+    val tm = t.join(tot, "prev_type").localCheckpoint(true)
+    val states = t.select(col("prev_type").as("state"))
+      .union(t.select(col("next_type")))
+      .distinct().localCheckpoint(true)
+    val k = states.count() // pre-loop driver count (the pagerank rule)
+    var x = states.select(col("state"),
+      lit(MarkovScale / math.max(k, 1L)).as("w"))
+    for (_ <- 1 to iters) {
+      val contrib = tm.join(x, tm("prev_type") === x("state"))
+        .select(col("next_type").as("state"),
+          expr("(w * n) div tot").as("c"))
+        .groupBy("state").agg(sum(col("c")).as("w"))
+      x = states.join(contrib, Seq("state"), "left")
+        .select(col("state"), coalesce(col("w"), lit(0L)).as("w"))
+        .localCheckpoint(true)
+    }
+    x.select(col("state"), col("w").as("mass_fp"),
+        round2(col("w").cast("double") / lit(MarkovScale.toDouble), 4)
+          .as("prob"))
+      .orderBy("state")
+  }
+
   /** Per-user ML feature matrix — the feature-store extraction pass a
     * churn/LTV model trains on: engagement volume, purchase behaviour in
     * exact integer cents, activity span, and recency against the corpus

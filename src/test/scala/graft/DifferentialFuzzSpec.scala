@@ -45,7 +45,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_mad_anomalies", "q_revenue_anomalies", "q_revenue_dod",
     "q_rolling_user_revenue", "q_user_streaks", "q_velocity_flags",
     "q_zorder_layout", "q_event_transitions", "q_weekday_seasonality",
-    "q_revenue_acf", "q_revenue_cusum")
+    "q_revenue_acf", "q_revenue_cusum", "q_markov_stationary")
 
   private val Frames =
     sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(100)
@@ -162,7 +162,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_dup_span_removal", "q_tfidf_top_terms", "q_collocations",
     "q_token_budget_by_lang", "q_sequence_packing", "q_doc_chunks",
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
-    "q_train_test_split")
+    "q_train_test_split", "q_phrase_search")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -173,7 +173,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     val r = new scala.util.Random(0x5EED0000 + seed)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "model", "data", "train", "line", "graph", "the", "a", "of", "and",
-      "x1", "y2", "z3", "Spark!", "quick,", "brown.", "fox?")
+      "x1", "y2", "z3", "Spark!", "quick,", "brown.", "fox?",
+      "hash", "join") // the phrase-search probe tokens
     val langs = Vector("en", "de", "fr", null)
     val sources = Vector("web", "books", "code")
     def text(docSeed: Int): String = {

@@ -861,6 +861,25 @@ class EventQueriesSpec extends SparkSpec {
     assert(acf(1L) < -0.8 && acf(2L) > 0.8, acf.toString)
   }
 
+  test("markovStationary: a two-state alternating chain settles at " +
+      "50/50; an absorbing dead-end drains mass (documented dangling loss)") {
+    def e(id: Long, t: String) =
+      (id, ts(f"2024-01-01 10:${id}%02d:00"), 1L, t, 1.0, "{}")
+    // a ⇄ b forever: stationary mass splits exactly in half
+    val alt = (0L to 9L).map(i => e(i, if (i % 2 == 0) "view" else "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val st = EventQueries.markovStationary(alt)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(st == Map("view" -> 0.5, "click" -> 0.5), st.toString)
+    // view → purchase, purchase has no outgoing row: its mass is NOT
+    // self-retained, so the chain drains to zero — the stated semantics
+    val dead = Seq(e(0, "view"), e(1, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val drained = EventQueries.markovStationary(dead)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(drained == Map("view" -> 0L, "purchase" -> 0L), drained.toString)
+  }
+
   test("decileLift: top-score deciles carry the conversion lift") {
     val rows = (1 to 10).flatMap { i =>
       val views = (1 to (11 - i)).map(j =>

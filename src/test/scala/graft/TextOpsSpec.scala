@@ -27,6 +27,24 @@ class TextOpsSpec extends SparkSpec {
       s"expected $want got $pred") }
   }
 
+  test("phraseSearch: adjacency counts, first position (1-based), and a " +
+      "3-token phrase; overlapping and absent cases") {
+    val docs = Seq(
+      (0L, "hash join beats sort merge hash join sometimes"),
+      (1L, "join hash is not the phrase"),
+      (2L, "a hash join b"),
+      (3L, "no match here"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1L), (2L, 1L, 2L)), got.toString)
+    val tri = TextOps.phraseSearch(docs, Seq("sort", "merge", "hash"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri == Seq((0L, 1L, 4L)), tri.toString)
+  }
+
   test("fingerprint is invariant to word order and repetition") {
     val df = Seq(
       (0L, "alpha beta gamma"),
