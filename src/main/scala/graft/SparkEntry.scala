@@ -356,6 +356,9 @@ object SparkEntry {
     // stationary distribution of the transition chain: fixed-point power
     // iteration in scale-1e9 longs (pagerank discipline on P's rationals)
     "q_markov_stationary" -> ev(EventQueries.markovStationary(_)),
+    // Kaplan-Meier product-limit estimator over user tenures: sequential
+    // left-associative double fold ≡ the mirror's recursive CTE
+    "q_survival_curve" -> ev(EventQueries.survivalCurve),
     // feature-store extraction: one hash aggregate per user, corpus
     // anchor date as a 1-row broadcast scalar
     "q_user_features" -> ev(EventQueries.userFeatures),
@@ -3697,6 +3700,34 @@ object SparkEntry {
     "q_event_transitions" -> EventTransitionsSql,
     // unrolled fixed-point power-iteration rounds — see markovStationarySql
     "q_markov_stationary" -> markovStationarySql,
+    // the product-limit recursion: identical left-associative factor
+    // sequence; n/d exact longs from the reverse cumsum
+    "q_survival_curve" ->
+      """WITH RECURSIVE tn AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT)
+        |      AS t
+        |  FROM events GROUP BY 1),
+        |bt AS MATERIALIZED (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS d FROM tn GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT t, d,
+        |    CAST(sum(d) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n,
+        |    row_number() OVER (ORDER BY t) AS i
+        |  FROM bt),
+        |r AS (
+        |  SELECT i, t, d, n,
+        |    1e0 * (1e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+        |  FROM c WHERE i = 1
+        |  UNION ALL
+        |  SELECT c.i, c.t, c.d, c.n,
+        |    r.s * (1e0 - CAST(c.d AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |  FROM r JOIN c ON c.i = r.i + 1)
+        |SELECT t AS tenure_days, n AS n_risk, d AS n_events,
+        |  floor(s * 10000 + 0.5) / 10000 AS survival
+        |FROM r ORDER BY tenure_days""".stripMargin,
     // generated adjacency-join chain over 1-based postings
     "q_phrase_search" -> phraseSearchSql,
     // the stateful streaming lag on the SAME oracle verbatim: the gate

@@ -1077,6 +1077,55 @@ object EventQueries {
       .orderBy("state")
   }
 
+  /** Kaplan-Meier survival curve over user LIFETIMES (tenure = days
+    * between first and last activity; "event" at the last active day —
+    * the uncensored engagement-survival readout churn analyses start
+    * from): at-risk counts `n_t` and event counts `d_t` per tenure day,
+    * and the product-limit estimator
+    * `S(t) = Π_{i ≤ t} (1 − d_i / n_i)`.
+    *
+    * Numeric discipline: n/d are exact longs (a reverse cumulative sum
+    * over the BOUNDED distinct-tenure frame); each factor divides two
+    * exact longs (correctly-rounded double), and the running product is
+    * a SEQUENTIAL left-associative fold — sorted collect_list +
+    * aggregate HOF here, a recursive CTE in the mirror — so both engines
+    * execute the identical IEEE op sequence (the EWMA discipline with
+    * multiplication instead of addition; an order-free product would be
+    * engine-dependent). Scale: one user-keyed shuffle for tenures; the
+    * curve frame is bounded by the observation window. */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val tenure = events
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast(LongType).as("t"))
+    val byT = tenure.groupBy("t").agg(count(lit(1)).as("d"))
+    // at-risk = users whose tenure is ≥ t: reverse cumsum on the bounded
+    // distinct-tenure frame
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = byT.withColumn("n", sum(col("d")).over(wRisk))
+    val folded = curve
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("xs"))
+      .select(aggregate(
+        col("xs"),
+        expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, d: BIGINT, " +
+          "n: BIGINT, s: DOUBLE>>)"),
+        (acc, x) => {
+          val prevS = when(size(acc) === 0, lit(1.0))
+            .otherwise(element_at(acc, -1).getField("s"))
+          val s = prevS * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n").cast("double"))
+          concat(acc, array(struct(
+            x.getField("t").as("t"), x.getField("d").as("d"),
+            x.getField("n").as("n"), s.as("s"))))
+        }).as("res"))
+    folded.select(explode(col("res")).as("r"))
+      .select(col("r.t").as("tenure_days"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), round2(col("r.s"), 4).as("survival"))
+      .orderBy("tenure_days")
+  }
+
   /** Per-user ML feature matrix — the feature-store extraction pass a
     * churn/LTV model trains on: engagement volume, purchase behaviour in
     * exact integer cents, activity span, and recency against the corpus

@@ -45,7 +45,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_mad_anomalies", "q_revenue_anomalies", "q_revenue_dod",
     "q_rolling_user_revenue", "q_user_streaks", "q_velocity_flags",
     "q_zorder_layout", "q_event_transitions", "q_weekday_seasonality",
-    "q_revenue_acf", "q_revenue_cusum", "q_markov_stationary")
+    "q_revenue_acf", "q_revenue_cusum", "q_markov_stationary",
+    "q_survival_curve")
 
   private val Frames =
     sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(100)

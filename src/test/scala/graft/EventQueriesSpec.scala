@@ -880,6 +880,20 @@ class EventQueriesSpec extends SparkSpec {
     assert(drained == Map("view" -> 0L, "purchase" -> 0L), drained.toString)
   }
 
+  test("survivalCurve: product-limit steps with exact at-risk counts") {
+    def e(id: Long, u: Long, day: Int) =
+      (id, ts(f"2024-01-$day%02d 10:00:00"), u, "view", 1.0, "{}")
+    // users 1-3: single-day (tenure 0); user 4: days 1..3 (tenure 2)
+    val ev = Seq(e(1, 1, 1), e(2, 2, 1), e(3, 3, 2),
+      e(4, 4, 1), e(5, 4, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventQueries.survivalCurve(ev)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // t=0: 3 of 4 at-risk churn -> S=0.25; t=2: the last user churns -> 0
+    assert(got == Seq((0L, 4L, 3L, 0.25), (2L, 1L, 1L, 0.0)),
+      got.toString)
+  }
+
   test("decileLift: top-score deciles carry the conversion lift") {
     val rows = (1 to 10).flatMap { i =>
       val views = (1 to (11 - i)).map(j =>
