@@ -359,6 +359,13 @@ object SparkEntry {
     // Kaplan-Meier product-limit estimator over user tenures: sequential
     // left-associative double fold ≡ the mirror's recursive CTE
     "q_survival_curve" -> ev(EventQueries.survivalCurve),
+    // streaming twin: the per-user tenure aggregate runs IN-stream
+    // (complete mode), the product-limit finisher on the materialized
+    // frame — shares q_survival_curve's oracle verbatim
+    "q_stream_survival" -> ((s, dir) =>
+      EventQueries.survivalFromTenures(
+        StreamingQueries.runCompleteMode(s, dir, "stream_survival")(
+          EventQueries.userTenures))),
     // feature-store extraction: one hash aggregate per user, corpus
     // anchor date as a 1-row broadcast scalar
     "q_user_features" -> ev(EventQueries.userFeatures),
@@ -1249,11 +1256,14 @@ object SparkEntry {
   private def compressionDistSql: String = {
     val counts = Option(lastCompressionDir.get)
       .flatMap(compressionBuckets.get).getOrElse(Seq.empty)
-    val values =
-      if (counts.isEmpty) "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
-      else counts.map { case (b, n) =>
-        s"(CAST($b AS BIGINT), CAST($n AS BIGINT))" }.mkString(", ")
-    s"""WITH b(bucket, n_docs) AS (VALUES $values),
+    // empty cache → a ZERO-row CTE (a NULL placeholder row would survive
+    // the windows and mismatch Spark's empty frame)
+    val bCte =
+      if (counts.isEmpty)
+        "(SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE 1 = 0)"
+      else "(VALUES " + counts.map { case (b, n) =>
+        s"(CAST($b AS BIGINT), CAST($n AS BIGINT))" }.mkString(", ") + ")"
+    s"""WITH b(bucket, n_docs) AS $bCte,
        |c AS (SELECT bucket, n_docs,
        |  CAST(sum(n_docs) OVER (ORDER BY bucket
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -1816,6 +1826,35 @@ object SparkEntry {
        |  CAST(min(pos) AS BIGINT) AS first_pos
        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared by `q_survival_curve` (batch) and `q_stream_survival`
+    * (complete-mode incremental tenure aggregate + the same finisher). */
+  private val SurvivalCurveSql =
+    """WITH RECURSIVE tn AS MATERIALIZED (
+      |  SELECT user_id,
+      |    CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT)
+      |      AS t
+      |  FROM events GROUP BY 1),
+      |bt AS MATERIALIZED (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS d FROM tn GROUP BY 1),
+      |c AS MATERIALIZED (
+      |  SELECT t, d,
+      |    CAST(sum(d) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n,
+      |    row_number() OVER (ORDER BY t) AS i
+      |  FROM bt),
+      |r AS (
+      |  SELECT i, t, d, n,
+      |    1e0 * (1e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+      |  FROM c WHERE i = 1
+      |  UNION ALL
+      |  SELECT c.i, c.t, c.d, c.n,
+      |    r.s * (1e0 - CAST(c.d AS DOUBLE) / CAST(c.n AS DOUBLE))
+      |  FROM r JOIN c ON c.i = r.i + 1)
+      |SELECT t AS tenure_days, n AS n_risk, d AS n_events,
+      |  floor(s * 10000 + 0.5) / 10000 AS survival
+      |FROM r ORDER BY tenure_days""".stripMargin
 
   /** Shared by `q_event_transitions` (window lag) and
     * `q_stream_event_transitions` (stateful streaming lag). */
@@ -3171,7 +3210,8 @@ object SparkEntry {
          |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
          |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
          |  COALESCE(nr.n_removed, 0) AS n_removed,
-         |  COALESCE(ct.clean_text, '') AS clean_text
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE COALESCE(ct.clean_text, '') END AS clean_text
          |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
          |LEFT JOIN nr ON d.doc_id = nr.doc_id
          |ORDER BY d.doc_id""".stripMargin,
@@ -3451,7 +3491,8 @@ object SparkEntry {
          |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1)
          |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
          |  COALESCE(nr.n_removed, 0) AS n_removed,
-         |  COALESCE(ct.clean_text, '') AS clean_text
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE COALESCE(ct.clean_text, '') END AS clean_text
          |FROM documents d LEFT JOIN ct ON d.doc_id = ct.doc_id
          |LEFT JOIN nr ON d.doc_id = nr.doc_id
          |WHERE d.doc_id % 25 <> 0
@@ -3702,32 +3743,11 @@ object SparkEntry {
     "q_markov_stationary" -> markovStationarySql,
     // the product-limit recursion: identical left-associative factor
     // sequence; n/d exact longs from the reverse cumsum
-    "q_survival_curve" ->
-      """WITH RECURSIVE tn AS MATERIALIZED (
-        |  SELECT user_id,
-        |    CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT)
-        |      AS t
-        |  FROM events GROUP BY 1),
-        |bt AS MATERIALIZED (
-        |  SELECT t, CAST(count(*) AS BIGINT) AS d FROM tn GROUP BY 1),
-        |c AS MATERIALIZED (
-        |  SELECT t, d,
-        |    CAST(sum(d) OVER (ORDER BY t DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS n,
-        |    row_number() OVER (ORDER BY t) AS i
-        |  FROM bt),
-        |r AS (
-        |  SELECT i, t, d, n,
-        |    1e0 * (1e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) AS s
-        |  FROM c WHERE i = 1
-        |  UNION ALL
-        |  SELECT c.i, c.t, c.d, c.n,
-        |    r.s * (1e0 - CAST(c.d AS DOUBLE) / CAST(c.n AS DOUBLE))
-        |  FROM r JOIN c ON c.i = r.i + 1)
-        |SELECT t AS tenure_days, n AS n_risk, d AS n_events,
-        |  floor(s * 10000 + 0.5) / 10000 AS survival
-        |FROM r ORDER BY tenure_days""".stripMargin,
+    "q_survival_curve" -> SurvivalCurveSql,
+    // streaming twin shares the batch oracle VERBATIM (one val — the
+    // shared-oracle discipline): the gate certifies
+    // incremental-tenure-aggregate ≡ batch aggregate
+    "q_stream_survival" -> SurvivalCurveSql,
     // generated adjacency-join chain over 1-based postings
     "q_phrase_search" -> phraseSearchSql,
     // the stateful streaming lag on the SAME oracle verbatim: the gate

@@ -37,9 +37,11 @@ object Multimodal {
     * gates the reader lookup so non-image payloads (the common case in a
     * mixed corpus) skip ImageIO entirely and cost one array probe. */
   object ImageCodec {
-    /** Magic-byte sniff: does the payload LOOK like a supported image? */
+    /** Magic-byte sniff: does the payload LOOK like a supported image?
+      * Null-safe — a null payload (null source text upstream) is not an
+      * image. */
     def looksLikeImage(bytes: Array[Byte]): Boolean =
-      bytes.length >= 8 && {
+      bytes != null && bytes.length >= 8 && {
         val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
         val b2 = bytes(2) & 0xFF
         (b0 == 0x89 && b1 == 'P' && b2 == 'N') || // PNG
@@ -89,6 +91,11 @@ object Multimodal {
     * item inside a partition batch) is the real contract. */
   object FakeDecoder {
     def decode(item: MediaItem): MediaMeta = {
+      // null payload (upstream null text): zero-byte stub metadata — the
+      // fuzzer-found NPE class; parity with the mirrors' NULL-propagating
+      // strlen arithmetic is kept by the consumers' stated filters
+      if (item.media == null)
+        return MediaMeta(item.doc_id, item.kind, 0L, 0, 0, 0, 0L)
       val n = item.media.length.toLong
       // xor-fold checksum: stands in for a content hash
       var cs = 0L
@@ -125,7 +132,8 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaItem].mapPartitions { items =>
       // real impl: codec init once per partition, then per-item re-encode
-      items.map(m => m.copy(media = m.media.take(maxBytes)))
+      items.map(m =>
+        if (m.media == null) m else m.copy(media = m.media.take(maxBytes)))
     }
   }
 
@@ -221,7 +229,7 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaItem].flatMap { m =>
-      val len = m.media.length
+      val len = if (m.media == null) 0 else m.media.length
       if (len == 0) Iterator.empty
       else (0 until n).iterator.map { i =>
         val from = (len.toLong * i / n).toInt

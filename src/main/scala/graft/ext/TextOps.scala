@@ -347,10 +347,14 @@ object TextOps {
         Seq(StopEn, StopDe, StopEs, StopFr),
         Seq("en", "de", "es", "fr"), fallback = "und"))
 
-  /** Confusion-matrix counts of predicted vs labeled language. */
+  /** Confusion-matrix counts of predicted vs labeled language. Null text
+    * predicts 'und' (the expression itself null-propagates; the mirror's
+    * CASE falls through to ELSE 'und' — force ONE semantics Spark-side,
+    * the round-6 null-text-parity rule). */
   def langIdEval(documents: DataFrame): DataFrame =
     documents
-      .select(col("lang"), langIdExpr(col("text")).as("predicted_lang"))
+      .select(col("lang"),
+        coalesce(langIdExpr(col("text")), lit("und")).as("predicted_lang"))
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
       // NULLS LAST pinned: fuzzer-found engine row-order divergence
@@ -1051,9 +1055,13 @@ object TextOps {
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Groups docs that are permutations/repetitions of the same
     * vocabulary — the cheapest useful near-dup fingerprint that stays
-    * exactly reproducible in any engine. */
+    * exactly reproducible in any engine. Null text fingerprints NULL:
+    * concat_ws treats a null ARRAY as empty, which would silently merge
+    * null-text docs into the empty-text group while the mirror's
+    * null-propagating md5 keeps them apart (fuzzer-found). */
   def fingerprintExpr(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
 
   /** Fingerprint dedup summary: one row per distinct fingerprint with the
     * keeper (min doc_id) and the group size. */

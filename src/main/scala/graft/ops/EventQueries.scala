@@ -1093,11 +1093,20 @@ object EventQueries {
     * multiplication instead of addition; an order-free product would be
     * engine-dependent). Scale: one user-keyed shuffle for tenures; the
     * curve frame is bounded by the observation window. */
-  def survivalCurve(events: DataFrame): DataFrame = {
-    val tenure = events
-      .groupBy("user_id")
+  def survivalCurve(events: DataFrame): DataFrame =
+    survivalFromTenures(userTenures(events))
+
+  /** Per-user activity tenure in days — the aggregation half of
+    * [[survivalCurve]], shared with the streaming twin (which runs THIS
+    * aggregate incrementally in complete mode and feeds the same
+    * finisher — the shared-oracle certification pattern). */
+  def userTenures(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
       .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
         .cast(LongType).as("t"))
+
+  /** Finisher half of [[survivalCurve]] over a `(user_id, t)` frame. */
+  def survivalFromTenures(tenure: DataFrame): DataFrame = {
     val byT = tenure.groupBy("t").agg(count(lit(1)).as("d"))
     // at-risk = users whose tenure is ≥ t: reverse cumsum on the bounded
     // distinct-tenure frame
@@ -1341,8 +1350,13 @@ object EventQueries {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("a.dev") * col("b.dev")).as("num"))
     num.crossJoin(broadcast(den))
+      // den = 0 (a zero-variance series) must yield NULL in BOTH engines:
+      // Spark's 0.0/0.0 is NaN while DuckDB's x/0 is NULL — force the
+      // NULL semantics here (the null-parity discipline)
       .select(col("k"), col("n_pairs"),
-        round2(col("num").cast("double") / col("den").cast("double"), 4)
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(round2(
+            col("num").cast("double") / col("den").cast("double"), 4))
           .as("acf"))
       .orderBy("k")
   }

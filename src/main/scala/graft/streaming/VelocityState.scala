@@ -84,8 +84,13 @@ object VelocityState {
     val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
     val maxEventMs = batch
       .map(e => (FunnelState.micros(e.ts) / 1000000L) * 1000L).max
+    // +1000: the aging filter is INCLUSIVE at second granularity (an
+    // entry at sec S still counts for an event at sec S+W), so the
+    // timeout must sit one full second PAST the horizon or an on-time
+    // return landing exactly at S+W could find its peer evicted — the
+    // losslessness claim would break at the boundary
     if (state.exists)
-      state.setTimeoutTimestamp(math.max(maxEventMs, wm) + horizonMs)
+      state.setTimeoutTimestamp(math.max(maxEventMs, wm) + horizonMs + 1000L)
     out
   }
 

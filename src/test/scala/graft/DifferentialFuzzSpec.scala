@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Frames default to 100 (`GRAFT_FUZZ_FRAMES=N` to change — an env var,
   * because sbt's forked test JVM doesn't inherit `-D` flags); each frame
-  * runs a rotating subset of the query set so every query sees ≥25
-  * distinct random frames while the suite stays CI-sized. A failure
+  * runs a SEED-SHUFFLED subset of the query set (a plain stride rotation
+  * would lock each query to a fixed seed-residue class, structurally
+  * hiding any trap outside its class), so every query sees
+  * ~frames·subset/|queries| frames drawn without correlation. A failure
   * prints the frame seed — `genFrame(seed)` reproduces the exact input.
   */
 class DifferentialFuzzSpec extends SparkSpec {
@@ -122,9 +124,10 @@ class DifferentialFuzzSpec extends SparkSpec {
       val dir = fuzzDir(gen(seed))
       val out = Files.createTempDirectory("graft-fuzz-out")
       try {
-        // rotate so each frame runs a subset but all queries get covered
-        val subset = (0 until QueriesPerFrame)
-          .map(j => fuzzQueries((seed * QueriesPerFrame + j) % fuzzQueries.size))
+        // seed-shuffled subset: distinct within the frame, decorrelated
+        // across seeds (no residue-class lock — see the scaladoc)
+        val subset = new scala.util.Random(0xF022 + seed)
+          .shuffle(fuzzQueries).take(QueriesPerFrame)
         subset.foreach { name =>
           queries(name)(spark, dir.toString).coalesce(1)
             .write.mode("overwrite").parquet(s"$out/$name")
@@ -163,7 +166,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_dup_span_removal", "q_tfidf_top_terms", "q_collocations",
     "q_token_budget_by_lang", "q_sequence_packing", "q_doc_chunks",
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
-    "q_train_test_split", "q_phrase_search")
+    "q_train_test_split", "q_phrase_search", "q_contamination_scrub")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -190,13 +193,15 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
     val rows = (0 until n).map { i =>
       val docSeed = r.nextInt(1 << 20)
-      val t = r.nextInt(10) match {
-        case 0 if i > 0 => text(docSeed % 7) // planted exact duplicates
-        case 1 => text(docSeed % 7) + " extra" // near duplicate
+      val t = r.nextInt(20) match {
+        case 0 | 1 if i > 0 => text(docSeed % 7) // planted exact duplicates
+        case 2 | 3 => text(docSeed % 7) + " extra" // near duplicate
+        case 4 => null // null text (the null-text-parity class)
         case _ => text(docSeed)
       }
       (i.toLong, t, langs(r.nextInt(langs.size)),
-        sources(r.nextInt(sources.size)), t.length.toLong)
+        sources(r.nextInt(sources.size)),
+        if (t == null) 0L else t.length.toLong)
     }
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
