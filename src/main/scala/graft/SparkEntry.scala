@@ -4261,7 +4261,7 @@ object SparkEntry {
         |  SELECT vec_id, nn_id, dot / (sqrt(na) * sqrt(nb)) AS sim,
         |    row_number() OVER (PARTITION BY vec_id
         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nn_id) AS rank
-        |  FROM s)
+        |  FROM s WHERE na > 0 AND nb > 0)
         |SELECT vec_id, rank, nn_id,
         |  floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM r WHERE rank <= 1 ORDER BY vec_id, rank""".stripMargin,
@@ -4355,7 +4355,7 @@ object SparkEntry {
         |  SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS sim,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rank
-        |  FROM s)
+        |  FROM s WHERE na > 0 AND nb > 0)
         |SELECT query_id, rank, vec_id,
         |  floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,

@@ -30,7 +30,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with the ZERO-NORM edge pinned to NULL in both engines: a
+    * zero vector (padding row, dead embedding) makes the denominator 0 —
+    * Spark's ANSI double division THROWS on /0 (a single such row would
+    * kill a 1000-executor job) while DuckDB yields NULL; the guarded
+    * NULL is the cross-engine contract (fuzzer-found). NULL sims rank
+    * LAST under desc in both engines. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / den)
+  }
 
   /** Exact top-k cosine neighbors of `queryVecId` (excluded from results).
     * The single query row is broadcast; the corpus is scanned once. The
@@ -81,6 +91,8 @@ object Similarity {
       .crossJoin(q)
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("sim"))
+      // zero-norm pairs drop (the allNearestNeighbors contract)
+      .filter(col("sim").isNotNull)
     TopK.topKPerGroup(scored, "query_id", "sim", "vec_id", k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round2(col("sim"), 4).as("cosine_sim"))
@@ -135,7 +147,11 @@ object Similarity {
         sum(col("x") * col("x")).as("nv"),
         sum(col("m") * col("m")).as("nc"))
       .select(col("vec_id"), col("label"),
-        round2(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 4)
+        // zero-norm edge → NULL (the cosine() contract): ANSI /0 throws
+        when(sqrt(col("nv")) * sqrt(col("nc")) === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round2(
+            col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 4))
           .as("centroid_sim"))
       .orderBy("vec_id")
   }
@@ -219,7 +235,10 @@ object Similarity {
     array(centroids.zipWithIndex.map { case (c, i) =>
       val cCol = array(c.toIndexedSeq.map(lit): _*)
       val cNorm = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-      struct((-dot(emb, cCol) / lit(cNorm)).as("negdot"), lit(i).as("cell"))
+      // an all-zero trained centroid would make this an ANSI /0 at runtime;
+      // dividing by 1 keeps its score a consistent 0 for the argmin
+      val safeNorm = if (cNorm == 0.0) 1.0 else cNorm
+      struct((-dot(emb, cCol) / lit(safeNorm)).as("negdot"), lit(i).as("cell"))
     }.toIndexedSeq: _*)
 
   /** Corpus → (vec_id, embedding, cell): a single narrow projection — the
@@ -313,8 +332,16 @@ object Similarity {
     val scored = q.hint("shuffle_replicate_nl").crossJoin(c)
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
-        (dot(col("embedding"), col("c_emb")) / (col("q_n") * col("c_n")))
+        // zero-norm edge → NULL (the cosine() contract): ANSI /0 throws
+        when(col("q_n") * col("c_n") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("embedding"), col("c_emb")) /
+            (col("q_n") * col("c_n")))
           .as("sim"))
+      // a zero-norm side has no meaningful cosine: the pair DROPS from
+      // every neighbor list (a zero query vector yields no rows at all)
+      // — stated explicitly rather than left to the aggregator's
+      // null handling; the mirror filters the same na/nb > 0
+      .filter(col("sim").isNotNull)
     TopK.topKPerGroup(scored, "vec_id", "sim", "nn_id", k)
       .select(col("vec_id"), col("rank"), col("nn_id"),
         round2(col("sim"), 4).as("cosine_sim"))
@@ -346,9 +373,11 @@ object Similarity {
       .select(col("qemb").as("q_emb")))
     def dotd(a: Column, b: Column) =
       VecExpressions.vecDotInt8(a, b).cast("double")
-    val sim = dotd(col("qemb"), col("q_emb")) /
-      (sqrt(dotd(col("qemb"), col("qemb"))) *
-        sqrt(dotd(col("q_emb"), col("q_emb"))))
+    val den = sqrt(dotd(col("qemb"), col("qemb"))) *
+      sqrt(dotd(col("q_emb"), col("q_emb")))
+    // zero-norm edge → NULL (the cosine() contract): ANSI /0 throws
+    val sim = when(den === 0.0, lit(null).cast("double"))
+      .otherwise(dotd(col("qemb"), col("q_emb")) / den)
     quant.filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
       .select(col("vec_id"), sim.as("sim"))

@@ -281,4 +281,37 @@ class DifferentialFuzzSpec extends SparkSpec {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
     runFuzz(Frames, genRelFrames(_), RelFuzzQueries)
   }
+
+  // ---- embedding fuzzing: float→double casts, dot/norm accumulation,
+  // cosine tie-breaks — the similarity family's exact-arithmetic mirrors ----
+
+  private val VecFuzzQueries = Vector(
+    "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
+    "q_centroid_sim")
+
+  /** Random 64-dim float vectors in the real schema: full-mantissa
+    * values, a few zero vectors (zero-norm edge), duplicate vectors
+    * (cosine ties exercising the nn_id tiebreak), labels 0-9. Queries
+    * here are O(n²·d), so the frames stay small. */
+  private def genVecFrame(seed: Int, n: Int = 40): DataFrame = {
+    val r = new scala.util.Random(0x7EC70000 + seed)
+    val vecs = new Array[Array[Float]](n)
+    (0 until n).foreach { i =>
+      vecs(i) =
+        if (i > 1 && r.nextInt(8) == 0) vecs(r.nextInt(i)) // exact dup: ties
+        else if (r.nextInt(12) == 0) Array.fill(64)(0.0f) // zero-norm edge
+        else Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows = (0 until n).map(i => (i.toLong, vecs(i).toSeq, r.nextInt(10)))
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+  }
+
+  test(s"differential fuzz: $Frames seeded random EMBEDDING frames " +
+      "hash-match DuckDB on the similarity gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("embeddings" -> genVecFrame(s)), VecFuzzQueries)
+  }
 }
