@@ -50,8 +50,10 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_revenue_acf", "q_revenue_cusum", "q_markov_stationary",
     "q_survival_curve")
 
+  // 50 per family × 4 families = 200 frames per suite run (the round-10
+  // verdict asked for ≥100); GRAFT_FUZZ_FRAMES raises it for harvest runs
   private val Frames =
-    sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(100)
+    sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(50)
   private val QueriesPerFrame = 4
 
   /** Deterministic random event frame for `seed` (reproduce any failure

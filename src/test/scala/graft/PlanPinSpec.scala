@@ -32,7 +32,13 @@ class PlanPinSpec extends SparkSpec {
     "q_dup_clusters", "q_cluster_keepers",
     "q_kcore", "q_bfs_hops", "q_session_concurrency", "q_jaccard_curve",
     "q_profile_events", "q_ngram_jaccard", "q_revenue_by_nation_salted",
-    "q_profit_by_nation_year")
+    "q_profit_by_nation_year",
+    // round-11 additions: the phrase probe's adjacency joins, the Markov
+    // round joins and the survival fold must stay equi-join shapes
+    // (q_revenue_acf is deliberately absent: its mean/denominator ride
+    // 1-row broadcast-scalar crossJoins — the documented BNLJ class)
+    "q_phrase_search", "q_markov_stationary", "q_survival_curve",
+    "q_media_decode_real")
 
   test("bench-heavy batch entries plan WITHOUT BroadcastNestedLoopJoin " +
       "or CartesianProduct") {
