@@ -3329,9 +3329,13 @@ object SparkEntry {
     // the naive quadratic dominance query the skyline DECOMPOSITION
     // replaces — the gate certifies group-max + cummax ≡ NOT EXISTS,
     // ties included (scores from the shared DocQualitySelect rendering)
+    // null-text docs excluded on BOTH sides: NULL metrics would make the
+    // NOT EXISTS dominance vacuously true here while Spark's equi-join
+    // drops them (null-text parity — the fuzzer's sweep found it)
     "q_skyline_docs" ->
       s"""WITH q0 AS ($DocQualitySelect),
-         |q AS (SELECT doc_id, n_tokens, lexical_diversity FROM q0)
+         |q AS (SELECT doc_id, n_tokens, lexical_diversity FROM q0
+         |      WHERE n_tokens IS NOT NULL)
          |SELECT doc_id, n_tokens, lexical_diversity FROM q s
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM q o WHERE o.n_tokens >= s.n_tokens
@@ -4089,12 +4093,17 @@ object SparkEntry {
         |  floor((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1000000 + 0.5)
         |    / 1000000 AS top_ratio
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB array_to_string([]) is NULL (verified), Spark concat_ws of
+    // an empty array is '' — scope the COALESCE so a fully-dropped doc
+    // renders '' and only NULL text stays NULL (null-text parity)
     "q_unit_filter" ->
       """WITH u AS (SELECT doc_id, string_split(text, ' ') AS units
         |           FROM documents)
         |SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
         |  CAST(len(list_filter(units, x -> length(x) >= 2)) AS BIGINT) AS n_kept,
-        |  array_to_string(list_filter(units, x -> length(x) >= 2), ' ')
+        |  CASE WHEN units IS NULL THEN NULL
+        |       ELSE COALESCE(array_to_string(
+        |         list_filter(units, x -> length(x) >= 2), ' '), '') END
         |    AS clean_text
         |FROM u ORDER BY doc_id""".stripMargin,
     // order-preserving first-occurrence dedup: list_position returns the

@@ -95,9 +95,14 @@ object TextOps {
     * the 4dp-rounded shared expression ([[diversityExpr]]) — already
     * engine-identical, so the dominance comparisons mirror exactly. */
   def skylineDocs(documents: DataFrame): DataFrame = {
-    val q = documents.select(col("doc_id"),
-      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-      diversityExpr(tokens(col("text"))).as("lexical_diversity"))
+    // null-text docs carry NULL metrics and cannot participate in
+    // dominance — dropped EXPLICITLY (the equi-join below would drop
+    // them anyway; the mirror's NOT EXISTS would instead let them
+    // survive as vacuous skyline members — null-text parity)
+    val q = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        diversityExpr(tokens(col("text"))).as("lexical_diversity"))
     val grp = q.groupBy("n_tokens")
       .agg(max(col("lexical_diversity")).as("gmax"))
     val cum = grp.withColumn("cmax",
@@ -259,8 +264,11 @@ object TextOps {
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
-        size(filter(col("toks"), t => t.isin(blocklist: _*)))
-          .cast(LongType).as("n_blocked"),
+        // null text blocks NOTHING (kept=true, 0 hits) — the mirror's
+        // NULL-tolerant arithmetic lands there; force it Spark-side
+        // (size(filter(null)) is NULL — the null-text-parity rule)
+        coalesce(size(filter(col("toks"), t => t.isin(blocklist: _*)))
+          .cast(LongType), lit(0L)).as("n_blocked"),
         concat_ws(",", array_sort(array_intersect(col("toks"), blockedArr)))
           .as("blocked_terms"))
       .withColumn("kept", col("n_blocked") === 0L)
@@ -1014,7 +1022,10 @@ object TextOps {
       .select(col("doc_id"),
         size(col("units")).cast(LongType).as("n_units"),
         size(kept).cast(LongType).as("n_kept"),
-        concat_ws(delim, kept).as("clean_text"))
+        // null-in → null-out: concat_ws would render a null array as ''
+        // while the mirror's string_agg stays NULL (null-text parity)
+        when(col("units").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(delim, kept)).as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -58,12 +58,13 @@ class DifferentialFuzzSpec extends SparkSpec {
 
   /** Deterministic random event frame for `seed` (reproduce any failure
     * with the printed seed). */
-  private def genFrame(seed: Int, n: Int = 220): DataFrame = {
+  private def genFrame(seed: Int, n: Int = 220, users: Int = 30,
+      days: Int = 6): DataFrame = {
     val r = new scala.util.Random(seed)
     val types = Vector("view", "click", "purchase", "signup", "error")
     val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
     val rows = (0 until n).map { i =>
-      val dayUs = r.nextInt(6).toLong * 86400000000L
+      val dayUs = r.nextInt(days).toLong * 86400000000L
       // cluster into few distinct seconds per day → same-second ties
       val secUs = r.nextInt(120).toLong * 997L * 1000000L % 86400000000L
       val subUs = if (r.nextBoolean()) r.nextInt(1000000).toLong else 0L
@@ -77,7 +78,7 @@ class DifferentialFuzzSpec extends SparkSpec {
         case 1 => "{}"
         case _ => s"""{"k":${r.nextInt(20)}}"""
       }
-      (i.toLong, baseUs + dayUs + secUs + subUs, r.nextInt(30).toLong,
+      (i.toLong, baseUs + dayUs + secUs + subUs, r.nextInt(users).toLong,
         types(r.nextInt(types.length)), value, props)
     }
     rows.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
@@ -315,5 +316,102 @@ class DifferentialFuzzSpec extends SparkSpec {
       "hash-match DuckDB on the similarity gated queries") {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
     runFuzz(Frames, s => Seq("embeddings" -> genVecFrame(s)), VecFuzzQueries)
+  }
+
+  // ---- edge-frame sweeps: EVERY gated events-/documents-only entry runs
+  // once per suite against one adversarial random frame — breadth to the
+  // rotating fuzz's depth (a parity bug in ANY gated entry on a random
+  // frame now fails CI, not just the arithmetic-heavy rotation) ----
+
+  /** All gated events-only entries (the `ev(...)` wrapper set). */
+  private val AllEventQueries = Vector(
+    "q_daily_revenue", "q_revenue_anomalies", "q_rfm_segments",
+    "q_basket_pairs", "q_assoc_rules", "q_weekday_seasonality",
+    "q_interpurchase_gaps", "q_revenue_concentration",
+    "q_rolling_user_revenue", "q_bootstrap_ci", "q_compaction_plan",
+    "q_benford", "q_zorder_layout", "q_velocity_flags",
+    "q_seasonal_decomposition", "q_residual_anomalies", "q_user_streaks",
+    "q_decile_lift", "q_partition_advice", "q_revenue_drift",
+    "q_revenue_trend", "q_zorder_prune", "q_bfs_hops", "q_pagerank_exact",
+    "q_triangle_count", "q_kcore", "q_cohort_revenue", "q_data_checks",
+    "q_quarantine", "q_top_category_revenue", "q_category_heavyhitters",
+    "q_conversion_funnel", "q_abandoned_cart_users",
+    "q_avg_order_value_daily", "q_daily_active_users",
+    "q_conversion_latency", "q_user_retention", "q_price_quantiles",
+    "q_winsorized_revenue", "q_price_histogram", "q_equidepth_histogram",
+    "q_ewma_revenue", "q_multitouch_attribution", "q_revenue_dod",
+    "q_category_movers", "q_retention_matrix", "q_event_transitions",
+    "q_markov_stationary", "q_survival_curve", "q_user_features",
+    "q_target_encoding", "q_json_flatten", "q_holt_trend",
+    "q_backlog_queue", "q_revenue_acf", "q_revenue_cusum",
+    "q_mad_anomalies", "q_skew_report", "q_ab_test", "q_feature_scaling",
+    "q_user_paths", "q_new_users_daily", "q_dau_pivot", "q_dau_unpivot",
+    "q_revenue_gapfill", "q_daily_topn_sample", "q_global_rownum",
+    "q_extract_stats", "q_validate_nulls", "q_validate_count",
+    "q_validate_max_date", "q_kafka_envelope", "q_avro_envelope",
+    "q_revenue_rollup", "q_revenue_grouping_sets", "q_revenue_cube",
+    "q_sessionization", "q_session_stats", "q_session_concurrency",
+    "q_running_revenue", "q_sliding_revenue", "q_mv_incremental",
+    "q_user_erasure", "q_profile_events", "q_asof_last_purchase",
+    "q_view_purchase_30m")
+
+  /** All gated documents-only entries (the `docs(...)` wrapper set minus
+    * the trained-artifact families, which cache per sfDir and would
+    * retrain against every temp frame). */
+  private val AllDocQueries = Vector(
+    "q_phrase_search", "q_pps_sample", "q_export_shards", "q_readability",
+    "q_dedup_exact", "q_ngram_jaccard", "q_jaccard_curve",
+    "q_dup_ngram_spans", "q_dup_span_removal", "q_dup_clusters",
+    "q_cluster_keepers", "q_dup_clusters_star", "q_token_stats",
+    "q_corpus_card", "q_doc_quality", "q_skyline_docs", "q_collocations",
+    "q_vocab_growth", "q_quality_filter", "q_blocklist_filter",
+    "q_contamination", "q_contamination_bloom", "q_contamination_scrub",
+    "q_lang_id", "q_curation_report", "q_cluster_size_dist",
+    "q_fingerprint_dedup", "q_tfidf_top_terms", "q_token_budget",
+    "q_quality_yield", "q_token_budget_by_lang", "q_train_test_split",
+    "q_corpus_shuffle", "q_mixture_allocation", "q_domain_mix",
+    "q_profile_docs", "q_domain_rebalance", "q_pii_scrub",
+    "q_text_normalize", "q_normalized_dedup", "q_repetition",
+    "q_intradoc_dedup", "q_unit_filter", "q_sequence_packing",
+    "q_doc_chunks", "q_stratified_sample", "q_media_meta",
+    "q_media_frames", "q_media_decode_real", "q_compression_dist")
+
+  /** One frame, the full query list, one oracle invocation. */
+  private def sweep(frames: Seq[(String, DataFrame)],
+      queries: Vector[String]): Unit = {
+    val dir = fuzzDir(frames)
+    val out = Files.createTempDirectory("graft-sweep-out")
+    try {
+      val qmap = SparkEntry.queries
+      queries.foreach { name =>
+        qmap(name)(spark, dir.toString).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$name")
+      }
+      val oracles = SparkEntry.oracleSql
+      Files.writeString(out.resolve("oracle_sql.json"),
+        Verify.oracleSqlJson(queries.map(n => n -> oracles(n)).toMap))
+      val log = new StringBuilder
+      val rc = scala.sys.process.Process(
+        Seq("python3", "tools/oracle_check.py", dir.toString, out.toString),
+        new java.io.File("/root/repo"))
+        .!(scala.sys.process.ProcessLogger(l => log.append(l).append('\n')))
+      assert(rc == 0, s"edge-frame sweep diverged:\n$log")
+    } finally { Fs.deleteQuietly(dir); Fs.deleteQuietly(out) }
+  }
+
+  test("edge-frame sweep: every gated events-only entry hash-matches on " +
+      "one adversarial random frame") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    // denser than the rotating frames (10 users × 4 days): the graph
+    // entries need co-purchase baskets with ≥2 distinct items, and an
+    // empty edge list is a DESIGNED loud error, not a fuzz target
+    sweep(Seq("events" -> genFrame(424242, n = 600, users = 10, days = 4)),
+      AllEventQueries)
+  }
+
+  test("edge-frame sweep: every gated documents-only entry hash-matches " +
+      "on one adversarial random frame") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    sweep(Seq("documents" -> genDocFrame(424242, n = 150)), AllDocQueries)
   }
 }
