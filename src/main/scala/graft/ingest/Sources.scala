@@ -144,6 +144,10 @@ object Sources {
     spark.read.option("header", "true").option("escape", "\\")
       .option("multiLine", "true")
       .option("nullValue", "\\N").option("emptyValue", "")
+      // whitespace preservation pinned on BOTH sides (the writer's
+      // univocity defaults TRIM — see Sinks.writeCsvTyped)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("timestampFormat", graft.sink.Sinks.TsFormat)
       .schema(schema).csv(path)
 

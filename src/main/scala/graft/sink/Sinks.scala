@@ -83,11 +83,18 @@ object Sinks {
     * read side: header + backslash escape (Spark's writer default quotes
     * fields containing delimiters/quotes/newlines), with null rendered as
     * an UNQUOTED \N and the empty string as a QUOTED "" so the two stay
-    * distinguishable through the round-trip (CSV's classic lossy corner). */
+    * distinguishable through the round-trip (CSV's classic lossy corner).
+    * Whitespace preservation is pinned EXPLICITLY: the univocity WRITER
+    * trims leading/trailing whitespace by default (the fuzz sweep caught
+    * ' extra' round-tripping as 'extra'), which silently corrupts text
+    * payloads — both ignore*WhiteSpace options are forced off on write
+    * and read. */
   def writeCsvTyped(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("escape", "\\")
       .option("nullValue", "\\N").option("emptyValue", "\"\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("timestampFormat", Sinks.TsFormat)
       .csv(path)
 

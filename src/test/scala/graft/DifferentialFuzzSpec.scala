@@ -290,7 +290,7 @@ class DifferentialFuzzSpec extends SparkSpec {
 
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
-    "q_centroid_sim")
+    "q_centroid_sim", "q_label_balance")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors
@@ -353,7 +353,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_sessionization", "q_session_stats", "q_session_concurrency",
     "q_running_revenue", "q_sliding_revenue", "q_mv_incremental",
     "q_user_erasure", "q_profile_events", "q_asof_last_purchase",
-    "q_view_purchase_30m")
+    "q_view_purchase_30m", "q_events_roundtrip", "q_funnel_conversions",
+    "q_funnel_conversions_tws")
 
   /** All gated documents-only entries (the `docs(...)` wrapper set minus
     * the trained-artifact families, which cache per sfDir and would
@@ -374,7 +375,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_text_normalize", "q_normalized_dedup", "q_repetition",
     "q_intradoc_dedup", "q_unit_filter", "q_sequence_packing",
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
-    "q_media_frames", "q_media_decode_real", "q_compression_dist")
+    "q_media_frames", "q_media_decode_real", "q_compression_dist",
+    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */
   private def sweep(frames: Seq[(String, DataFrame)],
@@ -413,5 +415,30 @@ class DifferentialFuzzSpec extends SparkSpec {
       "on one adversarial random frame") {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
     sweep(Seq("documents" -> genDocFrame(424242, n = 150)), AllDocQueries)
+  }
+
+  /** Every gated STREAMING entry: the stream harness replays the fuzz
+    * frame's parquet through the real file-stream machinery (sentinel
+    * finalization, watermarks, keyed state) — streaming-vs-oracle parity
+    * over an arbitrary random frame, not just the driver corpus. */
+  private val AllStreamQueries = Vector(
+    "q_stream_funnel", "q_stream_daily_revenue",
+    "q_stream_daily_revenue_append", "q_stream_dau", "q_stream_dau_ttl",
+    "q_stream_weekday", "q_stream_benford", "q_stream_top_categories",
+    "q_stream_segment_revenue", "q_stream_sessions",
+    "q_stream_sessions_append", "q_stream_sliding_revenue",
+    "q_stream_event_transitions", "q_stream_event_transitions_ttl",
+    "q_stream_velocity", "q_stream_velocity_ttl", "q_stream_user_streaks",
+    "q_stream_user_streaks_ttl", "q_stream_survival",
+    "q_stream_attribution", "q_stream_abandoned_views",
+    "q_stream_quarantine", "q_stream_mv_incremental", "q_stream_doc_dedup",
+    "q_stream_contamination")
+
+  test("edge-frame sweep: every gated STREAMING entry hash-matches on " +
+      "one adversarial random frame through the real stream harness") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    sweep(Seq(
+      "events" -> genFrame(424243, n = 400, users = 12, days = 5),
+      "documents" -> genDocFrame(424243, n = 120)), AllStreamQueries)
   }
 }
