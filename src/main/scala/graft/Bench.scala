@@ -109,16 +109,21 @@ object Bench {
         else { val b = onceMetered(n, queries(n)); if (b < 0) -1.0 else math.min(a, b) }
       n -> t
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // SORTED keys: bench_results.json is the full per-query record (all
+    // entries, not just the slowest 10), and key-sorted rendering makes
+    // round-over-round diffs line up query-by-query (a hash-ordered map
+    // reshuffles every run and defeats `diff`).
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failures = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
     // totals LEAD the line and the per-query map trails it, so a
     // tail-truncated capture still keeps every headline metric; the full
     // line is also written to bench_results.json as the lossless record
     // (the r5 artifact lost its leading fields to truncation).
-    def mbMap(m: collection.Map[String, Double]) = m.map { case (k, v) =>
-      s"\"" + k + "\":" + math.round(v * 10) / 10.0 }.mkString("{", ",", "}")
+    def mbMap(m: collection.Map[String, Double]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"\"" + k + "\":" + math.round(v * 10) / 10.0 }.mkString("{", ",", "}")
     // total_comparable: false whenever ANY query failed — the total then
     // silently excludes the failed queries' time and must not be compared
     // against a clean round's record (the r9 lesson: 14 failures made a

@@ -900,9 +900,12 @@ object SparkEntry {
     "q_doc_chunks" -> docs(TextOps.chunkDocs(_)),
     "q_stratified_sample" -> docs(TextOps.stratifiedSample(_)),
     "q_media_meta" -> docs(Multimodal.mediaByteStats),
-    "q_media_decode" -> ((s, dir) => Multimodal.decodeMeta(s,
-      Multimodal.attachMedia(Sources.table(s, dir, "documents")))
-      .toDF().orderBy("doc_id")),
+    // GATED mixed-payload decode (r12: the former stub-only entry
+    // re-pointed at the real path): PNG rows decode via javax.imageio,
+    // text-bytes rows take the documented fallback — the mirror splits on
+    // the same doc_id % 3 routing, so the hash certifies the sniff
+    "q_media_decode" -> ((s, dir) => Multimodal.decodeMixed(s,
+      Sources.table(s, dir, "documents"))),
     // REAL codec round trip on the hash gate: synthesize a PNG per doc
     // (dims derived from doc_id), decode back via javax.imageio, report
     // width/height/bands — the mirror recomputes the dimension
@@ -1156,22 +1159,29 @@ object SparkEntry {
   // shared CTE prologue (shingles -> DF cap -> sizes -> intersections) for
   // q_ngram_jaccard and q_jaccard_curve: the curve is only meaningful over
   // the exact pair population the top-pairs query ranks, so both mirrors
-  // render from ONE definition (the shared-constant discipline)
+  // render from ONE definition, and the shingle width + DF cap interpolate
+  // from Dedup's shared constants (the shared-constant discipline — a
+  // retuned Spark default re-renders the oracle instead of hash-failing)
+  private def jaccardShinglesCte(shOut: String): String = {
+    val w = ext.Dedup.JaccardShingleWidth
+    s"""  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${w - 1}], ' ') AS $shOut
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${w - 1})) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |              WHERE len(string_split(text, ' ')) >= $w))""".stripMargin
+  }
   private val JaccardPairsCte =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |              WHERE len(string_split(text, ' ')) >= 3))),
-      |kept AS (
-      |  SELECT sh.doc_id, sh.shingle FROM sh
-      |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
-      |    USING (shingle)),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
-      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH sh AS (
+       |${jaccardShinglesCte("shingle")}),
+       |kept AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh
+       |  JOIN (SELECT shingle FROM sh GROUP BY 1
+       |        HAVING count(*) <= ${ext.Dedup.MaxShingleDf}) d
+       |    USING (shingle)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private val Rev = "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)"
   // shared by q_revenue_by_nation and q_revenue_by_nation_salted: the salted
@@ -1187,14 +1197,12 @@ object SparkEntry {
   // (large-star/small-star): both label with the component-min doc_id, so
   // one reachability oracle hash-checks both
   private val DupClustersSql =
-    """WITH RECURSIVE sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |              WHERE len(string_split(text, ' ')) >= 3))),
+    s"""WITH RECURSIVE sh AS (
+      |${jaccardShinglesCte("shingle")}),
       |kept AS (
       |  SELECT sh.doc_id, sh.shingle FROM sh
-      |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000) d
+      |  JOIN (SELECT shingle FROM sh GROUP BY 1
+      |        HAVING count(*) <= ${ext.Dedup.MaxShingleDf}) d
       |    USING (shingle)),
       |sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
       |inter AS (
@@ -3128,10 +3136,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
-    // `kept` mirrors Spark's maxShingleDf document-frequency cap (=1000,
-    // Dedup.ngramJaccardTopPairs' default): both engines drop shingles in
-    // >1000 docs BEFORE sizes/intersections, so the hash gate holds even
-    // when a corpus actually hits the cap
+    // `kept` mirrors Spark's maxShingleDf document-frequency cap
+    // (Dedup.MaxShingleDf, interpolated): both engines drop shingles above
+    // the cap BEFORE sizes/intersections, so the hash gate holds even when
+    // a corpus actually hits it; shingle width likewise interpolates from
+    // Dedup.JaccardShingleWidth (5 — the measured linear-scale width)
     "q_ngram_jaccard" ->
       s"""$JaccardPairsCte
          |SELECT doc1, doc2,
@@ -4218,14 +4227,32 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mixed-payload decode: doc_id % 3 == 0 rows are real PNGs (dims from
+    // doc_id arithmetic, 3 bands), the rest take the fallback (dims from
+    // the UTF-8 byte length; null text → null payload → all-zero stub
+    // row, the fuzzer-found null-payload class) — the same pmod routing
+    // split cross-engine certifies the magic-byte sniff row-by-row
+    "q_media_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+        |       THEN CAST(1 + ((doc_id % 16) + 16) % 16 AS BIGINT)
+        |       ELSE CAST(COALESCE(strlen(text), 0) % 640 AS BIGINT)
+        |  END AS width,
+        |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+        |       THEN CAST(1 + ((doc_id % 8) + 8) % 8 AS BIGINT)
+        |       ELSE CAST(COALESCE(strlen(text), 0) % 480 AS BIGINT)
+        |  END AS height,
+        |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN CAST(3 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the real-codec round trip: the mirror recomputes the doc_id-derived
     // dimensions synthesizePng encodes, so the hash match certifies the
     // javax.imageio encode → decode identity (channels: the PNGs are
     // written from TYPE_INT_RGB, so the decoded raster has 3 bands)
     "q_media_decode_real" ->
       """SELECT doc_id,
-        |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
-        |  CAST(1 + doc_id % 8 AS BIGINT) AS height,
+        |  CAST(1 + ((doc_id % 16) + 16) % 16 AS BIGINT) AS width,
+        |  CAST(1 + ((doc_id % 8) + 8) % 8 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // same floor-division frame boundaries over the byte length; empty

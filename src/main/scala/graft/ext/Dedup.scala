@@ -23,6 +23,29 @@ import graft.Exprs._
   * partitionings and engines).
   */
 object Dedup {
+  /** Shingle width for the EXACT-Jaccard pair family ([[ngramJaccardPairs]]
+    * and its consumers — top pairs, threshold curve, dup clusters, keepers).
+    * 5, not 3, and the choice is MEASURED, not aesthetic: candidate pairs
+    * cost Σ_shingle df² in the self-join, and on a dense-vocabulary corpus
+    * the trigram space SATURATES as the corpus grows — every trigram exists,
+    * so df grows linearly with N and Σdf² quadratically (measured on the
+    * Scaling corpus: 1×→10× data grew trigram Σdf² 91× — the r11 SCALING.md
+    * super-linear wall times — while 5-gram Σdf² grew 10.8×, linear,
+    * because the 5-gram space keeps growing with the corpus and dfs stay
+    * O(dup multiplicity)). 5-token shingles are also the standard dedup
+    * granularity (MinHash literature; Lee et al. 2021 use longer windows
+    * still). The DF cap below remains the safety valve for genuine
+    * boilerplate 5-grams. MinHash/SimHash and decontamination keep their
+    * own width parameters — their recall specs are calibrated separately.
+    * Interpolated into the DuckDB mirrors (the shared-constant rule). */
+  val JaccardShingleWidth = 5
+
+  /** Document-frequency cap for the exact-Jaccard self-join: shingles in
+    * more than this many docs are dropped BEFORE the join (they carry ~no
+    * Jaccard signal and cost df² candidate rows each). Interpolated into
+    * the DuckDB mirrors (the shared-constant rule). */
+  val MaxShingleDf = 1000
+
   /** Exact-duplicate groups keyed by md5(text): keeper (min doc_id) and
     * multiplicity per distinct text. */
   def exactDedup(documents: DataFrame): DataFrame =
@@ -69,7 +92,7 @@ object Dedup {
     * (ReusedExchange, spec-asserted), and nothing leaks into long-lived
     * sessions. */
   def ngramJaccardTopPairs(documents: DataFrame, k: Int = 20,
-      maxShingleDf: Int = 1000): DataFrame =
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
     ngramJaccardPairs(documents, maxShingleDf)
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(k)
@@ -77,7 +100,7 @@ object Dedup {
   /** All DF-capped candidate pairs with their exact Jaccard (shared by
     * [[ngramJaccardTopPairs]] and [[dupClusters]]); `doc1 < doc2`. */
   def ngramJaccardPairs(documents: DataFrame,
-      maxShingleDf: Int = 1000): DataFrame =
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
     jaccardPairsCore(documents, maxShingleDf, minJaccard = None)
 
   /** [[ngramJaccardPairs]] with a similarity floor the plan can exploit:
@@ -89,7 +112,7 @@ object Dedup {
     * Lossless: the ε slack only ever keeps borderline candidates, and the
     * exact `jaccard ≥ t` filter still runs after the division. */
   def ngramJaccardPairsAtLeast(documents: DataFrame, minJaccard: Double,
-      maxShingleDf: Int = 1000): DataFrame =
+      maxShingleDf: Int = MaxShingleDf): DataFrame =
     jaccardPairsCore(documents, maxShingleDf, Some(minJaccard))
       .filter(col("jaccard") >= minJaccard)
 
@@ -104,7 +127,7 @@ object Dedup {
     * a data-sized sort. Bucketing floors the 6dp-rounded jaccard —
     * identical integer-valued doubles in both engines. */
   def jaccardThresholdCurve(documents: DataFrame,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     ngramJaccardPairs(documents, maxShingleDf)
       .withColumn("j_bucket", floor(col("jaccard") * 10) / 10)
@@ -131,11 +154,12 @@ object Dedup {
     // Per-doc size stays a window count, but partitioned by doc_id —
     // bounded by one document's shingles, not a corpus-wide hash — over
     // the CAPPED universe (numerator/denominator consistency).
-    val capped = hashedShingles(documents)
+    val capped = hashedShingles(documents, JaccardShingleWidth)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select("h")
-    val kept = hashedShingles(documents).join(capped, Seq("h"))
+    val kept = hashedShingles(documents, JaccardShingleWidth)
+      .join(capped, Seq("h"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     // the downstream filter accepts round6(j) >= t, i.e. true jaccard
     // down to t - 5e-7 — so the necessary-size condition must be relaxed
@@ -293,7 +317,7 @@ object Dedup {
     * Throws if `maxIters` rounds don't converge (pathological diameter)
     * rather than returning a half-propagated labeling. */
   def dupClusters(documents: DataFrame, minJaccard: Double = 0.5,
-      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame =
+      maxShingleDf: Int = MaxShingleDf, maxIters: Int = 25): DataFrame =
     clustersOf(documents, minJaccard, maxShingleDf,
       connectedComponents(_, maxIters))
 
@@ -331,7 +355,7 @@ object Dedup {
     * dup CHAINS — template pages each ~0.5-similar to the next — where
     * diameter grows with the corpus and propagation stops converging. */
   def dupClustersStar(documents: DataFrame, minJaccard: Double = 0.5,
-      maxShingleDf: Int = 1000, maxIters: Int = 25): DataFrame =
+      maxShingleDf: Int = MaxShingleDf, maxIters: Int = 25): DataFrame =
     clustersOf(documents, minJaccard, maxShingleDf,
       connectedComponentsStar(_, maxIters))
 
@@ -349,11 +373,13 @@ object Dedup {
     * candidates (a j=0.1 pair collides with p ≈ 0.15 vs ≈ 0.001), all of
     * which die in the exact verification joins — a verification-cost /
     * recall trade, spec-pinned at j≈0.5 on a planted grid;
-    * (2) the verification universe is UNCAPPED — [[dupClusters]] computes
-    * jaccard over the DF-capped shingle set, so on a corpus where the cap
-    * binds, borderline edges can differ in either direction (on such
-    * corpora the bucket fan-out, bounded by band collisions rather than a
-    * DF cap, is also this path's skew exposure). Output schema and
+    * (2) the verification universe differs — verification runs over the
+    * UNCAPPED width-3 shingle set (the width the MinHash signatures are
+    * built on, so estimate and verdict agree), while [[dupClusters]]
+    * computes jaccard over the DF-capped [[JaccardShingleWidth]]-gram set;
+    * borderline edges can differ in either direction (and the bucket
+    * fan-out, bounded by band collisions rather than a DF cap, is this
+    * path's skew exposure). Output schema and
     * labeling match [[labelClusters]] exactly (shared code); no oracle
     * (hash-dependent candidate set) — the spec pins it against the exact
     * clustering on planted dups. */
@@ -406,7 +432,7 @@ object Dedup {
     * other quality signal. The ranking shuffles (cluster_id, n_tokens)
     * pairs only — clusters-sized, not corpus-sized. */
   def clusterKeepers(documents: DataFrame, minJaccard: Double = 0.5,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val clusters = dupClusters(documents, minJaccard, maxShingleDf)
     val sized = clusters.join(
       documents.select(col("doc_id"),

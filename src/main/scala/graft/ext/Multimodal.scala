@@ -181,8 +181,10 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val w = 1 + (id % 16).toInt
-        val h = 1 + (id % 8).toInt
+        // floorMod: a negative doc_id must still yield positive dims (a
+        // plain % would hand BufferedImage a non-positive dimension)
+        val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
+        val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -214,6 +216,32 @@ object Multimodal {
         col("height").cast(LongType).as("height"),
         col("channels").cast(LongType).as("channels"))
       .orderBy("doc_id")
+
+  /** MIXED-payload decode as a GATED query — the production shape of a
+    * multimodal corpus, where some payloads decode and some don't: every
+    * third doc carries a real synthesized PNG ([[synthesizePng]]), the
+    * rest the text-bytes stand-in ([[attachMedia]]), and [[decodeMeta]]
+    * routes each through the magic-byte sniff — PNGs through the REAL
+    * `javax.imageio` codec, the rest through the [[FakeDecoder]] fallback
+    * (`channels = 0` marks them). The gated projection keeps only fields
+    * both engines can recompute: real rows' dims derive from `doc_id`
+    * arithmetic, fallback rows' dims from the payload byte length — the
+    * codec-dependent PNG container size and the pixel checksum stay out.
+    * The hash match therefore certifies the ROUTING (sniff + codec +
+    * fallback split) row-by-row, not just the happy path. */
+  def decodeMixed(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val png = synthesizePng(spark,
+      documents.filter(pmod(col("doc_id"), lit(3)) === 0)).toDF()
+    val txt = attachMedia(
+      documents.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    decodeMeta(spark, png.unionByName(txt))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("channels").cast(LongType).as("channels"))
+      .orderBy("doc_id")
+  }
 
   /** Frame row emitted by [[sampleFrames]]. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -59,13 +59,6 @@ object TransitionState {
         GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** [[update]] under a watermark-aligned TTL: timed-out keys drop their
-    * last-event record, otherwise the base machine runs unchanged and the
-    * eviction clock re-arms to `max(batch max event time, watermark) +
-    * horizonMs`. The max(…) keeps the re-arm LEGAL (EventTimeTimeout
-    * rejects a timestamp at/behind the watermark, which a key lagging the
-    * global watermark by more than the horizon would otherwise produce)
-    * and covers the first batch, where the watermark is still 0. */
   /** Parses a `withWatermark`-style delay ("1 hour", "30 seconds") to
     * milliseconds, so ONE string drives both the watermark and the TTL
     * clock (the horizon-equals-delay alignment can't silently drift).
@@ -77,6 +70,13 @@ object TransitionState {
     iv.days * 86400000L + iv.microseconds / 1000L
   }
 
+  /** [[update]] under a watermark-aligned TTL: timed-out keys drop their
+    * last-event record, otherwise the base machine runs unchanged and the
+    * eviction clock re-arms to `max(batch max event time, watermark) +
+    * horizonMs`. The max(…) keeps the re-arm LEGAL (EventTimeTimeout
+    * rejects a timestamp at/behind the watermark, which a key lagging the
+    * global watermark by more than the horizon would otherwise produce)
+    * and covers the first batch, where the watermark is still 0. */
   def updateTtl(horizonMs: Long)(userId: Long, events: Iterator[In],
       state: GroupState[LastEvent]): Iterator[Transition] = {
     if (state.hasTimedOut) {

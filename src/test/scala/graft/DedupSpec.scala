@@ -146,13 +146,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dupClustersLsh default banding holds recall AT the j=0.5 threshold") {
-    // 40 independent planted pairs, each with exact trigram jaccard 0.5:
-    // 40 shared tokens (38 common trigrams) + 19 unique tokens per side
-    // (57 trigrams each → j = 38/(2·57-38) = 0.5). The old 8×4 banding
-    // missed ≈60% of pairs at the threshold; the 16×2 default must find
-    // ≥90% (expected miss ≈1% per pair, deterministic under fixed hashes).
+    // 40 independent planted pairs, each with exact 5-gram jaccard 0.5
+    // (the exact path's JaccardShingleWidth): 42 shared tokens (38 common
+    // 5-grams) + 19 unique tokens per side (57 5-grams each →
+    // j₅ = 38/(2·57-38) = 0.5). The LSH path signatures and verifies at
+    // ITS width 3, where the same docs sit at j₃ = 40/78 ≈ 0.513 — above
+    // threshold on both widths, so both paths must keep every pair. The
+    // old 8×4 banding missed ≈60% of pairs near the threshold; the 16×2
+    // default must find ≥90% (expected miss ≈1% per pair at j₃≈0.51,
+    // deterministic under fixed hashes).
     val pairs = (0 until 40).map { i =>
-      val shared = (1 to 40).map(t => s"p${i}s$t").mkString(" ")
+      val shared = (1 to 42).map(t => s"p${i}s$t").mkString(" ")
       val ua = (1 to 19).map(t => s"p${i}a$t").mkString(" ")
       val ub = (1 to 19).map(t => s"p${i}b$t").mkString(" ")
       (2L * i, s"$shared $ua", 2L * i + 1, s"$shared $ub")

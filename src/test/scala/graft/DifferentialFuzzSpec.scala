@@ -40,6 +40,11 @@ class DifferentialFuzzSpec extends SparkSpec {
       Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: Throwable => false }
 
+  /** Repo root resolved from the test JVM's working directory (sbt forks
+    * tests with cwd = the project root), not a hard-coded checkout path —
+    * the oracle tool shells relative to it. */
+  private val repoRoot = new java.io.File(sys.props("user.dir"))
+
   /** Events-only, hash-gated, arithmetic-heavy entries. */
   private val FuzzQueries = Vector(
     "q_daily_revenue", "q_avg_order_value_daily", "q_ewma_revenue",
@@ -141,7 +146,7 @@ class DifferentialFuzzSpec extends SparkSpec {
         val log = new StringBuilder
         val rc = scala.sys.process.Process(
           Seq("python3", "tools/oracle_check.py", dir.toString, out.toString),
-          new java.io.File("/root/repo"))
+          repoRoot)
           .!(scala.sys.process.ProcessLogger(l => log.append(l).append('\n')))
         if (rc != 0)
           failures += s"seed=$seed queries=${subset.mkString(",")}\n$log"
@@ -375,7 +380,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_text_normalize", "q_normalized_dedup", "q_repetition",
     "q_intradoc_dedup", "q_unit_filter", "q_sequence_packing",
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
-    "q_media_frames", "q_media_decode_real", "q_compression_dist",
+    "q_media_frames", "q_media_decode", "q_media_decode_real",
+    "q_compression_dist",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */
@@ -395,7 +401,7 @@ class DifferentialFuzzSpec extends SparkSpec {
       val log = new StringBuilder
       val rc = scala.sys.process.Process(
         Seq("python3", "tools/oracle_check.py", dir.toString, out.toString),
-        new java.io.File("/root/repo"))
+        repoRoot)
         .!(scala.sys.process.ProcessLogger(l => log.append(l).append('\n')))
       assert(rc == 0, s"edge-frame sweep diverged:\n$log")
     } finally { Fs.deleteQuietly(dir); Fs.deleteQuietly(out) }
