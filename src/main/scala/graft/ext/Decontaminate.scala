@@ -50,6 +50,14 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
   */
 object Decontaminate {
 
+  /** Default shingle width for the contamination family. 3, not the
+    * Jaccard family's 5 ([[Dedup.JaccardShingleWidth]]): containment
+    * probes want RECALL against short eval n-grams, and the benchmark
+    * side is small by construction, so trigram df density costs nothing
+    * here — there is no df² self-join in this family. Interpolated into
+    * the DuckDB mirrors (the shared-constant rule). */
+  val ShingleWidth = 3
+
   /** Per-document contamination report: `n_hits / n_shingles`, the fraction
     * of the doc's DISTINCT word-`width`-gram shingles that appear anywhere
     * in the benchmark set (set containment, not Jaccard — a short eval doc
@@ -58,7 +66,7 @@ object Decontaminate {
     * Exact division int/int in IEEE doubles + fixed 6dp rounding keeps the
     * report engine-exact (DuckDB-oracled). */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
-      width: Int = 3): DataFrame = {
+      width: Int = ShingleWidth): DataFrame = {
     val sh = Dedup.hashedShingles(corpus, width)
     val benchSh = Dedup.hashedShingles(bench, width)
       .select(col("h")).distinct().withColumn("hit", lit(1L))
@@ -89,7 +97,7 @@ object Decontaminate {
     * full shingle stream — that aggregation exists in the exact variant
     * too. */
   def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
-      width: Int = 3, fpp: Double = 0.01): DataFrame = {
+      width: Int = ShingleWidth, fpp: Double = 0.01): DataFrame = {
     val sh = Dedup.hashedShingles(corpus, width)
     val benchSh = Dedup.hashedShingles(bench, width).select("h").distinct()
     val expected = math.max(1L, benchSh.count())
@@ -125,7 +133,7 @@ object Decontaminate {
     * broadcast when the runtime size allows and falls back to a shuffled
     * join when it doesn't. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
-      threshold: Double = 0.5, width: Int = 3): DataFrame =
+      threshold: Double = 0.5, width: Int = ShingleWidth): DataFrame =
     corpus.join(
       contaminationReport(corpus, bench, width)
         .filter(col("contamination") >= threshold).select("doc_id"),
@@ -149,7 +157,7 @@ object Decontaminate {
     * which must exchange once to discover cross-doc frequency — here the
     * "duplicated set" is given). */
   def scrubContaminatedSpans(corpus: DataFrame, bench: DataFrame,
-      width: Int = 3): DataFrame = {
+      width: Int = ShingleWidth): DataFrame = {
     val benchSh = Dedup.hashedShingles(bench, width)
       .select(col("h")).distinct()
     val hits = corpus.select(col("doc_id"),

@@ -37,17 +37,24 @@ object StreamingQueries {
     * parameter. */
   def runStream(spark: SparkSession, sfDir: String, name: String,
       mode: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ())(
       transform: DataFrame => DataFrame): DataFrame =
-    runTableStream(spark, sfDir, "events", name, mode, trigger)(df =>
-      transform(graft.ingest.Sources.normalizeEvents(df)))
+    runTableStream(spark, sfDir, "events", name, mode, trigger, onDrained)(
+      df => transform(graft.ingest.Sources.normalizeEvents(df)))
 
   /** [[runStream]] generalized to any driver table (the text-pipeline
     * streams run over `documents`); events callers get the nanos
     * normalization composed in by [[runStream]]. */
+  /** `onDrained` runs after the stream fully drains and BEFORE stop() —
+    * the hook the streaming PlanPin spec uses to capture the last
+    * micro-batch's executed plan (gone once the query stops). */
   def runTableStream(spark: SparkSession, sfDir: String, table: String,
       name: String, mode: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ())(
       transform: DataFrame => DataFrame): DataFrame = {
     // absolute target: a relative sfDir would be stored verbatim in the
     // symlink and resolve against the /tmp source dir — a dangling link
@@ -74,7 +81,7 @@ object StreamingQueries {
           .option("checkpointLocation", ck)
         trigger.fold(writer)(writer.trigger).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try { q.processAllAvailable() } finally {
+    try { q.processAllAvailable(); onDrained(q) } finally {
       // the memory sink holds the rows; the per-run source/checkpoint
       // dirs are dead — reap them (the q_minhash_incremental discipline).
       // stop() can rethrow a terminal stream error, so the deletes live
@@ -106,7 +113,9 @@ object StreamingQueries {
     * sentinel instead raced into the FIRST batch, the watermark would jump
     * to 2100 and every real row in later batches would be dropped as late
     * — ordering the phases is what makes the finalization sound. */
-  def runAppendFinalized(spark: SparkSession, sfDir: String, name: String)(
+  def runAppendFinalized(spark: SparkSession, sfDir: String, name: String,
+      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ())(
       transform: DataFrame => DataFrame): DataFrame = {
     // absolute target: see runTableStream's symlink note
     val path = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -168,6 +177,7 @@ object StreamingQueries {
       }
       Files.move(part, srcDir.resolve("zz-sentinel.parquet"))
       q.processAllAvailable()
+      onDrained(q)
     } finally {
       try q.stop() finally {
         graft.Fs.deleteQuietly(srcDir)

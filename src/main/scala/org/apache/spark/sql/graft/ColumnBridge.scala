@@ -51,4 +51,19 @@ object ColumnBridge {
         m.stateStoreCoordinator
       case _ => ()
     }
+
+  /** Executed physical plan of a streaming query's LAST micro-batch —
+    * the streaming PlanPin surface (`StreamingQueryWrapper` and
+    * `StreamExecution.lastExecution` are `private[sql]`; the wrapper
+    * moved to `execution.streaming.runtime` in the 4.1 line, one more
+    * member on the version-pin list above). Empty string when no batch
+    * has executed yet. */
+  def lastMicroBatchPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution)
+          .map(_.executedPlan.toString).getOrElse("")
+      case _ => ""
+    }
 }
