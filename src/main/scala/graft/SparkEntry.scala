@@ -721,6 +721,16 @@ object SparkEntry {
     // Heaps-law curve at 100 checkpoints: first-doc min aggregate +
     // ordinal equi-join + bounded bucket-frame cumsum
     "q_vocab_growth" -> docs(TextOps.vocabGrowth(_)),
+    // MOSS winnowing fingerprint selection: md5-hex-string hashes, HOF
+    // window minima over materialized arrays — zero shuffle to the report
+    "q_winnowing" -> docs(TextOps.winnowingFingerprints),
+    // α=0.5 multilingual temperature sampling: sqrt weights quantized to
+    // 6dp fixed-point longs so the cross-lang total is order-independent
+    "q_lang_temperature_mix" -> docs(TextOps.langTemperatureMix),
+    // Gopher character/word-shape rules, round-then-compare thresholds
+    "q_gopher_rules" -> docs(TextOps.gopherRules),
+    // Kneser-Ney continuation counts over distinct bigram types
+    "q_kn_continuations" -> docs(TextOps.knContinuations),
     "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
     // C4-style badwords gate; the blocked set is shared with the generated
     // mirror via TextOps.Blocklist/blocklistSql
@@ -1162,13 +1172,19 @@ object SparkEntry {
   // render from ONE definition, and the shingle width + DF cap interpolate
   // from Dedup's shared constants (the shared-constant discipline — a
   // retuned Spark default re-renders the oracle instead of hash-failing)
-  private def jaccardShinglesCte(shOut: String): String = {
-    val w = ext.Dedup.JaccardShingleWidth
+  /** Distinct word-`w`-gram shingles CTE body, rendered from a shared
+    * Scala width constant (never a literal — the shared-constant rule). */
+  private def shinglesCte(shOut: String, w: Int): String =
     s"""  SELECT DISTINCT doc_id, array_to_string(toks[i:i+${w - 1}], ' ') AS $shOut
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${w - 1})) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |              WHERE len(string_split(text, ' ')) >= $w))""".stripMargin
-  }
+
+  private def jaccardShinglesCte(shOut: String): String =
+    shinglesCte(shOut, ext.Dedup.JaccardShingleWidth)
+
+  /** Contamination-family width, shared with the Scala side. */
+  private val ContW = ext.Decontaminate.ShingleWidth
   private val JaccardPairsCte =
     s"""WITH sh AS (
        |${jaccardShinglesCte("shingle")}),
@@ -1327,11 +1343,8 @@ object SparkEntry {
   }
 
   private val ContaminationSql =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |              WHERE len(string_split(text, ' ')) >= 3))),
+    s"""WITH sh AS (
+      |${shinglesCte("shingle", ext.Decontaminate.ShingleWidth)}),
       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
       |SELECT s.doc_id, count(*) AS n_shingles,
       |  count(b.shingle) AS n_hits,
@@ -3400,6 +3413,92 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_vocab
          |FROM be LEFT JOIN np USING (bucket) ORDER BY bucket""".stripMargin,
+    // winnowing selection: md5-hex-STRING hashes compare identically in
+    // both engines ([0-9a-f] ASCII, binary collation); the window frame
+    // CURRENT ROW..W-1 FOLLOWING truncates at doc end exactly like
+    // Spark's slice clamp; width/window render from the shared constants
+    "q_winnowing" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(toks[i:i+${TextOps.WinnowK - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - ${TextOps.WinnowK - 1})) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |              FROM documents
+         |              WHERE len(string_split(text, ' ')) >= ${TextOps.WinnowK}))),
+         |w AS (SELECT doc_id,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW
+         |          AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
+         |      FROM sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+         |  min(fp) AS min_fp
+         |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // sqrt is correctly-rounded IEEE on exact long inputs; the 6dp
+    // fixed-point quantization makes the cross-lang weight total an exact
+    // long sum; alloc is pure integer arithmetic (// ≡ Spark div on the
+    // non-negative numerator); budget renders from the shared constant
+    "q_lang_temperature_mix" ->
+      s"""WITH c AS (SELECT lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+         |      AS BIGINT) AS w6 FROM c),
+         |t AS (SELECT CAST(sum(w6) AS BIGINT) AS tot FROM w)
+         |SELECT w.lang, w.n_tokens,
+         |  CAST(w.w6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS weight,
+         |  floor((CAST(w.w6 AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1000000
+         |    + 0.5) / 1000000 AS share,
+         |  (w.w6 * ${TextOps.MixBudgetTokens}) // t.tot AS alloc_tokens
+         |FROM w CROSS JOIN t
+         |ORDER BY lang NULLS LAST""".stripMargin,
+    // thresholds render with the e0-suffix DOUBLE literal discipline (a
+    // bare decimal literal converts DECIMAL→DOUBLE one ulp off); metrics
+    // 4dp-rounded BEFORE comparison; null text → NULL metrics and a NULL
+    // verdict in both engines; DuckDB 0/0 is NULL ≡ the Spark-side guard
+    "q_gopher_rules" ->
+      s"""SELECT doc_id,
+         |  floor(((CAST(length(text)
+         |      - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE))
+         |    / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000
+         |    AS alpha_ratio,
+         |  floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+         |      AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5)
+         |    / 10000 AS mean_word_len,
+         |  (floor(((CAST(length(text)
+         |      - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE))
+         |    / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000
+         |      >= CAST(${TextOps.GopherMinAlpha}e0 AS DOUBLE)
+         |   AND floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+         |      AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5)
+         |    / 10000 BETWEEN CAST(${TextOps.GopherMinWordLen}e0 AS DOUBLE)
+         |      AND CAST(${TextOps.GopherMaxWordLen}e0 AS DOUBLE)) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // distinct bigram TYPES first, then the two continuation aggregates
+    // full-outer-joined with 0 back-fill; (nl, nr, w) is a total order
+    // (w unique per row) so the LIMIT boundary is deterministic
+    "q_kn_continuations" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |bi AS (SELECT DISTINCT toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t WHERE len(toks) >= 2)),
+         |l AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n_left_contexts
+         |      FROM bi GROUP BY 1),
+         |r AS (SELECT w1 AS w,
+         |        CAST(count(*) AS BIGINT) AS n_right_continuations
+         |      FROM bi GROUP BY 1)
+         |SELECT COALESCE(l.w, r.w) AS w,
+         |  CAST(COALESCE(l.n_left_contexts, 0) AS BIGINT) AS n_left_contexts,
+         |  CAST(COALESCE(r.n_right_continuations, 0) AS BIGINT)
+         |    AS n_right_continuations
+         |FROM l FULL OUTER JOIN r ON l.w = r.w
+         |ORDER BY n_left_contexts DESC, n_right_continuations DESC, w
+         |LIMIT ${TextOps.KnTopK}""".stripMargin,
     // same rounded scores as q_doc_quality, compared against the
     // qualityFilter thresholds (15 tokens / 0.3 diversity / 0.02 stopword)
     "q_quality_filter" ->
@@ -3447,7 +3546,7 @@ object SparkEntry {
     // Spark computes it only for quality+dedup survivors (identical
     // per-doc fraction, unreachable branch for earlier-stage drops)
     "q_curation_report" ->
-      """WITH q AS (SELECT doc_id,
+      s"""WITH q AS (SELECT doc_id,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |        floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
          |               / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS lexical_diversity,
@@ -3463,10 +3562,8 @@ object SparkEntry {
          |dup AS (SELECT doc_id FROM (
          |          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
          |            ORDER BY doc_id) AS rk FROM surv1) WHERE rk > 1),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
-         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |                   WHERE len(string_split(text, ' ')) >= 3))),
+         |sh AS (
+         |${shinglesCte("shingle", ext.Decontaminate.ShingleWidth)}),
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
          |cont AS (SELECT s.doc_id FROM (SELECT * FROM sh WHERE doc_id % 25 != 0) s
          |         LEFT JOIN bench b USING (shingle) GROUP BY 1
@@ -3483,15 +3580,15 @@ object SparkEntry {
     // hit trigram windows, text re-assembled minus those positions
     // (1-based positions throughout the mirror, outputs carry none)
     "q_contamination_scrub" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |bw AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS sh
-         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |             FROM t WHERE doc_id % 25 = 0 AND len(toks) >= 3)),
-         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS sh
-         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |            FROM t WHERE doc_id % 25 <> 0 AND len(toks) >= 3)),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bw AS (SELECT DISTINCT array_to_string(toks[i:i+${ContW - 1}], ' ') AS sh
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - ${ContW - 1})) AS i
+         |             FROM t WHERE doc_id % 25 = 0 AND len(toks) >= $ContW)),
+         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${ContW - 1}], ' ') AS sh
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${ContW - 1})) AS i
+         |            FROM t WHERE doc_id % 25 <> 0 AND len(toks) >= $ContW)),
          |rem AS (SELECT DISTINCT doc_id, rpos FROM (
-         |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS rpos
+         |          SELECT doc_id, unnest(generate_series(pos, pos + ${ContW - 1})) AS rpos
          |          FROM w WHERE sh IN (SELECT sh FROM bw))),
          |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok
          |           FROM (SELECT doc_id, toks,

@@ -28,6 +28,19 @@ object TextOps {
   val GrowthBuckets = 100
   val CollocMinCount = 5L
   val CollocTopK = 100
+  /** Winnowing (MOSS): word-k-gram shingles, window of `WinnowW` hashes. */
+  val WinnowK = 3
+  val WinnowW = 4
+  /** Temperature-mix sampling budget (tokens allocated across languages). */
+  val MixBudgetTokens = 1000000L
+  /** Gopher-style character/word-shape thresholds — tuned so the synthetic
+    * corpus splits non-degenerately (alpha ratios cluster 0.79–0.85, mean
+    * word lengths 3.7–5.3; the r10 "tune report constants" rule). */
+  val GopherMinAlpha = 0.82
+  val GopherMinWordLen = 4.0
+  val GopherMaxWordLen = 5.0
+  /** Kneser-Ney continuation-count report size. */
+  val KnTopK = 100
 
   /** A BPE-ish subword count approximation: whitespace tokens plus
     * intra-token transitions from letter-runs to digit-runs (a cheap,
@@ -1409,5 +1422,137 @@ object TextOps {
           .when(col("fk_grade") < 12.0, "medium")
           .otherwise("hard").as("band"))
       .orderBy("doc_id")
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * selection rule): hash every word-[[WinnowK]]-gram, slide a window of
+    * [[WinnowW]] consecutive hashes, keep each window's minimum — the
+    * guaranteed-density local-sampling scheme plagiarism/near-dup systems
+    * use to fingerprint documents position-robustly. Per doc: window
+    * count, DISTINCT selected fingerprints (density ≈ 2/(w+1) of the
+    * hash stream), and the lexicographic minimum fingerprint.
+    *
+    * Engine-exact: hashes are md5 HEX STRINGS (the deterministic-
+    * randomness discipline — [0-9a-f] ASCII compares identically under
+    * Spark's UTF8_BINARY and DuckDB's binary collation), window min is
+    * lexicographic on those strings, trailing windows truncate (both
+    * engines' frame semantics / `slice` clamp at the array end).
+    *
+    * Shape: zero shuffle until the final per-doc projection — the hash
+    * stream and its window minima are per-row HOF transforms over
+    * MATERIALIZED `toks`/`hs` attributes (the round-6 small-fan-out rule;
+    * each is multi-referenced so CollapseProject cannot inline the
+    * expensive transform into a downstream lambda), never an explode +
+    * `Window.partitionBy(doc_id)` that would shuffle the corpus-sized
+    * token stream on doc_id. Null/short docs drop in both engines
+    * (stated `>= k` filter ≡ the mirror's WHERE on len). */
+  def winnowingFingerprints(documents: DataFrame): DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    documents.filter(col("text").isNotNull)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+      .withColumn("fps", expr(
+        s"transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, $w)))"))
+      .select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_windows"),
+        size(array_distinct(col("fps"))).cast(LongType).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based multilingual sampling allocation (the α = 0.5
+    * up-sampling rule of multilingual pretraining: p_l ∝ c_l^α flattens
+    * the language distribution so low-resource languages are not drowned):
+    * per-language token counts → sqrt weights → shares → an integer token
+    * allocation under a [[MixBudgetTokens]] budget.
+    *
+    * Rides the hash gate because every step is engine-exact: counts are
+    * longs (exact as doubles < 2^53), `sqrt` is correctly-rounded IEEE,
+    * the weight is then QUANTIZED to a 6dp fixed-point long (the
+    * q_mixture_allocation discipline) so the cross-language total is an
+    * exact order-independent long sum, and the allocation is pure integer
+    * arithmetic — Spark `div` ≡ DuckDB `//` on the non-negative numerator.
+    * (w6·budget stays < 2^63 up to ~10^13 corpus tokens per language —
+    * beyond that, lower the quantization scale.) Null lang is a real
+    * stratum (asc_nulls_last — the countUniqueDocs rule). */
+  def langTemperatureMix(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("lang")
+      .agg(sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+    val weighted = counts.withColumn("w6",
+      floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast(LongType))
+    val tot = weighted.agg(sum(col("w6")).as("tot"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        (col("w6").cast("double") / lit(1e6)).as("weight"),
+        round2(col("w6").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        expr(s"(w6 * ${MixBudgetTokens}L) div tot").as("alloc_tokens"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  /** Gopher-style character/word-shape quality rules: fraction of
+    * alphabetic characters and mean word length, each 4dp-rounded BEFORE
+    * the threshold comparison (the round-then-compare rule), with a
+    * `keep` verdict over the [[GopherMinAlpha]]/[[GopherMinWordLen]]/
+    * [[GopherMaxWordLen]] band — the cheap repetition-independent filter
+    * a pretraining pipeline runs before dedup (complementary to
+    * [[qualityScores]]' diversity/stopword signals).
+    *
+    * Null text propagates NULL metrics and a NULL verdict in BOTH engines
+    * (comparison/AND over NULL is NULL in each); an empty text would be a
+    * 0/0 — and Spark 4 ANSI THROWS on double 0/0 (the fuzzer-found
+    * zero-norm rule), so the zero denominator is nulled explicitly to
+    * match DuckDB's NULL. One pruned scan, zero shuffle, pure codegen. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nAlpha = len - length(regexp_replace(col("text"), "[a-z]", ""))
+    val toks = tokens(col("text"))
+    val alphaRatio = round2(when(len === 0, lit(null))
+      .otherwise(nAlpha.cast("double") / len.cast("double")), 4)
+    val meanWordLen = round2(
+      (len - (size(toks) - lit(1))).cast("double") /
+        size(toks).cast("double"), 4)
+    documents.select(col("doc_id"),
+        alphaRatio.as("alpha_ratio"),
+        meanWordLen.as("mean_word_len"),
+        (alphaRatio >= GopherMinAlpha &&
+          meanWordLen >= GopherMinWordLen &&
+          meanWordLen <= GopherMaxWordLen).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Kneser-Ney continuation counts — the statistic KN-smoothed language
+    * models are built on: for each word, the number of DISTINCT left
+    * contexts it continues (N1+(•w), the KN unigram numerator) and the
+    * number of distinct right continuations it licenses (N1+(w•), the
+    * normalizer of its backoff weight). Top-[[KnTopK]] by left-context
+    * count with a total (nl, nr, word) tiebreak.
+    *
+    * Shape: ONE distinct over bigram TYPES (map-side partial distinct on
+    * the pair key — the only shuffle, vocabulary²-bounded output), then
+    * two vocabulary-sized aggregates joined full-outer (a word can appear
+    * only sentence-initially or -finally) with counts coalesced to 0.
+    * Top-k compiles to TakeOrderedAndProject — never a full sort. */
+  def knContinuations(documents: DataFrame): DataFrame = {
+    val pairs = documents.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .distinct()
+    val leftCtx = pairs.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("n_left_contexts"))
+    val rightCont = pairs.groupBy(col("w1").as("w"))
+      .agg(count(lit(1)).as("n_right_continuations"))
+    leftCtx.join(rightCont, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("n_left_contexts", "n_right_continuations"))
+      .orderBy(col("n_left_contexts").desc,
+        col("n_right_continuations").desc, col("w"))
+      .limit(KnTopK)
   }
 }

@@ -174,7 +174,9 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_dup_span_removal", "q_tfidf_top_terms", "q_collocations",
     "q_token_budget_by_lang", "q_sequence_packing", "q_doc_chunks",
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
-    "q_train_test_split", "q_phrase_search", "q_contamination_scrub")
+    "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
+    "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
+    "q_kn_continuations")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -381,7 +383,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_intradoc_dedup", "q_unit_filter", "q_sequence_packing",
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
     "q_media_frames", "q_media_decode", "q_media_decode_real",
-    "q_compression_dist",
+    "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
+    "q_gopher_rules", "q_kn_continuations",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */

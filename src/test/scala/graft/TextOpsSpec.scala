@@ -750,4 +750,78 @@ class TextOpsSpec extends SparkSpec {
       math.floor((0.39 * 2.0 + 0.0 - 15.59) * 10000 + 0.5) / 10000, "easy"),
       d3.toString)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("winnowingFingerprints: window minima match an independent " +
+      "replay of the MOSS selection; short and null docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y"),                      // < k tokens → dropped
+      (3L, null.asInstanceOf[String]))  // null text → dropped
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowingFingerprints(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // independent replay of the selection rule on doc 1
+    val toks = "a b c d e f".split(" ")
+    val hs = toks.sliding(TextOps.WinnowK).map(_.mkString(" "))
+      .map(md5hex).toVector
+    val fps = hs.indices.map(i =>
+      hs.slice(i, math.min(i + TextOps.WinnowW, hs.size)).min)
+    assert(got == Seq((1L, hs.size.toLong, fps.distinct.size.toLong,
+      fps.min)), got.toString)
+  }
+
+  test("langTemperatureMix: sqrt weights, 6dp fixed-point shares, and " +
+      "integer allocations; null lang is a real stratum ordered last") {
+    val docs = Seq(
+      (1L, "a b c d", "en"), (2L, "e f", "en"),
+      (3L, "x y z", "de"), (4L, "zz ww", null))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langTemperatureMix(docs)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    def w6(n: Long): Long = math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong
+    val (wDe, wEn, wNull) = (w6(3), w6(6), w6(2))
+    val tot = wDe + wEn + wNull
+    def share(w: Long): Double =
+      math.floor(w.toDouble / tot.toDouble * 1e6 + 0.5) / 1e6
+    assert(got.map(_._1) == Seq("de", "en", null), got.toString)
+    assert(got == Seq(
+      ("de", 3L, wDe / 1e6, share(wDe), wDe * 1000000L / tot),
+      ("en", 6L, wEn / 1e6, share(wEn), wEn * 1000000L / tot),
+      (null, 2L, wNull / 1e6, share(wNull), wNull * 1000000L / tot)),
+      got.toString)
+  }
+
+  test("gopherRules: 4dp round-then-compare thresholds; empty text gets " +
+      "a NULL ratio but a definite false verdict; null text all-NULL") {
+    val docs = Seq(
+      (1L, "abcd abcd abcd"), // alpha 12/14=0.8571, mwl (14-2)/3=4.0 → keep
+      (2L, "ab cd"),          // alpha 4/5=0.8 < 0.82 → drop
+      (3L, ""),               // 0/0 → NULL ratio; mwl 0 → false (NULL AND false)
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs)
+      .as[(Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(0.8571), Some(4.0), Some(true)),
+      (2L, Some(0.8), Some(2.0), Some(false)),
+      (3L, None, Some(0.0), Some(false)),
+      (4L, None, None, None)), got.toString)
+  }
+
+  test("knContinuations: distinct-bigram-type continuation counts with " +
+      "0 back-fill for one-sided words") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.knContinuations(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    // bigram types: (a,b) (c,b) (b,a); b is continued by {a,c}, a by {b};
+    // c never continues anything but licenses {b}
+    assert(got == Seq(("b", 2L, 1L), ("a", 1L, 1L), ("c", 0L, 1L)),
+      got.toString)
+  }
 }
