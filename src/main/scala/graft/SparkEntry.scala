@@ -943,6 +943,14 @@ object SparkEntry {
       Similarity.cosineTopKInt8(Sources.table(s, dir, "embeddings"))),
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Sources.table(s, dir, "embeddings"))),
+    // one exact fixed-point Lloyd iteration (components quantized to
+    // longs BEFORE any aggregation — zero float-sum-order exposure)
+    "q_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(Sources.table(s, dir, "embeddings"))),
+    // SemDeDup-style cluster-balanced curation sample: nearest-to-
+    // centroid top-k per cluster via WindowGroupLimit
+    "q_cluster_balanced_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Sources.table(s, dir, "embeddings"))),
     // embedding-space outlier scores: similarity to the own-label centroid
     "q_centroid_sim" -> ((s, dir) =>
       Similarity.centroidSimilarity(Sources.table(s, dir, "embeddings"))),
@@ -1185,6 +1193,38 @@ object SparkEntry {
 
   /** Contamination-family width, shared with the Scala side. */
   private val ContW = ext.Decontaminate.ShingleWidth
+
+  /** Exact fixed-point k-means assignment prologue shared by the
+    * q_kmeans_step / q_cluster_balanced_sample mirrors (the shared-CTE
+    * discipline): K / quantization scale interpolate from
+    * [[ext.Similarity]]'s constants; seed = pmod(vec_id, K) rendered in
+    * the ((x % n) + n) % n form; centroid means via truncating `//`
+    * (≡ Spark `div` — both truncate toward zero). `kw` is the final
+    * (vec_id, seed, new_cid, d2) assignment frame. */
+  private def KmeansAssignCte: String = {
+    val k = ext.Similarity.KmeansK
+    val q = ext.Similarity.KmQuantScale
+    s"""kve AS (
+       |  SELECT vec_id, seed, i AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $q + 0.5)
+       |      AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, ((vec_id % $k) + $k) % $k AS seed, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)),
+       |kcent AS (SELECT seed AS cid, pos,
+       |            CAST(sum(qv) AS BIGINT) // count(*) AS m
+       |          FROM kve GROUP BY 1, 2),
+       |kd AS (SELECT v.vec_id, v.seed, c.cid,
+       |         CAST(sum((v.qv - c.m) * (v.qv - c.m)) AS BIGINT) AS d2
+       |       FROM kve v JOIN kcent c ON v.pos = c.pos
+       |       GROUP BY 1, 2, 3),
+       |ka AS (SELECT vec_id, seed, cid, d2,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY d2, cid) AS rk
+       |       FROM kd),
+       |kw AS (SELECT vec_id, seed, cid AS new_cid, d2 FROM ka
+       |       WHERE rk = 1)""".stripMargin
+  }
   private val JaccardPairsCte =
     s"""WITH sh AS (
        |${jaccardShinglesCte("shingle")}),
@@ -4458,6 +4498,30 @@ object SparkEntry {
     // q_label_centroids values), so the centroid aggregation's float-sum
     // order is already pinned; the remaining exposure is the per-vector
     // 64-term sums — the same accepted class as every KNN mirror
+    // one Lloyd step, INTEGER-exact end to end: components quantized to
+    // fixed-point longs before any aggregation, centroid means via
+    // truncating // (≡ Spark div — both truncate toward zero, so the
+    // possibly-negative component sums need no divisibility reduction),
+    // argmin tiebreak to the smallest centroid id (the row_number mirror
+    // of Spark's min-over-(d2,cid)-struct)
+    "q_kmeans_step" ->
+      s"""WITH $KmeansAssignCte
+         |SELECT new_cid AS cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN seed <> new_cid THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  CAST(sum(d2) AS BIGINT) AS inertia
+         |FROM kw GROUP BY 1 ORDER BY cid NULLS LAST""".stripMargin,
+    // same assignment prologue (shared-CTE discipline); the per-cluster
+    // top-k is rank-filtered exactly like Spark's WindowGroupLimit plan
+    "q_cluster_balanced_sample" ->
+      s"""WITH $KmeansAssignCte,
+         |ks AS (SELECT new_cid AS cid, vec_id, d2,
+         |         row_number() OVER (PARTITION BY new_cid
+         |           ORDER BY d2, vec_id) AS rk
+         |       FROM kw)
+         |SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, d2 FROM ks
+         |WHERE rk <= ${Similarity.BalancedSamplePerCluster}
+         |ORDER BY cid NULLS LAST, rk""".stripMargin,
     "q_centroid_sim" ->
       """WITH cent AS (
         |  SELECT label, t.i AS pos,

@@ -1,7 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Exprs._
 
@@ -520,4 +522,82 @@ object Similarity {
       ArraySeq.unsafeWrapArray(b.map(c =>
         ArraySeq.unsafeWrapArray(c): Seq[Float])): Seq[Seq[Float]]))
   }
+
+  /** k-means constants shared with the generated DuckDB mirrors (the
+    * shared-constant discipline). [[KmQuantScale]] is the fixed-point
+    * scale every embedding component is quantized to BEFORE any
+    * aggregation — unlike [[centroidSimilarity]]'s rounded-centroid
+    * compromise, the whole Lloyd step below is then INTEGER-exact:
+    * no float-sum-order exposure anywhere. */
+  val KmeansK = 8
+  val KmQuantScale = 1000000L
+  val BalancedSamplePerCluster = 10
+
+  /** Shared core of [[kmeansStep]] / [[clusterBalancedSample]]: one exact
+    * fixed-point Lloyd assignment. Seed clusters come from
+    * `pmod(vec_id, K)` (deterministic, engine-portable); components
+    * quantize to [[KmQuantScale]] longs; centroid means use `div`
+    * (truncating integer division ≡ DuckDB `//` — BOTH truncate toward
+    * zero, so a negative component sum needs no divisibility reduction
+    * when the Spark side uses `div` too); squared distances and the
+    * argmin (min over a (d2, cid) struct — lexicographic, so the tie
+    * goes to the smallest centroid id) are all long arithmetic.
+    *
+    * Shape: the exploded cell stream aggregates map-side to the
+    * (K × dim)-sized centroid frame, which is BROADCAST back onto the
+    * cells; distances reduce per (vec, centroid) with partial
+    * aggregation before the only data-sized shuffle. N·K·D multiply-adds
+    * is the honest cost of a Lloyd step at any scale. */
+  private def kmeansAssignments(embeddings: DataFrame): DataFrame = {
+    val ve = embeddings
+      .select(col("vec_id"),
+        pmod(col("vec_id"), lit(KmeansK.toLong)).as("seed"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("seed"), col("pos"),
+        floor(col("x").cast("double") * KmQuantScale + 0.5)
+          .cast(LongType).as("qv"))
+    val cent = ve.groupBy(col("seed").as("cid"), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"), expr("s div n").as("m"))
+    ve.join(broadcast(cent), "pos")
+      .select(col("vec_id"), col("seed"), col("cid"),
+        ((col("qv") - col("m")) * (col("qv") - col("m"))).as("sq"))
+      .groupBy(col("vec_id"), col("seed"), col("cid"))
+      .agg(sum(col("sq")).as("d2"))
+      .groupBy(col("vec_id"), col("seed"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("seed"),
+        col("best").getField("cid").as("new_cid"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** One Lloyd iteration report: per reassigned cluster, the new member
+    * count, how many vectors moved off their seed cluster, and the
+    * (fixed-point) inertia contribution — the convergence/diagnostics
+    * row a cluster-balanced curation pipeline watches per round.
+    * Entirely integer-exact (see [[kmeansAssignments]]), so the report
+    * rides the hash gate with zero float exposure. */
+  def kmeansStep(embeddings: DataFrame): DataFrame =
+    kmeansAssignments(embeddings)
+      .groupBy(col("new_cid").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("seed") =!= col("new_cid"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(col("d2")).as("inertia"))
+      .orderBy(col("cid").asc_nulls_last)
+
+  /** Cluster-balanced curation sampling (the SemDeDup/DataComp pattern):
+    * the [[BalancedSamplePerCluster]] vectors NEAREST their assigned
+    * centroid per cluster, ranked (d2, vec_id) for a total order. The
+    * rank-≤-k filter compiles to WindowGroupLimit, so only k rows per
+    * cluster survive map-side — a hot cluster never pays a full sort. */
+  def clusterBalancedSample(embeddings: DataFrame,
+      perCluster: Int = BalancedSamplePerCluster): DataFrame =
+    kmeansAssignments(embeddings)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("new_cid"))
+          .orderBy(col("d2"), col("vec_id"))).cast(LongType))
+      .filter(col("rk") <= perCluster)
+      .select(col("new_cid").as("cid"), col("rk"), col("vec_id"), col("d2"))
+      .orderBy(col("cid").asc_nulls_last, col("rk"))
 }

@@ -297,7 +297,8 @@ class DifferentialFuzzSpec extends SparkSpec {
 
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
-    "q_centroid_sim", "q_label_balance")
+    "q_centroid_sim", "q_label_balance",
+    "q_kmeans_step", "q_cluster_balanced_sample")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors

@@ -38,7 +38,12 @@ class PlanPinSpec extends SparkSpec {
     // (q_revenue_acf is deliberately absent: its mean/denominator ride
     // 1-row broadcast-scalar crossJoins — the documented BNLJ class)
     "q_phrase_search", "q_markov_stationary", "q_survival_curve",
-    "q_media_decode_real")
+    "q_media_decode_real",
+    // round-12 additions (q_lang_temperature_mix is deliberately absent:
+    // its lang-total rides a 1-row broadcast-scalar crossJoin — the
+    // documented BNLJ class, same as q_revenue_acf)
+    "q_winnowing", "q_gopher_rules", "q_kn_continuations",
+    "q_kmeans_step", "q_cluster_balanced_sample")
 
   test("bench-heavy batch entries plan WITHOUT BroadcastNestedLoopJoin " +
       "or CartesianProduct") {
@@ -122,5 +127,35 @@ class PlanPinSpec extends SparkSpec {
       assert(offCorpus.isEmpty,
         s"$name windows over a non-_pid (corpus) spec: $offCorpus\n$plan")
     }
+  }
+
+  test("q_winnowing stays map-side: the only exchange is the final " +
+      "ORDER BY range partition (HOF transforms, never an explode + " +
+      "doc-keyed window shuffle)") {
+    val plan = SparkEntry.queries("q_winnowing")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q_winnowing grew a hash-partition shuffle:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"q_winnowing grew a window (doc-keyed shuffle shape):\n$plan")
+  }
+
+  test("q_kmeans_step serves centroids by BROADCAST (never a sort-merge " +
+      "of the exploded cell stream against the K x dim frame)") {
+    val plan = SparkEntry.queries("q_kmeans_step")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join crept into the Lloyd step:\n$plan")
+  }
+
+  test("q_cluster_balanced_sample's rank cap compiles to WindowGroupLimit " +
+      "(top-k per cluster survives map-side; a hot cluster never pays a " +
+      "full sort)") {
+    val plan = SparkEntry.queries("q_cluster_balanced_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-cap pushdown lost — full per-cluster sort:\n$plan")
   }
 }

@@ -213,4 +213,52 @@ class SimilaritySpec extends SparkSpec {
       && plan.contains("BroadcastHashJoin"),
       s"PQ serving should be ADC top-k + broadcast re-rank:\n$plan")
   }
+
+  /** Driver-side replay of the exact fixed-point Lloyd assignment:
+    * quantize → truncating centroid means (Scala Long `/` truncates
+    * toward zero ≡ Spark `div`) → integer squared distances → argmin
+    * with the (d2, cid) tiebreak. */
+  private def lloydReplay(): Seq[(Long, Long, Long, Long)] = {
+    val all = emb.as[(Long, Array[Float])].collect().toSeq
+    val k = Similarity.KmeansK
+    val q = all.map { case (id, v) =>
+      (id, ((id % k) + k) % k,
+        v.map(x => math.floor(x.toDouble * Similarity.KmQuantScale + 0.5)
+          .toLong).toSeq) }
+    val centroid: Map[(Long, Int), Long] = q
+      .flatMap { case (_, s, qs) =>
+        qs.zipWithIndex.map { case (v, p) => ((s, p), v) } }
+      .groupBy(_._1).map { case (key, vs) =>
+        val xs = vs.map(_._2); key -> xs.sum / xs.length }
+    q.map { case (id, s, qs) =>
+      val (d2, cid) = (0L until k.toLong).map { c =>
+        (qs.zipWithIndex.map { case (v, p) =>
+          val diff = v - centroid((c, p)); diff * diff }.sum, c)
+      }.min
+      (id, s, cid, d2) }
+  }
+
+  test("kmeansStep matches a driver-side replay of the exact fixed-point " +
+      "Lloyd iteration (sizes, moves, inertia)") {
+    val want = lloydReplay().groupBy(_._3).map { case (cid, vs) =>
+      (cid, vs.size.toLong, vs.count(v => v._2 != v._3).toLong,
+        vs.map(_._4).sum) }.toSeq.sortBy(_._1)
+    val got = Similarity.kmeansStep(emb)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // non-degenerate: something must actually move off its seed cluster
+    assert(got.map(_._3).sum > 0, "no vector moved — degenerate fixture")
+  }
+
+  test("clusterBalancedSample: the perCluster nearest-to-centroid " +
+      "vectors per cluster in (d2, vec_id) order") {
+    val per = 2
+    val want = lloydReplay().groupBy(_._3).toSeq.flatMap { case (cid, vs) =>
+      vs.sortBy(v => (v._4, v._1)).take(per).zipWithIndex
+        .map { case ((id, _, _, d2), i) => (cid, (i + 1).toLong, id, d2) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Similarity.clusterBalancedSample(emb, perCluster = per)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
 }
