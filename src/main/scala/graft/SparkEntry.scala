@@ -275,6 +275,17 @@ object SparkEntry {
         .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
       Graph.pageRankFixedPoint(edges)
     }),
+    // personalized PageRank (random walk with restart): teleport, start
+    // mass AND dangling restarts all land on the seed set only — same
+    // fixed-point long discipline, mirror unrolls the identical rounds
+    "q_ppr_exact" -> ev(e => {
+      val pairs = EventQueries.basketPairs(e, minSupport = 2, sorted = false)
+        .select(col("item1"), col("item2"))
+      val edges = pairs
+        .select(col("item1").as("src"), col("item2").as("dst"))
+        .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
+      Graph.personalizedPageRankFixedPoint(edges)
+    }),
     // exact triangle counting via degree-ordered orientation (O(m^1.5)
     // wedge volume, no hub-keyed quadratic join); mirror is the naive
     // lexicographic 3-way join over the shared canonical pair list
@@ -951,6 +962,10 @@ object SparkEntry {
     // centroid top-k per cluster via WindowGroupLimit
     "q_cluster_balanced_sample" -> ((s, dir) =>
       Similarity.clusterBalancedSample(Sources.table(s, dir, "embeddings"))),
+    // per-dimension embedding health (dead/saturated dims, 3σ outlier
+    // cells) on the exact-moment discipline over quantized longs
+    "q_embedding_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Sources.table(s, dir, "embeddings"))),
     // embedding-space outlier scores: similarity to the own-label centroid
     "q_centroid_sim" -> ((s, dir) =>
       Similarity.centroidSimilarity(Sources.table(s, dir, "embeddings"))),
@@ -1816,6 +1831,60 @@ object SparkEntry {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Generated mirror for `q_ppr_exact` — [[pageRankExactSql]] with the
+    * teleport, the start mass and the dangling restart all retargeted at
+    * the seed set (the smallest [[graft.ext.Graph.PprSeedCount]] node
+    * ids): non-seed rows get 0 teleport and no dangling share, seeds
+    * split both `div`/`//` by |seeds|. Every value stays a non-negative
+    * long, so truncating `//` ≡ Spark `div` throughout. */
+  private def pprExactSql(iterations: Int = 10): String = {
+    val s = graft.ext.Graph.FixedPointScale
+    val dn = graft.ext.Graph.DampNum
+    val dd = graft.ext.Graph.DampDen
+    val sc = graft.ext.Graph.PprSeedCount
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    CASE WHEN sf.node IS NOT NULL
+         |         THEN ((${dd - dn} * $s) // $dd) // kk.k ELSE 0 END
+         |      + ($dn * (COALESCE(f.inflow, 0)
+         |          + CASE WHEN sf.node IS NOT NULL THEN dg.dm // kk.k
+         |            ELSE 0 END)) // $dd AS r
+         |  FROM nodes
+         |  CROSS JOIN kk
+         |  CROSS JOIN (SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) AS dm
+         |              FROM r${i - 1}
+         |              WHERE node NOT IN (SELECT src FROM deg)) dg
+         |  LEFT JOIN seeds sf ON sf.node = nodes.node
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+         |             FROM edges e
+         |             JOIN r${i - 1} r ON e.src = r.node
+         |             JOIN deg d ON d.src = e.src
+         |             GROUP BY 1) f ON f.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $BasketPairsCte,
+       |edges AS MATERIALIZED (
+       |  SELECT item1 AS src, item2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT item2 AS src, item1 AS dst FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node
+       |        LIMIT $sc),
+       |kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k
+       |        FROM seeds),
+       |r0 AS MATERIALIZED (
+       |  SELECT nodes.node,
+       |    CASE WHEN sf.node IS NOT NULL THEN $s // kk.k ELSE 0 END AS r
+       |  FROM nodes CROSS JOIN kk
+       |  LEFT JOIN seeds sf ON sf.node = nodes.node),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iterations
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   /** GENERATED mirror for `q_markov_stationary`: the power-iteration
     * rounds unroll as CTEs (the pageRankExactSql discipline), each
     * MATERIALIZED per the recursion/FD rule; `(w * n) // tot` matches
@@ -2192,6 +2261,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY n_triangles DESC, node""".stripMargin,
     // ten unrolled fixed-point power-iteration rounds — see pageRankExactSql
     "q_pagerank_exact" -> pageRankExactSql(),
+    // the personalized variant: teleport/start/dangling on the seed set
+    "q_ppr_exact" -> pprExactSql(),
     // ten unrolled peeling rounds — see kCoreSql
     "q_kcore" -> kCoreSql(),
     // six unrolled BFS relaxation rounds — see bfsHopsSql
@@ -4522,6 +4593,46 @@ object SparkEntry {
          |SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, d2 FROM ks
          |WHERE rk <= ${Similarity.BalancedSamplePerCluster}
          |ORDER BY cid NULLS LAST, rk""".stripMargin,
+    // exact-moment discipline on quantized longs: n/Σq/Σq² exact, the
+    // IDENTICAL double op sequence both sides (incl. the greatest(…, 0)
+    // variance clamp), 3σ outlier predicate round-then-compared at 6dp
+    "q_embedding_dim_stats" ->
+      s"""WITH ce AS (
+         |  SELECT i AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * ${Similarity.DimStatsScale} + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |st AS (
+         |  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS s,
+         |    CAST(sum(q * q) AS BIGINT) AS ss
+         |  FROM ce GROUP BY 1),
+         |m AS (
+         |  SELECT pos, n,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         |    sqrt(greatest(
+         |      CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))) AS std_q
+         |  FROM st),
+         |o AS (
+         |  SELECT ce.pos, CAST(count(*) AS BIGINT) AS n_out
+         |  FROM ce JOIN m ON ce.pos = m.pos
+         |  WHERE floor(abs(CAST(ce.q AS DOUBLE) - m.mean_q) * 1000000
+         |          + 0.5) / 1000000
+         |      > floor(3 * m.std_q * 1000000 + 0.5) / 1000000
+         |  GROUP BY 1)
+         |SELECT m.pos, m.n,
+         |  floor((m.mean_q / CAST(${Similarity.DimStatsScale} AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS mean,
+         |  floor((m.std_q / CAST(${Similarity.DimStatsScale} AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS std,
+         |  CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers
+         |FROM m LEFT JOIN o ON m.pos = o.pos
+         |ORDER BY m.pos""".stripMargin,
     "q_centroid_sim" ->
       """WITH cent AS (
         |  SELECT label, t.i AS pos,

@@ -150,6 +150,77 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("node"))
   }
 
+  /** Seed-set size for [[personalizedPageRankFixedPoint]] — shared with
+    * the generated mirror. Seeds are the `PprSeedCount` SMALLEST node
+    * ids: deterministic and engine-portable (an ORDER BY + LIMIT in both
+    * engines), standing in for the "user's items" of a real
+    * recommendation query. */
+  val PprSeedCount = 3
+
+  /** PERSONALIZED PageRank in the same fixed-point longs as
+    * [[pageRankFixedPoint]] — the neighborhood-relevance primitive of
+    * item-to-item recommendation ("random walk with restart"): the
+    * teleport mass lands ONLY on the seed set (S·(1−d)/d-rational split
+    * `div` |seeds| per seed, 0 elsewhere), the walk starts entirely on
+    * the seeds (`S div k` each), and DANGLING mass restarts at the seeds
+    * too (`dm div k` added to seed inflow) — the pure RWR formulation,
+    * so rank mass concentrates around the seeds instead of spreading
+    * uniformly. Every operation stays a non-negative long add / multiply
+    * / truncating `div` (≡ DuckDB `//` on non-negatives), so ten rounds
+    * of join + aggregate + restart hash-match the unrolled mirror
+    * exactly. Same per-round plan shape as the uniform variant: one
+    * edge-keyed shuffle join + node aggregate, scalars on 1-row
+    * broadcast frames, seed flags on a broadcast `seedCount`-row frame,
+    * per-round localCheckpoint. */
+  def personalizedPageRankFixedPoint(edges: DataFrame,
+      seedCount: Int = PprSeedCount, iterations: Int = 10,
+      dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = sym.select(col("src").as("node"))
+      .union(sym.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val seedFlag = nodes.orderBy("node").limit(seedCount)
+      .withColumn("is_seed", lit(1L))
+      .localCheckpoint()
+    val k = seedFlag.count()
+    require(k > 0, "personalizedPageRank on an empty node list")
+    val outDeg = sym.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val s = FixedPointScale
+    val teleportSeed = ((dampDen - dampNum) * s / dampDen) / k
+
+    var ranks = nodes.join(broadcast(seedFlag), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(s / k)).otherwise(lit(0L))
+          .as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+      val dangling = ranks
+        .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .groupBy("node")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("inflow"))
+        .join(broadcast(seedFlag), Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (when(col("is_seed").isNotNull, lit(teleportSeed))
+            .otherwise(lit(0L)) +
+            expr(s"($dampNum * (inflow + " +
+              s"if(is_seed is not null, dm div ${k}L, 0L))) div $dampDen"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
   /** Peeling rounds for [[kCore]] — shared with the generated mirror
     * (the DampNum discipline). Peeling is IDEMPOTENT once converged, so
     * a fixed round count is hash-gate-safe by construction: both engines

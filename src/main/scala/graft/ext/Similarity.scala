@@ -533,6 +533,62 @@ object Similarity {
   val KmQuantScale = 1000000L
   val BalancedSamplePerCluster = 10
 
+  /** [[dimStats]] quantization scale — deliberately COARSER than
+    * [[KmQuantScale]]: the sum-of-squares accumulator must stay inside
+    * int64 at warehouse row counts (q ≤ ~10³ ⇒ q² ≤ ~10⁶ ⇒ safe to
+    * ~9·10¹² cells per dimension; the 10⁶ scale would overflow at
+    * ~9·10⁶). Three decimal digits is plenty for a dim-health report. */
+  val DimStatsScale = 1000L
+
+  /** Per-dimension embedding health report — the feature-quality pass an
+    * embedding pipeline runs before indexing (dead dimensions, saturated
+    * dimensions, outlier cells from a broken encoder): for every
+    * position, the cell count, mean, standard deviation, and the number
+    * of cells more than 3σ from the mean.
+    *
+    * Exact-moment discipline (q_revenue_anomalies): components quantize
+    * to [[DimStatsScale]] longs, n/Σq/Σq² are exact long aggregates, and
+    * mean/σ drop to doubles through the IDENTICAL operation sequence in
+    * both engines (long→double exact < 2⁵³, IEEE ops correctly rounded)
+    * — so even the 3σ outlier PREDICATE hash-matches, compared on
+    * 6dp-rounded values (round-then-compare). The σ inner term is
+    * clamped at 0 (FP rounding can push an all-equal dimension's
+    * variance a hair negative; `greatest` mirrors exactly).
+    *
+    * Shape: one exploded pass → 64-row stats frame → broadcast back for
+    * the outlier count — two corpus scans, no corpus-keyed shuffle
+    * (cells aggregate map-side onto `pos`). */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val cells = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast(LongType).as("pos"),
+        floor(col("x").cast("double") * DimStatsScale + 0.5)
+          .cast(LongType).as("q"))
+    // NOT pinned: the two consumers re-derive the explode from the scan
+    // (the domainRebalance multi-scan trade — re-reading a one-column
+    // projection beats materializing a corpus-sized cell frame)
+    val stats = cells.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .select(col("pos"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_q"),
+        sqrt(greatest(
+          col("ss").cast("double") / col("n").cast("double") -
+            (col("s").cast("double") / col("n").cast("double")) *
+            (col("s").cast("double") / col("n").cast("double")),
+          lit(0.0))).as("std_q"))
+    val outliers = cells.join(broadcast(stats), "pos")
+      .filter(round2(abs(col("q").cast("double") - col("mean_q")), 6) >
+        round2(lit(3.0) * col("std_q"), 6))
+      .groupBy("pos").agg(count(lit(1)).as("n_out"))
+    stats.join(outliers, Seq("pos"), "left_outer")
+      .select(col("pos"), col("n"),
+        round2(col("mean_q") / lit(DimStatsScale.toDouble), 6).as("mean"),
+        round2(col("std_q") / lit(DimStatsScale.toDouble), 6).as("std"),
+        coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+      .orderBy("pos")
+  }
+
   /** Shared core of [[kmeansStep]] / [[clusterBalancedSample]]: one exact
     * fixed-point Lloyd assignment. Seed clusters come from
     * `pmod(vec_id, K)` (deterministic, engine-portable); components

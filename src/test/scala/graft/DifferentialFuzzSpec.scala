@@ -298,7 +298,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance",
-    "q_kmeans_step", "q_cluster_balanced_sample")
+    "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors
@@ -341,6 +341,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_seasonal_decomposition", "q_residual_anomalies", "q_user_streaks",
     "q_decile_lift", "q_partition_advice", "q_revenue_drift",
     "q_revenue_trend", "q_zorder_prune", "q_bfs_hops", "q_pagerank_exact",
+    "q_ppr_exact",
     "q_triangle_count", "q_kcore", "q_cohort_revenue", "q_data_checks",
     "q_quarantine", "q_top_category_revenue", "q_category_heavyhitters",
     "q_conversion_funnel", "q_abandoned_cart_users",

@@ -90,6 +90,41 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass $mass")
   }
 
+  test("personalizedPageRankFixedPoint: teleport, start mass and dangling " +
+    "restarts all land on the seed set — EXACT driver replay in longs") {
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "D"))
+    val got = Graph.personalizedPageRankFixedPoint(
+        edges.toDF("src", "dst"), iterations = 10)
+      .as[(String, Long)].collect().toMap
+    // independent replay: same fixed-point algebra in driver Scala (Long
+    // `/` truncates toward zero ≡ Spark `div` on these non-negatives)
+    val S = Graph.FixedPointScale
+    val (dn, dd) = (Graph.DampNum, Graph.DampDen)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val seeds = nodes.take(Graph.PprSeedCount).toSet
+    val k = seeds.size.toLong
+    val outDeg = edges.groupBy(_._1).map { case (n, es) =>
+      n -> es.size.toLong }
+    val teleport = ((dd - dn) * S / dd) / k
+    var r = nodes.map(n => n -> (if (seeds(n)) S / k else 0L)).toMap
+    for (_ <- 1 to 10) {
+      val contribs = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (a, b) => contribs(b) += r(a) / outDeg(a) }
+      val dm = nodes.filterNot(outDeg.contains).map(r).sum
+      r = nodes.map { n =>
+        val inflow = contribs(n) + (if (seeds(n)) dm / k else 0L)
+        n -> ((if (seeds(n)) teleport else 0L) + (dn * inflow) / dd)
+      }.toMap
+    }
+    assert(got == r, s"got $got want $r")
+    // the RWR shape: seeds hold the majority of the walk's mass
+    val seedMass = seeds.toSeq.map(got).sum.toDouble
+    assert(seedMass / got.values.sum > 0.5,
+      s"seed mass ${seedMass / got.values.sum} not concentrated")
+  }
+
   test("q_pagerank_exact agrees with q_pagerank on the real graph: " +
     "per-node ranks within floor-drift tolerance") {
     val s = Graph.FixedPointScale.toDouble

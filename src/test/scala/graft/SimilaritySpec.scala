@@ -250,6 +250,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).sum > 0, "no vector moved — degenerate fixture")
   }
 
+  test("dimStats matches a driver-side exact-moment replay (quantized " +
+      "longs, identical double op sequence, 3-sigma round-then-compare)") {
+    val all = emb.as[(Long, Array[Float])].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sc = Similarity.DimStatsScale
+    val want = all
+      .flatMap { case (_, v) => v.zipWithIndex.map { case (x, p) =>
+        ((p + 1).toLong, math.floor(x.toDouble * sc + 0.5).toLong) } }
+      .groupBy(_._1).toSeq.map { case (pos, cs) =>
+        val qs = cs.map(_._2)
+        val n = qs.size.toLong
+        val meanQ = qs.sum.toDouble / n.toDouble
+        val stdQ = math.sqrt(math.max(
+          qs.map(q => q * q).sum.toDouble / n.toDouble - meanQ * meanQ,
+          0.0))
+        val nOut = qs.count(q =>
+          r6(math.abs(q.toDouble - meanQ)) > r6(3.0 * stdQ)).toLong
+        (pos, n, r6(meanQ / sc.toDouble), r6(stdQ / sc.toDouble), nOut)
+      }.sortBy(_._1)
+    val got = Similarity.dimStats(emb)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("clusterBalancedSample: the perCluster nearest-to-centroid " +
       "vectors per cluster in (d2, vec_id) order") {
     val per = 2
