@@ -788,6 +788,9 @@ object SparkEntry {
     // reachability oracle
     "q_cluster_size_dist" -> docs(Dedup.clusterSizeDist),
     "q_fingerprint_dedup" -> docs(TextOps.fingerprintDedup),
+    // cross-source duplication provenance on the normalized fingerprint:
+    // digest-only shuffle, sources²-bounded self-join fan-out
+    "q_dedup_cross_source" -> docs(Dedup.crossSourceDups),
     // JSONL interchange round-trip: write the corpus as JSON-lines, read
     // it back, and hash-gate the full text content — decode∘encode =
     // identity incl. escaping (the q_avro_envelope pattern for the
@@ -3739,6 +3742,26 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
          |  min(doc_id) AS keeper_id, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    // same normalized digest, keyed per (digest, source) pair; null-text
+    // docs excluded on BOTH sides (a NULL digest would pair them)
+    "q_dedup_cross_source" ->
+      """WITH ds AS (SELECT DISTINCT
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      string_split(text, ' '))), ' ')) AS digest,
+         |    source
+         |  FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+         |      FROM ds GROUP BY 1),
+         |p AS (SELECT a.source AS source1, b.source AS source2,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM ds a JOIN ds b
+         |        ON a.digest = b.digest AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.source1, p.source2, p.n_shared,
+         |  t1.n_distinct AS n_distinct1, t2.n_distinct AS n_distinct2
+         |FROM p JOIN t t1 ON t1.source = p.source1
+         |JOIN t t2 ON t2.source = p.source2
+         |ORDER BY n_shared DESC, source1, source2""".stripMargin,
     // write∘read through JSONL = identity: the oracle is the plain
     // projection, so any escaping defect breaks the text hash
     "q_jsonl_roundtrip" ->

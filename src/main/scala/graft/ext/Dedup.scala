@@ -53,6 +53,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_id")
 
+  /** Cross-source duplication provenance — which sources mirror each
+    * other's documents (the CommonCrawl-vs-C4-style overlap question a
+    * multi-source curation pipeline answers before mixing): for every
+    * unordered source pair, the number of shared NORMALIZED fingerprints
+    * ([[TextOps.fingerprintExpr]]'s order/repetition-invariant
+    * bag-of-words digest — byte-exact cross-source copies are rare;
+    * reordered/near-verbatim mirrors are the real signal) and each
+    * side's distinct-fingerprint count for context.
+    *
+    * Null texts are excluded EXPLICITLY (the digest is NULL in both
+    * engines, but a null digest would silently pair null-text docs as
+    * "duplicates" — the null-text fingerprint rule). Shape: the only
+    * shuffled payload is (digest, source) DISTINCT pairs — 32-char keys,
+    * never text (the q_dedup_exact digest discipline); the self-join is
+    * an equi-join on digest whose fan-out is bounded by sources² per
+    * digest, and source totals broadcast back onto the pair report. */
+  def crossSourceDups(documents: DataFrame): DataFrame = {
+    val ds = documents.filter(col("text").isNotNull)
+      .select(TextOps.fingerprintExpr(col("text")).as("digest"),
+        col("source"))
+      .distinct()
+    val totals = ds.groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"))
+    val pairs = ds.as("a")
+      .join(ds.as("b"), col("a.digest") === col("b.digest") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source1"),
+        col("n_distinct").as("n_distinct1"))), "source1")
+      .join(broadcast(totals.select(col("source").as("source2"),
+        col("n_distinct").as("n_distinct2"))), "source2")
+      .select(col("source1"), col("source2"), col("n_shared"),
+        col("n_distinct1"), col("n_distinct2"))
+      .orderBy(col("n_shared").desc, col("source1"), col("source2"))
+  }
+
   /** Distinct word-trigram shingles per document (docs shorter than the
     * shingle width drop out). */
   def shingles(documents: DataFrame, width: Int = 3): DataFrame = {

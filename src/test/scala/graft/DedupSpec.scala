@@ -478,4 +478,24 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) == ((12L, 10L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
     assert(out(14L) == ((14L, 8L, 8L, "")))
   }
+
+  test("crossSourceDups pairs sources on the NORMALIZED fingerprint " +
+      "(reordered copies count, null texts never pair)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "web"),
+      (2L, "gamma alpha beta alpha", "books"), // reordered+repeated copy
+      (3L, "alpha beta gamma", "code"),        // verbatim copy
+      (4L, "delta epsilon", "web"),
+      (5L, null.asInstanceOf[String], "web"),  // null text: never pairs
+      (6L, null.asInstanceOf[String], "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDups(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // the alpha-beta-gamma fingerprint spans web/books/code → 3 pairs;
+    // web carries 2 distinct fingerprints, books and code 1 each
+    assert(got == Seq(
+      ("books", "code", 1L, 1L, 1L),
+      ("books", "web", 1L, 1L, 2L),
+      ("code", "web", 1L, 1L, 2L)), got.toString)
+  }
 }

@@ -176,7 +176,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
     "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
     "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
-    "q_kn_continuations")
+    "q_kn_continuations", "q_dedup_cross_source")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -386,7 +386,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
     "q_media_frames", "q_media_decode", "q_media_decode_real",
     "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
-    "q_gopher_rules", "q_kn_continuations",
+    "q_gopher_rules", "q_kn_continuations", "q_dedup_cross_source",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */
