@@ -99,6 +99,14 @@ object SparkEntry {
   private val lastCompressionDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Trained DSIR micro-nat log ratios per sfDir (the `ln` is driver-only
+    * — see [[ext.TextOps.trainDsirRatios]]); the generated mirror replays
+    * them as a VALUES CTE (the compressionBuckets discipline). */
+  private val dsirRatios =
+    new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
+  private val lastDsirDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -852,6 +860,17 @@ object SparkEntry {
           TextOps.trainUnigramVocab(d)))
       TextOps.unigramFamiliarity(d, vt, vc)
     }),
+    // DSIR importance weights: log p̂/q̂ ratios trained once per dataset
+    // (driver-side ln, quantized to micro-nats), served as an exact long
+    // sum through the same map-side expression as the familiarity filter
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val (vt, qw) = dsirRatios.getOrElseUpdate(dir,
+        ArtifactStore.unigramVocab(s, dir, "dsir-m25-v65536")(
+          TextOps.trainDsirRatios(d)))
+      lastDsirDir.set(dir)
+      TextOps.dsirWeights(d, vt, qw)
+    }),
     // the sequence-level complement: familiar words in an unfamiliar
     // ORDER score low; same train-once/serve-map-side artifact shape
     "q_bigram_familiarity" -> ((s, dir) => {
@@ -1325,6 +1344,36 @@ object SparkEntry {
        |               ELSE len(string_split($enc, chr(31) || chr(31)))
        |          END AS n_sub
        |        FROM tok)""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_dsir_weights` (see [[dsirRatios]]): the
+    * trained micro-nat log ratios replay as a VALUES CTE — the mirror
+    * never evaluates `ln`, it LEFT-joins the same constants onto the
+    * token stream and sums exact longs (OOV rows join NULL and fall out
+    * of the COALESCE'd sum, the served expression's neutral-0 contract).
+    * Null-text docs emit no token rows in either engine. With no
+    * ratios cached yet (oracleSql read before any query ran — not the
+    * Verify order) the vocabulary is empty and every token is OOV. */
+  private def dsirSql: String = {
+    val (toks, qlogs) = Option(lastDsirDir.get).flatMap(dsirRatios.get)
+      .getOrElse((Array.empty[String], Array.empty[Long]))
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vocabCte =
+      if (toks.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS qw " +
+          "WHERE false)"
+      else "(VALUES " + toks.indices.map(i =>
+        s"(${sqlLit(toks(i))}, ${qlogs(i)})").mkString(", ") + ")"
+    s"""WITH v(tok, qw) AS $vocabCte,
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)
+       |           AS n_oov,
+       |         CAST(COALESCE(sum(v.qw), 0) AS BIGINT) AS logw_micro
+       |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_oov, logw_micro
+       |FROM sc ORDER BY doc_id""".stripMargin
   }
 
   /** GENERATED mirror for `q_compression_dist` (see
@@ -3355,6 +3404,8 @@ object SparkEntry {
     // from the merges trained while the queries ran (Verify order:
     // queries first, oracle dump second)
     "q_bpe_tokens" -> bpeOracleSql,
+    // trained micro-nat ratios replayed as a VALUES CTE — see dsirSql
+    "q_dsir_weights" -> dsirSql,
     // planted-counts VALUES CTE + cross-engine distribution arithmetic
     "q_compression_dist" -> compressionDistSql,
     "q_tokenizer_fertility" -> bpeFertilitySql,

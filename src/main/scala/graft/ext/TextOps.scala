@@ -41,6 +41,12 @@ object TextOps {
   val GopherMaxWordLen = 5.0
   /** Kneser-Ney continuation-count report size. */
   val KnTopK = 100
+  /** DSIR constants: target split residue (the doc_id % 25 == 0
+    * benchmark-split convention), vocabulary cap, and the micro-nat
+    * quantization scale for the log importance ratios. */
+  val DsirTargetMod = 25
+  val DsirMaxVocab = 65536
+  val DsirLogScale = 1000000L
 
   /** A BPE-ish subword count approximation: whitespace tokens plus
     * intra-token transitions from letter-runs to digit-runs (a cheap,
@@ -1524,6 +1530,67 @@ object TextOps {
           meanWordLen <= GopherMaxWordLen).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** TRAIN step of DSIR (Data Selection via Importance Resampling — Xie
+    * et al. 2023, arXiv:2302.03169): per-token QUANTIZED log importance
+    * ratios ln(p̂_t / q̂_t) between the add-1-smoothed TARGET unigram
+    * distribution (docs with `doc_id % DsirTargetMod == 0`, the
+    * benchmark-split convention) and the CORPUS distribution (the rest),
+    * over the capped union vocabulary (count desc, token asc — the
+    * deterministic cap boundary of [[trainUnigramVocab]]).
+    *
+    * `ln` has NO cross-engine correctly-rounded guarantee, so it is
+    * computed ONCE here on the driver and quantized to micro-nats
+    * (floor-trick, [[DsirLogScale]]); serving and the generated mirror
+    * then both work in exact long arithmetic from the same constants —
+    * neither engine ever evaluates a logarithm at query time (the
+    * q_bpe_tokens trained-artifact discipline). One vocabulary-bounded
+    * aggregate + a ≤ [[DsirMaxVocab]]-row collect (the trained-artifact
+    * contract). */
+  def trainDsirRatios(documents: DataFrame): (Array[String], Array[Long]) = {
+    val rows = documents.filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("tok"),
+        (pmod(col("doc_id"), lit(DsirTargetMod.toLong)) === 0).as("t"))
+      .groupBy("tok").agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("cc"))
+      .orderBy((col("tc") + col("cc")).desc, col("tok"))
+      .limit(DsirMaxVocab)
+      .collect()
+    val toks = rows.map(_.getString(0))
+    val tc = rows.map(_.getLong(1))
+    val cc = rows.map(_.getLong(2))
+    val v = toks.length.toLong
+    val (tTot, cTot) = (tc.sum, cc.sum)
+    val qlog = Array.tabulate(toks.length) { i =>
+      val p = (tc(i) + 1).toDouble / (tTot + v).toDouble
+      val q = (cc(i) + 1).toDouble / (cTot + v).toDouble
+      math.floor(math.log(p / q) * DsirLogScale + 0.5).toLong
+    }
+    (toks, qlog)
+  }
+
+  /** SERVE step of DSIR: per-document log importance weight — the exact
+    * long sum of the trained micro-nat ratios over the doc's tokens
+    * (out-of-vocabulary tokens contribute the neutral 0 and are counted)
+    * — the score importance resampling draws against when shifting a raw
+    * corpus toward a target domain. One map-side pass through the SAME
+    * codegen'd [[TextExpressions.unigramFamiliarity]] expression the LM
+    * familiarity filter uses (its vocab_sum over per-occurrence longs IS
+    * the DSIR sum); vocabulary rides the task binary, no shuffle except
+    * the output sort. */
+  def dsirWeights(documents: DataFrame, vocabTokens: Array[String],
+      qlogRatios: Array[Long]): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.unigramFamiliarity(col("text"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vocabTokens),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(qlogRatios))
+          .as("w"))
+      .select(col("doc_id"), col("w.n_tokens").as("n_tokens"),
+        col("w.n_oov").as("n_oov"), col("w.vocab_sum").as("logw_micro"))
+      .orderBy("doc_id")
 
   /** Kneser-Ney continuation counts — the statistic KN-smoothed language
     * models are built on: for each word, the number of DISTINCT left

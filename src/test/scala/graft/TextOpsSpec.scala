@@ -813,6 +813,39 @@ class TextOpsSpec extends SparkSpec {
       (4L, None, None, None)), got.toString)
   }
 
+  test("DSIR: quantized log ratios from the target/corpus split; per-doc " +
+      "weight is the exact micro-nat sum (OOV neutral, null text dropped)") {
+    val docs = Seq(
+      (0L, "ml ml data"),             // target (doc_id % 25 == 0)
+      (25L, "ml train"),              // target
+      (1L, "data data web junk"),     // corpus
+      (2L, "web web ml"),             // corpus
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (toks, qw) = TextOps.trainDsirRatios(docs)
+    val m = toks.zip(qw).toMap
+    // replay: tc = {ml 3, data 1, train 1}, cc = {data 2, web 3, junk 1,
+    // ml 1}; union vocab 5; totals t 5 / c 7; add-1 smoothing
+    val v = 5
+    def r(tc: Int, cc: Int): Long = math.floor(math.log(
+      ((tc + 1).toDouble / (5 + v)) / ((cc + 1).toDouble / (7 + v)))
+      * TextOps.DsirLogScale + 0.5).toLong
+    assert(m == Map("ml" -> r(3, 1), "data" -> r(1, 2), "web" -> r(0, 3),
+      "train" -> r(1, 0), "junk" -> r(0, 1)), m.toString)
+    val got = TextOps.dsirWeights(docs, toks, qw)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 0L, 2 * m("ml") + m("data")),
+      (1L, 4L, 0L, 2 * m("data") + m("web") + m("junk")),
+      (2L, 3L, 0L, 2 * m("web") + m("ml")),
+      (25L, 2L, 0L, m("ml") + m("train"))), got.toString)
+    // OOV tokens score the neutral 0 and are counted
+    val oov = TextOps.dsirWeights(
+      Seq((7L, "ml unseen")).toDF("doc_id", "text"), toks, qw)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(oov == Seq((7L, 2L, 1L, m("ml"))), oov.toString)
+  }
+
   test("knContinuations: distinct-bigram-type continuation counts with " +
       "0 back-fill for one-sided words") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "b a"))
