@@ -107,6 +107,13 @@ object SparkEntry {
   private val lastDsirDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Trained NB-quality micro-nat log-likelihood ratios per sfDir (the
+    * DSIR discipline — see [[ext.TextOps.trainNbQuality]]). */
+  private val nbWeights =
+    new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
+  private val lastNbDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -693,6 +700,9 @@ object SparkEntry {
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> docs(Dedup.exactDedup),
     "q_ngram_jaccard" -> docs(Dedup.ngramJaccardTopPairs(_)),
+    // directed containment C(src→dst) = |∩|/|sh(src)| — the excerpt/quote
+    // signal symmetric Jaccard misses; same DF-capped candidate machinery
+    "q_containment_pairs" -> docs(Dedup.containmentTopPairs(_)),
     // threshold-sweep curve: pairs per 0.1 jaccard bucket + cumulative
     // from above — the report that picks the dedup threshold
     "q_jaccard_curve" -> docs(Dedup.jaccardThresholdCurve(_)),
@@ -871,6 +881,17 @@ object SparkEntry {
       lastDsirDir.set(dir)
       TextOps.dsirWeights(d, vt, qw)
     }),
+    // NB quality classifier distilled from the gopher rule verdict:
+    // driver-trained micro-nat log-likelihood ratios, map-side margin,
+    // teacher-vs-student agreement report (the distillation fidelity gate)
+    "q_nb_quality_score" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val (vt, w) = nbWeights.getOrElseUpdate(dir,
+        ArtifactStore.unigramVocab(s, dir, s"nbq-v${TextOps.DsirMaxVocab}")(
+          TextOps.trainNbQuality(d)))
+      lastNbDir.set(dir)
+      TextOps.nbQualityScores(d, vt, w)
+    }),
     // the sequence-level complement: familiar words in an unfamiliar
     // ORDER score low; same train-once/serve-map-side artifact shape
     "q_bigram_familiarity" -> ((s, dir) => {
@@ -997,6 +1018,10 @@ object SparkEntry {
     // baseline with bounded-heap per-group top-k
     "q_knn_all" -> ((s, dir) =>
       Similarity.allNearestNeighbors(Sources.table(s, dir, "embeddings"))),
+    // hard-negative mining: most-similar DIFFERENT-label vectors per
+    // vector — the tiled all-pairs shape with a label-inequality filter
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Sources.table(s, dir, "embeddings"))),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_ivf_knn" -> ((s, dir) => {
@@ -1374,6 +1399,63 @@ object SparkEntry {
        |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1)
        |SELECT doc_id, n_tokens, n_oov, logw_micro
        |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // gopher rule expressions shared by the q_gopher_rules mirror and the
+  // NB-distillation mirror (nbQualitySql) — the teacher verdict renders
+  // from ONE definition, thresholds interpolate from TextOps' constants
+  // (DuckDB x/0 is NULL, matching the Spark side's explicit empty-text
+  // null-out)
+  private val GopherAlphaSql =
+    "floor(((CAST(length(text) " +
+      "- length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)) " +
+      "/ CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000"
+  private val GopherMwlSql =
+    "floor((CAST(length(text) - (len(string_split(text, ' ')) - 1) " +
+      "AS DOUBLE) " +
+      "/ CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5) " +
+      "/ 10000"
+  private val GopherKeepSql =
+    s"($GopherAlphaSql >= CAST(${TextOps.GopherMinAlpha}e0 AS DOUBLE) " +
+      s"AND $GopherMwlSql BETWEEN " +
+      s"CAST(${TextOps.GopherMinWordLen}e0 AS DOUBLE) " +
+      s"AND CAST(${TextOps.GopherMaxWordLen}e0 AS DOUBLE))"
+
+  /** GENERATED mirror for `q_nb_quality_score` (see [[nbWeights]]): the
+    * trained micro-nat log-likelihood ratios replay as a VALUES CTE (the
+    * dsirSql discipline — neither engine evaluates `ln` at query time),
+    * the teacher verdict recomputes from [[GopherKeepSql]], and the
+    * student-vs-teacher agreement is IS NOT DISTINCT FROM ↔ Spark `<=>`
+    * (defensive — the verdict is non-NULL for non-null text: an empty
+    * text's NULL alpha ratio collapses to FALSE via null AND false in
+    * both engines). Every
+    * text-non-null doc emits ≥1 token row (string_split('') = ['']), so
+    * the scores join is inner. */
+  private def nbQualitySql: String = {
+    val (toks, ws) = Option(lastNbDir.get).flatMap(nbWeights.get)
+      .getOrElse((Array.empty[String], Array.empty[Long]))
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vocabCte =
+      if (toks.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS qw " +
+          "WHERE false)"
+      else "(VALUES " + toks.indices.map(i =>
+        s"(${sqlLit(toks(i))}, ${ws(i)})").mkString(", ") + ")"
+    s"""WITH v(tok, qw) AS $vocabCte,
+       |base AS (SELECT doc_id, $GopherKeepSql AS gk
+       |         FROM documents WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)
+       |           AS n_oov,
+       |         CAST(COALESCE(sum(v.qw), 0) AS BIGINT) AS nb_margin_micro
+       |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1)
+       |SELECT b.doc_id, sc.n_tokens, sc.n_oov, sc.nb_margin_micro,
+       |  sc.nb_margin_micro >= 0 AS nb_keep, b.gk AS gopher_keep,
+       |  (sc.nb_margin_micro >= 0) IS NOT DISTINCT FROM b.gk AS agree
+       |FROM base b JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** GENERATED mirror for `q_compression_dist` (see
@@ -3323,6 +3405,24 @@ object SparkEntry {
          |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
          |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    // directed containment from the SAME undirected intersection CTE —
+    // each unordered pair mirrors as two directed rows, divided by the
+    // SOURCE's kept-shingle count (int/int IEEE division, engine-exact)
+    "q_containment_pairs" ->
+      s"""$JaccardPairsCte,
+         |dinter AS (
+         |  SELECT doc1 AS src_doc, doc2 AS dst_doc, common FROM inter
+         |  UNION ALL
+         |  SELECT doc2, doc1, common FROM inter)
+         |SELECT src_doc, dst_doc, CAST(s.sz AS BIGINT) AS src_sz,
+         |  CAST(d.sz AS BIGINT) AS dst_sz, CAST(common AS BIGINT) AS common,
+         |  floor(CAST(common AS DOUBLE) / s.sz * 1000000 + 0.5) / 1000000
+         |    AS containment,
+         |  floor(CAST(common AS DOUBLE) / d.sz * 1000000 + 0.5) / 1000000
+         |    AS reverse_containment
+         |FROM dinter JOIN sz s ON src_doc = s.doc_id
+         |JOIN sz d ON dst_doc = d.doc_id
+         |ORDER BY containment DESC, src_doc, dst_doc LIMIT 20""".stripMargin,
     // buckets floor the same 6dp-rounded jaccard; the cumulative window
     // runs on the <=11 bucket rows in both engines
     "q_jaccard_curve" ->
@@ -3406,6 +3506,8 @@ object SparkEntry {
     "q_bpe_tokens" -> bpeOracleSql,
     // trained micro-nat ratios replayed as a VALUES CTE — see dsirSql
     "q_dsir_weights" -> dsirSql,
+    // trained NB log-likelihood ratios + the regenerated teacher verdict
+    "q_nb_quality_score" -> nbQualitySql,
     // planted-counts VALUES CTE + cross-engine distribution arithmetic
     "q_compression_dist" -> compressionDistSql,
     "q_tokenizer_fertility" -> bpeFertilitySql,
@@ -3625,23 +3727,9 @@ object SparkEntry {
     // verdict in both engines; DuckDB 0/0 is NULL ≡ the Spark-side guard
     "q_gopher_rules" ->
       s"""SELECT doc_id,
-         |  floor(((CAST(length(text)
-         |      - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE))
-         |    / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000
-         |    AS alpha_ratio,
-         |  floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
-         |      AS DOUBLE)
-         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5)
-         |    / 10000 AS mean_word_len,
-         |  (floor(((CAST(length(text)
-         |      - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE))
-         |    / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000
-         |      >= CAST(${TextOps.GopherMinAlpha}e0 AS DOUBLE)
-         |   AND floor((CAST(length(text) - (len(string_split(text, ' ')) - 1)
-         |      AS DOUBLE)
-         |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5)
-         |    / 10000 BETWEEN CAST(${TextOps.GopherMinWordLen}e0 AS DOUBLE)
-         |      AND CAST(${TextOps.GopherMaxWordLen}e0 AS DOUBLE)) AS keep
+         |  $GopherAlphaSql AS alpha_ratio,
+         |  $GopherMwlSql AS mean_word_len,
+         |  $GopherKeepSql AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
     // distinct bigram TYPES first, then the two continuation aggregates
     // full-outer-joined with 0 back-fill; (nl, nr, w) is a total order
@@ -4583,6 +4671,29 @@ object SparkEntry {
         |SELECT vec_id, rank, nn_id,
         |  floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM r WHERE rank <= 1 ORDER BY vec_id, rank""".stripMargin,
+    // hard negatives: the window mirror of the label-filtered bounded-heap
+    // TopK (tiebreak sim desc, neg_id asc); k interpolates from the shared
+    // constant; NULL labels drop via the <> null algebra on both sides
+    "q_hard_negatives" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id, q.label, c.vec_id AS neg_id,
+         |    c.label AS neg_label,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+         |  FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+         |  WHERE q.label <> c.label
+         |  GROUP BY 1, 2, 3, 4),
+         |r AS (
+         |  SELECT vec_id, label, neg_id, neg_label,
+         |    dot / (sqrt(na) * sqrt(nb)) AS sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neg_id) AS rank
+         |  FROM s WHERE na > 0 AND nb > 0)
+         |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neg_id,
+         |  neg_label, floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
+         |FROM r WHERE rank <= ${Similarity.HardNegativesK}
+         |ORDER BY vec_id, rank""".stripMargin,
     // token-budget selection: the mirror is the NAIVE single-window prefix
     // sum the Spark side decomposes (bounded buckets + boundary window) —
     // the hash gate proves the decomposition ≡ the global running total

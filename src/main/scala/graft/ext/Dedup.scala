@@ -218,6 +218,50 @@ object Dedup {
         (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
   }
 
+  /** DIRECTED shingle containment C(src→dst) = |sh(src)∩sh(dst)| / |sh(src)|
+    * (Broder 1997's containment coefficient): ≈1 when `src` is an excerpt,
+    * quote, or near-subset of `dst` even when symmetric Jaccard is tiny —
+    * the sub-document duplication signal [[ngramJaccardTopPairs]] cannot
+    * see (a 50-token quote inside a 5000-token article has Jaccard ≈ 0.01
+    * but containment ≈ 1). Top-`k` directed pairs with the source's kept
+    * shingle count and the overlap, ordered (containment desc, src, dst).
+    *
+    * Same scale shape as [[jaccardPairsCore]]: the skew-spread DF cap
+    * bounds the per-shingle join fan-out, only (doc_id, hash) pairs
+    * shuffle, and the directed join emits each unordered candidate pair
+    * twice (once per direction) — a constant factor, not a new asymptote.
+    * Sizes are computed on the capped universe (numerator/denominator
+    * consistency); the division is int/int in IEEE doubles, engine-exact,
+    * and ordering uses the 6dp-rounded value in both engines. Docs shorter
+    * than the shingle width have no shingles and drop out. */
+  def containmentTopPairs(documents: DataFrame, k: Int = 20,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = hashedShingles(documents, JaccardShingleWidth)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("h")
+    val kept = hashedShingles(documents, JaccardShingleWidth)
+      .join(capped, Seq("h"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src_doc"), col("b.doc_id").as("dst_doc"),
+        col("a.sz").as("src_sz"), col("b.sz").as("dst_sz"))
+      .agg(count(lit(1)).as("common"))
+      // the reverse direction rides the same row for free and is the
+      // excerpt discriminator: full dups read 1/1, a quote inside a much
+      // larger doc reads 1/<<1
+      .select(col("src_doc"), col("dst_doc"), col("src_sz"), col("dst_sz"),
+        col("common"),
+        round2(col("common").cast("double") / col("src_sz"), 6)
+          .as("containment"),
+        round2(col("common").cast("double") / col("dst_sz"), 6)
+          .as("reverse_containment"))
+      .orderBy(col("containment").desc, col("src_doc"), col("dst_doc"))
+      .limit(k)
+  }
+
   /** Span-level duplicate detection (the distributed shape of the
     * suffix-array substring dedup of Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):

@@ -305,19 +305,24 @@ object Similarity {
     * Memory bound per task: one corpus tile (spillable) + one TopK heap.
     * At 100 TB the same output comes from [[lshTopK]]/[[ivfTopK]] per
     * query; run THIS on a sampled or bucketed subset. */
-  def allNearestNeighbors(embeddings: DataFrame, k: Int = 1,
-      tiles: Int = 0): DataFrame = {
-    // Tile count from the optimizer's own size estimate (the writeSizedShards
-    // discipline); explicit `tiles` overrides for specs. Query-side partition
-    // count keeps tile-count × query-partitions ≥ the session's parallelism
-    // so small corpora (T = 1) still fan out across cores.
-    val spark = embeddings.sparkSession
+  /** Tile count from the optimizer's own size estimate (the
+    * writeSizedShards discipline); explicit `tiles` overrides for specs.
+    * Query-side partition count keeps tile-count × query-partitions ≥ the
+    * session's parallelism so small corpora (T = 1) still fan out across
+    * cores. Shared by [[allNearestNeighbors]] and [[hardNegatives]]. */
+  private def allPairsTiling(embeddings: DataFrame,
+      tiles: Int): (Int, Int) = {
     val estBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
     val t = math.max(1, if (tiles > 0) tiles
       else ((estBytes + AllKnnTileBytes - 1) / AllKnnTileBytes)
         .min(BigInt(1 << 16)).toInt)
-    val par = spark.sessionState.conf.numShufflePartitions
-    val qParts = math.max(1, (par + t - 1) / t)
+    val par = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    (math.max(1, (par + t - 1) / t), t)
+  }
+
+  def allNearestNeighbors(embeddings: DataFrame, k: Int = 1,
+      tiles: Int = 0): DataFrame = {
+    val (qParts, t) = allPairsTiling(embeddings, tiles)
     // norms ride each SIDE's projection (below the join, evaluated once per
     // row), so a candidate pair costs ONE dot product, not three; numerically
     // identical to cosine() (same sqrt(dot(x,x)) accumulation)
@@ -347,6 +352,48 @@ object Similarity {
     TopK.topKPerGroup(scored, "vec_id", "sim", "nn_id", k)
       .select(col("vec_id"), col("rank"), col("nn_id"),
         round2(col("sim"), 4).as("cosine_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Top-k for [[hardNegatives]] — shared with its DuckDB mirror. */
+  val HardNegativesK = 3
+
+  /** Hard-negative mining for contrastive/metric training: for every
+    * vector, the [[HardNegativesK]] most-similar vectors whose label
+    * DIFFERS — the near-boundary negatives a triplet/InfoNCE sampler
+    * wants (a random negative is trivially far; the hard ones carry the
+    * gradient). Same tiled CartesianProduct + bounded TopK heap as
+    * [[allNearestNeighbors]] (self-pairs are excluded by the label
+    * inequality itself); zero-norm sides drop from every list (the
+    * cosine() contract), and a NULL label drops its vector from both the
+    * query and negative sides in both engines (`<>` null algebra).
+    * Labels re-attach to the k·N top rows via two equi-joins AFTER the
+    * heap — the pair stream itself ships only (id, id, sim). */
+  def hardNegatives(embeddings: DataFrame, k: Int = HardNegativesK,
+      tiles: Int = 0): DataFrame = {
+    val (qParts, t) = allPairsTiling(embeddings, tiles)
+    val q = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("q_n"))
+      .repartition(qParts, col("vec_id"))
+    val c = embeddings.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"))
+      .repartition(t, col("neg_id"))
+    val scored = q.hint("shuffle_replicate_nl").crossJoin(c)
+      .filter(col("label") =!= col("neg_label"))
+      .select(col("vec_id"), col("neg_id"),
+        when(col("q_n") * col("c_n") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("embedding"), col("c_emb")) /
+            (col("q_n") * col("c_n")))
+          .as("sim"))
+      .filter(col("sim").isNotNull)
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    TopK.topKPerGroup(scored, "vec_id", "sim", "neg_id", k)
+      .join(lab, Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), Seq("neg_id"))
+      .select(col("vec_id"), col("label"), col("rank"), col("neg_id"),
+        col("neg_label"), round2(col("sim"), 4).as("cosine_sim"))
       .orderBy("vec_id", "rank")
   }
 

@@ -1513,23 +1513,37 @@ object TextOps {
     * 0/0 — and Spark 4 ANSI THROWS on double 0/0 (the fuzzer-found
     * zero-norm rule), so the zero denominator is nulled explicitly to
     * match DuckDB's NULL. One pruned scan, zero shuffle, pure codegen. */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  private def gopherAlphaRatio: Column = {
     val len = length(col("text"))
     val nAlpha = len - length(regexp_replace(col("text"), "[a-z]", ""))
-    val toks = tokens(col("text"))
-    val alphaRatio = round2(when(len === 0, lit(null))
+    round2(when(len === 0, lit(null))
       .otherwise(nAlpha.cast("double") / len.cast("double")), 4)
-    val meanWordLen = round2(
-      (len - (size(toks) - lit(1))).cast("double") /
-        size(toks).cast("double"), 4)
-    documents.select(col("doc_id"),
-        alphaRatio.as("alpha_ratio"),
-        meanWordLen.as("mean_word_len"),
-        (alphaRatio >= GopherMinAlpha &&
-          meanWordLen >= GopherMinWordLen &&
-          meanWordLen <= GopherMaxWordLen).as("keep"))
-      .orderBy("doc_id")
   }
+
+  private def gopherMeanWordLen: Column = {
+    val len = length(col("text"))
+    val toks = tokens(col("text"))
+    round2((len - (size(toks) - lit(1))).cast("double") /
+      size(toks).cast("double"), 4)
+  }
+
+  /** The gopher `keep` verdict as a reusable expression over `text` —
+    * shared by [[gopherRules]] and the NB classifier's training labels
+    * ([[trainNbQuality]]) so the two can never drift. NULL on null text;
+    * on EMPTY text the NULL alpha ratio collapses to FALSE (null AND
+    * false = false — identical three-valued algebra in both engines,
+    * spec-pinned: the empty doc is a reject, not an abstention). */
+  private[graft] def gopherKeep: Column =
+    gopherAlphaRatio >= GopherMinAlpha &&
+      gopherMeanWordLen >= GopherMinWordLen &&
+      gopherMeanWordLen <= GopherMaxWordLen
+
+  def gopherRules(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        gopherAlphaRatio.as("alpha_ratio"),
+        gopherMeanWordLen.as("mean_word_len"),
+        gopherKeep.as("keep"))
+      .orderBy("doc_id")
 
   /** TRAIN step of DSIR (Data Selection via Importance Resampling — Xie
     * et al. 2023, arXiv:2302.03169): per-token QUANTIZED log importance
@@ -1591,6 +1605,69 @@ object TextOps {
       .select(col("doc_id"), col("w.n_tokens").as("n_tokens"),
         col("w.n_oov").as("n_oov"), col("w.vocab_sum").as("logw_micro"))
       .orderBy("doc_id")
+
+  /** TRAIN step of a multinomial Naive-Bayes quality classifier DISTILLED
+    * from the [[gopherRules]] verdict (the CCNet/GPT-3-style "train a
+    * cheap linear model to mimic an expensive/rule-based quality signal"
+    * pattern): per-token QUANTIZED log-likelihood ratios
+    * ln(P(w|keep) / P(w|reject)) with add-1 smoothing over the capped
+    * vocabulary (count desc, token asc — the deterministic cap boundary),
+    * labels from [[gopherKeep]] (docs whose verdict is NULL — null/empty
+    * text — are excluded from training).
+    *
+    * `ln` is driver-only and quantized to micro-nats ([[DsirLogScale]]),
+    * the [[trainDsirRatios]] discipline: serving and the generated mirror
+    * both work in exact long arithmetic from the same constants. One
+    * vocabulary-bounded aggregate + a ≤ [[DsirMaxVocab]]-row collect. */
+  def trainNbQuality(documents: DataFrame): (Array[String], Array[Long]) = {
+    val rows = documents
+      .filter(col("text").isNotNull && gopherKeep.isNotNull)
+      .select(explode(tokens(col("text"))).as("tok"), gopherKeep.as("kp"))
+      .groupBy("tok").agg(
+        sum(when(col("kp"), 1L).otherwise(0L)).as("kc"),
+        sum(when(!col("kp"), 1L).otherwise(0L)).as("rc"))
+      .orderBy((col("kc") + col("rc")).desc, col("tok"))
+      .limit(DsirMaxVocab)
+      .collect()
+    val toks = rows.map(_.getString(0))
+    val kc = rows.map(_.getLong(1))
+    val rc = rows.map(_.getLong(2))
+    val v = toks.length.toLong
+    val (kTot, rTot) = (kc.sum, rc.sum)
+    val w = Array.tabulate(toks.length) { i =>
+      val pk = (kc(i) + 1).toDouble / (kTot + v).toDouble
+      val pr = (rc(i) + 1).toDouble / (rTot + v).toDouble
+      math.floor(math.log(pk / pr) * DsirLogScale + 0.5).toLong
+    }
+    (toks, w)
+  }
+
+  /** SERVE step of the NB quality classifier: the per-document margin is
+    * the exact long sum of the trained micro-nat ratios over the doc's
+    * tokens (uniform class prior — the margin's sign IS the verdict; OOV
+    * tokens contribute the neutral 0 and are counted), plus the teacher's
+    * own [[gopherKeep]] verdict and an agreement flag — the distillation
+    * fidelity report. Same map-side
+    * [[TextExpressions.unigramFamiliarity]] serving path as DSIR; the
+    * verdict comparison is null-safe (`<=>` ↔ IS NOT DISTINCT FROM) —
+    * defensive only, since [[gopherKeep]] is non-NULL for every non-null
+    * text — so `agree` can never read NULL. */
+  def nbQualityScores(documents: DataFrame, vocabTokens: Array[String],
+      weights: Array[Long]): DataFrame = {
+    import scala.collection.immutable.ArraySeq
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), gopherKeep.as("gopher_keep"),
+        TextExpressions.unigramFamiliarity(col("text"),
+          ArraySeq.unsafeWrapArray(vocabTokens),
+          ArraySeq.unsafeWrapArray(weights)).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.n_oov").as("n_oov"),
+        col("s.vocab_sum").as("nb_margin_micro"),
+        (col("s.vocab_sum") >= 0L).as("nb_keep"),
+        col("gopher_keep"),
+        ((col("s.vocab_sum") >= 0L) <=> col("gopher_keep")).as("agree"))
+      .orderBy("doc_id")
+  }
 
   /** Kneser-Ney continuation counts — the statistic KN-smoothed language
     * models are built on: for each word, the number of DISTINCT left

@@ -498,4 +498,25 @@ class DedupSpec extends SparkSpec {
       ("books", "web", 1L, 1L, 2L),
       ("code", "web", 1L, 1L, 2L)), got.toString)
   }
+
+  test("containmentTopPairs: a planted excerpt reads ~1 forward and the " +
+      "asymmetry shows in the reverse direction") {
+    val big = (1 to 60).map(i => s"t$i").mkString(" ")
+    val excerpt = (21 to 40).map(i => s"t$i").mkString(" ")
+    val d = Seq((0L, big), (1L, excerpt),
+      (2L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentTopPairs(d, k = 10)
+      .select("src_doc", "dst_doc", "containment", "reverse_containment")
+      .as[(Long, Long, Double, Double)].collect()
+    // 20-token excerpt → 16 distinct 5-gram shingles, all inside big
+    val fwd = rows.find(r => r._1 == 1L && r._2 == 0L).get
+    assert(fwd._3 == 1.0, fwd.toString)
+    assert(fwd._4 < 0.3, fwd.toString) // 16 / 56 big-doc shingles
+    // the reverse row carries the mirrored pair of values
+    val rev = rows.find(r => r._1 == 0L && r._2 == 1L).get
+    assert(rev._3 == fwd._4 && rev._4 == fwd._3, rev.toString)
+    // the unrelated doc pairs with nobody
+    assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
+  }
 }

@@ -183,6 +183,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L) > 0.999 && got(1L) > 0.999, got)
   }
 
+  test("hardNegatives skips the same-label nearest neighbor and mines " +
+      "the closest different-label vector") {
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.01f, 0f, 0f), 0), // nearest overall — same label
+      (2L, Seq(0.9f, 0.3f, 0f, 0f), 1),   // the hard negative
+      (3L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df)
+      .as[(Long, Int, Long, Long, Int, Double)].collect()
+    val v0 = got.filter(_._1 == 0L).sortBy(_._3)
+    assert(v0.head._4 == 2L && v0.head._5 == 1, v0.toSeq.toString)
+    // only the two label-1 vectors are candidates — never same-label 1
+    assert(v0.map(_._4).toSet == Set(2L, 3L), v0.toSeq.toString)
+    // ranks are dense from 1 even when fewer than k candidates exist
+    assert(v0.map(_._3).toSeq == Seq(1L, 2L))
+  }
+
   test("embeddingNearDups finds the planted near-identical pair") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.999, dim = dim)
       .as[(Long, Long, Double)].collect()

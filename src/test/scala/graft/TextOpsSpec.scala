@@ -846,6 +846,39 @@ class TextOpsSpec extends SparkSpec {
     assert(oov == Seq((7L, 2L, 1L, m("ml"))), oov.toString)
   }
 
+  test("nbQualityScores: the distilled classifier separates the teacher's " +
+      "classes on a separable corpus; empty text reads agree=false") {
+    // keep class: alpha-heavy 4-5-letter words (inside the gopher band);
+    // reject class: short digit-bearing tokens (outside) — disjoint vocab
+    val keep = "alpha betas gamma delta"
+    val rej = "x1 y2 z3 w4"
+    val docs = Seq((0L, keep), (1L, keep), (2L, rej), (3L, rej),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (toks, w) = TextOps.trainNbQuality(docs)
+    val wm = toks.zip(w).toMap
+    // keep-class tokens carry positive log ratios, reject-class negative
+    assert(keep.split(" ").forall(t => wm(t) > 0), wm.toString)
+    assert(rej.split(" ").forall(t => wm(t) < 0), wm.toString)
+    val got = TextOps.nbQualityScores(docs, toks, w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(4), Option(r.get(5)), r.getBoolean(6)))
+      .toMap
+    // null text is excluded entirely; the four trained docs agree
+    assert(!got.contains(5L) && got.size == 5, got.toString)
+    Seq(0L, 1L).foreach { id =>
+      val (m, nk, gk, ag) = got(id)
+      assert(m > 0 && nk && gk.contains(true) && ag, got(id).toString) }
+    Seq(2L, 3L).foreach { id =>
+      val (m, nk, gk, ag) = got(id)
+      assert(m < 0 && !nk && gk.contains(false) && ag, got(id).toString) }
+    // empty text: the NULL alpha ratio collapses to a FALSE verdict (null
+    // AND false = false — identical three-valued algebra in DuckDB), its
+    // one '' token trains into the reject class, and the student agrees
+    val (m4, nk4, gk4, ag4) = got(4L)
+    assert(m4 < 0L && !nk4 && gk4.contains(false) && ag4, got(4L).toString)
+  }
+
   test("knContinuations: distinct-bigram-type continuation counts with " +
       "0 back-fill for one-sided words") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "b a"))
