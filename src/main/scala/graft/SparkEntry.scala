@@ -114,6 +114,29 @@ object SparkEntry {
   private val lastNbDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** Trained corpus-LM micro-nat token costs + OOV cost per sfDir (see
+    * [[ext.TextOps.trainUnigramCosts]]). */
+  private val ceCosts =
+    new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long], Long)]
+  private val lastCeDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Trained top-principal-direction fixed-point weights per sfDir (see
+    * [[ext.Similarity.trainPcaDirection]] — bit-deterministic from exact
+    * long moments, so no ArtifactStore persistence is needed). */
+  private val pcaDir =
+    new scala.collection.concurrent.TrieMap[String, Array[Long]]
+  private val lastPcaDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Per-dir tf-universe doc count for the `q_tfidf_pairs` idf table
+    * (the table itself is the pure formula [[ext.Dedup.idfTable]] over
+    * this one scalar — both engines replay the same VALUES). */
+  private val tfidfN =
+    new scala.collection.concurrent.TrieMap[String, Long]
+  private val lastTfidfDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference analytics surface (SURVEY §2.11) ----
     "q_daily_revenue" -> ev(EventQueries.dailyRevenue),
@@ -289,6 +312,16 @@ object SparkEntry {
         .select(col("item1").as("src"), col("item2").as("dst"))
         .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
       Graph.pageRankFixedPoint(edges)
+    }),
+    // HITS hubs/authorities on the directed user→item purchase graph
+    // (bipartite): L1-normalized fixed-point longs, so the whole
+    // two-sided iterate-join-normalize loop rides the hash gate
+    "q_hits_exact" -> ev(e => {
+      val edges = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("src"),
+          get_json_object(col("props"), "$.k").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+      Graph.hitsFixedPoint(edges)
     }),
     // personalized PageRank (random walk with restart): teleport, start
     // mass AND dangling restarts all land on the seed set only — same
@@ -703,6 +736,16 @@ object SparkEntry {
     // directed containment C(src→dst) = |∩|/|sh(src)| — the excerpt/quote
     // signal symmetric Jaccard misses; same DF-capped candidate machinery
     "q_containment_pairs" -> docs(Dedup.containmentTopPairs(_)),
+    // TF-IDF-weighted cosine pairs: the weighted lexical near-dup signal
+    // (rare shared vocabulary scores high); idf is a driver-computed
+    // milli-nat table over the ONE corpus-size scalar, replayed VALUES
+    "q_tfidf_pairs" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val n = tfidfN.getOrElseUpdate(dir,
+        d.filter(col("text").isNotNull).count())
+      lastTfidfDir.set(dir)
+      Dedup.tfidfTopPairs(d, Dedup.idfTable(n))
+    }),
     // threshold-sweep curve: pairs per 0.1 jaccard bucket + cumulative
     // from above — the report that picks the dedup threshold
     "q_jaccard_curve" -> docs(Dedup.jaccardThresholdCurve(_)),
@@ -892,6 +935,26 @@ object SparkEntry {
       lastNbDir.set(dir)
       TextOps.nbQualityScores(d, vt, w)
     }),
+    // per-source cross-entropy under the driver-trained corpus unigram
+    // LM (micro-nat costs + one OOV constant — the DSIR discipline):
+    // which sources the LM finds most surprising, the data-mixing signal
+    "q_source_crossentropy" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      // the OOV cost rides the persisted vocab as a SENTINEL last row
+      // (rank order is preserved, and a space-bearing token can never be a
+      // whitespace-split token) — the artifact name stays derivable
+      // without training, so a warm ArtifactStore loads zero-training
+      val (vt, cs, oov) = ceCosts.getOrElseUpdate(dir, {
+        val (tt, cc) = ArtifactStore.unigramVocab(s, dir,
+          s"celm-v${TextOps.DsirMaxVocab}") {
+          val (t, c, o) = TextOps.trainUnigramCosts(d)
+          (t :+ "\u0000 oov", c :+ o)
+        }
+        (tt.init, cc.init, cc.last)
+      })
+      lastCeDir.set(dir)
+      TextOps.sourceCrossEntropy(d, vt, cs, oov)
+    }),
     // the sequence-level complement: familiar words in an unfamiliar
     // ORDER score low; same train-once/serve-map-side artifact shape
     "q_bigram_familiarity" -> ((s, dir) => {
@@ -902,6 +965,12 @@ object SparkEntry {
       TextOps.bigramFamiliarity(d, vk, vc)
     }),
     "q_tfidf_top_terms" -> docs(TextOps.topTermsPerDoc(_)),
+    // pairwise source fingerprints: cosine between unigram count vectors
+    // over the capped corpus vocabulary — exact long dots/norms, IEEE sqrt
+    "q_source_similarity" -> docs(TextOps.sourceSimilarity(_)),
+    // Church-Gale burstiness: Fano factor of per-doc counts for the top
+    // corpus tokens — the content-vs-function-word topicality signal
+    "q_token_burstiness" -> docs(TextOps.tokenBurstiness(_)),
     // token-budget curation: best-quality docs until the budget is spent;
     // decomposed prefix sum (bounded score buckets + boundary-only window)
     "q_token_budget" -> docs(TextOps.tokenBudgetSelect(_)),
@@ -1005,6 +1074,26 @@ object SparkEntry {
     // centroid top-k per cluster via WindowGroupLimit
     "q_cluster_balanced_sample" -> ((s, dir) =>
       Similarity.clusterBalancedSample(Sources.table(s, dir, "embeddings"))),
+    // simplified (centroid-based) silhouette per cluster — clustering
+    // quality next to q_kmeans_step's inertia; per-point s quantizes to
+    // fixed-point longs BEFORE the per-cluster mean (zero float-sum-order
+    // exposure; sqrt is correctly-rounded IEEE from exact long d2)
+    "q_cluster_silhouette" -> ((s, dir) =>
+      Similarity.clusterSilhouette(Sources.table(s, dir, "embeddings"))),
+    // MMR diverse re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected over
+    // a constants-bounded candidate pool, all in exact long arithmetic;
+    // the mirror unrolls the identical greedy as MmrK CTE rounds
+    "q_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Sources.table(s, dir, "embeddings"))),
+    // per-label distribution of exact long projections onto the trained
+    // top principal direction (driver power iteration over exact long
+    // moments — bit-deterministic, weights replay into the mirror)
+    "q_pca_projection" -> ((s, dir) => {
+      val e = Sources.table(s, dir, "embeddings")
+      val w = pcaDir.getOrElseUpdate(dir, Similarity.trainPcaDirection(e))
+      lastPcaDir.set(dir)
+      Similarity.pcaProjections(e, w)
+    }),
     // per-dimension embedding health (dead/saturated dims, 3σ outlier
     // cells) on the exact-moment discipline over quantized longs
     "q_embedding_dim_stats" -> ((s, dir) =>
@@ -1456,6 +1545,206 @@ object SparkEntry {
        |  (sc.nb_margin_micro >= 0) IS NOT DISTINCT FROM b.gk AS agree
        |FROM base b JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_source_crossentropy` (see [[ceCosts]]): the
+    * trained micro-nat costs replay as a VALUES CTE (the dsirSql
+    * discipline), each OOV token pays the trained constant, and the
+    * per-source division runs the identical double op order. n_docs is
+    * count(DISTINCT doc_id) on the token stream — every non-null-text
+    * doc emits ≥1 token row (string_split('') = ['']), so it equals the
+    * Spark side's per-doc-row count. */
+  private def crossEntropySql: String = {
+    val (toks, costs, oov) = Option(lastCeDir.get).flatMap(ceCosts.get)
+      .getOrElse((Array.empty[String], Array.empty[Long], 0L))
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val vocabCte =
+      if (toks.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS qc " +
+          "WHERE false)"
+      else "(VALUES " + toks.indices.map(i =>
+        s"(${sqlLit(toks(i))}, ${costs(i)})").mkString(", ") + ")"
+    s"""WITH v(tok, qc) AS $vocabCte,
+       |tok AS (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT source,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)
+       |           AS n_oov,
+       |         CAST(COALESCE(sum(v.qc), 0)
+       |             + count(*) FILTER (WHERE v.tok IS NULL) * $oov
+       |           AS BIGINT) AS cost_micro
+       |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_oov, cost_micro,
+       |  floor(((CAST(cost_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |      / CAST(${TextOps.DsirLogScale} AS DOUBLE)) * 1000000 + 0.5)
+       |    / 1000000 AS nats_per_token
+       |FROM sc ORDER BY source NULLS LAST""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_pca_projection` (see [[pcaDir]]): the
+    * trained fixed-point direction replays as a VALUES CTE (1-based
+    * positions ↔ Spark's 0-based posexplode pairing the same component
+    * with the same weight); projections and min/max are exact longs, the
+    * mean divides exact longs in doubles and de-quantizes by the one
+    * double product constant both engines render from the shared scales
+    * (exponent-suffixed — the benfordSql DOUBLE-literal rule). */
+  private def pcaSql: String = {
+    val ws = Option(lastPcaDir.get).flatMap(pcaDir.get)
+      .getOrElse(Array.empty[Long])
+    val wCte =
+      if (ws.isEmpty)
+        "(SELECT CAST(NULL AS INTEGER) AS pos, CAST(NULL AS BIGINT) AS w " +
+          "WHERE false)"
+      else "(VALUES " + ws.indices.map(i =>
+        s"(${i + 1}, ${ws(i)})").mkString(", ") + ")"
+    val deq = ext.Similarity.DimStatsScale.toDouble *
+      ext.Similarity.PcaScale.toDouble
+    s"""WITH w(pos, w) AS $wCte,
+       |pc AS (SELECT vec_id, label, i AS pos,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE)
+       |           * ${ext.Similarity.DimStatsScale} + 0.5) AS BIGINT) AS q
+       |       FROM (SELECT vec_id, label, embedding,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |             FROM embeddings)),
+       |pr AS (SELECT c.vec_id, c.label,
+       |         CAST(sum(c.q * w.w) AS BIGINT) AS praw
+       |       FROM pc c JOIN w USING (pos) GROUP BY 1, 2),
+       |ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(min(praw) AS BIGINT) AS min_praw,
+       |         CAST(max(praw) AS BIGINT) AS max_praw,
+       |         CAST(sum(praw) AS BIGINT) AS sum_praw
+       |       FROM pr GROUP BY 1)
+       |SELECT label, n_vecs, min_praw, max_praw,
+       |  floor(((CAST(sum_praw AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+       |      / CAST($deq AS DOUBLE)) * 1000000 + 0.5)
+       |    / 1000000 AS mean_proj
+       |FROM ag ORDER BY label NULLS LAST""".stripMargin
+  }
+
+  /** Mirror for `q_mmr_rerank` (not data-dependent — generated from the
+    * shared constants alone): the greedy unrolls as [[Similarity.MmrK]]
+    * CTE rounds (the pagerank_exact fixed-round discipline), each round
+    * an argmax of λden·rel6 − (den−num)·pen6 over the candidates not yet
+    * selected, penalty = max candidate-pair sim6 to the union of all
+    * prior rounds. Every comparison is on exact longs (sims quantized at
+    * [[Similarity.MmrSimScale]] before ANY ordering — round-then-compare);
+    * prologue CTEs are AS MATERIALIZED (the recursion/file-descriptor
+    * rule: sel_r references cand and ps r times over). */
+  private def mmrSql: String = {
+    val k = Similarity.MmrK
+    val c = Similarity.MmrCandidates
+    val qid = Similarity.MmrQueryId
+    val sc = Similarity.MmrSimScale
+    val wr = Similarity.MmrLambdaNum
+    val wp = Similarity.MmrLambdaDen - Similarity.MmrLambdaNum
+    val deqS = Similarity.MmrSimScale * Similarity.MmrLambdaDen
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT cd.vec_id, cd.rel6, p.pen6,
+         |    $wr * cd.rel6 - $wp * p.pen6 AS score
+         |  FROM cand cd JOIN (
+         |    SELECT ai AS vec_id, max(sim6) AS pen6 FROM ps
+         |    WHERE bi IN ($prev) GROUP BY 1) p USING (vec_id)
+         |  WHERE cd.vec_id NOT IN ($prev)
+         |  ORDER BY score DESC, cd.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, rel6, pen6, score " +
+        s"FROM sel$r").mkString("\n  UNION ALL ")
+    s"""WITH rel0 AS MATERIALIZED (
+       |  SELECT c.vec_id,
+       |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+       |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+       |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+       |  FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+       |  WHERE q.vec_id = $qid AND c.vec_id <> $qid
+       |  GROUP BY 1),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, rel6 FROM (
+       |    SELECT vec_id, rel6,
+       |      row_number() OVER (ORDER BY rel6 DESC, vec_id) AS rk
+       |    FROM (SELECT vec_id,
+       |            CAST(floor(dot / (sqrt(na) * sqrt(nb)) * $sc + 0.5)
+       |              AS BIGINT) AS rel6
+       |          FROM rel0 WHERE na > 0 AND nb > 0))
+       |  WHERE rk <= $c),
+       |pd AS MATERIALIZED (
+       |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |    sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dot,
+       |    sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+       |    sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
+       |  FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+       |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+       |    AND b.vec_id IN (SELECT vec_id FROM cand)
+       |    AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |ps AS MATERIALIZED (
+       |  SELECT ai, bi,
+       |    CAST(floor(dot / (sqrt(na) * sqrt(nb)) * $sc + 0.5) AS BIGINT)
+       |      AS sim6
+       |  FROM pd),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, rel6, CAST(0 AS BIGINT) AS pen6,
+       |    $wr * rel6 AS score
+       |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rank, vec_id,
+       |  CAST(rel6 AS DOUBLE) / CAST($sc AS DOUBLE) AS relevance,
+       |  CAST(pen6 AS DOUBLE) / CAST($sc AS DOUBLE) AS penalty,
+       |  CAST(score AS DOUBLE) / CAST($deqS AS DOUBLE) AS mmr_score
+       |FROM ($sels)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_tfidf_pairs` (see [[tfidfN]]): the idf
+    * table is the pure formula [[ext.Dedup.idfTable]] over the cached
+    * corpus-size scalar, replayed as a VALUES CTE (ln is driver-only);
+    * everything downstream is exact long arithmetic + IEEE sqrt in the
+    * identical op order. Zero-idf dfs are absent from the table on both
+    * sides, so surviving norms are positive. */
+  private def tfidfPairsSql: String = {
+    val n = Option(lastTfidfDir.get).flatMap(tfidfN.get).getOrElse(0L)
+    val idf = ext.Dedup.idfTable(n)
+    val vals = idf.indices.collect {
+      case i if idf(i) > 0 => s"(${i + 1}, ${idf(i)})" }
+    val idfCte =
+      if (vals.isEmpty)
+        "(SELECT CAST(NULL AS BIGINT) AS df, CAST(NULL AS BIGINT) AS idf " +
+          "WHERE false)"
+      else "(VALUES " + vals.mkString(", ") + ")"
+    s"""WITH idf(df, idf) AS $idfCte,
+       |tfr AS (
+       |  SELECT doc_id, tok,
+       |    least(CAST(count(*) AS BIGINT), ${ext.Dedup.TfidfTfCap}) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1, 2),
+       |dfr AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfr GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND ${ext.Dedup.TfidfPairMaxDf}),
+       |w AS (
+       |  SELECT t.doc_id, t.tok, t.tf * i.idf AS w
+       |  FROM tfr t JOIN dfr d USING (tok) JOIN idf i ON d.df = i.df),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+       |        FROM w GROUP BY 1),
+       |dd AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc1, doc2, dot,
+       |  floor(CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |    * 1000000 + 0.5) / 1000000 AS cosine
+       |FROM dd JOIN nrm na ON doc1 = na.doc_id
+       |JOIN nrm nb ON doc2 = nb.doc_id
+       |ORDER BY cosine DESC, doc1, doc2
+       |LIMIT ${ext.Dedup.TfidfPairsK}""".stripMargin
   }
 
   /** GENERATED mirror for `q_compression_dist` (see
@@ -1965,6 +2254,51 @@ object SparkEntry {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Generated mirror for `q_hits_exact`: the SAME L1-normalized
+    * fixed-point HITS rounds as [[graft.ext.Graph.hitsFixedPoint]],
+    * unrolled one authority + one hub CTE pair per round (the
+    * pagerank-mirror discipline). All arithmetic is non-negative BIGINT
+    * add / multiply / `//` ≡ Spark `div`; the scale and round count
+    * interpolate from the shared constants. */
+  private def hitsExactSql(
+      iterations: Int = graft.ext.Graph.HitsIterations): String = {
+    val s = graft.ext.Graph.HitsScale
+    val rounds = (1 to iterations).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS araw
+         |  FROM edges e JOIN h${i - 1} h USING (src) GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT dst, (araw * $s) // t.t AS a
+         |  FROM ar$i CROSS JOIN
+         |    (SELECT CAST(sum(araw) AS BIGINT) AS t FROM ar$i) t),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS hraw
+         |  FROM edges e JOIN a$i a USING (dst) GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT src, (hraw * $s) // t.t AS h
+         |  FROM hr$i CROSS JOIN
+         |    (SELECT CAST(sum(hraw) AS BIGINT) AS t FROM hr$i) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+       |    json_extract_string(props, '$$.k') AS dst
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |ns AS MATERIALIZED (
+       |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT src, $s // ns.n AS h FROM edges CROSS JOIN ns),
+       |$rounds
+       |SELECT role, id, score_fp FROM (
+       |  SELECT 'hub' AS role, src AS id, CAST(h AS BIGINT) AS score_fp
+       |  FROM h$iterations
+       |  UNION ALL
+       |  SELECT 'authority', dst, CAST(a AS BIGINT) FROM a$iterations)
+       |ORDER BY role, score_fp DESC, id""".stripMargin
+  }
+
   /** Generated mirror for `q_ppr_exact` — [[pageRankExactSql]] with the
     * teleport, the start mass and the dangling restart all retargeted at
     * the seed set (the smallest [[graft.ext.Graph.PprSeedCount]] node
@@ -2397,6 +2731,8 @@ object SparkEntry {
     "q_pagerank_exact" -> pageRankExactSql(),
     // the personalized variant: teleport/start/dangling on the seed set
     "q_ppr_exact" -> pprExactSql(),
+    // ten unrolled L1-normalized hub/authority rounds — see hitsExactSql
+    "q_hits_exact" -> hitsExactSql(),
     // ten unrolled peeling rounds — see kCoreSql
     "q_kcore" -> kCoreSql(),
     // six unrolled BFS relaxation rounds — see bfsHopsSql
@@ -3508,6 +3844,14 @@ object SparkEntry {
     "q_dsir_weights" -> dsirSql,
     // trained NB log-likelihood ratios + the regenerated teacher verdict
     "q_nb_quality_score" -> nbQualitySql,
+    // trained corpus-LM costs as a VALUES CTE + the OOV constant
+    "q_source_crossentropy" -> crossEntropySql,
+    // trained principal direction as a VALUES CTE; exact long projections
+    "q_pca_projection" -> pcaSql,
+    // the greedy unrolled as MmrK generated CTE rounds, exact longs
+    "q_mmr_rerank" -> mmrSql,
+    // driver-computed idf VALUES over the cached corpus-size scalar
+    "q_tfidf_pairs" -> tfidfPairsSql,
     // planted-counts VALUES CTE + cross-engine distribution arithmetic
     "q_compression_dist" -> compressionDistSql,
     "q_tokenizer_fertility" -> bpeFertilitySql,
@@ -4577,6 +4921,60 @@ object SparkEntry {
         |  CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // exact long count-vector dots and norms over the capped vocabulary;
+    // cosine 6dp floor-rounded in the identical op order; null-source and
+    // null-text docs excluded on both sides
+    "q_source_similarity" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok)
+         |      AS rk
+         |    FROM tk GROUP BY tok)
+         |  WHERE rk <= ${TextOps.SourceSimVocab}),
+         |sv AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk JOIN vocab USING (tok) GROUP BY 1, 2),
+         |n2 AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2
+         |       FROM sv GROUP BY 1),
+         |d AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, dot,
+         |  floor(CAST(dot AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM d JOIN n2 na ON source_a = na.source
+         |JOIN n2 nb ON source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    // exact-moment Fano factor (the dimStats double-op-sequence
+    // discipline); mean >= 1 so the division needs no zero guard
+    "q_token_burstiness" ->
+      s"""WITH pd AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(c) AS BIGINT) AS total,
+         |    CAST(sum(c * c) AS BIGINT) AS ss
+         |  FROM pd GROUP BY 1)
+         |SELECT tok, n_docs, total,
+         |  floor((CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS mean_per_doc,
+         |  floor((greatest(CAST(ss AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      - (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |        * (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))
+         |    / (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+         |    * 1000000 + 0.5) / 1000000 AS fano
+         |FROM st ORDER BY total DESC, tok
+         |LIMIT ${TextOps.BurstinessTopK}""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS term, count(*) AS tf
@@ -4778,6 +5176,32 @@ object SparkEntry {
          |SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, d2 FROM ks
          |WHERE rk <= ${Similarity.BalancedSamplePerCluster}
          |ORDER BY cid NULLS LAST, rk""".stripMargin,
+    // same assignment prologue again: per-point simplified silhouette
+    // from the two smallest (d2, cid)-ordered distances (ka's row_number
+    // ≡ Spark's sort_array tiebreak), quantized to fixed-point longs
+    // BEFORE the per-cluster mean; the b-IS-NULL single-centroid
+    // degenerate drops explicitly in both engines, and the 0/0 point
+    // scores 0 explicitly (Spark ANSI would throw, DuckDB would NULL)
+    "q_cluster_silhouette" ->
+      s"""WITH $KmeansAssignCte,
+         |two AS (SELECT vec_id,
+         |          max(CASE WHEN rk = 1 THEN cid END) AS cid,
+         |          sqrt(CAST(max(CASE WHEN rk = 1 THEN d2 END)
+         |            AS DOUBLE)) AS a,
+         |          sqrt(CAST(max(CASE WHEN rk = 2 THEN d2 END)
+         |            AS DOUBLE)) AS b
+         |        FROM ka WHERE rk <= 2 GROUP BY 1),
+         |sq AS (SELECT cid,
+         |         CAST(floor((CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |             ELSE (b - a) / greatest(a, b) END)
+         |           * ${Similarity.SilhouetteScale} + 0.5) AS BIGINT)
+         |           AS sq
+         |       FROM two WHERE b IS NOT NULL)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  floor(((CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |      / CAST(${Similarity.SilhouetteScale} AS DOUBLE))
+         |    * 1000000 + 0.5) / 1000000 AS mean_silhouette
+         |FROM sq GROUP BY 1 ORDER BY cid NULLS LAST""".stripMargin,
     // exact-moment discipline on quantized longs: n/Σq/Σq² exact, the
     // IDENTICAL double op sequence both sides (incl. the greatest(…, 0)
     // variance clamp), 3σ outlier predicate round-then-compared at 6dp

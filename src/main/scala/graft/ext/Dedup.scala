@@ -262,6 +262,77 @@ object Dedup {
       .limit(k)
   }
 
+  /** [[tfidfTopPairs]] constants, shared with the generated mirror:
+    * sublinear tf cap (bounds every Σw² accumulator inside int64 at any
+    * doc length), candidate DF window (df 1 contributes no pair; the cap
+    * bounds the self-join fan-out AND the idf table size), report size,
+    * and the milli-nat idf quantization. */
+  val TfidfTfCap = 255L
+  val TfidfPairMaxDf = 64
+  val TfidfPairsK = 20
+  val IdfScale = 1000L
+
+  /** The `df → idf` milli-nat table for [[tfidfTopPairs]], computed ONCE
+    * on the driver (ln has no cross-engine correctly-rounded guarantee —
+    * the trainDsirRatios discipline): idf(df) = ln((N+1)/(df+1)),
+    * floor-quantized, for df ∈ 1..[[TfidfPairMaxDf]]. `n` is the doc
+    * count of the tf universe (non-null text). */
+  def idfTable(n: Long): Array[Long] =
+    Array.tabulate(TfidfPairMaxDf)(i => math.floor(
+      math.log((n + 1).toDouble / (i + 2).toDouble) * IdfScale + 0.5)
+      .toLong)
+
+  /** TF-IDF-weighted cosine top pairs — the WEIGHTED lexical near-dup
+    * signal next to [[ngramJaccardTopPairs]]'s set-based one: two docs
+    * sharing rare vocabulary score high even when their common-word
+    * overlap is unremarkable (the classic IR duplicate detector over
+    * sparse tf-idf vectors). Weights w = min(tf, cap) · idf_milli(df)
+    * are exact longs; dots and norms are exact long sums over the
+    * DF-capped term universe (numerator/denominator consistency — the
+    * capped-universe convention of the Jaccard family); cosine divides
+    * through IEEE sqrt and 6dp floor-rounds; top-k orders on the rounded
+    * value with (doc1, doc2) tiebreaks. Zero-idf terms (df+1 = N+1 in a
+    * tiny corpus) are dropped on BOTH sides, so every surviving doc has
+    * a positive norm and the division needs no zero guard.
+    *
+    * Scale shape = [[jaccardPairsCore]]: only (doc_id, term, weight)
+    * longs shuffle, candidate pairs are bounded by Σ_term df² under the
+    * DF cap, and the idf table is a broadcast constant. */
+  def tfidfTopPairs(documents: DataFrame, idfMilli: Array[Long],
+      k: Int = TfidfPairsK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val idfDf = broadcast(idfMilli.toIndexedSeq.zipWithIndex
+      .collect { case (w, i) if w > 0 => ((i + 1).toLong, w) }
+      .toDF("df", "idf"))
+    val tf = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(least(count(lit(1)), lit(TfidfTfCap)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= TfidfPairMaxDf)
+    val w = tf.join(dfs, "tok").join(idfDf, "df")
+      .select(col("doc_id"), col("tok"), (col("tf") * col("idf")).as("w"))
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.select(col("doc_id").as("doc1"), col("tok"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc2"), col("tok"),
+        col("w").as("wb")), "tok")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc1"), col("n2").as("n2a")),
+        "doc1")
+      .join(nrm.select(col("doc_id").as("doc2"), col("n2").as("n2b")),
+        "doc2")
+      .select(col("doc1"), col("doc2"), col("dot"),
+        round2(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) *
+            sqrt(col("n2b").cast("double"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc1"), col("doc2"))
+      .limit(k)
+  }
+
   /** Span-level duplicate detection (the distributed shape of the
     * suffix-array substring dedup of Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499 §4.1):

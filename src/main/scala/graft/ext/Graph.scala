@@ -357,4 +357,60 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("node"))
   }
+
+  /** [[hitsFixedPoint]] scale — 10⁻⁹ rank precision. DELIBERATELY below
+    * [[FixedPointScale]]: the per-round L1 re-normalization multiplies a
+    * raw score (≤ S after the start normalization) by S before the floor
+    * division, so S² must stay inside int64 — 10⁹ leaves 9× headroom.
+    * The start mass `S div |hubs|` degenerates to 0 above 10⁹ hub nodes;
+    * a corpus that large raises S (and the mirror re-renders from the
+    * shared constant). */
+  val HitsScale = 1000000000L
+  val HitsIterations = 10
+
+  /** HITS (Kleinberg 1999) hubs-and-authorities on a DIRECTED bipartite
+    * edge list, in the [[pageRankFixedPoint]] fixed-point long
+    * discipline so the whole iterative loop rides the hash gate: hub
+    * scores live on `src` nodes, authority scores on `dst` nodes, each
+    * round is a(p) = Σ_{u→p} h(u) then h(u) = Σ_{u→p} a(p), each
+    * re-normalized to L1 mass [[HitsScale]] via `(raw × S) div Σraw`
+    * (the classic L2 normalization needs a sqrt — the L1 variant ranks
+    * identically and stays in exact integer arithmetic; every value is
+    * non-negative, so Spark `div` ≡ DuckDB `//`). Totals ride 1-row
+    * broadcast frames (no driver action in the loop); per-round
+    * localCheckpoint keeps the plan flat; per-round plan shape is two
+    * edge-keyed equi-joins + two aggregates — linear in edges at any
+    * scale. Output `(role, id, score_fp)`, hubs then authorities, each
+    * ordered score desc with an id tiebreak. */
+  def hitsFixedPoint(edges: DataFrame,
+      iterations: Int = HitsIterations): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val srcs = e.select(col("src")).distinct().localCheckpoint()
+    val n = srcs.count()
+    require(n > 0, "hitsFixedPoint on an empty edge list")
+    val s = HitsScale
+    var h = srcs.select(col("src"), lit(s / n).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(h.hint("shuffle_hash"), "src")
+        .groupBy("dst").agg(sum(col("h")).as("araw"))
+      val at = araw.agg(sum(col("araw")).as("t"))
+      // NOT checkpointed: a's lineage is one join off the checkpointed h,
+      // so the per-round plan stays flat with half the checkpoint cost
+      a = araw.crossJoin(broadcast(at))
+        .select(col("dst"), expr(s"(araw * $s) div t").as("a"))
+      val hraw = e.join(a.hint("shuffle_hash"), "dst")
+        .groupBy("src").agg(sum(col("a")).as("hraw"))
+      val ht = hraw.agg(sum(col("hraw")).as("t"))
+      h = hraw.crossJoin(broadcast(ht))
+        .select(col("src"), expr(s"(hraw * $s) div t").as("h"))
+        .localCheckpoint()
+    }
+    h.select(lit("hub").as("role"), col("src").as("id"),
+        col("h").as("score_fp"))
+      .union(a.select(lit("authority").as("role"), col("dst").as("id"),
+        col("a").as("score_fp")))
+      .orderBy(col("role"), col("score_fp").desc, col("id"))
+  }
 }

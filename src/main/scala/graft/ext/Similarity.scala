@@ -651,7 +651,7 @@ object Similarity {
     * cells; distances reduce per (vec, centroid) with partial
     * aggregation before the only data-sized shuffle. N·K·D multiply-adds
     * is the honest cost of a Lloyd step at any scale. */
-  private def kmeansAssignments(embeddings: DataFrame): DataFrame = {
+  private def kmeansDistances(embeddings: DataFrame): DataFrame = {
     val ve = embeddings
       .select(col("vec_id"),
         pmod(col("vec_id"), lit(KmeansK.toLong)).as("seed"),
@@ -667,12 +667,15 @@ object Similarity {
         ((col("qv") - col("m")) * (col("qv") - col("m"))).as("sq"))
       .groupBy(col("vec_id"), col("seed"), col("cid"))
       .agg(sum(col("sq")).as("d2"))
+  }
+
+  private def kmeansAssignments(embeddings: DataFrame): DataFrame =
+    kmeansDistances(embeddings)
       .groupBy(col("vec_id"), col("seed"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("vec_id"), col("seed"),
         col("best").getField("cid").as("new_cid"),
         col("best").getField("d2").as("d2"))
-  }
 
   /** One Lloyd iteration report: per reassigned cluster, the new member
     * count, how many vectors moved off their seed cluster, and the
@@ -703,4 +706,231 @@ object Similarity {
       .filter(col("rk") <= perCluster)
       .select(col("new_cid").as("cid"), col("rk"), col("vec_id"), col("d2"))
       .orderBy(col("cid").asc_nulls_last, col("rk"))
+
+  /** Per-point silhouette quantization scale (4dp), shared with the
+    * DuckDB mirror. */
+  val SilhouetteScale = 10000L
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality report a curation pipeline reads next to
+    * [[kmeansStep]]'s inertia: per point, a = distance to the assigned
+    * (nearest) centroid, b = distance to the second-nearest, and
+    * s = (b − a) / max(a, b) ∈ [0, 1] (a ≤ b by construction here — the
+    * assignment IS the argmin); per cluster, the member count and mean s.
+    * The classic O(N²) silhouette is replaced by the O(N·K·D) centroid
+    * form (Hruschka et al.'s "simplified silhouette"), the only variant
+    * that scales.
+    *
+    * Exactness: squared distances are exact longs
+    * ([[kmeansDistances]]); sqrt is correctly-rounded IEEE, the ratio's
+    * inputs are therefore bit-identical cross-engine, and each point's s
+    * quantizes to a [[SilhouetteScale]] long BEFORE the per-cluster mean
+    * (no float-sum-order exposure — the k-means fixed-point discipline).
+    * A point at distance 0 from BOTH centroids (max(a,b) = 0) scores 0
+    * explicitly — Spark 4 ANSI would THROW on the 0/0 while DuckDB
+    * yields NULL. The two smallest distances come from a
+    * sort_array(collect_list) over the K-bounded per-vector distance
+    * rows (lexicographic (d2, cid) ≡ the mirror's ORDER BY d2, cid), so
+    * the hot path never pays a window sort; a degenerate corpus with a
+    * single centroid has no second distance — its points DROP from the
+    * report (explicit `b IS NULL` filter in both engines, never a
+    * reliance on cross-engine greatest/NULL algebra). */
+  def clusterSilhouette(embeddings: DataFrame): DataFrame = {
+    val two = kmeansDistances(embeddings)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("d2"), col("cid"))))
+        .as("ds"))
+      .select(
+        element_at(col("ds"), 1).getField("cid").as("cid"),
+        sqrt(element_at(col("ds"), 1).getField("d2").cast("double"))
+          .as("a"),
+        when(size(col("ds")) >= 2,
+          sqrt(element_at(col("ds"), 2).getField("d2").cast("double")))
+          .as("b"))
+    two.filter(col("b").isNotNull)
+      .select(col("cid"),
+        floor(when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          * SilhouetteScale + 0.5).cast(LongType).as("sq"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("sil_sum"))
+      .select(col("cid"), col("n_vecs"),
+        round2((col("sil_sum").cast("double") /
+          col("n_vecs").cast("double")) / lit(SilhouetteScale.toDouble), 6)
+          .as("mean_silhouette"))
+      .orderBy(col("cid").asc_nulls_last)
+  }
+
+  /** MMR constants, shared with the generated mirror: query vector,
+    * candidate pool size, selections, λ = [[MmrLambdaNum]]/[[MmrLambdaDen]]
+    * as a RATIONAL (integer weights λ·den and (1−λ)·den keep the greedy
+    * argmax in exact long arithmetic), and the 6dp sim quantization. */
+  val MmrQueryId = 0L
+  val MmrCandidates = 16
+  val MmrK = 8
+  val MmrLambdaNum = 7L
+  val MmrLambdaDen = 10L
+  val MmrSimScale = 1000000L
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) of
+    * the query's candidate pool — the diversity-aware top-k a retrieval
+    * or RAG curation pass wants instead of plain kNN (near-duplicate
+    * neighbors crowd out coverage): greedily pick argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).
+    *
+    * Shape: the DISTRIBUTED work is the corpus scan for the
+    * [[MmrCandidates]]-candidate pool (broadcast 1-row query, exact
+    * cosine, quantized to [[MmrSimScale]] longs, (rel, vec_id) total
+    * order) and the C² candidate sim matrix; the greedy itself is
+    * inherently sequential over a CONSTANTS-BOUNDED set (≤ C + C² rows
+    * collected — the zone-map bounded-driver-scalar discipline) and runs
+    * in exact long arithmetic: score = λden·rel6 − (den−num)·pen6,
+    * tiebreak (score desc, vec_id asc). The mirror unrolls the identical
+    * greedy as [[MmrK]] generated CTE rounds. Zero-norm vectors drop
+    * from the pool (NULL cosine ≡ the na/nb > 0 filter); the first pick
+    * pays penalty 0 (pure relevance — standard MMR). De-quantization
+    * divides exact longs by integer constants: identical bits, no
+    * rounding step needed. */
+  def mmrRerank(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = broadcast(embeddings.filter(col("vec_id") === MmrQueryId)
+      .select(col("embedding").as("q_emb")))
+    // ONE corpus scan: the top-C pool collects with its embeddings (≤ C
+    // rows by the constant), and the C² sim matrix is computed on a
+    // LOCAL C-row frame — same codegen'd cosine expression, no rescan
+    val candRows = embeddings.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("embedding"),
+        floor(cosine(col("embedding"), col("q_emb")) * MmrSimScale + 0.5)
+          .cast(LongType).as("rel6"))
+      .filter(col("rel6").isNotNull)
+      .orderBy(col("rel6").desc, col("vec_id"))
+      .limit(MmrCandidates)
+      .collect()
+    val localRows = candRows.toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val simRows = localRows.toDF("ai", "ae")
+      .crossJoin(localRows.toDF("bi", "be"))
+      .filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        floor(cosine(col("ae"), col("be")) * MmrSimScale + 0.5)
+          .cast(LongType).as("sim6"))
+      .collect()
+    val rel = candRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sim = simRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val picked =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var remaining = rel.keys.toVector.sorted
+    val wRel = MmrLambdaNum
+    val wPen = MmrLambdaDen - MmrLambdaNum
+    for (_ <- 1 to math.min(MmrK, remaining.size)) {
+      val best = remaining.map { id =>
+        val pen =
+          if (picked.isEmpty) 0L else picked.map(p => sim((id, p._1))).max
+        (wRel * rel(id) - wPen * pen, id, pen)
+      }.minBy { case (s, id, _) => (-s, id) }
+      picked += ((best._2, rel(best._2), best._3, best._1))
+      remaining = remaining.filterNot(_ == best._2)
+    }
+    val deq = MmrSimScale.toDouble
+    val deqS = (MmrSimScale * MmrLambdaDen).toDouble
+    picked.toSeq.zipWithIndex.map { case ((id, r, p, s), i) =>
+      ((i + 1).toLong, id, r.toDouble / deq, p.toDouble / deq,
+        s.toDouble / deqS)
+    }.toDF("rank", "vec_id", "relevance", "penalty", "mmr_score")
+      .orderBy("rank")
+  }
+
+  /** [[trainPcaDirection]] fixed-point scale for the trained direction
+    * components, shared with the generated mirror. */
+  val PcaScale = 1000000L
+  /** Power-iteration round count — driver-only, deterministic. */
+  val PcaIters = 100
+
+  /** TRAIN step of the top-principal-direction report: ONE distributed
+    * pass computes the EXACT second-moment longs (n, per-dim Σq, and the
+    * upper-triangle Σq_i·q_j over [[DimStatsScale]]-quantized cells —
+    * D(D+1)/2 bounded keys, aggregated map-side, a ≤ ~2 k-row collect),
+    * then the driver builds the covariance in doubles and runs
+    * [[PcaIters]] deterministic power-iteration rounds from the all-ones
+    * start (sign fixed by making the largest-|w| component positive).
+    * Exact long moments make the trained direction BIT-DETERMINISTIC
+    * across JVMs — same artifact every run, no seed needed. The N·D²
+    * multiply-adds are the honest covariance cost at any scale; the
+    * shuffle is D²-bounded, never data-sized. */
+  def trainPcaDirection(embeddings: DataFrame): Array[Long] = {
+    val cells = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("p"),
+        floor(col("x").cast("double") * DimStatsScale + 0.5)
+          .cast(LongType).as("q"))
+    val moments = cells.as("a").join(cells.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.p") <= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("sxy"))
+      .collect()
+    val sums = cells.groupBy(col("p")).agg(sum(col("q")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = cells.select("vec_id").distinct().count()
+    if (n == 0 || sums.isEmpty) return Array.empty[Long]
+    val d = sums.keys.max + 1
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach { r =>
+      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val c = (sxy.toDouble - sums(i).toDouble * sums(j).toDouble / n) / n
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j)))
+      val nrm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      if (nrm > 0) v = w.map(_ / nrm)
+    }
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val sgn = if (v(top) < 0) -1.0 else 1.0
+    v.map(x => math.floor(x * sgn * PcaScale + 0.5).toLong)
+  }
+
+  /** SERVE step: per-label distribution of the EXACT long projection
+    * Σ q_pos · w_pos of each quantized vector onto the trained direction
+    * (uncentered — centering shifts every projection by one constant and
+    * changes no comparison) — the embedding-health view that shows
+    * whether the dominant variance direction separates labels or is
+    * label-independent noise. Projections are exact longs (|q| ≤ ~10⁴ ×
+    * |w| ≤ 10⁶ × D=64 ≪ 2⁶³), min/max ride the gate as longs, the mean
+    * divides two exact longs in IEEE doubles, and the de-quantized mean
+    * divides by the two training scales in the SAME op order as the
+    * mirror. Map-side join against the D-row broadcast weight frame —
+    * the only shuffle is the ≤|labels| aggregate. */
+  def pcaProjections(embeddings: DataFrame,
+      weights: Array[Long]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = spark.createDataset(
+      weights.toIndexedSeq.zipWithIndex.map { case (wt, i) => (i, wt) })
+      .toDF("p", "w")
+    val proj = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("label"), col("p"),
+        floor(col("x").cast("double") * DimStatsScale + 0.5)
+          .cast(LongType).as("q"))
+      .join(broadcast(w), "p")
+      .groupBy("vec_id", "label")
+      .agg(sum(col("q") * col("w")).as("praw"))
+    proj.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("praw")).as("min_praw"), max(col("praw")).as("max_praw"),
+        sum(col("praw")).as("sum_praw"))
+      .select(col("label"), col("n_vecs"), col("min_praw"),
+        col("max_praw"),
+        round2((col("sum_praw").cast("double") /
+            col("n_vecs").cast("double")) /
+          lit(DimStatsScale.toDouble * PcaScale.toDouble), 6)
+          .as("mean_proj"))
+      .orderBy(col("label").asc_nulls_last)
+  }
 }

@@ -1669,6 +1669,156 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TRAIN step of the per-source cross-entropy report: per-token
+    * QUANTIZED negative log probabilities −ln p̂_w in micro-nats under
+    * the add-1-smoothed CORPUS unigram LM over the capped vocabulary
+    * (count desc, token asc — the deterministic cap boundary), plus the
+    * single out-of-vocabulary cost −ln(1/(T+V+1)) every unseen token
+    * pays (the +1 in the denominator is the OOV bucket's own pseudo
+    * count, so the smoothed distribution stays proper). `ln` is
+    * driver-only and quantized to [[DsirLogScale]] micro-nats (the
+    * [[trainDsirRatios]] discipline): serving and the generated mirror
+    * both work in exact long arithmetic from the same constants. One
+    * vocabulary-bounded aggregate + a ≤ [[DsirMaxVocab]]-row collect. */
+  def trainUnigramCosts(
+      documents: DataFrame): (Array[String], Array[Long], Long) = {
+    val rows = documents.filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(DsirMaxVocab)
+      .collect()
+    val toks = rows.map(_.getString(0))
+    val cs = rows.map(_.getLong(1))
+    val denom = (cs.sum + toks.length + 1).toDouble
+    val costs = cs.map(c =>
+      math.floor(-math.log((c + 1).toDouble / denom) * DsirLogScale + 0.5)
+        .toLong)
+    val oovCost =
+      math.floor(-math.log(1.0 / denom) * DsirLogScale + 0.5).toLong
+    (toks, costs, oovCost)
+  }
+
+  /** SERVE step of the per-source cross-entropy report — the "which
+    * sources look least like the corpus LM expects" signal a
+    * data-mixing pipeline ranks sources by (high nats/token = surprising
+    * = candidate for down-weighting or a quality look): per source, doc
+    * and token counts, the OOV count, the exact micro-nat total cost
+    * (in-vocab costs ride [[TextExpressions.unigramFamiliarity]]'s
+    * vocab_sum; each OOV token pays the constant `oovCost`), and the
+    * mean nats/token. The division is long→double exact (< 2⁵³) with
+    * IEEE-identical op order in the mirror; every non-null-text doc has
+    * ≥1 token, so the per-source token count is never 0. One map-side
+    * pass, the only shuffle is the ≤|sources| aggregate. */
+  def sourceCrossEntropy(documents: DataFrame, vocabTokens: Array[String],
+      costs: Array[Long], oovCost: Long): DataFrame = {
+    import scala.collection.immutable.ArraySeq
+    documents.filter(col("text").isNotNull)
+      .select(col("source"),
+        TextExpressions.unigramFamiliarity(col("text"),
+          ArraySeq.unsafeWrapArray(vocabTokens),
+          ArraySeq.unsafeWrapArray(costs)).as("s"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("s.n_tokens")).as("n_tokens"),
+        sum(col("s.n_oov")).as("n_oov"),
+        sum(col("s.vocab_sum") + col("s.n_oov") * lit(oovCost))
+          .as("cost_micro"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        col("cost_micro"),
+        round2((col("cost_micro").cast("double") /
+          col("n_tokens").cast("double")) / lit(DsirLogScale.toDouble), 6)
+          .as("nats_per_token"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  /** [[sourceSimilarity]] vocabulary cap, shared with the mirror. */
+  val SourceSimVocab = 4096
+
+  /** Pairwise SOURCE fingerprint similarity: the cosine between the
+    * unigram COUNT vectors of every source pair, restricted to the
+    * top-[[SourceSimVocab]] corpus vocabulary (count desc, token asc —
+    * the deterministic cap boundary) — the "which sources look alike"
+    * readout that drives mixing weights and cross-source dedup budgets.
+    *
+    * Entirely exact until the last step: counts are longs, dot products
+    * and squared norms are exact long sums over the BOUNDED vocab, sqrt
+    * is correctly-rounded IEEE, and the cosine is 6dp floor-rounded in
+    * the identical op order both engines. Null-source and null-text docs
+    * are excluded (documented, mirrored); a pair sharing no vocab token
+    * has no dot row and drops in both engines. The vocab is broadcast
+    * (constant-bounded); the only data-sized shuffle is the
+    * (source, token) aggregate, and the pair join runs on the
+    * |sources|·|vocab|-bounded vector frame — never on the corpus. */
+  def sourceSimilarity(documents: DataFrame,
+      maxVocab: Int = SourceSimVocab): DataFrame = {
+    val tk = documents
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(maxVocab)
+      .select("tok")
+    val sv = tk.join(broadcast(vocab), "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val n2 = sv.groupBy("source").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = sv.select(col("source").as("source_a"), col("tok"),
+        col("c").as("ca"))
+      .join(sv.select(col("source").as("source_b"), col("tok"),
+        col("c").as("cb")), "tok")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(n2.select(col("source").as("source_a"), col("n2").as("n2a")),
+        "source_a")
+      .join(n2.select(col("source").as("source_b"), col("n2").as("n2b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("dot"),
+        round2(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) *
+            sqrt(col("n2b").cast("double"))), 6).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** [[tokenBurstiness]] report size, shared with the mirror. */
+  val BurstinessTopK = 50
+
+  /** Token burstiness — Church & Gale's observation that content words
+    * CLUMP (a doc that mentions a term once tends to repeat it) while
+    * function words spread evenly: for the top-[[BurstinessTopK]] corpus
+    * tokens, the Fano factor (variance-to-mean ratio) of the per-doc
+    * count over the docs CONTAINING the token. Fano ≈ high ⇒ bursty
+    * content word; ≈ capped near the Poisson 1 ⇒ function word — the
+    * topicality signal keyword extraction and stopword induction read.
+    *
+    * Exact-moment discipline (dimStats): per-(token, doc) counts are
+    * exact longs, n/Σc/Σc² exact long aggregates, and mean/variance/Fano
+    * drop to doubles through the IDENTICAL op sequence in both engines
+    * (variance clamped at 0 via greatest; mean ≥ 1 > 0, so the Fano
+    * division needs no zero guard), 6dp floor-rounded. Top-k orders on
+    * the exact total with a token tiebreak. */
+  def tokenBurstiness(documents: DataFrame,
+      topK: Int = BurstinessTopK): DataFrame = {
+    val mean = col("total").cast("double") / col("n_docs").cast("double")
+    val variance = greatest(
+      col("ss").cast("double") / col("n_docs").cast("double") -
+        (col("total").cast("double") / col("n_docs").cast("double")) *
+        (col("total").cast("double") / col("n_docs").cast("double")),
+      lit(0.0))
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("tok"), col("n_docs"), col("total"),
+        round2(mean, 6).as("mean_per_doc"),
+        round2(variance / mean, 6).as("fano"))
+      .orderBy(col("total").desc, col("tok"))
+      .limit(topK)
+  }
+
   /** Kneser-Ney continuation counts — the statistic KN-smoothed language
     * models are built on: for each word, the number of DISTINCT left
     * contexts it continues (N1+(•w), the KN unigram numerator) and the

@@ -519,4 +519,24 @@ class DedupSpec extends SparkSpec {
     // the unrelated doc pairs with nobody
     assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
   }
+
+  test("tfidfTopPairs: a shared RARE token pairs docs at cosine 1 while " +
+      "the corpus-wide token carries zero idf and drops; df-1 terms " +
+      "never pair") {
+    val d = Seq(
+      (0L, "the alpha rarum"),
+      (1L, "the beta rarum"),
+      (2L, "the gamma"),
+      (3L, "the delta"))
+      .toDF("doc_id", "text")
+    val n = 4L
+    val idf = Dedup.idfTable(n)
+    // 'the' has df 4 = N → idf = ln(5/5) = 0 → dropped on both sides;
+    // alpha..delta have df 1 → below the pairing window; only 'rarum'
+    // (df 2, idf = ln(5/3) > 0) survives, pairing docs 0 and 1 exactly
+    assert(idf(3) == 0L && idf(1) > 0L, idf.take(4).toSeq.toString)
+    val got = Dedup.tfidfTopPairs(d, idf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, idf(1) * idf(1), 1.0)), got.toString)
+  }
 }

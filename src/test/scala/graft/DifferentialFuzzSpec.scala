@@ -176,7 +176,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
     "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
     "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
-    "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs")
+    "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs",
+    "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -298,7 +299,8 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
-    "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats")
+    "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
+    "q_cluster_silhouette", "q_mmr_rerank")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors
@@ -387,7 +389,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_media_frames", "q_media_decode", "q_media_decode_real",
     "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
     "q_gopher_rules", "q_kn_continuations", "q_dedup_cross_source",
-    "q_containment_pairs",
+    "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
+    "q_tfidf_pairs",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */

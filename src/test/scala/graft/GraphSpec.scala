@@ -259,4 +259,45 @@ class GraphSpec extends SparkSpec {
       .collect().toSeq
     assert(more == got)
   }
+
+  test("hitsFixedPoint matches a driver-side replay of the L1-normalized " +
+      "fixed-point rounds; broadly-bought items out-rank niche ones") {
+    // bipartite: u1 buys {a,b,c}, u2 buys {a,b}, u3 buys {a}
+    val edges = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "a"), ("u2", "b"), ("u3", "a")).toDF("src", "dst")
+    val s = Graph.HitsScale
+    val es = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "a"), ("u2", "b"), ("u3", "a"))
+    val srcs = es.map(_._1).distinct.sorted
+    val dsts = es.map(_._2).distinct.sorted
+    var h = srcs.map(_ -> s / srcs.size).toMap
+    var a = Map.empty[String, Long]
+    for (_ <- 1 to Graph.HitsIterations) {
+      val araw = dsts.map(p =>
+        p -> es.collect { case (u, d) if d == p => h(u) }.sum).toMap
+      val at = araw.values.sum
+      a = araw.map { case (p, v) => p -> (v * s) / at }
+      val hraw = srcs.map(u =>
+        u -> es.collect { case (src, p) if src == u => a(p) }.sum).toMap
+      val ht = hraw.values.sum
+      h = hraw.map { case (u, v) => u -> (v * s) / ht }
+    }
+    // output order: role asc ('authority' < 'hub'), then score desc, id
+    val want =
+      a.toSeq.map { case (p, v) => ("authority", p, v) }
+        .sortBy { case (_, id, v) => (-v, id) } ++
+      h.toSeq.map { case (u, v) => ("hub", u, v) }
+        .sortBy { case (_, id, v) => (-v, id) }
+    val got = Graph.hitsFixedPoint(edges)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // 'a' (bought by all three) must out-rank 'b' (two) and 'c' (one);
+    // u1 (the broadest buyer) is the top hub
+    val auth = got.filter(_._1 == "authority").map(_._2)
+    assert(auth == Seq("a", "b", "c"), auth.toString)
+    assert(got.filter(_._1 == "hub").head._2 == "u1", got.toString)
+    // L1 mass stays ≈ S after normalization (floor truncation only)
+    val hubMass = got.filter(_._1 == "hub").map(_._3).sum
+    assert(hubMass <= s && hubMass > s - 100, hubMass.toString)
+  }
 }

@@ -232,11 +232,11 @@ class SimilaritySpec extends SparkSpec {
       s"PQ serving should be ADC top-k + broadcast re-rank:\n$plan")
   }
 
-  /** Driver-side replay of the exact fixed-point Lloyd assignment:
+  /** Driver-side replay of the exact fixed-point Lloyd DISTANCES:
     * quantize → truncating centroid means (Scala Long `/` truncates
-    * toward zero ≡ Spark `div`) → integer squared distances → argmin
-    * with the (d2, cid) tiebreak. */
-  private def lloydReplay(): Seq[(Long, Long, Long, Long)] = {
+    * toward zero ≡ Spark `div`) → integer squared distances, sorted
+    * (d2, cid) per vector. */
+  private def lloydDistances(): Seq[(Long, Long, Seq[(Long, Long)])] = {
     val all = emb.as[(Long, Array[Float])].collect().toSeq
     val k = Similarity.KmeansK
     val q = all.map { case (id, v) =>
@@ -249,12 +249,16 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).map { case (key, vs) =>
         val xs = vs.map(_._2); key -> xs.sum / xs.length }
     q.map { case (id, s, qs) =>
-      val (d2, cid) = (0L until k.toLong).map { c =>
+      (id, s, (0L until k.toLong).map { c =>
         (qs.zipWithIndex.map { case (v, p) =>
           val diff = v - centroid((c, p)); diff * diff }.sum, c)
-      }.min
-      (id, s, cid, d2) }
+      }.sorted) }
   }
+
+  /** Argmin view of [[lloydDistances]] — the Lloyd assignment with the
+    * (d2, cid) tiebreak. */
+  private def lloydReplay(): Seq[(Long, Long, Long, Long)] =
+    lloydDistances().map { case (id, s, ds) => (id, s, ds.head._2, ds.head._1) }
 
   test("kmeansStep matches a driver-side replay of the exact fixed-point " +
       "Lloyd iteration (sizes, moves, inertia)") {
@@ -302,5 +306,106 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.clusterBalancedSample(emb, perCluster = per)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == want, s"got $got want $want")
+  }
+
+  test("clusterSilhouette matches a driver-side replay: two smallest " +
+      "exact distances, IEEE sqrt, per-point 4dp quantization before " +
+      "the per-cluster mean") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sc = Similarity.SilhouetteScale
+    val per = lloydDistances().map { case (_, _, ds) =>
+      val a = math.sqrt(ds(0)._1.toDouble)
+      val b = math.sqrt(ds(1)._1.toDouble)
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      (ds(0)._2, math.floor(s * sc + 0.5).toLong) }
+    val want = per.groupBy(_._1).toSeq.map { case (cid, vs) =>
+      (cid, vs.size.toLong,
+        r6((vs.map(_._2).sum.toDouble / vs.size.toDouble) / sc.toDouble))
+    }.sortBy(_._1)
+    val got = Similarity.clusterSilhouette(emb)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // simplified silhouette is bounded [0, 1] (a <= b by construction)
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0), got.toString)
+  }
+
+  test("mmrRerank picks pure relevance first (smallest-id tiebreak), then " +
+      "trades relevance for diversity — the exact duplicate of the first " +
+      "pick drops behind the orthogonal candidate") {
+    def v(parts: (Int, Float)*): Seq[Float] = {
+      val arr = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => arr(i) = x }
+      arr.toSeq
+    }
+    // query = e0; candidates 1 and 2 are EXACT duplicates (sim 1), 3 is
+    // orthogonal to them (sim 0) with the same relevance to the query —
+    // a plain kNN would rank the duplicate second, MMR must not
+    val df = Seq(
+      (0L, v(0 -> 1.0f), 0),
+      (1L, v(0 -> 0.7f, 1 -> 0.7f), 1),
+      (2L, v(0 -> 0.7f, 1 -> 0.7f), 2),
+      (3L, v(0 -> 0.7f, 1 -> -0.7f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "label")
+    val got = Similarity.mmrRerank(df)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), got.toString)
+    // rank 1: penalty 0 by definition; rank 2 (orthogonal): penalty 0;
+    // rank 3 (the duplicate): penalty = sim to its twin = 1
+    assert(got(0)._4 == 0.0 && math.abs(got(1)._4) < 1e-4 &&
+      math.abs(got(2)._4 - 1.0) < 1e-4, got.toString)
+    // score arithmetic: λ·rel − (1−λ)·penalty within quantization noise
+    val lam = Similarity.MmrLambdaNum.toDouble / Similarity.MmrLambdaDen
+    got.foreach { case (_, _, rel, pen, score) =>
+      assert(math.abs(score - (lam * rel - (1 - lam) * pen)) < 1e-5,
+        got.toString) }
+    // relevance ties broke to the smaller vec_id at rank 1
+    assert(math.abs(got(0)._3 - got(2)._3) < 1e-9, got.toString)
+  }
+
+  test("trainPcaDirection is bit-deterministic, unit-norm, sign-fixed, " +
+      "and finds the dominant variance axis; pcaProjections replays " +
+      "exactly per label") {
+    // a corpus whose variance is concentrated on axis 1: dim-0 noise is
+    // tiny, dim-1 spreads wide, the rest are constant
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(64)(0.25f)
+      v(0) = (0.01 * (i % 3)).toFloat
+      v(1) = if (i % 2 == 0) 2.0f else -2.0f
+      (i, v.toSeq, (i % 4).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "label")
+    val w1 = Similarity.trainPcaDirection(df)
+    val w2 = Similarity.trainPcaDirection(df)
+    assert(w1.toSeq == w2.toSeq, "training must be deterministic")
+    assert(w1.length == 64)
+    val top = w1.indices.maxBy(i => (math.abs(w1(i).toDouble), -i))
+    assert(top == 1 && w1(1) > 0,
+      s"dominant axis should be dim 1, positive: ${w1.toSeq.take(4)}")
+    val norm2 = w1.map(x => x.toDouble * x.toDouble).sum /
+      (Similarity.PcaScale.toDouble * Similarity.PcaScale.toDouble)
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"norm^2 = $norm2")
+    // serve-side replay: exact long projections, per-label aggregation
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ds = Similarity.DimStatsScale
+    val praw = rows.map { case (id, v, lab) =>
+      (lab, v.zipWithIndex.map { case (x, p) =>
+        math.floor(x.toDouble * ds + 0.5).toLong * w1(p) }.sum) }
+    val want = praw.groupBy(_._1).toSeq.map { case (lab, vs) =>
+      val ps = vs.map(_._2)
+      (lab, ps.size.toLong, ps.min, ps.max,
+        r6((ps.sum.toDouble / ps.size.toDouble) /
+          (ds.toDouble * Similarity.PcaScale.toDouble)))
+    }.sortBy(_._1)
+    val got = Similarity.pcaProjections(df, w1)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    // the wide axis separates the even/odd construction: labels 0/2
+    // (even ids) project opposite to labels 1/3 (odd ids)
+    val m = got.map(r => r._1 -> r._5).toMap
+    assert(m(0) * m(1) < 0, m.toString)
   }
 }

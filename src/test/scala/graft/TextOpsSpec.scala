@@ -879,6 +879,84 @@ class TextOpsSpec extends SparkSpec {
     assert(m4 < 0L && !nk4 && gk4.contains(false) && ag4, got(4L).toString)
   }
 
+  test("sourceSimilarity: same-content sources read cosine 1.0; " +
+      "disjoint-vocabulary pairs share no row; null source/text excluded") {
+    val docs = Seq(
+      (0L, "a a b", "s1"),
+      (1L, "a a b", "s2"),
+      (2L, "x y z", "s3"),
+      (3L, null.asInstanceOf[String], "s1"),
+      (4L, "a b", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceSimilarity(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // s1/s2 vectors are both {a:2, b:1}: dot 5, norms sqrt(5) → cosine 1;
+    // s3 shares no token with either — no pair row at all
+    assert(got == Seq(("s1", "s2", 5L, 1.0)), got.toString)
+  }
+
+  test("tokenBurstiness: a clumping token scores a higher Fano factor " +
+      "than an evenly spread one; exact-moment replay") {
+    val docs = Seq(
+      (0L, "a a a a b b"), (1L, "a b b"), (2L, "b b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenBurstiness(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def stats(cs: Seq[Long]) = {
+      val n = cs.size.toLong
+      val mean = cs.sum.toDouble / n.toDouble
+      val variance = math.max(
+        cs.map(c => c * c).sum.toDouble / n.toDouble - mean * mean, 0.0)
+      (n, cs.sum, r6(mean), r6(variance / mean))
+    }
+    // b: counts [2,2,2] — perfectly even, Fano 0; a: [4,1] — bursty
+    val (bn, bt, bm, bf) = stats(Seq(2L, 2L, 2L))
+    val (an, at, am, af) = stats(Seq(4L, 1L))
+    assert(got == Seq(("b", bn, bt, bm, bf), ("a", an, at, am, af)),
+      got.toString)
+    assert(af > bf && bf == 0.0, got.toString)
+  }
+
+  test("trainUnigramCosts replays add-1-smoothed negative log probs with " +
+      "the proper OOV bucket; sourceCrossEntropy aggregates exact " +
+      "micro-nat costs per source") {
+    val docs = Seq(
+      (0L, "a a b", "news"),
+      (1L, "a c", "news"),
+      (2L, "b b", "web"),
+      (3L, null.asInstanceOf[String], "web"),
+      (4L, "a", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val (toks, costs, oov) = TextOps.trainUnigramCosts(docs)
+    // counts: a 4, b 3, c 1; T = 8, V = 3, denominator T + V + 1 = 12
+    val m = toks.zip(costs).toMap
+    def c(n: Int): Long = math.floor(
+      -math.log((n + 1).toDouble / 12.0) * TextOps.DsirLogScale + 0.5).toLong
+    assert(m == Map("a" -> c(4), "b" -> c(3), "c" -> c(1)), m.toString)
+    assert(oov == c(0), s"oov $oov want ${c(0)}")
+    // costs are ordered by rarity: rarer tokens cost more nats
+    assert(m("a") < m("b") && m("b") < m("c") && m("c") < oov, m.toString)
+    val got = TextOps.sourceCrossEntropy(docs, toks, costs, oov)
+      .as[(Option[String], Long, Long, Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def mean(cost: Long, n: Long) = r6(
+      (cost.toDouble / n.toDouble) / TextOps.DsirLogScale.toDouble)
+    val want = Seq(
+      (Some("news"), 2L, 5L, 0L, 3 * m("a") + m("b") + m("c"),
+        mean(3 * m("a") + m("b") + m("c"), 5)),
+      (Some("web"), 1L, 2L, 0L, 2 * m("b"), mean(2 * m("b"), 2)),
+      (None, 1L, 1L, 0L, m("a"), mean(m("a"), 1)))
+    assert(got == want, s"got $got want $want")
+    // OOV tokens pay the trained constant and are counted
+    val oovGot = TextOps.sourceCrossEntropy(
+      Seq((9L, "a zz qq", "s")).toDF("doc_id", "text", "source"),
+      toks, costs, oov)
+      .as[(Option[String], Long, Long, Long, Long, Double)].collect().toSeq
+    assert(oovGot == Seq((Some("s"), 1L, 3L, 2L, m("a") + 2 * oov,
+      mean(m("a") + 2 * oov, 3))), oovGot.toString)
+  }
+
   test("knContinuations: distinct-bigram-type continuation counts with " +
       "0 back-fill for one-sided words") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b"), (4L, "b a"))
