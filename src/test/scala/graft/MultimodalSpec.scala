@@ -93,6 +93,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("averageHash matches the pure id-arithmetic replay — the decoded " +
+      "raster is pixel-identical to what synthesizePng painted") {
+    val ids = Seq(0L, 1L, 7L, 123L)
+    val got = Multimodal.averageHash(spark, ids.toDF("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = ids.sorted.map { id =>
+      val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
+      val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
+      val lumas = new Array[Long](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 2654435761L + x * 31 + y) & 0xFFFFFF
+        lumas(y * w + x) = 299L * ((v >> 16) & 255) +
+          587L * ((v >> 8) & 255) + 114L * (v & 255)
+      }
+      val n = lumas.length.toLong
+      val mean = lumas.sum / n
+      val above = lumas.count(_ > mean).toLong
+      val hash = lumas.zipWithIndex.collect {
+        case (l, i) if l > mean && i < Multimodal.AHashBits => 1L << i
+      }.sum
+      (id, n, mean, above, hash)
+    }
+    assert(got == want, s"got $got want $want")
+    // the 1×1 image (doc 0) is its own mean: nothing above, hash 0
+    assert(got.head == ((0L, 1L, got.head._3, 0L, 0L)), got.head.toString)
+  }
+
   test("synthesizePng payloads are stable across invocations (the PNG " +
       "writer is deterministic)") {
     val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(5)
