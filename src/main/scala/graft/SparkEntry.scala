@@ -129,6 +129,27 @@ object SparkEntry {
   private val lastPcaDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** The trained corpus-LM artifact behind `q_source_crossentropy` and
+    * `q_lm_outliers` (one artifact, two consumers). The OOV cost rides
+    * the persisted vocab as a SENTINEL last row (rank order is
+    * preserved, and a space-bearing token can never be a
+    * whitespace-split token) -- the artifact name stays derivable
+    * without training, so a warm ArtifactStore loads zero-training. */
+  private def ceArtifact(s: SparkSession,
+      dir: String): (Array[String], Array[Long], Long) = {
+    val r = ceCosts.getOrElseUpdate(dir, {
+      val (tt, cc) = ArtifactStore.unigramVocab(s, dir,
+        s"celm-v${TextOps.DsirMaxVocab}") {
+        val (t, c, o) = TextOps.trainUnigramCosts(
+          Sources.table(s, dir, "documents"))
+        (t :+ "\u0000 oov", c :+ o)
+      }
+      (tt.init, cc.init, cc.last)
+    })
+    lastCeDir.set(dir)
+    r
+  }
+
   /** Per-dir tf-universe doc count for the `q_tfidf_pairs` idf table
     * (the table itself is the pure formula [[ext.Dedup.idfTable]] over
     * this one scalar — both engines replay the same VALUES). */
@@ -939,21 +960,16 @@ object SparkEntry {
     // LM (micro-nat costs + one OOV constant — the DSIR discipline):
     // which sources the LM finds most surprising, the data-mixing signal
     "q_source_crossentropy" -> ((s, dir) => {
-      val d = Sources.table(s, dir, "documents")
-      // the OOV cost rides the persisted vocab as a SENTINEL last row
-      // (rank order is preserved, and a space-bearing token can never be a
-      // whitespace-split token) — the artifact name stays derivable
-      // without training, so a warm ArtifactStore loads zero-training
-      val (vt, cs, oov) = ceCosts.getOrElseUpdate(dir, {
-        val (tt, cc) = ArtifactStore.unigramVocab(s, dir,
-          s"celm-v${TextOps.DsirMaxVocab}") {
-          val (t, c, o) = TextOps.trainUnigramCosts(d)
-          (t :+ "\u0000 oov", c :+ o)
-        }
-        (tt.init, cc.init, cc.last)
-      })
-      lastCeDir.set(dir)
-      TextOps.sourceCrossEntropy(d, vt, cs, oov)
+      val (vt, cs, oov) = ceArtifact(s, dir)
+      TextOps.sourceCrossEntropy(Sources.table(s, dir, "documents"),
+        vt, cs, oov)
+    }),
+    // per-doc LM-surprise outliers under the SAME trained corpus LM:
+    // 4dp-quantized mean nats, exact moments, round-then-compared |z|
+    "q_lm_outliers" -> ((s, dir) => {
+      val (vt, cs, oov) = ceArtifact(s, dir)
+      TextOps.lmOutlierScores(Sources.table(s, dir, "documents"),
+        vt, cs, oov)
     }),
     // the sequence-level complement: familiar words in an unfamiliar
     // ORDER score low; same train-once/serve-map-side artifact shape
@@ -1559,7 +1575,10 @@ object SparkEntry {
     * count(DISTINCT doc_id) on the token stream — every non-null-text
     * doc emits ≥1 token row (string_split('') = ['']), so it equals the
     * Spark side's per-doc-row count. */
-  private def crossEntropySql: String = {
+  /** The cached [[ceArtifact]] rendered for mirror generation: the
+    * vocab VALUES body (or an empty-typed stub) + the OOV constant —
+    * shared by [[crossEntropySql]] and [[lmOutliersSql]]. */
+  private def ceVocabRendered: (String, Long) = {
     val (toks, costs, oov) = Option(lastCeDir.get).flatMap(ceCosts.get)
       .getOrElse((Array.empty[String], Array.empty[Long], 0L))
     def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
@@ -1569,6 +1588,11 @@ object SparkEntry {
           "WHERE false)"
       else "(VALUES " + toks.indices.map(i =>
         s"(${sqlLit(toks(i))}, ${costs(i)})").mkString(", ") + ")"
+    (vocabCte, oov)
+  }
+
+  private def crossEntropySql: String = {
+    val (vocabCte, oov) = ceVocabRendered
     s"""WITH v(tok, qc) AS $vocabCte,
        |tok AS (SELECT doc_id, source,
        |          unnest(string_split(text, ' ')) AS tok
@@ -1587,6 +1611,47 @@ object SparkEntry {
        |      / CAST(${TextOps.DsirLogScale} AS DOUBLE)) * 1000000 + 0.5)
        |    / 1000000 AS nats_per_token
        |FROM sc ORDER BY source NULLS LAST""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_lm_outliers` — the [[crossEntropySql]]
+    * vocab replayed per DOC: cost is an exact long, the mean nats
+    * quantize to a 4dp long BEFORE the corpus moments, the z runs the
+    * identical double sequence, and the verdict compares the ROUNDED z
+    * against the shared threshold (zero-variance z is NULL → false). */
+  private def lmOutliersSql: String = {
+    val (vocabCte, oov) = ceVocabRendered
+    val scale = TextOps.DsirLogScale
+    s"""WITH v(tok, qc) AS $vocabCte,
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents WHERE text IS NOT NULL),
+       |pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(floor((CAST(COALESCE(sum(v.qc), 0)
+       |               + count(*) FILTER (WHERE v.tok IS NULL) * $oov
+       |             AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |             / CAST($scale AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+       |           AS nats4
+       |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(nats4) AS BIGINT) AS t,
+       |        CAST(sum(nats4 * nats4) AS BIGINT) AS ss
+       |      FROM pd),
+       |e AS (SELECT CAST(t AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |        sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |            - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+       |              * (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)),
+       |          CAST(0 AS DOUBLE))) AS std
+       |      FROM m),
+       |z AS (SELECT pd.doc_id, pd.n_tokens,
+       |        CAST(pd.nats4 AS DOUBLE) / CAST(10000 AS DOUBLE)
+       |          AS nats_per_token,
+       |        floor((CASE WHEN e.std = 0 THEN NULL
+       |            ELSE (CAST(pd.nats4 AS DOUBLE) - e.mean) / e.std END)
+       |          * 10000 + 0.5) / 10000 AS z
+       |      FROM pd CROSS JOIN e)
+       |SELECT doc_id, n_tokens, nats_per_token, z,
+       |  COALESCE(abs(z) > CAST(${TextOps.LmOutlierZ}e0 AS DOUBLE), false)
+       |    AS is_outlier
+       |FROM z ORDER BY doc_id""".stripMargin
   }
 
   /** GENERATED mirror for `q_pca_projection` (see [[pcaDir]]): the
@@ -3851,6 +3916,8 @@ object SparkEntry {
     "q_nb_quality_score" -> nbQualitySql,
     // trained corpus-LM costs as a VALUES CTE + the OOV constant
     "q_source_crossentropy" -> crossEntropySql,
+    // same vocab replayed per doc; quantize-then-moments z verdict
+    "q_lm_outliers" -> lmOutliersSql,
     // trained principal direction as a VALUES CTE; exact long projections
     "q_pca_projection" -> pcaSql,
     // the greedy unrolled as MmrK generated CTE rounds, exact longs

@@ -1732,6 +1732,50 @@ object TextOps {
       .orderBy(col("source").asc_nulls_last)
   }
 
+  /** [[lmOutlierScores]] |z| threshold, shared with the mirror. */
+  val LmOutlierZ = 2.0
+
+  /** Per-doc LM-surprise OUTLIERS under the [[trainUnigramCosts]] corpus
+    * LM — the curation pass that flags docs whose token distribution the
+    * corpus model finds abnormal (boilerplate dumps, wrong-language
+    * fragments, encoding damage): per doc, the mean nats/token QUANTIZED
+    * to a 4dp long (floor trick — kills all float-sum-order exposure
+    * before any corpus aggregate), then exact moments over those longs,
+    * a z-score through the identical double sequence (the dimStats
+    * discipline), and the |z| > [[LmOutlierZ]] verdict compared on the
+    * 4dp-ROUNDED z (round-then-compare). A zero-variance corpus nulls
+    * the z (explicitly — Spark ANSI 0/0 throws) and reads non-outlier. */
+  def lmOutlierScores(documents: DataFrame, vocabTokens: Array[String],
+      costs: Array[Long], oovCost: Long): DataFrame = {
+    import scala.collection.immutable.ArraySeq
+    val perDoc = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.unigramFamiliarity(col("text"),
+          ArraySeq.unsafeWrapArray(vocabTokens),
+          ArraySeq.unsafeWrapArray(costs)).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        (col("s.vocab_sum") + col("s.n_oov") * lit(oovCost)).as("cost"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cost").cast("double") / col("n_tokens").cast("double") /
+          lit(DsirLogScale.toDouble)) * 10000 + 0.5)
+          .cast(LongType).as("nats4"))
+    val m = perDoc.agg(count(lit(1)).as("n"), sum(col("nats4")).as("t"),
+      sum(col("nats4") * col("nats4")).as("ss"))
+    val mean = col("t").cast("double") / col("n").cast("double")
+    val std = sqrt(greatest(
+      col("ss").cast("double") / col("n").cast("double") - mean * mean,
+      lit(0.0)))
+    val z = when(std === 0.0, lit(null).cast("double"))
+      .otherwise((col("nats4").cast("double") - mean) / std)
+    perDoc.crossJoin(broadcast(m))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nats4").cast("double") / 10000.0).as("nats_per_token"),
+        round2(z, 4).as("z"),
+        coalesce(abs(round2(z, 4)) > LmOutlierZ, lit(false))
+          .as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** [[sourceSimilarity]] vocabulary cap, shared with the mirror. */
   val SourceSimVocab = 4096
 

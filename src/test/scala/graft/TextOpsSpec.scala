@@ -879,6 +879,41 @@ class TextOpsSpec extends SparkSpec {
     assert(m4 < 0L && !nk4 && gk4.contains(false) && ag4, got(4L).toString)
   }
 
+  test("lmOutlierScores: the gibberish doc flags as the outlier under " +
+      "the corpus LM; exact quantize-then-moments replay") {
+    // many unremarkable docs + one OOV-heavy doc trained as rare
+    val texts = (0 until 8).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (8L -> "zqx wvu jkl pqr mno bcd")
+    val docs = (texts :+ (9L -> null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (toks, costs, oov) = TextOps.trainUnigramCosts(docs)
+    val cm = toks.zip(costs).toMap
+    val got = TextOps.lmOutlierScores(docs, toks, costs, oov)
+      .as[(Long, Long, Double, Option[Double], Boolean)].collect().toSeq
+    // replay: per-doc 4dp-quantized mean nats, then exact moments
+    val nats4 = texts.map { case (_, t) =>
+      val ts = t.split(" ")
+      val cost = ts.map(w => cm.getOrElse(w, oov)).sum
+      math.floor((cost.toDouble / ts.length.toDouble /
+        TextOps.DsirLogScale.toDouble) * 10000 + 0.5).toLong
+    }
+    val n = nats4.size.toLong
+    val mean = nats4.sum.toDouble / n.toDouble
+    val std = math.sqrt(math.max(
+      nats4.map(v => v * v).sum.toDouble / n.toDouble - mean * mean, 0.0))
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = texts.zip(nats4).map { case ((id, t), q) =>
+      val z = r4((q.toDouble - mean) / std)
+      (id, t.split(" ").length.toLong, q.toDouble / 10000.0, Some(z),
+        math.abs(z) > TextOps.LmOutlierZ)
+    }
+    assert(got == want, s"got $got want $want")
+    // the gibberish doc is the single flagged outlier; null text absent
+    assert(got.count(_._5) == 1 && got.find(_._5).get._1 == 8L,
+      got.toString)
+    assert(!got.exists(_._1 == 9L), got.toString)
+  }
+
   test("sourceSimilarity: same-content sources read cosine 1.0; " +
       "disjoint-vocabulary pairs share no row; null source/text excluded") {
     val docs = Seq(
