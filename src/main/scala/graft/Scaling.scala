@@ -36,7 +36,11 @@ object Scaling {
     "q_ngram_jaccard",
     // r12 additions: per-row CPU-bound HOF selection (expected t linear,
     // shuffle ≈ 0) and a distinct-shuffle aggregate (shuffle linear)
-    "q_winnowing", "q_kn_continuations")
+    "q_winnowing", "q_kn_continuations",
+    // r12 wave-2 additions: the new pair-family entries (same Σdf²
+    // candidate bound as the jaccard family — the one measured scale
+    // risk class) and the new heaviest graph entry
+    "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact")
 
   /** Measured scales: 1× is the baseline, 10× the first decade, 30× the
     * second (r11 verdict: at 10× the 1× baseline under-utilizes 32 cores,
