@@ -1101,6 +1101,10 @@ object SparkEntry {
     // exposure; sqrt is correctly-rounded IEEE from exact long d2)
     "q_cluster_silhouette" -> ((s, dir) =>
       Similarity.clusterSilhouette(Sources.table(s, dir, "embeddings"))),
+    // per-label drift between parity halves: exact fixed-point centroids,
+    // null-safe label joins, round-then-compared cosine verdict
+    "q_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Sources.table(s, dir, "embeddings"))),
     // MMR diverse re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected over
     // a constants-bounded candidate pool, all in exact long arithmetic;
     // the mirror unrolls the identical greedy as MmrK CTE rounds
@@ -5286,6 +5290,47 @@ object SparkEntry {
          |SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, d2 FROM ks
          |WHERE rk <= ${Similarity.BalancedSamplePerCluster}
          |ORDER BY cid NULLS LAST, rk""".stripMargin,
+    // exact fixed-point per-half centroids (truncating // ≡ Spark div on
+    // BOTH engines — negative component sums need no reduction when both
+    // sides truncate), IS NOT DISTINCT FROM label joins, 4dp
+    // round-then-compared drift verdict
+    "q_embedding_drift" ->
+      s"""WITH ce AS (
+         |  SELECT label, ((vec_id % 2) + 2) % 2 AS half, i AS pos,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * ${Similarity.KmQuantScale} + 0.5) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, label, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |ms AS (SELECT label, half, pos,
+         |         CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+         |       FROM ce GROUP BY 1, 2, 3),
+         |d AS (SELECT a.label, CAST(sum(a.m * b.m) AS BIGINT) AS dot,
+         |        CAST(sum(a.m * a.m) AS BIGINT) AS na,
+         |        CAST(sum(b.m * b.m) AS BIGINT) AS nb
+         |      FROM (SELECT * FROM ms WHERE half = 0) a
+         |      JOIN (SELECT * FROM ms WHERE half = 1) b
+         |        ON a.label IS NOT DISTINCT FROM b.label
+         |          AND a.pos = b.pos
+         |      GROUP BY 1),
+         |c AS (SELECT label,
+         |        CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |        CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 1
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |      FROM embeddings GROUP BY 1),
+         |z AS (SELECT d.label, c.n_ref, c.n_cur,
+         |        CASE WHEN d.na = 0 OR d.nb = 0 THEN NULL
+         |          ELSE floor(CAST(d.dot AS DOUBLE)
+         |            / (sqrt(CAST(d.na AS DOUBLE))
+         |              * sqrt(CAST(d.nb AS DOUBLE)))
+         |            * 10000 + 0.5) / 10000 END AS centroid_cosine
+         |      FROM d JOIN c ON d.label IS NOT DISTINCT FROM c.label)
+         |SELECT label, n_ref, n_cur, centroid_cosine,
+         |  COALESCE(centroid_cosine
+         |    < CAST(${Similarity.DriftCosine}e0 AS DOUBLE), false)
+         |    AS is_drift
+         |FROM z ORDER BY label NULLS LAST""".stripMargin,
     // same assignment prologue again: per-point simplified silhouette
     // from the two smallest (d2, cid)-ordered distances (ka's row_number
     // ≡ Spark's sort_array tiebreak), quantized to fixed-point longs

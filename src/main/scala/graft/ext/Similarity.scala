@@ -843,6 +843,71 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** [[embeddingDrift]] cosine threshold (compared on the 4dp-ROUNDED
+    * value — round-then-compare), shared with the mirror. */
+  val DriftCosine = 0.98
+
+  /** Per-label embedding DRIFT monitor — the vector-side sibling of the
+    * events drift monitor: split the corpus into two halves on vec_id
+    * parity (deterministic, engine-portable), compute each label's
+    * per-half centroid in EXACT fixed-point longs ([[KmQuantScale]]
+    * quantization, truncating `div` means — the k-means discipline), and
+    * compare the two centroids by cosine. A label whose halves disagree
+    * (cosine below [[DriftCosine]], compared after 4dp rounding) is
+    * flagged — the "did the new embedding batch move the space" check an
+    * indexing pipeline runs before swapping an index.
+    *
+    * Exactness: component sums/counts are exact longs, means truncate
+    * identically in both engines, the centroid dot/norms are exact long
+    * sums over the D-bounded dimension frame, sqrt is IEEE, and the
+    * division 6dp-rounds in identical op order. Zero-norm centroids null
+    * the cosine and read non-drifted (explicit guard — ANSI 0/0 throws).
+    * All joins on `label` are NULL-SAFE (`<=>` ↔ IS NOT DISTINCT FROM —
+    * the fuzzer-found null-strata rule); a label present in only one
+    * half drops (inner semantics, documented and mirrored). Shuffles are
+    * (label, half, pos)-bounded — never corpus-sized. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val cells = embeddings
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("half"), col("pos"),
+        floor(col("x").cast("double") * KmQuantScale + 0.5)
+          .cast(LongType).as("q"))
+    val means = cells.groupBy("label", "half", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("pos"),
+        expr("s div n").as("m"))
+    val a = means.filter(col("half") === 0)
+      .select(col("label").as("la"), col("pos"), col("m").as("ma"))
+    val b = means.filter(col("half") === 1)
+      .select(col("label").as("lb"), col("pos"), col("m").as("mb"))
+    val dots = a.join(b,
+        col("la") <=> col("lb") && a("pos") === b("pos"))
+      .groupBy(col("la").as("label"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na"),
+        sum(col("mb") * col("mb")).as("nb"))
+    val counts = embeddings
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"))
+      .groupBy("label").agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+      .select(col("label").as("lc"), col("n_ref"), col("n_cur"))
+    // zero test as a disjunction — the na·nb product itself could
+    // overflow int64 (ANSI throws), the norms individually cannot
+    val cos = round2(
+      when(col("na") === 0L || col("nb") === 0L,
+        lit(null).cast("double"))
+        .otherwise(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))), 4)
+    dots.join(counts, col("label") <=> col("lc"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        cos.as("centroid_cosine"),
+        coalesce(cos < DriftCosine, lit(false)).as("is_drift"))
+      .orderBy(col("label").asc_nulls_last)
+  }
+
   /** [[trainPcaDirection]] fixed-point scale for the trained direction
     * components, shared with the generated mirror. */
   val PcaScale = 1000000L

@@ -43,7 +43,15 @@ class PlanPinSpec extends SparkSpec {
     // its lang-total rides a 1-row broadcast-scalar crossJoin — the
     // documented BNLJ class, same as q_revenue_acf)
     "q_winnowing", "q_gopher_rules", "q_kn_continuations",
-    "q_kmeans_step", "q_cluster_balanced_sample")
+    "q_kmeans_step", "q_cluster_balanced_sample",
+    // round-12 wave-2 additions (q_lm_outliers and q_hits_exact are
+    // deliberately absent: the corpus moments / the L1 normalization
+    // totals ride 1-row broadcast-scalar crossJoins — the documented
+    // BNLJ class; q_mmr_rerank's final frame is a bounded local
+    // relation, so a pin there would be vacuous)
+    "q_containment_pairs", "q_tfidf_pairs",
+    "q_source_similarity", "q_token_burstiness", "q_cluster_silhouette",
+    "q_source_crossentropy", "q_pca_projection", "q_media_ahash")
 
   test("bench-heavy batch entries plan WITHOUT BroadcastNestedLoopJoin " +
       "or CartesianProduct") {

@@ -329,6 +329,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0), got.toString)
   }
 
+  test("embeddingDrift: a label whose parity halves point the same way " +
+      "reads cosine 1 / no drift; an antipodal label flags") {
+    def v(parts: (Int, Float)*): Seq[Float] = {
+      val arr = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => arr(i) = x }
+      arr.toSeq
+    }
+    // label 0: both halves along e0 (stable); label 1: even ids along
+    // e1, odd ids along -e1 (maximal drift, cosine -1)
+    val df = Seq(
+      (0L, v(0 -> 1.0f), 0), (1L, v(0 -> 1.0f), 0),
+      (2L, v(0 -> 1.0f), 0), (3L, v(0 -> 1.0f), 0),
+      (4L, v(1 -> 1.0f), 1), (5L, v(1 -> -1.0f), 1),
+      (6L, v(1 -> 1.0f), 1), (7L, v(1 -> -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "label")
+    val got = Similarity.embeddingDrift(df)
+      .as[(Int, Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 2L, Some(1.0), false),
+      (1, 2L, 2L, Some(-1.0), true)), got.toString)
+  }
+
   test("mmrRerank picks pure relevance first (smallest-id tiebreak), then " +
       "trades relevance for diversity — the exact duplicate of the first " +
       "pick drops behind the orthogonal candidate") {
