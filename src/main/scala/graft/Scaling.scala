@@ -40,7 +40,9 @@ object Scaling {
     // r12 wave-2 additions: the new pair-family entries (same Σdf²
     // candidate bound as the jaccard family — the one measured scale
     // risk class) and the new heaviest graph entry
-    "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact")
+    "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact",
+    // the prefix-filtered exact-verify scheme vs its naive siblings
+    "q_jaccard_prefix")
 
   /** Measured scales: 1× is the baseline, 10× the first decade, 30× the
     * second (r11 verdict: at 10× the 1× baseline under-utilizes 32 cores,

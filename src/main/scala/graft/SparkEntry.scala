@@ -757,6 +757,11 @@ object SparkEntry {
     // directed containment C(src→dst) = |∩|/|sh(src)| — the excerpt/quote
     // signal symmetric Jaccard misses; same DF-capped candidate machinery
     "q_containment_pairs" -> docs(Dedup.containmentTopPairs(_)),
+    // PPJoin-style prefix-filtered exact Jaccard at t=1/2: candidates
+    // only from each doc's RAREST shingles, certified lossless by the
+    // NAIVE all-shared-shingles mirror (shared-oracle equivalence) —
+    // the corpus-scale exact-verify candidate scheme
+    "q_jaccard_prefix" -> docs(Dedup.prefixJaccardPairs(_)),
     // TF-IDF-weighted cosine pairs: the weighted lexical near-dup signal
     // (rare shared vocabulary scores high); idf is a driver-computed
     // milli-nat table over the ONE corpus-size scalar, replayed VALUES
@@ -3815,6 +3820,20 @@ object SparkEntry {
          |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common)) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM inter JOIN sz s1 ON doc1 = s1.doc_id JOIN sz s2 ON doc2 = s2.doc_id
          |ORDER BY jaccard DESC, doc1, doc2 LIMIT 20""".stripMargin,
+    // the NAIVE all-shared-shingles join filtered at the INTEGER
+    // threshold — certifying the prefix-filtered candidate scheme finds
+    // exactly the ≥-t pair set (shared-oracle equivalence)
+    "q_jaccard_prefix" ->
+      s"""$JaccardPairsCte
+         |SELECT doc1, doc2, CAST(s1.sz AS BIGINT) AS sz1,
+         |  CAST(s2.sz AS BIGINT) AS sz2, CAST(common AS BIGINT) AS common,
+         |  floor((CAST(common AS DOUBLE) / (s1.sz + s2.sz - common))
+         |    * 1000000 + 0.5) / 1000000 AS jaccard
+         |FROM inter JOIN sz s1 ON doc1 = s1.doc_id
+         |JOIN sz s2 ON doc2 = s2.doc_id
+         |WHERE ${ext.Dedup.PrefixTDen + ext.Dedup.PrefixTNum} * common
+         |  >= ${ext.Dedup.PrefixTNum} * (s1.sz + s2.sz)
+         |ORDER BY doc1, doc2""".stripMargin,
     // directed containment from the SAME undirected intersection CTE —
     // each unordered pair mirrors as two directed rows, divided by the
     // SOURCE's kept-shingle count (int/int IEEE division, engine-exact)

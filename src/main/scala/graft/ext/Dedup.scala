@@ -262,6 +262,69 @@ object Dedup {
       .limit(k)
   }
 
+  /** [[prefixJaccardPairs]] threshold t = num/den as a RATIONAL so the
+    * prefix length and the final similarity test are exact integer
+    * arithmetic in both engines. */
+  val PrefixTNum = 1L
+  val PrefixTDen = 2L
+
+  /** Exact Jaccard pairs at threshold t via PREFIX FILTERING (Chaudhuri
+    * et al. 2006 / Bayardo et al. 2007 — the candidate scheme behind
+    * PPJoin): order each doc's kept shingles by GLOBAL rarity (df asc,
+    * hash asc — a total order both engines reproduce) and join only on
+    * each doc's first |d| − ⌈t·|d|⌉ + 1 shingles. Any pair with
+    * J ≥ t = num/den must share a prefix shingle (J ≥ t ⟹ overlap ≥
+    * ⌈t·|d|⌉ for BOTH docs, and sets with overlap ≥ α intersect within
+    * their (|d| − α + 1)-prefixes), so the scheme is LOSSLESS at the
+    * threshold — and the DuckDB mirror is the NAIVE all-shared-shingles
+    * join filtered at t, making the hash gate an algorithm-equivalence
+    * certificate (the salted-join/bloom-decontamination discipline).
+    *
+    * Why it matters at 100 TB: the naive candidate mass is Σ_shingle df²
+    * over ALL shared shingles; prefix filtering pays it only over each
+    * doc's RAREST shingles — the candidate set shrinks by orders of
+    * magnitude while exactness is preserved, which is the measured-scale
+    * answer for the exact-verify stage (the LSH-banded path stays the
+    * approximate route). The threshold test itself is INTEGER:
+    * J ≥ num/den ⟺ (den+num)·common ≥ num·(sz1+sz2) — no rounding
+    * anywhere in the decision path. ⌈t·n⌉ = (n·num + den − 1) div den on
+    * non-negative longs (div ≡ //). Output: every pair with J ≥ t,
+    * (doc1, doc2)-ordered. */
+  def prefixJaccardPairs(documents: DataFrame,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfs = hashedShingles(documents, JaccardShingleWidth)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+    val kept = hashedShingles(documents, JaccardShingleWidth)
+      .join(dfs, Seq("h"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = kept
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("df"), col("h"))).cast("long"))
+      .filter(col("rk") <= col("sz") -
+        expr(s"(sz * $PrefixTNum + $PrefixTDen - 1) div $PrefixTDen") + 1)
+    val cands = prefix.select(col("doc_id").as("doc1"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc2"), col("h")), "h")
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2")
+      .distinct()
+    val ka = kept.select(col("doc_id").as("doc1"), col("h"),
+      col("sz").as("sz1"))
+    val kb = kept.select(col("doc_id").as("doc2"), col("h"),
+      col("sz").as("sz2"))
+    cands.join(ka, "doc1").join(kb, Seq("doc2", "h"))
+      .groupBy(col("doc1"), col("doc2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(lit(PrefixTDen + PrefixTNum) * col("common") >=
+        lit(PrefixTNum) * (col("sz1") + col("sz2")))
+      .select(col("doc1"), col("doc2"), col("sz1"), col("sz2"),
+        col("common"),
+        round2(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
   /** [[tfidfTopPairs]] constants, shared with the generated mirror:
     * sublinear tf cap (bounds every Σw² accumulator inside int64 at any
     * doc length), candidate DF window (df 1 contributes no pair; the cap

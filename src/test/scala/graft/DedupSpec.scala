@@ -520,6 +520,50 @@ class DedupSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == 2L || r._2 == 2L))
   }
 
+  test("prefixJaccardPairs is LOSSLESS at the threshold: it reproduces " +
+      "the naive all-pairs >= t set exactly, on planted and random docs") {
+    def naiveReplay(df: org.apache.spark.sql.DataFrame) = {
+      val sh = Dedup.hashedShingles(df, Dedup.JaccardShingleWidth)
+        .as[(Long, Long)].collect().toSeq
+      val dfm = sh.groupBy(_._2).view.mapValues(_.size).toMap
+      val kept = sh.filter(x => dfm(x._2) <= Dedup.MaxShingleDf)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val ids = kept.keys.toSeq.sorted
+      (for {
+        a <- ids; b <- ids if a < b
+        c = (kept(a) & kept(b)).size.toLong
+        sza = kept(a).size.toLong; szb = kept(b).size.toLong
+        if (Dedup.PrefixTDen + Dedup.PrefixTNum) * c >=
+          Dedup.PrefixTNum * (sza + szb)
+      } yield (a, b, sza, szb, c,
+        r6(c.toDouble / (sza + szb - c)))).sortBy(r => (r._1, r._2))
+    }
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (0L, base), (1L, base),
+      (2L, (1 to 40).map(i => if (i <= 37) s"w$i" else s"x$i")
+        .mkString(" ")),
+      (3L, (100 to 140).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(planted)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == naiveReplay(planted), s"got $got")
+    // the exact dup pair is present at jaccard 1; the unrelated doc never
+    assert(got.exists(r => r._1 == 0L && r._2 == 1L && r._6 == 1.0), got)
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L), got.toString)
+    // random small-vocab corpus (forces shingle collisions and boundary
+    // jaccards): the prefix scheme must still match the naive set
+    val r = new scala.util.Random(0xBEEF)
+    val rnd = (0L until 30L).map { id =>
+      (id, (0 until 20 + r.nextInt(20))
+        .map(_ => s"t${r.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val gotR = Dedup.prefixJaccardPairs(rnd)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotR == naiveReplay(rnd), s"random-frame mismatch: $gotR")
+  }
+
   test("tfidfTopPairs: a shared RARE token pairs docs at cosine 1 while " +
       "the corpus-wide token carries zero idf and drops; df-1 terms " +
       "never pair") {

@@ -177,7 +177,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
     "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
     "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs",
-    "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs")
+    "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs",
+    "q_jaccard_prefix")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -391,7 +392,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
     "q_gopher_rules", "q_kn_continuations", "q_dedup_cross_source",
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
-    "q_tfidf_pairs",
+    "q_tfidf_pairs", "q_jaccard_prefix",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */

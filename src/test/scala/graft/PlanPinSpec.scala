@@ -49,7 +49,7 @@ class PlanPinSpec extends SparkSpec {
     // totals ride 1-row broadcast-scalar crossJoins — the documented
     // BNLJ class; q_mmr_rerank's final frame is a bounded local
     // relation, so a pin there would be vacuous)
-    "q_containment_pairs", "q_tfidf_pairs",
+    "q_containment_pairs", "q_tfidf_pairs", "q_jaccard_prefix",
     "q_source_similarity", "q_token_burstiness", "q_cluster_silhouette",
     "q_source_crossentropy", "q_pca_projection", "q_media_ahash")
 
