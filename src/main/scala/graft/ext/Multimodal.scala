@@ -179,7 +179,13 @@ object Multimodal {
     * the payloads stable across runs/JVMs. */
   def synthesizePng(spark: SparkSession, documents: DataFrame): Dataset[MediaItem] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // the codec loop is CPU-bound per row, and a small single-file scan
+    // yields ONE partition — repartition the 8-byte id column so encode
+    // (and every downstream decode) spreads across the cluster (the
+    // q_winnowing file-granularity lesson, applied to lineage)
+    documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         // floorMod: a negative doc_id must still yield positive dims (a
         // plain % would hand BufferedImage a non-positive dimension)
