@@ -827,6 +827,9 @@ object SparkEntry {
     "q_lang_temperature_mix" -> docs(TextOps.langTemperatureMix),
     // Gopher character/word-shape rules, round-then-compare thresholds
     "q_gopher_rules" -> docs(TextOps.gopherRules),
+    // per-source quality pass rates from the SAME shared verdict — the
+    // "where does filtering budget go" report
+    "q_gopher_by_source" -> docs(TextOps.gopherBySource),
     // Kneser-Ney continuation counts over distinct bigram types
     "q_kn_continuations" -> docs(TextOps.knContinuations),
     "q_quality_filter" -> docs(TextOps.qualityFilter(_)),
@@ -4164,6 +4167,17 @@ object SparkEntry {
     // bare decimal literal converts DECIMAL→DOUBLE one ulp off); metrics
     // 4dp-rounded BEFORE comparison; null text → NULL metrics and a NULL
     // verdict in both engines; DuckDB 0/0 is NULL ≡ the Spark-side guard
+    // the shared GopherKeepSql verdict aggregated per source: exact long
+    // counts, one exact double division, 6dp floor-rounded
+    "q_gopher_by_source" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN $GopherKeepSql THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_keep,
+         |  floor((CAST(sum(CASE WHEN $GopherKeepSql THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+         |    / 1000000 AS keep_rate
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY source NULLS LAST""".stripMargin,
     "q_gopher_rules" ->
       s"""SELECT doc_id,
          |  $GopherAlphaSql AS alpha_ratio,

@@ -1538,6 +1538,26 @@ object TextOps {
       gopherMeanWordLen >= GopherMinWordLen &&
       gopherMeanWordLen <= GopherMaxWordLen
 
+  /** Per-source [[gopherRules]] pass rates — the "which sources fail the
+    * quality rules" curation report that decides where filtering budget
+    * goes: per source, docs with text, docs passing the verdict, and the
+    * 6dp pass rate (exact long counts → one exact double division; the
+    * verdict is [[gopherKeep]], rendered from the SAME shared SQL
+    * definition as `q_gopher_rules` and the NB distillation, so the
+    * three can never drift). Null-text docs are excluded (no verdict);
+    * a NULL source keeps its group (asc_nulls_last). One pruned scan,
+    * a ≤|sources| aggregate. */
+  def gopherBySource(documents: DataFrame): DataFrame =
+    documents.filter(col("text").isNotNull)
+      .select(col("source"), gopherKeep.as("kp"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kp"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        round2(col("n_keep").cast("double") / col("n_docs").cast("double"),
+          6).as("keep_rate"))
+      .orderBy(col("source").asc_nulls_last)
+
   def gopherRules(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
         gopherAlphaRatio.as("alpha_ratio"),

@@ -176,6 +176,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_media_frames", "q_compression_dist", "q_pii_scrub",
     "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
     "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
+    "q_gopher_by_source",
     "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs",
     "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs",
     "q_jaccard_prefix")
@@ -390,7 +391,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_media_frames", "q_media_decode", "q_media_decode_real",
     "q_media_ahash",
     "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
-    "q_gopher_rules", "q_kn_continuations", "q_dedup_cross_source",
+    "q_gopher_rules", "q_gopher_by_source", "q_kn_continuations",
+    "q_dedup_cross_source",
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
     "q_tfidf_pairs", "q_jaccard_prefix",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")

@@ -879,6 +879,21 @@ class TextOpsSpec extends SparkSpec {
     assert(m4 < 0L && !nk4 && gk4.contains(false) && ag4, got(4L).toString)
   }
 
+  test("gopherBySource aggregates the shared verdict per source: exact " +
+      "counts, nulls-last source order, null text excluded") {
+    val docs = Seq(
+      (0L, "alpha betas gamma delta", "s1"), // passes the gopher band
+      (1L, "x1 y2", "s1"),                   // fails (digits, short words)
+      (2L, "alpha betas gamma delta", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], "s2")) // no verdict: excluded
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.gopherBySource(docs)
+      .as[(Option[String], Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (Some("s1"), 2L, 1L, 0.5),
+      (None, 1L, 1L, 1.0)), got.toString)
+  }
+
   test("lmOutlierScores: the gibberish doc flags as the outlier under " +
       "the corpus LM; exact quantize-then-moments replay") {
     // many unremarkable docs + one OOV-heavy doc trained as rare
