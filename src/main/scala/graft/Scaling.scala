@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
 object Scaling {
   /** Data-bound heavy entries (events-only or documents-only inputs). */
   val ScaleQueries: Seq[String] = Seq(
-    // events-bound
-    "q_pagerank", "q_pagerank_exact", "q_kcore", "q_bfs_hops",
+    // events-bound (q_pagerank retired in r13 — the exact twin remains)
+    "q_pagerank_exact", "q_kcore", "q_bfs_hops",
     "q_session_concurrency", "q_profile_events", "q_equidepth_histogram",
     "q_rolling_user_revenue",
     // documents-bound

@@ -60,6 +60,13 @@ object SparkEntry {
   private val ivfCentroids =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]
 
+  /** The sfDir whose IVF centroids [[hardNegativesAnnSql]] renders — set
+    * by every `q_hard_negatives_ann` evaluation (the lastBpeDir
+    * discipline: the generated mirror must be keyed to the dataset under
+    * verification, not an arbitrary TrieMap entry). */
+  private val lastIvfDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   /** Unigram vocabulary cached per sfDir — see [[graft.ext.TextOps.trainUnigramVocab]]. */
   private val unigramVocab =
     new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
@@ -306,22 +313,13 @@ object SparkEntry {
           e.filter(col("event_type") === "purchase")
             .groupBy(to_date(col("ts")).as("event_date"))
             .agg(Exprs.exactSum(col("value")).as("rev"))))),
-    // PageRank over the symmetrized co-purchase graph: Pregel-shaped
-    // power iteration (one edge-keyed shuffle + one node aggregate per
-    // round, dangling mass as a broadcast scalar). Approximate by
-    // construction (fixed iterations) — rows-only entry; exact-reference
-    // proof in GraphSpec
-    "q_pagerank" -> ev(e => {
-      val pairs = EventQueries.basketPairs(e, minSupport = 2, sorted = false)
-        .select(col("item1"), col("item2"))
-      val edges = pairs
-        .select(col("item1").as("src"), col("item2").as("dst"))
-        .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
-      Graph.pageRank(edges)
-        .select(col("node"), Exprs.round2(col("rank"), 8).as("rank"))
-        .orderBy(col("rank").desc, col("node"))
-    }),
-    // the SAME power iteration in fixed-point longs — every operation an
+    // q_pagerank (float power iteration) RETIRED from the query surface
+    // in r13: with q_pagerank_exact and q_ppr_exact both on the hash
+    // gate, its remaining value is the 1e-9 reference-equality proof,
+    // which lives on in GraphSpec against Graph.pageRank directly — a
+    // no-oracle entry costing ~2 bench seconds per round carried no
+    // information the exact twins don't.
+    // the fixed-point power iteration in longs — every operation an
     // order-independent integer add/multiply/floor-div, so the iterative
     // graph loop rides the HASH GATE (impossible for the double version:
     // shuffle-order-dependent summation); the mirror unrolls the
@@ -1144,6 +1142,19 @@ object SparkEntry {
     // vector — the tiled all-pairs shape with a label-inequality filter
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Sources.table(s, dir, "embeddings"))),
+    // the ANN route for the SAME task — IVF shortlist (equi-join on the
+    // cell id, never a cross product), label filter, exact re-rank; the
+    // generated mirror replays the trained centroids as a VALUES CTE so
+    // the whole probe pipeline rides the hash gate; recall vs the exact
+    // entry is spec-bound in SimilaritySpec
+    "q_hard_negatives_ann" -> ((s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val cents = ivfCentroids.getOrElseUpdate(dir,
+        ArtifactStore.ivfCentroids(s, dir, "ivf-c16-s42")(
+          Similarity.trainIvfCentroids(emb)))
+      lastIvfDir.set(dir)
+      Similarity.hardNegativesAnn(emb, cents)
+    }),
     "q_lsh_knn" -> ((s, dir) =>
       Similarity.lshTopK(Sources.table(s, dir, "embeddings"))),
     "q_ivf_knn" -> ((s, dir) => {
@@ -2187,6 +2198,104 @@ object SparkEntry {
        |$rs
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds
        |WHERE dist IS NOT NULL ORDER BY dist, node""".stripMargin
+  }
+
+  /** Renders a Double as a DuckDB DOUBLE literal on the strtod path
+    * (bare many-digit literals parse as DECIMAL, whose DECIMAL→DOUBLE
+    * conversion can land one ulp off): the shortest round-trip
+    * `toString`, exponent-suffixed when not already scientific. */
+  private def dblSql(v: Double): String = {
+    val s = v.toString
+    val body = if (s.contains('E')) s.replace("E", "e") else s + "e0"
+    s"CAST($body AS DOUBLE)"
+  }
+
+  /** The cached IVF centroids ([[ivfCentroids]] at [[lastIvfDir]])
+    * rendered for [[hardNegativesAnnSql]]: the (cell, 1-based pos,
+    * component-as-double) VALUES body plus the per-cell norm VALUES body
+    * — each component is the FLOAT's exact double widening and each norm
+    * is [[graft.ext.Similarity.centroidNorm]]'s exact driver double, so
+    * the mirror's cell scores are bit-identical to the literals Spark's
+    * plan carries. Degenerate typed stubs when nothing is cached. */
+  private def ivfRendered: (String, String) = {
+    val cents = Option(lastIvfDir.get).flatMap(ivfCentroids.get)
+      .getOrElse(Array.empty[Array[Float]])
+    if (cents.isEmpty)
+      ("(SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), " +
+         "CAST(NULL AS DOUBLE) WHERE false)",
+       "(SELECT CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) WHERE false)")
+    else {
+      val cv = cents.indices.flatMap(c => cents(c).indices.map(p =>
+        s"($c, ${p + 1}, ${dblSql(cents(c)(p).toDouble)})")).mkString(", ")
+      val cn = cents.indices.map(c =>
+        s"($c, ${dblSql(graft.ext.Similarity.centroidNorm(cents(c)))})")
+        .mkString(", ")
+      (s"(VALUES $cv)", s"(VALUES $cn)")
+    }
+  }
+
+  /** GENERATED mirror for `q_hard_negatives_ann`: the trained IVF
+    * centroids replay as VALUES CTEs (the bpe/compression discipline) and
+    * DuckDB recomputes the IDENTICAL pipeline — per-(vector, cell) dot
+    * against the centroid literals (index-order sum ≡ [[graft.ext
+    * .VecExpressions]]' accumulation), the zero-dot canonicalization, the
+    * (negdot, cell) argmin assignment and nProbe probe list, the
+    * label-filtered shortlist, and the exact cosine re-rank — so the hash
+    * gate certifies the whole ANN route row-by-row (approximation vs the
+    * exact entry is a property of the ALGORITHM, which both engines run;
+    * recall against `q_hard_negatives` is spec-bound separately). */
+  private def hardNegativesAnnSql: String = {
+    val (cv, cn) = ivfRendered
+    s"""WITH cv(cell, pos, v) AS $cv,
+       |cn(cell, nrm) AS $cn,
+       |dt AS (
+       |  SELECT e.vec_id, c.cell,
+       |    sum(CAST(e.embedding[c.pos] AS DOUBLE) * c.v) AS dt
+       |  FROM embeddings e, cv c
+       |  GROUP BY 1, 2),
+       |sn AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CASE WHEN d.dt = 0 THEN CAST(0e0 AS DOUBLE)
+       |         ELSE -(d.dt) / n.nrm END AS negdot
+       |  FROM dt d JOIN cn n USING (cell)),
+       |rk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY negdot, cell) AS rn
+       |  FROM sn),
+       |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+       |pr AS (SELECT vec_id, cell FROM rk
+       |       WHERE rn <= ${graft.ext.Similarity.HardNegAnnProbes}),
+       |cand AS (
+       |  SELECT q.vec_id, qe.label, a.vec_id AS neg_id,
+       |    ae.label AS neg_label
+       |  FROM pr q JOIN asg a USING (cell)
+       |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+       |  WHERE qe.label <> ae.label),
+       |sim AS (
+       |  SELECT cd.vec_id, cd.label, cd.neg_id, cd.neg_label,
+       |    sum(CAST(qe.embedding[t.i] AS DOUBLE)
+       |      * CAST(ae.embedding[t.i] AS DOUBLE)) AS dot,
+       |    sum(CAST(qe.embedding[t.i] AS DOUBLE)
+       |      * CAST(qe.embedding[t.i] AS DOUBLE)) AS nq,
+       |    sum(CAST(ae.embedding[t.i] AS DOUBLE)
+       |      * CAST(ae.embedding[t.i] AS DOUBLE)) AS nc
+       |  FROM cand cd
+       |  JOIN embeddings qe ON qe.vec_id = cd.vec_id
+       |  JOIN embeddings ae ON ae.vec_id = cd.neg_id,
+       |  generate_series(1, 64) t(i)
+       |  GROUP BY 1, 2, 3, 4),
+       |r AS (
+       |  SELECT vec_id, label, neg_id, neg_label,
+       |    dot / (sqrt(nq) * sqrt(nc)) AS sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, neg_id) AS rank
+       |  FROM sim WHERE nq > 0 AND nc > 0)
+       |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neg_id,
+       |  neg_label, floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
+       |FROM r WHERE rank <= ${graft.ext.Similarity.HardNegativesK}
+       |ORDER BY vec_id, rank""".stripMargin
   }
 
   /** Generated mirror for `q_benford`: the expected-probability list and
@@ -5239,6 +5348,9 @@ object SparkEntry {
          |  neg_label, floor(sim * 10000 + 0.5) / 10000 AS cosine_sim
          |FROM r WHERE rank <= ${Similarity.HardNegativesK}
          |ORDER BY vec_id, rank""".stripMargin,
+    // the ANN route's generated mirror: trained centroids as VALUES CTEs,
+    // identical assignment/probe/shortlist/re-rank pipeline in SQL
+    "q_hard_negatives_ann" -> hardNegativesAnnSql,
     // token-budget selection: the mirror is the NAIVE single-window prefix
     // sum the Spark side decomposes (bounded buckets + boundary window) —
     // the hash gate proves the decomposition ≡ the global running total

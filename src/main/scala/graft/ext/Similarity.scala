@@ -217,10 +217,19 @@ object Similarity {
       seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = embeddings.withColumn("features",
+    val sample = embeddings.filter(col("vec_id") % 3 === 0)
+    // MLlib KMeans CRASHES (AIOOBE in euclideanUpdateInPlace) when the
+    // sample holds fewer DISTINCT points than k — cap k by the distinct
+    // count (bounded probe: limit k+1 rows). A tiny/degenerate corpus
+    // just trains a smaller quantizer; every consumer already sizes
+    // cells from centroids.length.
+    val distinct = sample.select("embedding").distinct()
+      .limit(cells + 1).count().toInt
+    val k = math.max(1, math.min(cells, distinct))
+    val featured = sample.withColumn("features",
       array_to_vector(col("embedding")))
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5)
-      .fit(featured.filter(col("vec_id") % 3 === 0))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .fit(featured)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
@@ -234,14 +243,22 @@ object Similarity {
     * norm (not the row norm, constant per row) is what makes the argmin
     * cosine-consistent. */
   private def cellScores(emb: Column, centroids: Array[Array[Float]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.toIndexedSeq.map(lit): _*)
-      val cNorm = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-      // an all-zero trained centroid would make this an ANSI /0 at runtime;
-      // dividing by 1 keeps its score a consistent 0 for the argmin
-      val safeNorm = if (cNorm == 0.0) 1.0 else cNorm
-      struct((-dot(emb, cCol) / lit(safeNorm)).as("negdot"), lit(i).as("cell"))
-    }.toIndexedSeq: _*)
+    VecExpressions.ivfCellScores(emb,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        centroids.map(c =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(c)
+            : Seq[Float])),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        centroids.map(centroidNorm)))
+
+  /** The centroid-norm constant [[cellScores]] divides by (1 for an
+    * all-zero trained centroid — an ANSI /0 guard that keeps its score a
+    * consistent 0 for the argmin); exposed so the generated mirror renders
+    * the IDENTICAL double (same index-order accumulation + IEEE sqrt). */
+  private[graft] def centroidNorm(c: Array[Float]): Double = {
+    val n = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    if (n == 0.0) 1.0 else n
+  }
 
   /** Corpus → (vec_id, embedding, cell): a single narrow projection — the
     * plan between the scan and the cell column has no join/expand/generate
@@ -382,6 +399,63 @@ object Similarity {
     val scored = q.hint("shuffle_replicate_nl").crossJoin(c)
       .filter(col("label") =!= col("neg_label"))
       .select(col("vec_id"), col("neg_id"),
+        when(col("q_n") * col("c_n") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("embedding"), col("c_emb")) /
+            (col("q_n") * col("c_n")))
+          .as("sim"))
+      .filter(col("sim").isNotNull)
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    TopK.topKPerGroup(scored, "vec_id", "sim", "neg_id", k)
+      .join(lab, Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), Seq("neg_id"))
+      .select(col("vec_id"), col("label"), col("rank"), col("neg_id"),
+        col("neg_label"), round2(col("sim"), 4).as("cosine_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Probe-list size for [[hardNegativesAnn]] (cells scanned per query
+    * vector), shared with the generated mirror. */
+  val HardNegAnnProbes = 4
+
+  /** ANN-routed hard-negative mining — the 100 TB path for the task
+    * [[hardNegatives]] anchors exactly: instead of the tiled all-pairs
+    * CartesianProduct, every vector probes only the [[HardNegAnnProbes]]
+    * IVF cells whose (pre-trained) centroids are nearest, label-filters
+    * the shortlist, and exactly re-ranks within it — the [[pqTopK]]/
+    * [[ivfTopK]] serving discipline applied corpus-wide. Candidate mass
+    * is N·(N·nProbe/cells) instead of N²: `cells` grows with the corpus
+    * (√N is the standard IVF sizing), so the scan fraction nProbe/cells
+    * shrinks as data grows — the join itself is a plain EQUI-join on the
+    * cell id (AQE-sizable/skew-splittable), never a cross product.
+    *
+    * Exactness WITHIN the algorithm (approximate vs [[hardNegatives]],
+    * whose recall is spec-bound): assignment and probing reuse
+    * [[cellScores]] — one codegen'd dot per (row, cell) against centroid
+    * LITERALS, zero shuffle — and the generated DuckDB mirror replays the
+    * trained centroids as a VALUES CTE (the bpe/compression generated-
+    * oracle discipline), recomputing the identical argmin/probe lists and
+    * shortlist cosines, so the hash gate certifies the whole
+    * probe → label-filter → re-rank pipeline row-by-row. An exactly-zero
+    * cell dot is canonicalized to +0.0 before negation (Spark's struct
+    * ordering puts -0.0 < 0.0; DuckDB's does not). */
+  def hardNegativesAnn(embeddings: DataFrame,
+      centroids: Array[Array[Float]], k: Int = HardNegativesK,
+      nProbe: Int = HardNegAnnProbes): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_n"),
+      array_min(cellScores(col("embedding"), centroids)).getField("cell")
+        .as("cell"))
+    val queries = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"), norm(col("embedding")).as("q_n"),
+      explode(slice(
+        transform(array_sort(cellScores(col("embedding"), centroids)),
+          s => s.getField("cell")), 1, nProbe)).as("cell"))
+    val scored = queries.join(corpus, "cell")
+      .filter(col("label") =!= col("neg_label"))
+      .select(col("vec_id"), col("neg_id"),
+        // zero-norm edge → NULL (the cosine() contract): ANSI /0 throws
         when(col("q_n") * col("c_n") === 0.0, lit(null).cast("double"))
           .otherwise(dot(col("embedding"), col("c_emb")) /
             (col("q_n") * col("c_n")))

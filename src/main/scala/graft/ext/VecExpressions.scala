@@ -249,6 +249,55 @@ case class PqAdcScore(child: Expression, lut: Seq[Double], cn2: Seq[Double],
     copy(child = newChild)
 }
 
+/** All IVF cells scored against one `array<float>` embedding as
+  * `array<struct<negdot: double, cell: int>>`, cell-ordered — the trained
+  * coarse quantizer rides the expression as CONSTRUCTOR data (the
+  * [[PqEncode]] discipline), so the generated code is one call instead of
+  * a cells × dim literal tree: inlining 16 × 64 array literals made
+  * Janino whole-stage compilation the DOMINANT query cost (measured 13 s
+  * compiled vs 2.4 s interpreted at sf0.1 — the compile, not the math).
+  * Per cell: dot accumulates in index order (bit-identical to
+  * [[VecDotProduct]]); `negdot = -dot / norm` with an exactly-zero dot
+  * canonicalized to +0.0 (Spark's struct order ranks -0.0 below +0.0,
+  * DuckDB's does not — the mirror replays this CASE verbatim). `norms`
+  * are [[graft.ext.Similarity.centroidNorm]]'s driver doubles. */
+case class IvfCellScores(child: Expression, centroids: Seq[Seq[Float]],
+    norms: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("negdot", DoubleType, nullable = false)
+      .add("cell", org.apache.spark.sql.types.IntegerType, nullable = false),
+    containsNull = false)
+  override def prettyName: String = "ivf_cell_scores"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val nrm: Array[Double] = norms.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val out = new Array[Any](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(a.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+      val negdot = if (s == 0.0) 0.0 else -s / nrm(c)
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(negdot, c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Column-level dot product backed by [[VecDotProduct]]. Inputs must be
     * `array<float>` columns (embedding vectors). */
@@ -268,6 +317,13 @@ object VecExpressions {
   /** PQ code bytes of an `array<float>` column against trained codebooks. */
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+
+  /** Cell-ordered `array<struct<negdot, cell>>` IVF scores of an
+    * `array<float>` column against trained centroids. */
+  def ivfCellScores(v: Column, centroids: Seq[Seq[Float]],
+      norms: Seq[Double]): Column =
+    ColumnBridge.column(IvfCellScores(ColumnBridge.expression(v),
+      centroids, norms))
 
   /** ADC approximate cosine of an `array<tinyint>` PQ-codes column. */
   def pqAdcScore(codes: Column, lut: Seq[Double], cn2: Seq[Double],

@@ -301,6 +301,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
+    "q_hard_negatives_ann",
     "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
     "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift")
 

@@ -58,8 +58,25 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-12) }
   }
 
-  test("q_pagerank entry runs over the co-purchase graph") {
-    val df = SparkEntry.queries("q_pagerank")(spark, sf("sf0.001"))
+  /** The retired `q_pagerank` float entry, rebuilt locally: the 1e-9
+    * reference proof below is the reason the float twin still exists —
+    * the QUERY surface carries only the hash-gated exact twins
+    * (q_pagerank_exact / q_ppr_exact) since r13. */
+  private def floatPageRank(dir: String) = {
+    val e = graft.ingest.Sources.events(spark, dir)
+    val pairs = graft.ops.EventQueries
+      .basketPairs(e, minSupport = 2, sorted = false)
+      .select(col("item1"), col("item2"))
+    val edges = pairs
+      .select(col("item1").as("src"), col("item2").as("dst"))
+      .union(pairs.select(col("item2").as("src"), col("item1").as("dst")))
+    Graph.pageRank(edges)
+      .select(col("node"), graft.Exprs.round2(col("rank"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  test("float pagerank runs over the co-purchase graph") {
+    val df = floatPageRank(sf("sf0.001"))
     val rows = df.collect()
     assert(rows.nonEmpty)
     val total = rows.map(_.getDouble(1)).sum
@@ -125,12 +142,12 @@ class GraphSpec extends SparkSpec {
       s"seed mass ${seedMass / got.values.sum} not concentrated")
   }
 
-  test("q_pagerank_exact agrees with q_pagerank on the real graph: " +
-    "per-node ranks within floor-drift tolerance") {
+  test("q_pagerank_exact agrees with the float power iteration on the " +
+    "real graph: per-node ranks within floor-drift tolerance") {
     val s = Graph.FixedPointScale.toDouble
     val fp = SparkEntry.queries("q_pagerank_exact")(spark, sf("sf0.001"))
       .as[(String, Long)].collect().toMap
-    val dbl = SparkEntry.queries("q_pagerank")(spark, sf("sf0.001"))
+    val dbl = floatPageRank(sf("sf0.001"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(fp.nonEmpty && fp.keySet == dbl.keySet)
     // q_pagerank rounds to 8dp, so the comparison tolerance is that

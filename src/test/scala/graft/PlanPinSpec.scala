@@ -28,7 +28,7 @@ class PlanPinSpec extends SparkSpec {
     * streaming entries excluded). Each must stay free of quadratic join
     * shapes. */
   private val pinned = Seq(
-    "q_pagerank", "q_pagerank_exact", "q_dup_clusters_star",
+    "q_pagerank_exact", "q_dup_clusters_star",
     "q_dup_clusters", "q_cluster_keepers",
     "q_kcore", "q_bfs_hops", "q_session_concurrency", "q_jaccard_curve",
     "q_profile_events", "q_ngram_jaccard", "q_revenue_by_nation_salted",

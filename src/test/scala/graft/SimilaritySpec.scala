@@ -122,6 +122,30 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact ivf=$ivf")
   }
 
+  test("hardNegativesAnn: the IVF-shortlist route holds recall vs the " +
+      "exact tiled entry and plans as an equi-join, never a cross product") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb)
+    val exact = Similarity.hardNegatives(emb)
+      .select("vec_id", "neg_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.hardNegativesAnn(emb, cents)
+    val annRows = ann.collect() // collect FIRST: AQE final plan
+    val annSet = annRows.map(r => (r.getLong(0), r.getLong(3))).toSet
+    // every vector emits rows on both routes (labels are dense here)
+    assert(annRows.map(_.getLong(0)).distinct.length ==
+      exact.map(_._1).size)
+    val recall = (exact intersect annSet).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall $recall below the nProbe=4/16-cells floor " +
+        s"(exact=${exact.size} hit=${(exact intersect annSet).size})")
+    // the 100 TB property: candidate generation is an EQUI-join on the
+    // cell id — no CartesianProduct, no BNLJ anywhere in the plan
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN route must never be quadratic:\n$plan")
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val all = emb.as[(Long, Array[Float])].collect().toMap
     val q = Similarity.quantizeInt8(emb)
