@@ -35,6 +35,31 @@ object Bench {
       spark.range(2000000L).selectExpr("sum(id * 2)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Streaming-harness FLOOR: the fixed start/drain/stop cost of a
+    // MINIMAL file stream (1-row parquet, pass-through transform, memory
+    // sink, fresh checkpoint) — the slowest bench entries include ~9
+    // streaming queries whose time is dominated by this constant, not by
+    // operator work; recording it lets a reader subtract harness from
+    // operator cost instead of misreading fixed cost as a plan change.
+    val harnessFloor = {
+      val dir = java.nio.file.Files.createTempDirectory("bench-hprobe")
+      try {
+        val src = dir.resolve("src").toString
+        spark.range(1).toDF("id").write.mode("overwrite").parquet(src)
+        val schema = spark.read.parquet(src).schema
+        (1 to 3).map { i =>
+          val t0 = System.nanoTime()
+          val q = spark.readStream.schema(schema).parquet(src)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(s"bench_hprobe_$i")
+            .option("checkpointLocation", dir.resolve(s"ck$i").toString)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch { case _: Throwable => -1.0 }
+      finally Fs.deleteQuietly(dir)
+    }
     // Per-query byte accounting ("measure, don't guess"): task-metric
     // totals for shuffle read and scan input, attributed to the query
     // running between two listener-bus drains. Bytes are plan-determined
@@ -124,11 +149,20 @@ object Bench {
     def mbMap(m: collection.Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + math.round(v * 10) / 10.0 }.mkString("{", ",", "}")
+    // CALIBRATION-ADJUSTED seconds (t ÷ calibration, i.e. "how many
+    // calibration probes long"): the r12↔r11 totals were confounded by a
+    // 1.7× rig-load delta that had to be decomposed by hand — recording
+    // both units makes round-over-round diffs rig-independent. -1
+    // failure sentinels pass through un-normalized.
+    val calAdjTotal = math.round(total / calibration * 1000) / 1000.0
+    val calAdj = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      val adj = if (v < 0) -1.0 else math.round(v / calibration * 1000) / 1000.0
+      s"\"" + k + "\":" + adj }.mkString("{", ",", "}")
     // total_comparable: false whenever ANY query failed — the total then
     // silently excludes the failed queries' time and must not be compared
     // against a clean round's record (the r9 lesson: 14 failures made a
     // 106s total look like an improvement over r8's 117s).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"sf":"$sfDir","queries":$qs,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","queries":$qs,"cal_adjusted":$calAdj,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
@@ -149,7 +183,7 @@ object Bench {
     // "parsed": null) — a file read is prefix- and truncation-proof.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":$calibration,"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
       (headline + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>

@@ -42,7 +42,11 @@ object Scaling {
     // risk class) and the new heaviest graph entry
     "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact",
     // the prefix-filtered exact-verify scheme vs its naive siblings
-    "q_jaccard_prefix")
+    "q_jaccard_prefix",
+    // r13: embeddings-bound — the ANN hard-negative route must show
+    // sub-quadratic candidate mass (cells scale as √N, so the scanned
+    // fraction nProbe/cells SHRINKS as the corpus grows)
+    "q_hard_negatives_ann")
 
   /** Measured scales: 1× is the baseline, 10× the first decade, 30× the
     * second (r11 verdict: at 10× the 1× baseline under-utilizes 32 cores,
@@ -149,13 +153,35 @@ object Scaling {
     if (java.nio.file.Files.exists(root.resolve("_done"))) return
     java.nio.file.Files.createDirectories(root)
     graft.model.TestdataContract.expected.keys
-      .filterNot(t => t == "events" || t == "documents").foreach { t =>
+      .filterNot(t => t == "events" || t == "documents" || t == "embeddings")
+      .foreach { t =>
         val link = root.resolve(s"$t.parquet")
         if (!java.nio.file.Files.exists(link,
             java.nio.file.LinkOption.NOFOLLOW_LINKS))
           java.nio.file.Files.createSymbolicLink(link,
             java.nio.file.Paths.get(s"$sf01/$t.parquet"))
       }
+
+    // embeddings: copy-shifted vec_ids, each copy's vectors ROTATED by
+    // copy % dim positions — distinct vectors (no degenerate exact-dup
+    // corpus), norms and pairwise structure preserved within a copy,
+    // labels carried — the shape an embedding store grows with, at
+    // realistic file granularity
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val embCopies = spark.range(copies).select(col("id").as("copy"))
+    emb.crossJoin(broadcast(embCopies))
+      .select((col("vec_id") + col("copy") * maxVec).as("vec_id"),
+        expr("""CASE WHEN copy % 64 = 0 THEN embedding
+               |ELSE concat(
+               |  slice(embedding, CAST(copy % 64 AS INT) + 1,
+               |    64 - CAST(copy % 64 AS INT)),
+               |  slice(embedding, 1, CAST(copy % 64 AS INT))) END"""
+          .stripMargin.replace("\n", " ")).cast("array<float>")
+          .as("embedding"),
+        col("label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     val ev = graft.ingest.Sources.events(spark, sf01)
     val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1

@@ -60,11 +60,13 @@ object SparkEntry {
   private val ivfCentroids =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]
 
-  /** The sfDir whose IVF centroids [[hardNegativesAnnSql]] renders — set
-    * by every `q_hard_negatives_ann` evaluation (the lastBpeDir
-    * discipline: the generated mirror must be keyed to the dataset under
-    * verification, not an arbitrary TrieMap entry). */
-  private val lastIvfDir =
+  /** The `dir#c<cells>` cache key whose IVF centroids
+    * [[hardNegativesAnnSql]] renders — set by every
+    * `q_hard_negatives_ann` evaluation (the lastBpeDir discipline: the
+    * generated mirror must be keyed to the dataset under verification,
+    * not an arbitrary TrieMap entry). The key carries the cell count
+    * because `q_ivf_knn` (fixed 16) shares the TrieMap. */
+  private val lastIvfKey =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Unigram vocabulary cached per sfDir — see [[graft.ext.TextOps.trainUnigramVocab]]. */
@@ -956,8 +958,11 @@ object SparkEntry {
     // teacher-vs-student agreement report (the distillation fidelity gate)
     "q_nb_quality_score" -> ((s, dir) => {
       val d = Sources.table(s, dir, "documents")
+      // artifact name v2: the teacher rule changed in r13 (case-
+      // insensitive alpha class) — a persisted v1 artifact trained under
+      // the lowercase-only rule must not serve the new teacher
       val (vt, w) = nbWeights.getOrElseUpdate(dir,
-        ArtifactStore.unigramVocab(s, dir, s"nbq-v${TextOps.DsirMaxVocab}")(
+        ArtifactStore.unigramVocab(s, dir, s"nbq2-v${TextOps.DsirMaxVocab}")(
           TextOps.trainNbQuality(d)))
       lastNbDir.set(dir)
       TextOps.nbQualityScores(d, vt, w)
@@ -1146,13 +1151,21 @@ object SparkEntry {
     // cell id, never a cross product), label filter, exact re-rank; the
     // generated mirror replays the trained centroids as a VALUES CTE so
     // the whole probe pipeline rides the hash gate; recall vs the exact
-    // entry is spec-bound in SimilaritySpec
+    // entry is spec-bound in SimilaritySpec. Cells scale as √N (the
+    // standard IVF sizing): the scanned fraction nProbe/cells SHRINKS as
+    // the corpus grows, making candidate mass N^1.5·nProbe — the
+    // sub-quadratic property SCALING measures. The count is one cheap
+    // aggregate; the cache key carries the cell count so the fixed-16
+    // q_ivf_knn artifact is never cross-served.
     "q_hard_negatives_ann" -> ((s, dir) => {
       val emb = Sources.table(s, dir, "embeddings")
-      val cents = ivfCentroids.getOrElseUpdate(dir,
-        ArtifactStore.ivfCentroids(s, dir, "ivf-c16-s42")(
-          Similarity.trainIvfCentroids(emb)))
-      lastIvfDir.set(dir)
+      val cells = math.max(16,
+        math.sqrt(emb.count().toDouble).toInt)
+      val key = s"$dir#c$cells"
+      val cents = ivfCentroids.getOrElseUpdate(key,
+        ArtifactStore.ivfCentroids(s, dir, s"ivf-c$cells-s42")(
+          Similarity.trainIvfCentroids(emb, cells)))
+      lastIvfKey.set(key)
       Similarity.hardNegativesAnn(emb, cents)
     }),
     "q_lsh_knn" -> ((s, dir) =>
@@ -1160,7 +1173,7 @@ object SparkEntry {
     "q_ivf_knn" -> ((s, dir) => {
       val emb = Sources.table(s, dir, "embeddings")
       Similarity.ivfTopK(emb,
-        ivfCentroids.getOrElseUpdate(dir,
+        ivfCentroids.getOrElseUpdate(s"$dir#c16",
           ArtifactStore.ivfCentroids(s, dir, "ivf-c16-s42")(
             Similarity.trainIvfCentroids(emb))),
         queryVecId = 0L, k = 10, nProbe = 4)
@@ -1541,7 +1554,7 @@ object SparkEntry {
   // null-out)
   private val GopherAlphaSql =
     "floor(((CAST(length(text) " +
-      "- length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)) " +
+      "- length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)) " +
       "/ CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000"
   private val GopherMwlSql =
     "floor((CAST(length(text) - (len(string_split(text, ' ')) - 1) " +
@@ -1616,12 +1629,17 @@ object SparkEntry {
 
   private def crossEntropySql: String = {
     val (vocabCte, oov) = ceVocabRendered
+    // n_docs counts doc ROWS per source (ADVICE r12: a distinct over the
+    // token stream would diverge from Spark's per-doc-row count if a
+    // fuzz frame ever planted a duplicated doc_id); the re-attach join is
+    // null-safe on source (the fuzzer-found null-strata class)
     s"""WITH v(tok, qc) AS $vocabCte,
        |tok AS (SELECT doc_id, source,
        |          unnest(string_split(text, ' ')) AS tok
        |        FROM documents WHERE text IS NOT NULL),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM documents WHERE text IS NOT NULL GROUP BY 1),
        |sc AS (SELECT source,
-       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |         CAST(count(*) AS BIGINT) AS n_tokens,
        |         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT)
        |           AS n_oov,
@@ -1629,11 +1647,12 @@ object SparkEntry {
        |             + count(*) FILTER (WHERE v.tok IS NULL) * $oov
        |           AS BIGINT) AS cost_micro
        |       FROM tok t LEFT JOIN v USING (tok) GROUP BY 1)
-       |SELECT source, n_docs, n_tokens, n_oov, cost_micro,
+       |SELECT sc.source, nd.n_docs, sc.n_tokens, sc.n_oov, sc.cost_micro,
        |  floor(((CAST(cost_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE))
        |      / CAST(${TextOps.DsirLogScale} AS DOUBLE)) * 1000000 + 0.5)
        |    / 1000000 AS nats_per_token
-       |FROM sc ORDER BY source NULLS LAST""".stripMargin
+       |FROM sc JOIN nd ON sc.source IS NOT DISTINCT FROM nd.source
+       |ORDER BY sc.source NULLS LAST""".stripMargin
   }
 
   /** GENERATED mirror for `q_lm_outliers` — the [[crossEntropySql]]
@@ -2210,7 +2229,7 @@ object SparkEntry {
     s"CAST($body AS DOUBLE)"
   }
 
-  /** The cached IVF centroids ([[ivfCentroids]] at [[lastIvfDir]])
+  /** The cached IVF centroids ([[ivfCentroids]] at [[lastIvfKey]])
     * rendered for [[hardNegativesAnnSql]]: the (cell, 1-based pos,
     * component-as-double) VALUES body plus the per-cell norm VALUES body
     * — each component is the FLOAT's exact double widening and each norm
@@ -2218,7 +2237,7 @@ object SparkEntry {
     * the mirror's cell scores are bit-identical to the literals Spark's
     * plan carries. Degenerate typed stubs when nothing is cached. */
   private def ivfRendered: (String, String) = {
-    val cents = Option(lastIvfDir.get).flatMap(ivfCentroids.get)
+    val cents = Option(lastIvfKey.get).flatMap(ivfCentroids.get)
       .getOrElse(Array.empty[Array[Float]])
     if (cents.isEmpty)
       ("(SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), " +
@@ -5213,22 +5232,30 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mixed-payload decode: doc_id % 3 == 0 rows are real PNGs (dims from
-    // doc_id arithmetic, 3 bands), the rest take the fallback (dims from
+    // mixed-payload decode: doc_id % 3 == 0 rows are real PNGs, % 3 == 1
+    // rows real JPEGs (SECOND real codec, its own dimension moduli — the
+    // arithmetic distinguishes the routes; JPEG dims/bands survive the
+    // lossy round trip exactly), the rest take the fallback (dims from
     // the UTF-8 byte length; null text → null payload → all-zero stub
     // row, the fuzzer-found null-payload class) — the same pmod routing
     // split cross-engine certifies the magic-byte sniff row-by-row
     "q_media_decode" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0
         |       THEN CAST(1 + ((doc_id % 16) + 16) % 16 AS BIGINT)
+        |       WHEN ((doc_id % 3) + 3) % 3 = 1
+        |       THEN CAST(1 + ((doc_id % ${Multimodal.JpegWMod})
+        |         + ${Multimodal.JpegWMod}) % ${Multimodal.JpegWMod} AS BIGINT)
         |       ELSE CAST(COALESCE(strlen(text), 0) % 640 AS BIGINT)
         |  END AS width,
         |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0
         |       THEN CAST(1 + ((doc_id % 8) + 8) % 8 AS BIGINT)
+        |       WHEN ((doc_id % 3) + 3) % 3 = 1
+        |       THEN CAST(1 + ((doc_id % ${Multimodal.JpegHMod})
+        |         + ${Multimodal.JpegHMod}) % ${Multimodal.JpegHMod} AS BIGINT)
         |       ELSE CAST(COALESCE(strlen(text), 0) % 480 AS BIGINT)
         |  END AS height,
-        |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN CAST(3 AS BIGINT)
+        |  CASE WHEN ((doc_id % 3) + 3) % 3 <= 1 THEN CAST(3 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the real-codec round trip: the mirror recomputes the doc_id-derived
@@ -5242,21 +5269,24 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // pixel-exact mirror: every decoded luma recomputes from the id
-    // arithmetic synthesizePng painted ((id*2654435761 + 31x + y) masked
-    // to 24 bits), the mean is truncating // on non-negative longs, and
-    // the aHash packs as a sum of distinct powers of two ≡ bitwise OR
+    // arithmetic synthesizePng painted ((seed*2654435761 + 31x + y)
+    // masked to 24 bits, seed = floorMod(doc_id, 2^24) — the masked seed
+    // keeps the multiply inside int64 in BOTH engines for ANY doc_id),
+    // the mean is truncating // on non-negative longs, and the aHash
+    // packs as a sum of distinct powers of two ≡ bitwise OR
     "q_media_ahash" ->
       s"""WITH dims AS (
          |  SELECT doc_id, 1 + ((doc_id % 16) + 16) % 16 AS w,
-         |    1 + ((doc_id % 8) + 8) % 8 AS h
+         |    1 + ((doc_id % 8) + 8) % 8 AS h,
+         |    ((doc_id % 16777216) + 16777216) % 16777216 AS seed
          |  FROM documents),
          |xs AS (
-         |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+         |  SELECT doc_id, w, h, seed, unnest(generate_series(0, w - 1)) AS x
          |  FROM dims),
          |px AS (
          |  SELECT doc_id, y * w + x AS i,
-         |    (doc_id * 2654435761 + x * 31 + y) & 16777215 AS v
-         |  FROM (SELECT doc_id, w, x,
+         |    (seed * 2654435761 + x * 31 + y) & 16777215 AS v
+         |  FROM (SELECT doc_id, w, x, seed,
          |          unnest(generate_series(0, h - 1)) AS y
          |        FROM xs)),
          |lum AS (
@@ -5422,7 +5452,7 @@ object SparkEntry {
          |SELECT new_cid AS cid, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN seed <> new_cid THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_moved,
-         |  CAST(sum(d2) AS BIGINT) AS inertia
+         |  CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
          |FROM kw GROUP BY 1 ORDER BY cid NULLS LAST""".stripMargin,
     // same assignment prologue (shared-CTE discipline); the per-cluster
     // top-k is rank-filtered exactly like Spark's WindowGroupLimit plan

@@ -304,18 +304,53 @@ object Dedup {
         .orderBy(col("df"), col("h"))).cast("long"))
       .filter(col("rk") <= col("sz") -
         expr(s"(sz * $PrefixTNum + $PrefixTDen - 1) div $PrefixTDen") + 1)
-    val cands = prefix.select(col("doc_id").as("doc1"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc2"), col("h")), "h")
+    // PPJoin's two remaining filters (Xiao et al. 2008), both applied
+    // BEFORE the expensive verify join — the naive mirror certifies that
+    // neither loses a ≥t pair:
+    //  LENGTH: J ≥ num/den and common ≤ min(sz1, sz2) force
+    //    num·max(sz1, sz2) ≤ den·min(sz1, sz2) — exact integer test.
+    //  POSITIONAL: at the FIRST (df, h)-ordered shingle the two PREFIXES
+    //    share (positions p1, p2), no common shingle precedes it in
+    //    EITHER doc (an earlier common shingle would itself be prefix-
+    //    shared in both — contradiction with minimality), so overlap ≤
+    //    1 + min(sz1 − p1, sz2 − p2); require that upper bound to reach
+    //    the threshold overlap: (den+num)·ubound ≥ num·(sz1+sz2).
+    // Carrying (rk, sz) through the candidate join costs two longs per
+    // prefix row; the payoff is candidate AND verify mass bounded by the
+    // pairs that can still pass — the verify stage was the board's
+    // highest absolute shuffle (21 MB sf0.1 / 707 MB at 30×).
+    val p1 = prefix.select(col("doc_id").as("doc1"), col("h"), col("df"),
+      col("rk").as("rk1"), col("sz").as("sz1"))
+    val p2 = prefix.select(col("doc_id").as("doc2"), col("h"),
+      col("rk").as("rk2"), col("sz").as("sz2"))
+    val cands = p1.join(p2, "h")
       .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2")
-      .distinct()
-    val ka = kept.select(col("doc_id").as("doc1"), col("h"),
-      col("sz").as("sz1"))
-    val kb = kept.select(col("doc_id").as("doc2"), col("h"),
-      col("sz").as("sz2"))
-    cands.join(ka, "doc1").join(kb, Seq("doc2", "h"))
+      .filter(lit(PrefixTNum) * greatest(col("sz1"), col("sz2")) <=
+        lit(PrefixTDen) * least(col("sz1"), col("sz2")))
       .groupBy(col("doc1"), col("doc2"), col("sz1"), col("sz2"))
-      .agg(count(lit(1)).as("common"))
+      .agg(min(struct(col("df"), col("h"), col("rk1"), col("rk2")))
+        .as("fm"))
+      .filter(lit(PrefixTDen + PrefixTNum) *
+        (lit(1L) + least(col("sz1") - col("fm.rk1"),
+          col("sz2") - col("fm.rk2"))) >=
+        lit(PrefixTNum) * (col("sz1") + col("sz2")))
+      .select("doc1", "doc2", "sz1", "sz2")
+    // VERIFY ships each doc's kept-shingle SET as ONE sorted array (the
+    // hashes are the per-doc DISTINCT set by construction, so
+    // |array_intersect| ≡ the h-join match count): a candidate row
+    // carries 8 bytes per shingle instead of a ~40-byte
+    // (doc1, doc2, sz1, sz2, h) row per shingle — the verify re-join was
+    // the board's highest absolute shuffle before this.
+    val sets = kept.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+    cands
+      .join(sets.select(col("doc_id").as("doc1"), col("hs").as("hs1")),
+        "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("hs").as("hs2")),
+        "doc2")
+      .select(col("doc1"), col("doc2"), col("sz1"), col("sz2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+          .as("common"))
       .filter(lit(PrefixTDen + PrefixTNum) * col("common") >=
         lit(PrefixTNum) * (col("sz1") + col("sz2")))
       .select(col("doc1"), col("doc2"), col("sz1"), col("sz2"),

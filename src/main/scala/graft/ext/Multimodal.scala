@@ -66,6 +66,18 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** BufferedImage → baseline JPEG bytes via the JDK's own writer — the
+      * second REAL in-sandbox codec (the r11 rule: javax.imageio ships
+      * PNG/JPEG/GIF/BMP). JPEG is LOSSY: dimensions and band count survive
+      * the round trip exactly (what the routing gate certifies); pixel
+      * values do not (pixel-exact certificates stay PNG-only —
+      * [[Multimodal.averageHash]]). */
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
     /** Real decode: pixels, dimensions, band count, and a checksum folded
       * over the ARGB pixel CONTENT (not the container bytes — two encodings
       * of the same pixels hash equal). None → caller falls back to the
@@ -177,7 +189,21 @@ object Multimodal {
     * real-codec path has genuine image bytes to chew on even though the
     * driver corpus is text. The JDK PNG writer is deterministic, making
     * the payloads stable across runs/JVMs. */
-  def synthesizePng(spark: SparkSession, documents: DataFrame): Dataset[MediaItem] = {
+  def synthesizePng(spark: SparkSession, documents: DataFrame): Dataset[MediaItem] =
+    synthesizeMedia(spark, documents, 16L, 8L, jpeg = false)
+
+  /** `q_media_decode`'s JPEG route uses DIFFERENT dimension moduli than
+    * the PNG route (shared with the mirror), so the gate's arithmetic
+    * distinguishes the two real codecs row-by-row. */
+  val JpegWMod = 12L
+  val JpegHMod = 6L
+
+  /** Synthesized JPEG payloads (same pixel recipe, the JDK JPEG writer). */
+  def synthesizeJpeg(spark: SparkSession, documents: DataFrame): Dataset[MediaItem] =
+    synthesizeMedia(spark, documents, JpegWMod, JpegHMod, jpeg = true)
+
+  private def synthesizeMedia(spark: SparkSession, documents: DataFrame,
+      wMod: Long, hMod: Long, jpeg: Boolean): Dataset[MediaItem] = {
     import spark.implicits._
     // the codec loop is CPU-bound per row, and a small single-file scan
     // yields ONE partition — repartition the 8-byte id column so encode
@@ -189,20 +215,28 @@ object Multimodal {
       ids.map { id =>
         // floorMod: a negative doc_id must still yield positive dims (a
         // plain % would hand BufferedImage a non-positive dimension)
-        val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
-        val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
+        val w = 1 + java.lang.Math.floorMod(id, wMod).toInt
+        val h = 1 + java.lang.Math.floorMod(id, hMod).toInt
+        // the pixel seed is the id MASKED to 24 bits (floorMod — both
+        // engines): a raw doc_id multiply would overflow DuckDB's BIGINT
+        // loudly for |doc_id| ≳ 3.5e9 while Scala wraps silently; the
+        // masked seed keeps the product ≤ 2^24 · 2654435761 ≈ 4.5e16,
+        // far inside int64 in BOTH engines
+        val seed = java.lang.Math.floorMod(id, 1L << 24)
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, ((id * 2654435761L + x * 31 + y) & 0xFFFFFF).toInt)
+            img.setRGB(x, y,
+              ((seed * 2654435761L + x * 31 + y) & 0xFFFFFF).toInt)
             x += 1
           }
           y += 1
         }
-        MediaItem(id, "image", ImageCodec.encodePng(img))
+        MediaItem(id, "image",
+          if (jpeg) ImageCodec.encodeJpeg(img) else ImageCodec.encodePng(img))
       }
     }
   }
@@ -225,22 +259,29 @@ object Multimodal {
 
   /** MIXED-payload decode as a GATED query — the production shape of a
     * multimodal corpus, where some payloads decode and some don't: every
-    * third doc carries a real synthesized PNG ([[synthesizePng]]), the
+    * `doc_id % 3 == 0` doc carries a real synthesized PNG
+    * ([[synthesizePng]]), every `% 3 == 1` doc a real synthesized JPEG
+    * ([[synthesizeJpeg]] — a SECOND real codec with its own dimension
+    * moduli, so the mirror's arithmetic distinguishes the routes), the
     * rest the text-bytes stand-in ([[attachMedia]]), and [[decodeMeta]]
-    * routes each through the magic-byte sniff — PNGs through the REAL
-    * `javax.imageio` codec, the rest through the [[FakeDecoder]] fallback
+    * routes each through the magic-byte sniff — PNG/JPEG through the REAL
+    * `javax.imageio` codecs, the rest through the [[FakeDecoder]] fallback
     * (`channels = 0` marks them). The gated projection keeps only fields
     * both engines can recompute: real rows' dims derive from `doc_id`
-    * arithmetic, fallback rows' dims from the payload byte length — the
-    * codec-dependent PNG container size and the pixel checksum stay out.
-    * The hash match therefore certifies the ROUTING (sniff + codec +
-    * fallback split) row-by-row, not just the happy path. */
+    * arithmetic (JPEG preserves dimensions and band count exactly even
+    * though its pixels are lossy — pixel-exact certificates stay
+    * PNG-only, see [[averageHash]]), fallback rows' dims from the payload
+    * byte length — codec-dependent container sizes and pixel checksums
+    * stay out. The hash match therefore certifies the ROUTING (sniff +
+    * two real codecs + fallback split) row-by-row. */
   def decodeMixed(spark: SparkSession, documents: DataFrame): DataFrame = {
     val png = synthesizePng(spark,
       documents.filter(pmod(col("doc_id"), lit(3)) === 0)).toDF()
+    val jpg = synthesizeJpeg(spark,
+      documents.filter(pmod(col("doc_id"), lit(3)) === 1)).toDF()
     val txt = attachMedia(
-      documents.filter(pmod(col("doc_id"), lit(3)) =!= 0))
-    decodeMeta(spark, png.unionByName(txt))
+      documents.filter(pmod(col("doc_id"), lit(3)) === 2))
+    decodeMeta(spark, png.unionByName(jpg).unionByName(txt))
       .toDF()
       .select(col("doc_id"),
         col("width").cast(LongType).as("width"),

@@ -763,7 +763,13 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("seed") =!= col("new_cid"), 1L).otherwise(0L))
           .as("n_moved"),
-        sum(col("d2")).as("inertia"))
+        // DECIMAL accumulation (ADVICE r12): each d2 can reach
+        // 64 · (2·KmQuantScale)² ≈ 2.6e14, so a LONG per-cluster sum
+        // would hit the int64 ceiling near ~3.5e4 adversarial vectors
+        // per cluster — decimal(38,0) removes the ceiling entirely
+        // (exact integer arithmetic either way; the mirror sums the
+        // same DECIMAL(38,0))
+        sum(col("d2").cast("decimal(38,0)")).as("inertia"))
       .orderBy(col("cid").asc_nulls_last)
 
   /** Cluster-balanced curation sampling (the SemDeDup/DataComp pattern):

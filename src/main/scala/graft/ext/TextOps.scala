@@ -1515,7 +1515,12 @@ object TextOps {
     * match DuckDB's NULL. One pruned scan, zero shuffle, pure codegen. */
   private def gopherAlphaRatio: Column = {
     val len = length(col("text"))
-    val nAlpha = len - length(regexp_replace(col("text"), "[a-z]", ""))
+    // case-INSENSITIVE letter class (ADVICE r12): a lowercase-only class
+    // scored every uppercase letter as non-alphabetic, so a mixed-case
+    // corpus would systematically fail the Gopher keep rule (and the NB
+    // classifier distilled from it would inherit the bias); mirrored
+    // verbatim in GopherAlphaSql
+    val nAlpha = len - length(regexp_replace(col("text"), "[a-zA-Z]", ""))
     round2(when(len === 0, lit(null))
       .otherwise(nAlpha.cast("double") / len.cast("double")), 4)
   }

@@ -29,6 +29,55 @@ import org.apache.spark.sql.functions._
   * boundary would otherwise be numbered by physical placement.
   */
 object Ordinals {
+  /** Distributed global RUNNING SUM of `weight` in `sortCols` order —
+    * the [[globalRowNumbers]] shape applied to an arbitrary 0/1-or-long
+    * weight (range partition → per-partition cumsum → broadcast
+    * per-partition totals as offsets). The inclusive cumsum at each row
+    * is exact whenever no weight-BEARING row ties with a row that reads
+    * the sum (ties among weight-0 readers, or among the weighted rows
+    * themselves, cannot change any reader's value — the rank-sweep
+    * consumers pin reader-vs-point order with a kind column). */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+      weight: Column, outName: String, partitions: Int = 0): DataFrame =
+    globalRunningSums(df, sortCols, Seq(weight -> outName), partitions)
+
+  /** [[globalRunningSum]] for SEVERAL weights sharing one sort order —
+    * one range exchange and one per-partition sort total, however many
+    * sums ride it (the rank-sweep consumer reads two). */
+  def globalRunningSums(df: DataFrame, sortCols: Seq[Column],
+      weights: Seq[(Column, String)], partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    var parted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    weights.zipWithIndex.foreach { case ((w, _), i) =>
+      parted = parted.withColumn(s"_w$i", w.cast("long")) }
+    val frame = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weights.indices.foreach { i =>
+      parted = parted.withColumn(s"_local$i", sum(col(s"_w$i")).over(frame)) }
+    // pinned for the same reason as globalRowNumbers: offsets and rows
+    // must see ONE physical range partitioning
+    val numbered = parted.localCheckpoint(true)
+    val offsets = numbered.groupBy("_pid")
+      .agg(weights.indices.map(i => sum(col(s"_w$i")).as(s"_cnt$i")).head,
+        weights.indices.map(i => sum(col(s"_w$i")).as(s"_cnt$i")).tail: _*)
+    var off = offsets
+    weights.indices.foreach { i =>
+      off = off.withColumn(s"_offset$i",
+        coalesce(sum(col(s"_cnt$i")).over(
+          Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))) }
+    var out = numbered.join(broadcast(off.select(col("_pid") +:
+      weights.indices.map(i => col(s"_offset$i")): _*)), "_pid")
+    weights.zipWithIndex.foreach { case ((_, name), i) =>
+      out = out.withColumn(name,
+        (col(s"_offset$i") + col(s"_local$i")).cast("long")) }
+    out.drop("_pid" +: weights.indices.flatMap(i =>
+      Seq(s"_w$i", s"_local$i", s"_offset$i")): _*)
+  }
+
   def globalRowNumbers(df: DataFrame, sortCols: Seq[Column],
       idColName: String = "rn", partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions

@@ -67,6 +67,55 @@ object RangeJoin {
       .drop("_lb", "_rb")
   }
 
+  /** Span multiple (in buckets) beyond which an interval routes through
+    * the COARSE pass of [[overlapJoinTailSplit]] — and the factor by
+    * which the coarse bucket is wider. 32 caps the residual fan-out of a
+    * tail interval at 1/32 of its fine-bucket explode while keeping the
+    * coarse buckets narrow enough that a fine interval still lands on
+    * ~1 of them. */
+  val TailBucketFactor = 32L
+
+  /** [[overlapJoin]] with HEAVY-TAIL SPLITTING — same contract, same
+    * pairs exactly once, but an interval spanning more than
+    * [[TailBucketFactor]] fine buckets no longer explodes onto every one
+    * of them (the q_session_concurrency lesson: shuffle grew ~1.5× the
+    * data ratio at 30× because the long-session tail fans out onto
+    * span/width buckets). Three disjoint passes, each a plain
+    * [[overlapJoin]]:
+    *   - fine (width `bucketUs`): short × short — the bulk, unchanged;
+    *   - coarse (width `bucketUs · factor`): all × tail — every pair
+    *     whose RIGHT side is a tail interval;
+    *   - coarse: tail × short — every remaining pair (tail left,
+    *     short right).
+    * A (short, short) pair meets only the fine pass; (·, tail) only the
+    * second; (tail, short) only the third — exactly-once without any
+    * dedup shuffle, because pass membership is determined by the two
+    * sides' tail flags alone. Tail intervals explode onto span/(factor·
+    * width) coarse buckets (factor× fewer); short intervals land on ≤ 2
+    * coarse buckets each, and the coarse passes' join inputs carry the
+    * SMALL tail side opposite the full set, so no quadratic blow-up.
+    * The result is bucket-layout invariant (spec-proven equal to the
+    * single-pass join; the naive overlap mirror certifies it on the
+    * gate). */
+  def overlapJoinTailSplit(left: DataFrame, lS: String, lE: String,
+      right: DataFrame, rS: String, rE: String,
+      bucketUs: Long, extraPred: Column = lit(true),
+      factor: Long = TailBucketFactor): DataFrame = {
+    require(factor > 1, s"factor must exceed 1: $factor")
+    def isTail(s: String, e: String): Column =
+      (col(e) - col(s)) > lit(bucketUs * factor)
+    val lShort = left.filter(!isTail(lS, lE))
+    val lTail = left.filter(isTail(lS, lE))
+    val rShort = right.filter(!isTail(rS, rE))
+    val rTail = right.filter(isTail(rS, rE))
+    val coarseUs = bucketUs * factor
+    overlapJoin(lShort, lS, lE, rShort, rS, rE, bucketUs, extraPred)
+      .unionByName(
+        overlapJoin(left, lS, lE, rTail, rS, rE, coarseUs, extraPred))
+      .unionByName(
+        overlapJoin(lTail, lS, lE, rShort, rS, rE, coarseUs, extraPred))
+  }
+
   /** Data-derived bucket width for [[overlapJoin]]: the MEDIAN interval
     * span (one approx-percentile aggregate over `e − s`), floored at
     * `floorUs`. The join RESULT is bucket-width invariant (spec-proven in
@@ -86,39 +135,58 @@ object RangeJoin {
     if (p50 == null) floorUs else math.max(floorUs, p50.longValue())
   }
 
-  /** Session concurrency — how many OTHER sessions overlap each session in
-    * time (the live-concurrency metric an ops dashboard reads): the
-    * [[overlapJoin]] self-join over [[WindowedQueries.sessionize]]'s
-    * intervals, zero-overlap sessions kept via the left join back. The
-    * oracle mirror states the NAIVE quadratic overlap self-join, so the
-    * hash gate certifies bucket decomposition ≡ naive semantics
-    * (inclusive bounds, self-exclusion, zero rows) pair-for-pair.
+  /** Session concurrency — how many OTHER sessions overlap each session
+    * in time (the live-concurrency metric an ops dashboard reads),
+    * computed as a RANK SWEEP, not a pair join:
     *
-    * Same-user sessions never overlap by construction (gap-separated), so
-    * excluding the identical (user, start) pair excludes exactly the
-    * self-pairs. The sessions frame is pinned once — three consumers
-    * (both join sides and the zero-fill) must not re-run the
-    * events-sized sessionization per branch. */
-  def sessionConcurrency(events: DataFrame,
-      bucketMinutes: Int = 60): DataFrame = {
+    *   n(i) = #{j : s_j ≤ e_i} − #{j : e_j < s_i} − 1
+    *
+    * (inclusive overlap ⟺ s_j ≤ e_i AND e_j ≥ s_i; subtracting the
+    * strictly-before-ends and the self term leaves exactly the overlap
+    * count — session identity (user, start) is unique, so "self" is one
+    * row). Each count is an exact global rank from TWO
+    * [[Ordinals.globalRowNumbers]] passes over the tagged
+    * points ∪ queries union: with a (value, kind, identity) total order,
+    * `#points before a query row = ord − rank-among-queries`. Kind
+    * ordering pins the boundary semantics — starts sort BEFORE queries
+    * at equal value (s_j = e_i counts: ≤), ends AFTER (e_j = s_i does
+    * not: <).
+    *
+    * WHY not the [[overlapJoin]] self-join that anchored this entry
+    * through r12: measured at 30× (r13), the pair join's OUTPUT is
+    * semantically quadratic in temporal density — 95k sessions → 303k
+    * directed pairs at 1× but 2.86M → 276M at 30× (912×) with max
+    * fan-out of TWO buckets, so no bucket tuning or tail split touches
+    * the growth; the counts themselves never need the pairs. The sweep
+    * shuffles O(N) rows regardless of density. The oracle mirror states
+    * the NAIVE quadratic overlap self-join, so the hash gate certifies
+    * sweep ≡ pair semantics row-by-row. */
+  def sessionConcurrency(events: DataFrame): DataFrame = {
     val iv = WindowedQueries.sessionize(events)
       .select(col("user_id"), col("session_start"),
         unix_micros(col("session_start")).as("s_us"),
         (unix_micros(col("session_start")) + col("duration_us")).as("e_us"))
       .localCheckpoint(true)
-    val a = iv.toDF("a_user", "a_start", "a_s", "a_e")
-    val b = iv.toDF("b_user", "b_start", "b_s", "b_e")
-    val pairs = overlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
-        bucketMinutes.toLong * 60L * 1000000L,
-        extraPred = !(col("a_user") === col("b_user") &&
-          col("a_start") === col("b_start")))
-      .groupBy(col("a_user"), col("a_start"))
-      .agg(count(lit(1)).as("n"))
-    iv.join(pairs,
-        iv("user_id") === pairs("a_user") &&
-          iv("session_start") === pairs("a_start"), "left_outer")
+    // BOTH counts ride ONE (v, k)-ordered running-sum pass over the
+    // tagged union of every start (k = 0) and end (k = 1) row
+    // ([[Ordinals.globalRunningSums]]): at a session's END row the
+    // inclusive start-weight cumsum is #{s_j ≤ e_i} (equal-v starts sort
+    // before: ≤), at its START row the end-weight cumsum is
+    // #{e_j < s_i} (equal-v ends sort after: <) — the two reads then
+    // meet in a per-session aggregate (2 rows per group, map-side
+    // partial), never a pair join.
+    val u = iv.select(col("s_us").as("v"), lit(0).as("k"), col("user_id"),
+        col("session_start"))
+      .unionByName(iv.select(col("e_us").as("v"), lit(1).as("k"),
+        col("user_id"), col("session_start")))
+    Ordinals.globalRunningSums(u, Seq(col("v"), col("k")),
+        Seq((when(col("k") === 0, 1L).otherwise(0L)) -> "ca",
+          (when(col("k") === 1, 1L).otherwise(0L)) -> "cb"))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(max(when(col("k") === 1, col("ca"))).as("a"),
+        max(when(col("k") === 0, col("cb"))).as("b"))
       .select(col("user_id"), col("session_start"),
-        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+        (col("a") - col("b") - 1L).as("n_concurrent"))
       .orderBy("user_id", "session_start")
   }
 }

@@ -225,6 +225,61 @@ class DifferentialFuzzSpec extends SparkSpec {
     runFuzz(Frames, s => Seq("documents" -> genDocFrame(s)), DocFuzzQueries)
   }
 
+  // ---- planted threshold-boundary pair frames: the exact pair family's
+  // integer threshold arithmetic (prefix length, PPJoin length/positional
+  // filters, (den+num)·common ≥ num·(sz1+sz2)) stressed AT the boundary,
+  // where a one-ulp or off-by-one defect flips a pair in or out ----
+
+  /** Exact pair-family gated queries the boundary frames target. */
+  private val PairBoundaryQueries = Vector(
+    "q_ngram_jaccard", "q_jaccard_prefix", "q_jaccard_curve",
+    "q_containment_pairs", "q_tfidf_pairs")
+
+  /** Per pair p, doc1 = t_1..t_{m+a} and doc2 = t_1..t_m ++ u_1..u_b over
+    * a PAIR-UNIQUE vocabulary (no cross-pair shingle collisions), so with
+    * shingle width W: common = m−W+1 = c, sz1 = c+a, sz2 = c+b EXACTLY,
+    * and J ≥ 1/2 ⟺ c ≥ a+b — c is planted at a+b−1 / a+b / a+b+1, so
+    * every frame carries pairs just below, exactly at, and just above the
+    * threshold (sz1 = sz2·den/num rows also sit at the LENGTH-filter
+    * boundary when b = 0). Plus: an all-identical block (J = 1, max
+    * candidate mass), an exact-width doc (1 shingle), a sub-width doc
+    * (no shingles), an empty and a null text. */
+  private def genBoundaryPairFrame(seed: Int): DataFrame = {
+    val r = new scala.util.Random(0xB0DA0000 + seed)
+    val w = graft.ext.Dedup.JaccardShingleWidth
+    val rows = collection.mutable.ArrayBuffer[
+      (Long, String, String, String, Long)]()
+    var id = 0L
+    def add(t: String): Unit = {
+      rows += ((id, t, if (r.nextInt(6) == 0) null else "en",
+        s"src${r.nextInt(3)}", if (t == null) 0L else t.length.toLong))
+      id += 1
+    }
+    for (p <- 0 until 12) {
+      val a = r.nextInt(4)
+      val b = r.nextInt(4)
+      val c = math.max(1, a + b + r.nextInt(3) - 1)
+      val m = c + w - 1
+      add((0 until m + a).map(i => s"p${p}s${seed}t$i").mkString(" "))
+      add(((0 until m).map(i => s"p${p}s${seed}t$i") ++
+        (0 until b).map(i => s"p${p}s${seed}u$i")).mkString(" "))
+    }
+    val block = (0 until w + 3).map(i => s"blk${seed}t$i").mkString(" ")
+    (0 until 4).foreach(_ => add(block))
+    add((0 until w).map(i => s"ex${seed}t$i").mkString(" "))
+    add(s"one$seed")
+    add("")
+    add(null)
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test(s"differential fuzz: $Frames planted threshold-boundary pair " +
+      "frames hash-match DuckDB on the exact pair family") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("documents" -> genBoundaryPairFrame(s)),
+      PairBoundaryQueries)
+  }
+
   // ---- relational (lineitem + orders) fuzzing: the TPC-H-shape family —
   // decimal money sums, date-window predicates, outer-join count
   // distributions, winsorized thresholds, pushdown disjunctions ----

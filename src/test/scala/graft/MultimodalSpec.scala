@@ -95,15 +95,18 @@ class MultimodalSpec extends SparkSpec {
 
   test("averageHash matches the pure id-arithmetic replay — the decoded " +
       "raster is pixel-identical to what synthesizePng painted") {
-    val ids = Seq(0L, 1L, 7L, 123L)
+    // 5e9 exceeds both 2^24 (exercises the masked pixel seed) and the
+    // ~3.5e9 bound where the UNMASKED multiply overflowed DuckDB BIGINT
+    val ids = Seq(0L, 1L, 7L, 123L, 5000000000L)
     val got = Multimodal.averageHash(spark, ids.toDF("doc_id"))
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     val want = ids.sorted.map { id =>
       val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
       val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
+      val seed = java.lang.Math.floorMod(id, 1L << 24)
       val lumas = new Array[Long](w * h)
       for (y <- 0 until h; x <- 0 until w) {
-        val v = (id * 2654435761L + x * 31 + y) & 0xFFFFFF
+        val v = (seed * 2654435761L + x * 31 + y) & 0xFFFFFF
         lumas(y * w + x) = 299L * ((v >> 16) & 255) +
           587L * ((v >> 8) & 255) + 114L * (v & 255)
       }

@@ -49,6 +49,36 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoinTailSplit equals the single-pass join pair-for-pair " +
+    "on a heavy-tailed input, each pair exactly once") {
+    // heavy tail by construction: most spans ~ the bucket width, a few
+    // 100-1000x wider (the long-session shape that blew up the fine-
+    // bucket fan-out); boundary spans sit EXACTLY at factor*bucket
+    val iv = (1L to 80L).map { i =>
+      val s = (i * 7919) % 1000
+      val span =
+        if (i % 17 == 0) 5000L + i // tail
+        else if (i % 13 == 0) 5L * RangeJoin.TailBucketFactor // boundary
+        else (i * 31) % 12
+      (i, s, s + span)
+    }
+    val a = iv.toDF("a_id", "a_s", "a_e")
+    val b = iv.map { case (i, s, e) => (i + 1000, s, e) }
+      .toDF("b_id", "b_s", "b_e")
+    val naive = a.crossJoin(b)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 5L, 100L)) {
+      val got = RangeJoin
+        .overlapJoinTailSplit(a, "a_s", "a_e", b, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"width $w: pair emitted more than once")
+      assert(got.toSet == naive,
+        s"width $w: ${got.toSet.size} vs ${naive.size}")
+    }
+  }
+
   test("overlapJoin fails fast on reserved columns and runaway fan-out") {
     val a = Seq((1L, 10L, 20L)).toDF("a_id", "a_s", "a_e")
     val b = Seq((2L, 15L, 25L)).toDF("b_id", "b_s", "b_e")

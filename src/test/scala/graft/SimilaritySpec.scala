@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ext.Similarity
 
@@ -289,7 +290,10 @@ class SimilaritySpec extends SparkSpec {
     val want = lloydReplay().groupBy(_._3).map { case (cid, vs) =>
       (cid, vs.size.toLong, vs.count(v => v._2 != v._3).toLong,
         vs.map(_._4).sum) }.toSeq.sortBy(_._1)
+    // inertia aggregates in DECIMAL(38,0) (no int64 ceiling) — read it
+    // back as long for the replay compare (exact at spec scale)
     val got = Similarity.kmeansStep(emb)
+      .withColumn("inertia", col("inertia").cast("long"))
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == want, s"got $got want $want")
     // non-degenerate: something must actually move off its seed cluster
