@@ -137,6 +137,88 @@ object Scaling {
       md.append(f"${m1.shuffleMb}%.1f | ${m10.shuffleMb}%.1f | ${m30.shuffleMb}%.1f | ")
       md.append(s"${r(m1.shuffleMb, m10.shuffleMb)} | ${r(m1.shuffleMb, m30.shuffleMb)} |\n")
     }
+    // --- prefix-filter crossover: SPARSE-vocab corpus ---------------
+    // The main table's synthetic corpus is a FIXED 8k vocabulary — the
+    // regime where prefix filtering is provably weakest (every shingle
+    // is shared, so prefixes prune little and the route pays its window
+    // + verify overhead). Real web corpora are the opposite: most
+    // shingles are rare. This experiment measures both exact routes on
+    // a corpus where each doc mixes a mid-frequency shared block
+    // (shingle df ≈ 8 — inside the DF cap, so the naive join PAYS df²
+    // candidates for them) with unique text (df = 1), plus planted
+    // exact duplicates: block-sharers sit far below t = 1/2, so a
+    // correct candidate scheme should never verify them — prefix
+    // filtering doesn't (shared blocks rank AFTER the unique shingles
+    // and never enter a prefix), the capped-naive join must.
+    val sparseDir = s"$work/sparse"
+    val sparseRoot = java.nio.file.Paths.get(sparseDir)
+    if (!java.nio.file.Files.exists(sparseRoot.resolve("_done"))) {
+      java.nio.file.Files.createDirectories(sparseRoot)
+      import spark.implicits._
+      val nDocs = 100000
+      val share = 200 // block df ABOVE the 64 cap: visible only uncapped
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .as[Long].map { id =>
+          val block = (0 until 15).map(p => s"b${id / share}x$p")
+          val uniq = (0 until 25).map(p => s"d${id}u$p")
+          // planted exact duplicate of the predecessor every 33rd doc
+          val toks =
+            if (id % 33 == 1 && id > 0)
+              (0 until 15).map(p => s"b${(id - 1) / share}x$p") ++
+                (0 until 25).map(p => s"d${id - 1}u$p")
+            else block ++ uniq
+          val text = toks.mkString(" ")
+          (id, text, "en", s"src${id % 3}", text.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$sparseDir/documents.parquet")
+      java.nio.file.Files.writeString(sparseRoot.resolve("_done"), "ok")
+    }
+    val sparseDocs = spark.read.parquet(s"$sparseDir/documents.parquet")
+    def measureOp(tag: String)(f: => Long): (Double, Double, Long) = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (a, _) = once()
+      drain(); val s0 = shuffleBytes.get()
+      val (b, n) = once()
+      drain()
+      (math.min(a, b), (shuffleBytes.get() - s0) / 1e6, n)
+    }
+    val uncapped = Int.MaxValue
+    val (pt, psh, ppairs) = measureOp("prefix")(
+      graft.ext.Dedup.prefixJaccardPairs(sparseDocs, uncapped)
+        .queryExecution.toRdd.count())
+    val (nt, nsh, _) = measureOp("naive")(
+      graft.ext.Dedup.ngramJaccardTopPairs(sparseDocs, k = 20, uncapped)
+        .queryExecution.toRdd.count())
+    val (ct, csh, _) = measureOp("capped-naive")(
+      graft.ext.Dedup.ngramJaccardTopPairs(sparseDocs, k = 20)
+        .queryExecution.toRdd.count())
+    md.append("\n## Prefix filtering vs the DF cap (sparse-vocab corpus)\n\n")
+    md.append("100k docs, each 15 shared block tokens (shingle df = 200 ")
+    md.append("— ABOVE the 64 DF cap) + 25 unique tokens, ~3% planted ")
+    md.append("exact duplicates. Block pairs sit far below t = 1/2. The ")
+    md.append("DF cap is a RECALL-LOSSY knob (capped routes silently ")
+    md.append("drop every shingle above it from the Jaccard universe); ")
+    md.append("prefix filtering is what makes the UNCAPPED exact ")
+    md.append("computation affordable — its candidate mass is bounded ")
+    md.append("by each doc's RAREST shingles (here: the unique ones → ")
+    md.append("only real near-dup pairs verify), while the uncapped ")
+    md.append("naive join pays df² for every shared block shingle.\n\n")
+    md.append("| route | wall s | shuffle MB |\n|---|---|---|\n")
+    md.append(f"| q_jaccard_prefix UNCAPPED (exact ≥ t pairs: $ppairs) | $pt%.2f | $psh%.1f |\n")
+    md.append(f"| naive top-k UNCAPPED (same exact universe) | $nt%.2f | $nsh%.1f |\n")
+    md.append(f"| naive top-k capped at 64 (lossy universe) | $ct%.2f | $csh%.1f |\n\n")
+    md.append(f"Measured uncapped wall ratio naive/prefix = ")
+    md.append(f"${nt / pt}%.2f. On the fixed-vocab main-table corpus ")
+    md.append("(every shingle shared corpus-wide BELOW the cap — the ")
+    md.append("prefix scheme's documented worst case) the capped routes ")
+    md.append("land within ~10% of each other; the prefix route's role ")
+    md.append("is exactness at threshold WITHOUT the cap's recall loss, ")
+    md.append("at rare-shingle cost.\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), md.toString)
     println(md.toString)

@@ -531,6 +531,9 @@ object SparkEntry {
     // mirror states the NAIVE overlap self-join, so the gate certifies
     // the decomposition (first-overlap-bucket dedup included)
     "q_session_concurrency" -> ev(ops.RangeJoin.sessionConcurrency(_)),
+    // daily peak live-session count off the SAME rank-sweep pass (the
+    // naive point-in-interval mirror certifies the sweep's step maxima)
+    "q_peak_concurrency" -> ev(ops.RangeJoin.peakConcurrency(_)),
     "q_running_revenue" -> ev(WindowedQueries.runningRevenue),
     "q_sliding_revenue" -> ev(WindowedQueries.slidingRevenue),
     // ---- join/agg coverage on the star schema ----
@@ -967,6 +970,17 @@ object SparkEntry {
       lastNbDir.set(dir)
       TextOps.nbQualityScores(d, vt, w)
     }),
+    // the distilled classifier's reliability curve: per clamped margin
+    // bin, teacher-keep and agreement shares — same trained artifact,
+    // same generated VALUES mirror prologue
+    "q_nb_calibration" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val (vt, w) = nbWeights.getOrElseUpdate(dir,
+        ArtifactStore.unigramVocab(s, dir, s"nbq2-v${TextOps.DsirMaxVocab}")(
+          TextOps.trainNbQuality(d)))
+      lastNbDir.set(dir)
+      TextOps.nbCalibration(d, vt, w)
+    }),
     // per-source cross-entropy under the driver-trained corpus unigram
     // LM (micro-nat costs + one OOV constant — the DSIR discipline):
     // which sources the LM finds most surprising, the data-mixing signal
@@ -1007,6 +1021,11 @@ object SparkEntry {
     // multilingual balancing: an independent budget per language
     "q_token_budget_by_lang" -> docs(TextOps.tokenBudgetByLang(_)),
     "q_train_test_split" -> docs(TextOps.trainTestSplit),
+    // near-dup-aware split: cluster members inherit the representative's
+    // md5 split so no near-duplicate straddles train/test (the
+    // evaluation-leakage guard); the shared reachability oracle + the
+    // same md5 rule certify atomicity per doc
+    "q_leakage_safe_split" -> docs(Dedup.leakageSafeSplit(_)),
     // seeded per-epoch training-order reshuffle: md5(seed:doc_id) rank via
     // the distributed-ordinal machinery; the mirror's naive global
     // row_number certifies the range-partition decomposition on a HASH
@@ -1134,6 +1153,11 @@ object SparkEntry {
     // cells) on the exact-moment discipline over quantized longs
     "q_embedding_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(Sources.table(s, dir, "embeddings"))),
+    // Matryoshka truncation quality: mean cos(v, v[:d]) per prefix
+    // length — the retained-mass curve that sizes a truncated serving
+    // index; per-vector 4dp quantization before the corpus mean
+    "q_matryoshka_quality" -> ((s, dir) =>
+      Similarity.matryoshkaQuality(Sources.table(s, dir, "embeddings"))),
     // embedding-space outlier scores: similarity to the own-label centroid
     "q_centroid_sim" -> ((s, dir) =>
       Similarity.centroidSimilarity(Sources.table(s, dir, "embeddings"))),
@@ -1604,6 +1628,32 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** GENERATED mirror for `q_nb_calibration` — [[nbQualitySql]] wrapped
+    * as a CTE (the same trained VALUES prologue), margin bins via
+    * divisibility-reduced floor division (negative margins: truncate ≡
+    * floor only on the exactly-divisible numerator) and a symmetric
+    * clamp, shares and counts as exact longs. */
+  private def nbCalibrationSql: String = {
+    val w = TextOps.NbCalibrationBinMicro
+    val k = TextOps.NbCalibrationMaxBin
+    s"""WITH base AS ($nbQualitySql),
+       |b AS (SELECT greatest(least(
+       |    (nb_margin_micro - (((nb_margin_micro % $w) + $w) % $w)) // $w,
+       |    $k), -$k) AS margin_bin,
+       |    gopher_keep, agree
+       |  FROM base)
+       |SELECT CAST(margin_bin AS BIGINT) AS margin_bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_teacher_keep,
+       |  CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  floor((CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+       |    AS agree_share
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** GENERATED mirror for `q_source_crossentropy` (see [[ceCosts]]): the
     * trained micro-nat costs replay as a VALUES CTE (the dsirSql
     * discipline), each OOV token pays the trained constant, and the
@@ -1996,6 +2046,23 @@ object SparkEntry {
       |  ON a.s <= b.e AND b.s <= a.e
       |  AND NOT (a.user_id = b.user_id AND a.session_start = b.session_start)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // daily peak concurrency: the naive point-in-interval count at every
+  // session start (self included: b.s <= a.s <= b.e admits a = b), max
+  // per start-instant day — certifies the rank-sweep's step maxima
+  private val PeakConcurrencySql = SessionizationBodySql +
+    """,
+      |iv AS (
+      |  SELECT user_id, session_start, epoch_us(session_start) AS s,
+      |    epoch_us(session_start) + duration_us AS e
+      |  FROM sess),
+      |pt AS (
+      |  SELECT a.user_id, a.session_start, CAST(count(*) AS BIGINT) AS c
+      |  FROM iv a JOIN iv b ON b.s <= a.s AND b.e >= a.s
+      |  GROUP BY 1, 2)
+      |SELECT CAST(session_start AS DATE) AS event_date,
+      |  CAST(max(c) AS BIGINT) AS peak_concurrency
+      |FROM pt GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val FunnelConversionsSql =
     """WITH RECURSIVE ev AS (
@@ -3566,6 +3633,7 @@ object SparkEntry {
     "q_sessionization" -> SessionizationSql,
     // naive quadratic overlap self-join ≡ the bucket-decomposed range join
     "q_session_concurrency" -> SessionConcurrencySql,
+    "q_peak_concurrency" -> PeakConcurrencySql,
     // per-day rollup OVER the shared sessionization CTE (composition on
     // the hash gate: the stats inherit the session boundary semantics)
     "q_session_stats" ->
@@ -4068,6 +4136,7 @@ object SparkEntry {
     "q_dsir_weights" -> dsirSql,
     // trained NB log-likelihood ratios + the regenerated teacher verdict
     "q_nb_quality_score" -> nbQualitySql,
+    "q_nb_calibration" -> nbCalibrationSql,
     // trained corpus-LM costs as a VALUES CTE + the OOV constant
     "q_source_crossentropy" -> crossEntropySql,
     // same vocab replayed per doc; quantize-then-moments z verdict
@@ -4154,6 +4223,17 @@ object SparkEntry {
     // a hash-matched equivalence proof of the two CC algorithms.
     "q_dup_clusters" -> DupClustersSql,
     "q_dup_clusters_star" -> DupClustersSql,
+    // leakage-safe split: the shared reachability oracle's component-min
+    // label drives the same md5 split rule as q_train_test_split —
+    // atomic cluster assignment certified per doc
+    "q_leakage_safe_split" ->
+      s"""WITH c AS MATERIALIZED ($DupClustersSql)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_doc,
+         |  CASE WHEN substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+         |      AS VARCHAR)), 1, 1) < 'c' THEN 'train' ELSE 'test' END
+         |    AS split
+         |FROM documents d LEFT JOIN c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // keeper policy over the same reachability clusters: longest member
     // wins, doc_id tiebreak
     "q_cluster_keepers" ->
@@ -5330,6 +5410,33 @@ object SparkEntry {
         |SELECT vec_id,
         |  floor((dot / (sqrt(na) * sqrt(nb))) * 10000 + 0.5) / 10000 AS cosine_sim
         |FROM p ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+    // Matryoshka truncation quality: cos(v, v[:d]) = sqrt(prefix mass) /
+    // sqrt(total mass) — index-order sums (the accepted KNN sum class),
+    // IEEE sqrt/divide, per-vector 4dp quantization BEFORE the corpus
+    // mean; zero-norm vectors drop in both engines; dims interpolate
+    // from the shared constant
+    "q_matryoshka_quality" ->
+      s"""WITH dims(d) AS (VALUES ${Similarity.MatryoshkaDims
+            .map(d => s"($d)").mkString(", ")}),
+         |s AS (
+         |  SELECT e.vec_id, d.d,
+         |    sum(CASE WHEN t.i <= d.d
+         |      THEN CAST(e.embedding[t.i] AS DOUBLE)
+         |        * CAST(e.embedding[t.i] AS DOUBLE) END) AS sd,
+         |    sum(CAST(e.embedding[t.i] AS DOUBLE)
+         |      * CAST(e.embedding[t.i] AS DOUBLE)) AS sall
+         |  FROM embeddings e, dims d, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |q AS (
+         |  SELECT d, CAST(floor(sqrt(sd) / sqrt(sall) * 10000 + 0.5)
+         |    AS BIGINT) AS q
+         |  FROM s WHERE sall > 0)
+         |SELECT CAST(d AS BIGINT) AS dim_prefix,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  floor(((CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |    / CAST(10000 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         |    AS mean_prefix_cosine
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_label_centroids" ->
       """SELECT label, t.i AS pos,
         |  floor((sum(CAST(embedding[t.i] AS DOUBLE)) / count(*)) * 1000000 + 0.5)

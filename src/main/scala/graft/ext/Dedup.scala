@@ -299,27 +299,31 @@ object Dedup {
     val kept = hashedShingles(documents, JaccardShingleWidth)
       .join(dfs, Seq("h"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = kept
+    // ONE doc_id-keyed exchange feeds both the prefix ranking window and
+    // the verify-set aggregation below (ReusedExchange — deriving `sets`
+    // from the pre-window frame would shuffle the corpus by doc_id twice)
+    val withRk = kept
       .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("df"), col("h"))).cast("long"))
+    val prefix = withRk
       .filter(col("rk") <= col("sz") -
         expr(s"(sz * $PrefixTNum + $PrefixTDen - 1) div $PrefixTDen") + 1)
     // PPJoin's two remaining filters (Xiao et al. 2008), both applied
-    // BEFORE the expensive verify join — the naive mirror certifies that
-    // neither loses a ≥t pair:
+    // PER CANDIDATE ROW before any aggregation — the naive mirror
+    // certifies that neither loses a ≥t pair:
     //  LENGTH: J ≥ num/den and common ≤ min(sz1, sz2) force
     //    num·max(sz1, sz2) ≤ den·min(sz1, sz2) — exact integer test.
-    //  POSITIONAL: at the FIRST (df, h)-ordered shingle the two PREFIXES
-    //    share (positions p1, p2), no common shingle precedes it in
-    //    EITHER doc (an earlier common shingle would itself be prefix-
-    //    shared in both — contradiction with minimality), so overlap ≤
-    //    1 + min(sz1 − p1, sz2 − p2); require that upper bound to reach
-    //    the threshold overlap: (den+num)·ubound ≥ num·(sz1+sz2).
-    // Carrying (rk, sz) through the candidate join costs two longs per
-    // prefix row; the payoff is candidate AND verify mass bounded by the
-    // pairs that can still pass — the verify stage was the board's
-    // highest absolute shuffle (21 MB sf0.1 / 707 MB at 30×).
-    val p1 = prefix.select(col("doc_id").as("doc1"), col("h"), col("df"),
+    //  POSITIONAL: at a shared shingle sitting at prefix positions
+    //    (p1, p2), every LATER common shingle sits later in BOTH docs
+    //    (one global (df, h) order), so overlap before it is bounded by
+    //    the shared-prefix minimality argument and after it by the
+    //    remaining lengths: overlap ≤ 1 + min(sz1 − p1, sz2 − p2). That
+    //    bound is NON-INCREASING across a pair's matches (both rk's grow
+    //    along the order), so "first match passes" ⟺ "some match
+    //    passes" — the filter is sound PER ROW, no first-match argmin
+    //    aggregation needed, and the candidate dedup is a bare groupBy
+    //    on (doc1, doc2, sz1, sz2) — 4 longs per row, map-side partial.
+    val p1 = prefix.select(col("doc_id").as("doc1"), col("h"),
       col("rk").as("rk1"), col("sz").as("sz1"))
     val p2 = prefix.select(col("doc_id").as("doc2"), col("h"),
       col("rk").as("rk2"), col("sz").as("sz2"))
@@ -327,21 +331,30 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
       .filter(lit(PrefixTNum) * greatest(col("sz1"), col("sz2")) <=
         lit(PrefixTDen) * least(col("sz1"), col("sz2")))
-      .groupBy(col("doc1"), col("doc2"), col("sz1"), col("sz2"))
-      .agg(min(struct(col("df"), col("h"), col("rk1"), col("rk2")))
-        .as("fm"))
       .filter(lit(PrefixTDen + PrefixTNum) *
-        (lit(1L) + least(col("sz1") - col("fm.rk1"),
-          col("sz2") - col("fm.rk2"))) >=
+        (lit(1L) + least(col("sz1") - col("rk1"),
+          col("sz2") - col("rk2"))) >=
         lit(PrefixTNum) * (col("sz1") + col("sz2")))
       .select("doc1", "doc2", "sz1", "sz2")
+      .distinct()
+      // PINNED: two consumers (the verify join and the candidate-doc
+      // semi-join) must not re-run the prefix self-join each — the
+      // frame is candidate-pairs-sized, which verify materializes anyway
+      .localCheckpoint(true)
     // VERIFY ships each doc's kept-shingle SET as ONE sorted array (the
     // hashes are the per-doc DISTINCT set by construction, so
     // |array_intersect| ≡ the h-join match count): a candidate row
     // carries 8 bytes per shingle instead of a ~40-byte
     // (doc1, doc2, sz1, sz2, h) row per shingle — the verify re-join was
-    // the board's highest absolute shuffle before this.
-    val sets = kept.groupBy("doc_id")
+    // the board's highest absolute shuffle before this. Arrays build
+    // ONLY for docs that survived into a candidate pair (a semi-join
+    // riding the window's existing doc_id partitioning — measured ~6%
+    // of docs at 30×), never the whole corpus.
+    val candDocs = cands.select(col("doc1").as("doc_id"))
+      .unionByName(cands.select(col("doc2").as("doc_id")))
+      .distinct()
+    val sets = withRk.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(array_sort(collect_list(col("h"))).as("hs"))
     cands
       .join(sets.select(col("doc_id").as("doc1"), col("hs").as("hs1")),
@@ -674,6 +687,28 @@ object Dedup {
       maxShingleDf: Int, cc: DataFrame => DataFrame): DataFrame =
     labelClusters(
       ngramJaccardPairsAtLeast(documents, minJaccard, maxShingleDf), cc)
+
+  /** LEAKAGE-SAFE train/test split: every member of a near-dup cluster
+    * inherits its cluster REPRESENTATIVE's hash split (the
+    * component-min doc_id), so near-duplicates can never straddle train
+    * and test — the evaluation-contamination guard a naive per-doc hash
+    * split silently violates (a test doc whose near-dup sits in train
+    * leaks the answer). Unclustered docs are their own representative;
+    * the assignment rule is [[TextOps.splitExpr]]'s md5-bucket split
+    * (reprocessing-stable at any scale), and the mirror replays the
+    * shared reachability oracle + the same md5 rule, so atomicity rides
+    * the hash gate per doc. */
+  def leakageSafeSplit(documents: DataFrame, minJaccard: Double = 0.5,
+      maxShingleDf: Int = MaxShingleDf): DataFrame = {
+    val clusters = dupClusters(documents, minJaccard, maxShingleDf)
+      .select(col("doc_id"), col("cluster_id"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_doc"))
+      .withColumn("split", TextOps.splitExpr(col("rep_doc")))
+      .orderBy("doc_id")
+  }
 
   /** The DROP decision [[dupClusters]]' cluster list exists for: one row
     * per near-dup cluster with the KEEPER — the longest member (token

@@ -471,6 +471,46 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Prefix lengths [[matryoshkaQuality]] evaluates, shared with the
+    * generated mirror. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka (MRL) truncation quality: for each prefix length d, the
+    * mean cosine between every vector and its d-prefix (zero-padded) —
+    * cos(v, v[:d]) = ‖v[:d]‖ / ‖v‖, the retained-mass curve that decides
+    * how far a Matryoshka-trained embedding can be truncated at serving
+    * time (storage/recall lever for billion-vector stores). Exactness:
+    * squared components accumulate in index order (the accepted
+    * cross-engine sum class every KNN mirror rides), sqrt is IEEE, the
+    * per-vector ratio quantizes to a 4dp long BEFORE the corpus mean
+    * (no float-sum-order exposure — the lmOutliers discipline), and
+    * zero-norm vectors drop in both engines. One posexplode + hash
+    * aggregate: no join, no window, shuffle bounded by N·|dims|. */
+  def matryoshkaQuality(embeddings: DataFrame,
+      dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    val cells = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("pos"),
+        (col("x").cast("double") * col("x").cast("double")).as("xx"))
+    val aggs = dims.map(d =>
+      sum(when(col("pos") <= d, col("xx"))).as(s"s$d")) :+
+      sum(col("xx")).as("sall")
+    val sums = cells.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .filter(col("sall") > 0.0)
+    val qs = dims.map(d =>
+      struct(lit(d.toLong).as("d"),
+        floor(sqrt(col(s"s$d")) / sqrt(col("sall")) * 10000 + 0.5)
+          .cast(LongType).as("q")))
+    sums.select(explode(array(qs: _*)).as("e"))
+      .select(col("e.d").as("dim_prefix"), col("e.q").as("q"))
+      .groupBy("dim_prefix")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("qsum"))
+      .select(col("dim_prefix"), col("n_vecs"),
+        round2((col("qsum").cast("double") / col("n_vecs").cast("double"))
+          / 10000.0, 6).as("mean_prefix_cosine"))
+      .orderBy("dim_prefix")
+  }
+
   /** Per-vector symmetric int8 quantization of the embedding column:
     * (vec_id, label, scale, qemb array<tinyint>) — 4× smaller storage and
     * scan IO, the standard memory lever for billion-vector corpora. One

@@ -1694,6 +1694,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[nbCalibration]] bin width (micro-nats) and symmetric clamp,
+    * shared with the generated mirror — ±20 bins of 0.1 nat bound the
+    * report at 41 rows on any corpus. */
+  val NbCalibrationBinMicro = 100000L
+  val NbCalibrationMaxBin = 20L
+
+  /** Calibration report for the distilled NB quality classifier — the
+    * reliability curve a pipeline reads before trusting the student's
+    * margin as a ranking score: per clamped margin bin, the doc count,
+    * the teacher-keep count, and the 4dp teacher-agreement share. A
+    * well-calibrated student agrees near-always far from 0 and worst in
+    * the boundary bins. Margin bins use FLOOR division on the possibly-
+    * negative margin via divisibility reduction (subtract the pmod
+    * remainder first: truncate ≡ floor on the exactly-divisible
+    * numerator — the CLAUDE.md negative-division rule), then clamp —
+    * all exact longs, so the whole report rides the hash gate over the
+    * same trained VALUES CTE as `q_nb_quality_score`. */
+  def nbCalibration(documents: DataFrame, vocabTokens: Array[String],
+      weights: Array[Long]): DataFrame = {
+    val w = NbCalibrationBinMicro
+    val binRaw = expr(
+      s"(nb_margin_micro - pmod(nb_margin_micro, ${w}L)) div ${w}L")
+    val bin = greatest(least(binRaw, lit(NbCalibrationMaxBin)),
+      lit(-NbCalibrationMaxBin))
+    nbQualityScores(documents, vocabTokens, weights)
+      .groupBy(bin.as("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_keep"), 1L).otherwise(0L))
+          .as("n_teacher_keep"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("margin_bin"), col("n_docs"), col("n_teacher_keep"),
+        col("n_agree"),
+        round2(col("n_agree").cast("double") /
+          col("n_docs").cast("double"), 4).as("agree_share"))
+      .orderBy("margin_bin")
+  }
+
   /** TRAIN step of the per-source cross-entropy report: per-token
     * QUANTIZED negative log probabilities −ln p̂_w in micro-nats under
     * the add-1-smoothed CORPUS unigram LM over the capped vocabulary

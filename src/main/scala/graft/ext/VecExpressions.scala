@@ -263,8 +263,7 @@ case class PqAdcScore(child: Expression, lut: Seq[Double], cn2: Seq[Double],
   * are [[graft.ext.Similarity.centroidNorm]]'s driver doubles. */
 case class IvfCellScores(child: Expression, centroids: Seq[Seq[Float]],
     norms: Seq[Double])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     new org.apache.spark.sql.types.StructType()
@@ -292,6 +291,42 @@ case class IvfCellScores(child: Expression, centroids: Seq[Seq[Float]],
       c += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // real codegen with the matrices as REFERENCED objects (never inlined
+  // literals — the 13 s Janino lesson), because assignment is the hot
+  // path: N × cells × dim MACs, and cells grows as √N in the ANN route
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val nrmRef = ctx.addReferenceObj("nrm", nrm, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val cent = ctx.freshName("cent")
+      val nd = ctx.freshName("nd")
+      s"""
+         |Object[] $out = new Object[$centsRef.length];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  float[] $cent = $centsRef[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $cent[$i];
+         |  }
+         |  double $nd = ($s == 0.0) ? 0.0 : -$s / $nrmRef[$c];
+         |  $out[$c] =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Double.valueOf($nd),
+         |        java.lang.Integer.valueOf($c) });
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -161,32 +161,58 @@ object RangeJoin {
     * shuffles O(N) rows regardless of density. The oracle mirror states
     * the NAIVE quadratic overlap self-join, so the hash gate certifies
     * sweep ≡ pair semantics row-by-row. */
-  def sessionConcurrency(events: DataFrame): DataFrame = {
-    val iv = WindowedQueries.sessionize(events)
-      .select(col("user_id"), col("session_start"),
-        unix_micros(col("session_start")).as("s_us"),
-        (unix_micros(col("session_start")) + col("duration_us")).as("e_us"))
-      .localCheckpoint(true)
-    // BOTH counts ride ONE (v, k)-ordered running-sum pass over the
-    // tagged union of every start (k = 0) and end (k = 1) row
-    // ([[Ordinals.globalRunningSums]]): at a session's END row the
-    // inclusive start-weight cumsum is #{s_j ≤ e_i} (equal-v starts sort
-    // before: ≤), at its START row the end-weight cumsum is
-    // #{e_j < s_i} (equal-v ends sort after: <) — the two reads then
-    // meet in a per-session aggregate (2 rows per group, map-side
-    // partial), never a pair join.
-    val u = iv.select(col("s_us").as("v"), lit(0).as("k"), col("user_id"),
-        col("session_start"))
-      .unionByName(iv.select(col("e_us").as("v"), lit(1).as("k"),
-        col("user_id"), col("session_start")))
-    Ordinals.globalRunningSums(u, Seq(col("v"), col("k")),
-        Seq((when(col("k") === 0, 1L).otherwise(0L)) -> "ca",
-          (when(col("k") === 1, 1L).otherwise(0L)) -> "cb"))
+  def sessionConcurrency(events: DataFrame): DataFrame =
+    // BOTH counts ride ONE (v, k)-ordered running-sum pass
+    // ([[taggedRunningCounts]]): at a session's END row the inclusive
+    // start-weight cumsum is #{s_j ≤ e_i} (equal-v starts sort before:
+    // ≤), at its START row the end-weight cumsum is #{e_j < s_i}
+    // (equal-v ends sort after: <) — the two reads then meet in a
+    // per-session aggregate (2 rows per group, map-side partial), never
+    // a pair join.
+    taggedRunningCounts(events)
       .groupBy(col("user_id"), col("session_start"))
       .agg(max(when(col("k") === 1, col("ca"))).as("a"),
         max(when(col("k") === 0, col("cb"))).as("b"))
       .select(col("user_id"), col("session_start"),
         (col("a") - col("b") - 1L).as("n_concurrent"))
       .orderBy("user_id", "session_start")
+
+  /** Daily PEAK concurrency — the capacity-planning headline ("how many
+    * sessions were live at once, per day"): the maximum over a day's
+    * session-START instants of the active-session count
+    * `#{s_j ≤ s_i} − #{e_j < s_i}` (the maximum of a step function that
+    * only rises at starts is attained at a start; the count INCLUDES the
+    * measuring session, so an isolated session reads 1). Same single
+    * [[taggedRunningCounts]] sweep as [[sessionConcurrency]] — tied
+    * starts read partial prefixes of their tie group, but the LAST tied
+    * row reads the full count, so the per-day MAX is exact (mirror:
+    * the naive quadratic point-in-interval count). A session's peak
+    * measurement lands on the day of its start instant. */
+  def peakConcurrency(events: DataFrame): DataFrame =
+    taggedRunningCounts(events)
+      .filter(col("k") === 0)
+      .select(to_date(col("session_start")).as("event_date"),
+        (col("ca") - col("cb")).as("c"))
+      .groupBy("event_date")
+      .agg(max(col("c")).as("peak_concurrency"))
+      .orderBy("event_date")
+
+  /** The shared rank-sweep frame: one row per session START (k = 0) and
+    * END (k = 1) point, carrying the inclusive global running counts of
+    * start rows (`ca`) and end rows (`cb`) in (v, k) order — O(N)
+    * shuffle regardless of temporal density. */
+  private def taggedRunningCounts(events: DataFrame): DataFrame = {
+    val iv = WindowedQueries.sessionize(events)
+      .select(col("user_id"), col("session_start"),
+        unix_micros(col("session_start")).as("s_us"),
+        (unix_micros(col("session_start")) + col("duration_us")).as("e_us"))
+      .localCheckpoint(true)
+    val u = iv.select(col("s_us").as("v"), lit(0).as("k"), col("user_id"),
+        col("session_start"))
+      .unionByName(iv.select(col("e_us").as("v"), lit(1).as("k"),
+        col("user_id"), col("session_start")))
+    Ordinals.globalRunningSums(u, Seq(col("v"), col("k")),
+      Seq((when(col("k") === 0, 1L).otherwise(0L)) -> "ca",
+        (when(col("k") === 1, 1L).otherwise(0L)) -> "cb"))
   }
 }

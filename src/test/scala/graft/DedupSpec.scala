@@ -564,6 +564,33 @@ class DedupSpec extends SparkSpec {
     assert(gotR == naiveReplay(rnd), s"random-frame mismatch: $gotR")
   }
 
+  test("leakageSafeSplit: near-dup cluster members inherit ONE split " +
+      "(no cluster straddles train/test) and singletons use their own id") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base), // one exact-dup cluster
+      (3L, (100 to 140).map(i => s"y$i").mkString(" ")), // singleton
+      (4L, (200 to 240).map(i => s"z$i").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val got = Dedup.leakageSafeSplit(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    // the cluster (0,1,2) shares rep 0 and therefore ONE split
+    val cluster = got.filter(_._1 <= 2L)
+    assert(cluster.forall(_._2 == 0L), cluster.toString)
+    assert(cluster.map(_._3).distinct.size == 1, cluster.toString)
+    // singletons are their own representative
+    assert(got.find(_._1 == 3L).get._2 == 3L)
+    assert(got.find(_._1 == 4L).get._2 == 4L)
+    // the split rule is the shared md5 bucket rule
+    got.foreach { case (_, rep, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(split == (if (hex.head < 'c') "train" else "test"))
+    }
+  }
+
   test("tfidfTopPairs: a shared RARE token pairs docs at cosine 1 while " +
       "the corpus-wide token carries zero idf and drops; df-1 terms " +
       "never pair") {

@@ -358,7 +358,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
     "q_hard_negatives_ann",
     "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
-    "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift")
+    "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift",
+    "q_matryoshka_quality")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors
@@ -420,6 +421,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_validate_max_date", "q_kafka_envelope", "q_avro_envelope",
     "q_revenue_rollup", "q_revenue_grouping_sets", "q_revenue_cube",
     "q_sessionization", "q_session_stats", "q_session_concurrency",
+    "q_peak_concurrency",
     "q_running_revenue", "q_sliding_revenue", "q_mv_incremental",
     "q_user_erasure", "q_profile_events", "q_asof_last_purchase",
     "q_view_purchase_30m", "q_events_roundtrip", "q_funnel_conversions",
@@ -450,7 +452,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_gopher_rules", "q_gopher_by_source", "q_kn_continuations",
     "q_dedup_cross_source",
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
-    "q_tfidf_pairs", "q_jaccard_prefix",
+    "q_tfidf_pairs", "q_jaccard_prefix", "q_leakage_safe_split",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
 
   /** One frame, the full query list, one oracle invocation. */

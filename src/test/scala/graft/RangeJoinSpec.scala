@@ -49,6 +49,24 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("peakConcurrency reads the step-function maximum per day, self " +
+    "included, off the rank sweep") {
+    // minute 0-10 u1, 5-? u4 point (peak 3 at minute 10 when u2 starts?
+    // sessions: u1 [0,10], u2 [10,20], u3 [100,110], u4 [5,5]. Active at
+    // starts: t=0 → {u1}=1; t=5 → {u1,u4}=2; t=10 → {u1,u2}=2 (u4 ended
+    // at 5); t=100 → {u3}=1. All on one day → peak 2.
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(10), 2L, "view", 1.0, "{}"), (4L, ts(20), 2L, "view", 1.0, "{}"),
+      (5L, ts(100), 3L, "view", 1.0, "{}"),
+      (6L, ts(110), 3L, "view", 1.0, "{}"),
+      (7L, ts(5), 4L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RangeJoin.peakConcurrency(ev)
+      .as[(java.sql.Date, Long)].collect()
+    assert(got.length == 1 && got.head._2 == 2L, got.toSeq.toString)
+  }
+
   test("overlapJoinTailSplit equals the single-pass join pair-for-pair " +
     "on a heavy-tailed input, each pair exactly once") {
     // heavy tail by construction: most spans ~ the bucket width, a few

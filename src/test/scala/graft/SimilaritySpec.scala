@@ -147,6 +147,32 @@ class SimilaritySpec extends SparkSpec {
       s"ANN route must never be quadratic:\n$plan")
   }
 
+  test("matryoshkaQuality matches a driver-side replay: mean of " +
+      "per-vector 4dp-quantized prefix-mass ratios") {
+    // real 64-dim embeddings: every prefix length is a strict prefix
+    val real = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+      .select("vec_id", "embedding")
+    val got = Similarity.matryoshkaQuality(real)
+      .as[(Long, Long, Double)].collect().toSeq
+    val all = real.as[(Long, Array[Float])].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = Similarity.MatryoshkaDims.map { d =>
+      val qs = all.map { case (_, v) =>
+        val sd = v.take(d).map(x => x.toDouble * x.toDouble).sum
+        val sall = v.map(x => x.toDouble * x.toDouble).sum
+        (sall, math.floor(math.sqrt(sd) / math.sqrt(sall) * 10000 + 0.5)
+          .toLong)
+      }.collect { case (sall, q) if sall > 0 => q }
+      (d.toLong, qs.length.toLong,
+        r6(qs.sum.toDouble / qs.length.toDouble / 10000.0))
+    }
+    assert(got == want, s"got $got want $want")
+    // the full prefix is the vector itself: mean cosine exactly 1
+    assert(got.last._3 == 1.0)
+    // retained mass grows with the prefix
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("int8 quantization bounds reconstruction error by scale/2") {
     val all = emb.as[(Long, Array[Float])].collect().toMap
     val q = Similarity.quantizeInt8(emb)

@@ -846,6 +846,31 @@ class TextOpsSpec extends SparkSpec {
     assert(oov == Seq((7L, 2L, 1L, m("ml"))), oov.toString)
   }
 
+  test("nbCalibration: bins partition the scored docs, counts are " +
+      "consistent, margins clamp to the bounded bin range") {
+    val keep = "alpha betas gamma delta"
+    val rej = "x1 y2 z3 w4"
+    val docs = Seq((0L, keep), (1L, keep), (2L, rej), (3L, rej),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (toks, w) = TextOps.trainNbQuality(docs)
+    val scores = TextOps.nbQualityScores(docs, toks, w).collect()
+    val got = TextOps.nbCalibration(docs, toks, w)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // every scored doc lands in exactly one bin
+    assert(got.map(_._2).sum == scores.length, got.toString)
+    // bins stay inside the clamp and counts are internally consistent
+    got.foreach { case (bin, n, tk, ag, share) =>
+      assert(math.abs(bin) <= TextOps.NbCalibrationMaxBin)
+      assert(tk <= n && ag <= n)
+      assert(share == math.floor(ag.toDouble / n * 10000 + 0.5) / 10000)
+    }
+    // a separable corpus agrees everywhere → every bin's share is 1
+    assert(got.forall(_._5 == 1.0), got.toString)
+    // margins of both signs → bins on both sides of zero
+    assert(got.exists(_._1 < 0) && got.exists(_._1 >= 0), got.toString)
+  }
+
   test("nbQualityScores: the distilled classifier separates the teacher's " +
       "classes on a separable corpus; empty text reads agree=false") {
     // keep class: alpha-heavy 4-5-letter words (inside the gopher band);
