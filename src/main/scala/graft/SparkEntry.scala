@@ -825,6 +825,10 @@ object SparkEntry {
     // MOSS winnowing fingerprint selection: md5-hex-string hashes, HOF
     // window minima over materialized arrays — zero shuffle to the report
     "q_winnowing" -> docs(TextOps.winnowingFingerprints),
+    // the MOSS cross-document step: pairs sharing >= 2 distinct selected
+    // fingerprints — pair detection on the winnowed SAMPLE (density
+    // 2/(w+1)), DF-capped; shares the winnowing CTE prologue
+    "q_winnowing_pairs" -> docs(TextOps.winnowingPairs),
     // α=0.5 multilingual temperature sampling: sqrt weights quantized to
     // 6dp fixed-point longs so the cross-lang total is order-independent
     "q_lang_temperature_mix" -> docs(TextOps.langTemperatureMix),
@@ -2063,6 +2067,23 @@ object SparkEntry {
       |SELECT CAST(session_start AS DATE) AS event_date,
       |  CAST(max(c) AS BIGINT) AS peak_concurrency
       |FROM pt GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // shared winnowing prologue (hash stream `sh` + per-window minima `w`)
+  // for q_winnowing and q_winnowing_pairs — the bpeEncCte discipline
+  private val WinnowFpCte =
+    s"""sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i+${TextOps.WinnowK - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - ${TextOps.WinnowK - 1})) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |              FROM documents
+       |              WHERE len(string_split(text, ' ')) >= ${TextOps.WinnowK}))),
+       |w AS (SELECT doc_id,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW
+       |          AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
+       |      FROM sh)""".stripMargin
 
   private val FunnelConversionsSql =
     """WITH RECURSIVE ev AS (
@@ -4335,23 +4356,28 @@ object SparkEntry {
     // CURRENT ROW..W-1 FOLLOWING truncates at doc end exactly like
     // Spark's slice clamp; width/window render from the shared constants
     "q_winnowing" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, i AS pos,
-         |    md5(array_to_string(toks[i:i+${TextOps.WinnowK - 1}], ' ')) AS h
-         |  FROM (SELECT doc_id, toks,
-         |          unnest(generate_series(1, len(toks) - ${TextOps.WinnowK - 1})) AS i
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
-         |              FROM documents
-         |              WHERE len(string_split(text, ' ')) >= ${TextOps.WinnowK}))),
-         |w AS (SELECT doc_id,
-         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN CURRENT ROW
-         |          AND ${TextOps.WinnowW - 1} FOLLOWING) AS fp
-         |      FROM sh)
+      s"""WITH $WinnowFpCte
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
          |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
          |  min(fp) AS min_fp
          |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the MOSS pair step over the SAME winnowing prologue (the shared-CTE
+    // discipline): distinct selected fingerprints per doc, DF cap,
+    // self-join, exact shared counts; thresholds render from the shared
+    // constants
+    "q_winnowing_pairs" ->
+      s"""WITH $WinnowFpCte,
+         |f AS (SELECT DISTINCT doc_id, fp FROM w),
+         |d AS (SELECT fp FROM f GROUP BY 1
+         |      HAVING count(*) <= ${TextOps.WinnowPairMaxDf}),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= ${TextOps.WinnowPairMinShared}
+         |ORDER BY 1, 2""".stripMargin,
     // sqrt is correctly-rounded IEEE on exact long inputs; the 6dp
     // fixed-point quantization makes the cross-lang weight total an exact
     // long sum; alloc is pure integer arithmetic (// ≡ Spark div on the

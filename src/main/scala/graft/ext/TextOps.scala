@@ -1452,7 +1452,10 @@ object TextOps {
     * `Window.partitionBy(doc_id)` that would shuffle the corpus-sized
     * token stream on doc_id. Null/short docs drop in both engines
     * (stated `>= k` filter ≡ the mirror's WHERE on len). */
-  def winnowingFingerprints(documents: DataFrame): DataFrame = {
+  /** The per-doc winnowing frame (`doc_id`, `hs` k-gram hash stream,
+    * `fps` per-window minima) shared by [[winnowingFingerprints]] and
+    * [[winnowingPairs]]. */
+  private def winnowed(documents: DataFrame): DataFrame = {
     val k = WinnowK
     val w = WinnowW
     documents.filter(col("text").isNotNull)
@@ -1463,11 +1466,46 @@ object TextOps {
           s"i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
       .withColumn("fps", expr(
         s"transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, $w)))"))
+  }
+
+  def winnowingFingerprints(documents: DataFrame): DataFrame =
+    winnowed(documents)
       .select(col("doc_id"),
         size(col("hs")).cast(LongType).as("n_windows"),
         size(array_distinct(col("fps"))).cast(LongType).as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"))
       .orderBy("doc_id")
+
+  /** [[winnowingPairs]] thresholds, shared with the mirror: minimum
+    * shared fingerprints for a reported pair, and the fingerprint DF cap
+    * (a boilerplate fingerprint in more docs than this carries no match
+    * signal and would fan the self-join out quadratically). */
+  val WinnowPairMinShared = 2L
+  val WinnowPairMaxDf = 64
+
+  /** MOSS-style match candidates from the winnowing fingerprints: pairs
+    * of documents sharing ≥ [[WinnowPairMinShared]] DISTINCT selected
+    * fingerprints, with shared counts — the cross-document step of the
+    * Schleimer/Wilkerson/Aiken pipeline (fingerprint → invert → pair).
+    * The self-join runs on the WINNOWED sample (density ≈ 2/(w+1) of
+    * the k-gram stream — the scheme's whole point: pair detection at a
+    * fraction of full-shingle cost) with the usual DF cap bounding the
+    * per-fingerprint fan-out; counts are exact longs, so the report
+    * rides the hash gate on the shared winnowing prologue. */
+  def winnowingPairs(documents: DataFrame): DataFrame = {
+    val fp = winnowed(documents)
+      .select(col("doc_id"), explode(array_distinct(col("fps"))).as("fp"))
+    val capped = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowPairMaxDf)
+      .select("fp")
+    val kept = fp.join(capped, Seq("fp"))
+    kept.select(col("doc_id").as("doc1"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc2"), col("fp")), "fp")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowPairMinShared)
+      .orderBy("doc1", "doc2")
   }
 
   /** Temperature-based multilingual sampling allocation (the α = 0.5

@@ -448,7 +448,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
     "q_media_frames", "q_media_decode", "q_media_decode_real",
     "q_media_ahash",
-    "q_compression_dist", "q_winnowing", "q_lang_temperature_mix",
+    "q_compression_dist", "q_winnowing", "q_winnowing_pairs",
+    "q_lang_temperature_mix",
     "q_gopher_rules", "q_gopher_by_source", "q_kn_continuations",
     "q_dedup_cross_source",
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",

@@ -774,6 +774,32 @@ class TextOpsSpec extends SparkSpec {
       fps.min)), got.toString)
   }
 
+  test("winnowingPairs: planted near-dups share fingerprints above the " +
+      "threshold, disjoint docs never pair, boilerplate above the DF " +
+      "cap drops") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base),                                 // exact dup
+      (2L, (100 to 130).map(i => s"y$i").mkString(" ")),      // disjoint
+      (3L, (200 to 230).map(i => s"z$i").mkString(" ")))      // disjoint
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowingPairs(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // exactly the dup pair, sharing every distinct fingerprint
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L)), got.toString)
+    val nFp = TextOps.winnowingFingerprints(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .find(_._1 == 0L).get._3
+    assert(got.head._3 == nFp, s"shared ${got.head._3} of $nFp")
+    assert(got.head._3 >= TextOps.WinnowPairMinShared)
+    // a fingerprint present in MORE docs than the cap pairs nobody: a
+    // boilerplate phrase replicated across cap+2 docs
+    val boiler = (1 to TextOps.WinnowK).map(i => s"b$i").mkString(" ")
+    val many = (0 until TextOps.WinnowPairMaxDf + 2).map(i =>
+      (100L + i, boiler)).toDF("doc_id", "text")
+    assert(TextOps.winnowingPairs(many).count() == 0L)
+  }
+
   test("langTemperatureMix: sqrt weights, 6dp fixed-point shares, and " +
       "integer allocations; null lang is a real stratum ordered last") {
     val docs = Seq(
