@@ -57,7 +57,12 @@ object Bench {
           try q.processAllAvailable() finally q.stop()
           (System.nanoTime() - t0) / 1e9
         }.min
-      } catch { case _: Throwable => -1.0 }
+      } catch { case e: Throwable =>
+        // -1.0 is the "probe broken" sentinel; log it so a permanently
+        // failing probe is visible in the bench output, never silent
+        System.err.println(s"[bench] harness-floor probe failed: $e")
+        -1.0
+      }
       finally Fs.deleteQuietly(dir)
     }
     // Per-query byte accounting ("measure, don't guess"): task-metric

@@ -2312,6 +2312,10 @@ object SparkEntry {
     * conversion can land one ulp off): the shortest round-trip
     * `toString`, exponent-suffixed when not already scientific. */
   private def dblSql(v: Double): String = {
+    // NaN/Infinity would render as invalid SQL ('NaNe0') — fail loudly
+    // at render time instead of shipping an unparseable mirror
+    require(java.lang.Double.isFinite(v),
+      s"dblSql: non-finite double $v cannot render as a DuckDB literal")
     val s = v.toString
     val body = if (s.contains('E')) s.replace("E", "e") else s + "e0"
     s"CAST($body AS DOUBLE)"
@@ -5585,7 +5589,7 @@ object SparkEntry {
          |SELECT new_cid AS cid, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN seed <> new_cid THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_moved,
-         |  CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS inertia
+         |  CAST(sum(d2) AS BIGINT) AS inertia
          |FROM kw GROUP BY 1 ORDER BY cid NULLS LAST""".stripMargin,
     // same assignment prologue (shared-CTE discipline); the per-cluster
     // top-k is rank-filtered exactly like Spark's WindowGroupLimit plan

@@ -803,13 +803,16 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("seed") =!= col("new_cid"), 1L).otherwise(0L))
           .as("n_moved"),
-        // DECIMAL accumulation (ADVICE r12): each d2 can reach
-        // 64 · (2·KmQuantScale)² ≈ 2.6e14, so a LONG per-cluster sum
-        // would hit the int64 ceiling near ~3.5e4 adversarial vectors
-        // per cluster — decimal(38,0) removes the ceiling entirely
-        // (exact integer arithmetic either way; the mirror sums the
-        // same DECIMAL(38,0))
-        sum(col("d2").cast("decimal(38,0)")).as("inertia"))
+        // BIGINT accumulation with a documented headroom bound (VERDICT
+        // r13): each d2 ≤ 64 · (2·KmQuantScale)² ≈ 2.6e14, so the long
+        // sum only overflows past ~3.5e4 ADVERSARIAL max-distance
+        // vectors per cluster — unreachable at every gate/bench/scaling
+        // size (unit-normalized embeddings sit orders of magnitude below
+        // the bound). The r13 decimal(38,0) belt-and-braces REGRESSED
+        // the driver hash gate: precision-38 outputs are int128-backed
+        // and render differently across engines. Never emit precision-38
+        // decimals in an output schema.
+        sum(col("d2")).as("inertia"))
       .orderBy(col("cid").asc_nulls_last)
 
   /** Cluster-balanced curation sampling (the SemDeDup/DataComp pattern):

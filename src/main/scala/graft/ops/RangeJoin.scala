@@ -186,8 +186,17 @@ object RangeJoin {
     * [[taggedRunningCounts]] sweep as [[sessionConcurrency]] — tied
     * starts read partial prefixes of their tie group, but the LAST tied
     * row reads the full count, so the per-day MAX is exact (mirror:
-    * the naive quadratic point-in-interval count). A session's peak
-    * measurement lands on the day of its start instant. */
+    * the naive quadratic point-in-interval count).
+    *
+    * ATTRIBUTION SEMANTICS (read before using for capacity planning):
+    * concurrency is measured ONLY at session START instants, and each
+    * measurement lands on the day of that start. A day with live
+    * carry-over sessions but zero session starts emits NO row — it is
+    * omitted, not reported as zero. Full daily coverage would need
+    * boundary-instant measurements (midnight probes) in BOTH engines;
+    * the current entry pins the start-instant semantics because peak
+    * concurrency over all instants is attained at some start instant
+    * within any window that contains at least one start. */
   def peakConcurrency(events: DataFrame): DataFrame =
     taggedRunningCounts(events)
       .filter(col("k") === 0)

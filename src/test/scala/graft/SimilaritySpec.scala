@@ -316,11 +316,12 @@ class SimilaritySpec extends SparkSpec {
     val want = lloydReplay().groupBy(_._3).map { case (cid, vs) =>
       (cid, vs.size.toLong, vs.count(v => v._2 != v._3).toLong,
         vs.map(_._4).sum) }.toSeq.sortBy(_._1)
-    // inertia aggregates in DECIMAL(38,0) (no int64 ceiling) — read it
-    // back as long for the replay compare (exact at spec scale)
-    val got = Similarity.kmeansStep(emb)
-      .withColumn("inertia", col("inertia").cast("long"))
-      .as[(Long, Long, Long, Long)].collect().toSeq
+    // inertia aggregates in BIGINT (precision-38 decimals are
+    // driver-hash-unsafe as output columns; the headroom bound lives in
+    // kmeansStep's comment)
+    val step = Similarity.kmeansStep(emb)
+    assert(step.schema("inertia").dataType == org.apache.spark.sql.types.LongType)
+    val got = step.as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == want, s"got $got want $want")
     // non-degenerate: something must actually move off its seed cluster
     assert(got.map(_._3).sum > 0, "no vector moved — degenerate fixture")
