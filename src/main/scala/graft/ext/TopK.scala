@@ -165,4 +165,5 @@ object TopK {
       .select(col(groupCol), posexplode(col("topk")).as(Seq("rank0", "e")))
       .select(col(groupCol), (col("rank0") + 1).cast("long").as("rank"),
         col("e.id").as(idCol), col("e.score").as(scoreCol))
+
 }

@@ -332,6 +332,130 @@ case class IvfCellScores(child: Expression, centroids: Seq[Seq[Float]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+/** Per-pair ADC dot with a per-QUERY LUT memo — the corpus-wide
+  * generalization of [[PqAdcScore]]'s driver-built lookup table:
+  * `Σ_j lut[j*ksub + code_j]` where `lut[j*ksub+c] =
+  * dot(q[j·sub..(j+1)·sub], codebook_j[c])` is rebuilt only when the
+  * incoming `vec_id` CHANGES (task-confined mutable state). Every join
+  * strategy enumerates one stream row's matches consecutively, so in the
+  * shortlist join the memo hits for all ~√N·nProbe candidates of a query
+  * and each pair costs `m` array lookups instead of `dim` MACs; a miss
+  * costs one ksub·dim rebuild and changes NOTHING semantically (same
+  * doubles either way — the memo is pure performance, safe under any row
+  * order). The first corpus-wide cut of this operator shipped the LUT as
+  * a 4 KB array COLUMN instead and the shuffle exploded 38× (4 GB at the
+  * 30× scale point) — the memo keeps the query side's shuffle at the
+  * plain embedding bytes. Codebooks ride as a REFERENCED object (the
+  * [[IvfCellScores]] Janino lesson — never inlined literal trees). */
+case class PqAdcLutDot(first: Expression, second: Expression,
+    third: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_lut_dot"
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  // interpreted-path memo: Expression instances are shared across tasks,
+  // so the (vec_id, lut) slot must be thread-local
+  @transient private lazy val memo =
+    new ThreadLocal[Array[AnyRef]] {
+      override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+    }
+
+  override def nullSafeEval(id: Any, emb: Any, codes: Any): Any = {
+    val vid = id.asInstanceOf[Long]
+    val m = cb.length
+    val ksub = cb(0).length
+    val sub = cb(0)(0).length
+    val st = memo.get()
+    var lut = st(1).asInstanceOf[Array[Double]]
+    if (lut == null ||
+        st(0).asInstanceOf[java.lang.Long].longValue() != vid) {
+      val a = emb.asInstanceOf[ArrayData]
+      if (lut == null) lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          val cent = cb(j)(c)
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            s += a.getFloat(j * sub + i).toDouble * cent(i).toDouble
+            i += 1
+          }
+          lut(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      st(0) = java.lang.Long.valueOf(vid)
+      st(1) = lut
+    }
+    val cd = codes.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    val n = cd.numElements()
+    while (j < n) {
+      s += lut(j * ksub + (cd.getByte(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
+
+  // hot path of the shortlist join — real codegen with the codebooks as
+  // a referenced object and the memo as generated-class mutable state
+  // (task-confined by construction)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "float[][][]")
+    val lastId = ctx.addMutableState("long", "pqLastVecId")
+    val lutV = ctx.addMutableState("double[]", "pqLutMemo")
+    nullSafeCodeGen(ctx, ev, (id, emb, codes) => {
+      val ksub = ctx.freshName("ksub")
+      val sub = ctx.freshName("sub")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      s"""
+         |int $ksub = $cbRef[0].length;
+         |if ($lutV == null || $lastId != $id) {
+         |  int $sub = $cbRef[0][0].length;
+         |  if ($lutV == null) {
+         |    $lutV = new double[$cbRef.length * $ksub];
+         |  }
+         |  for (int $j = 0; $j < $cbRef.length; $j++) {
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      float[] $cent = $cbRef[$j][$c];
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        $s += (double) $emb.getFloat($j * $sub + $i)
+         |          * (double) $cent[$i];
+         |      }
+         |      $lutV[$j * $ksub + $c] = $s;
+         |    }
+         |  }
+         |  $lastId = $id;
+         |}
+         |double $acc = 0.0;
+         |int $n = $codes.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $acc += $lutV[$j * $ksub + (((int) $codes.getByte($j)) & 0xFF)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
 
 object VecExpressions {
   /** Column-level dot product backed by [[VecDotProduct]]. Inputs must be
@@ -365,4 +489,14 @@ object VecExpressions {
       qnorm: Double, ksub: Int): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes),
       lut, cn2, qnorm, ksub))
+
+  /** Memoized per-pair ADC dot: `dot(q, recon(x))` from a query id +
+    * embedding + candidate-codes triple — the LUT rebuilds only when the
+    * query id changes (see [[PqAdcLutDot]]). */
+  def pqAdcLutDot(vecId: Column, emb: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Float]]]): Column =
+    ColumnBridge.column(PqAdcLutDot(ColumnBridge.expression(vecId),
+      ColumnBridge.expression(emb), ColumnBridge.expression(codes),
+      codebooks))
+
 }

@@ -55,7 +55,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_revenue_acf", "q_revenue_cusum", "q_markov_stationary",
     "q_survival_curve")
 
-  // 50 per family × 4 families = 200 frames per suite run (the round-10
+  // 50 per family × 5 families (EVENT / DOCUMENT / threshold-BOUNDARY /
+  // ORDERS+LINEITEM / EMBEDDING) = 250 frames per suite run (the round-10
   // verdict asked for ≥100); GRAFT_FUZZ_FRAMES raises it for harvest runs
   private val Frames =
     sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(50)
@@ -356,7 +357,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
-    "q_hard_negatives_ann",
+    "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
     "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
     "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift",
     "q_matryoshka_quality")

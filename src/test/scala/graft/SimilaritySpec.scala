@@ -147,6 +147,55 @@ class SimilaritySpec extends SparkSpec {
       s"ANN route must never be quadratic:\n$plan")
   }
 
+  test("hardNegativesAnnPq: the ADC top-C route holds recall vs the " +
+      "exact-within-shortlist ANN entry and keeps ADC out of the " +
+      "exchanges (codes + memoized LUT, no cross product)") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb)
+    val cbs = Similarity.trainPqCodebooks(emb)
+    val exact = Similarity.hardNegativesAnn(emb, cents)
+      .select("vec_id", "neg_id").as[(Long, Long)].collect().toSet
+    val pqDf = Similarity.hardNegativesAnnPq(emb, cents, cbs)
+    val pqRows = pqDf.collect() // collect FIRST: AQE final plan
+    val pqSet = pqRows.map(r => (r.getLong(0), r.getLong(3))).toSet
+    // every query emits rows on both routes, and the ADC shortlist keeps
+    // most of the exact-within-shortlist top-k (C = 32 vs k = 3; PQ on
+    // unstructured 64-dim embeddings is noisy — the floor is deliberate)
+    assert(pqRows.map(_.getLong(0)).distinct.length ==
+      exact.map(_._1).size)
+    val recall = (exact intersect pqSet).size.toDouble / exact.size
+    assert(recall >= 0.7,
+      s"ADC top-${Similarity.HardNegPqShortlist} recall $recall below " +
+        s"floor (exact=${exact.size} hit=${(exact intersect pqSet).size})")
+    // the scale properties: no cross product anywhere; the shortlist
+    // join's corpus side carries PQ codes, the per-pair scorer is the
+    // memoized codegen expression (the LUT is NOT a shuffled column)
+    val plan = pqDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ route must never be quadratic:\n$plan")
+    assert(plan.contains("pq_encode") && plan.contains("pq_adc_lut_dot"),
+      s"expected ADC machinery in the plan:\n$plan")
+  }
+
+  test("hardNegativesAnnPq drops zero-norm vectors up front (equality-" +
+      "preserving: the exact route nulls them out of every sim)") {
+    import spark.implicits._
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val maxId = emb.agg(
+      org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val withZero = emb.unionByName(
+      Seq((maxId + 1, Array.fill(64)(0.0f), 999L))
+        .toDF("vec_id", "embedding", "label"))
+    val cents = Similarity.trainIvfCentroids(emb)
+    val cbs = Similarity.trainPqCodebooks(emb)
+    val pq = Similarity.hardNegativesAnnPq(withZero, cents, cbs).collect()
+    assert(!pq.exists(r => r.getLong(0) == maxId + 1 ||
+      r.getLong(3) == maxId + 1),
+      "zero-norm vector must appear on neither side of any pair")
+    assert(pq.nonEmpty)
+  }
+
   test("matryoshkaQuality matches a driver-side replay: mean of " +
       "per-vector 4dp-quantized prefix-mass ratios") {
     // real 64-dim embeddings: every prefix length is a strict prefix
