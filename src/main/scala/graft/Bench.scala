@@ -89,6 +89,12 @@ object Bench {
     // a plain count() would let Catalyst prune the very work being timed.
     // A failed run is reported as -1, never as a near-zero success.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // untimed cross-query isolation (the graft.Scaling r14 lesson):
+      // dead localCheckpoint/broadcast blocks from earlier entries linger
+      // until a GC runs ContextCleaner, and a huge heap may never GC —
+      // later memory-hungry aggregates then measure their neighbors'
+      // garbage, not their plan (4× observed at the 30× scale point)
+      System.gc(); Thread.sleep(100)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
       catch { case t: Throwable =>

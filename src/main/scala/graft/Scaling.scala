@@ -108,6 +108,15 @@ object Scaling {
     case class M(sec: Double, shuffleMb: Double, records: Long)
     def measure(name: String, dir: String): M = {
       def once(): Double = {
+        // cross-query isolation (r14, MEASURED): dead localCheckpoint
+        // blocks from earlier queries (the graph loops) survive until a
+        // GC triggers ContextCleaner, and a 128 GiB heap may never GC —
+        // the lingering storage blocks then squeeze execution memory and
+        // a later 50M-row aggregate measures 4× slow (hard_negatives_ann
+        // 21 s aged vs 4.8 s fresh on identical data/artifacts). The GC
+        // runs OUTSIDE the timed region: this removes harness-ordering
+        // interference, it does not subsidize the query.
+        System.gc(); Thread.sleep(200)
         val t0 = System.nanoTime()
         queries(name)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
@@ -133,6 +142,15 @@ object Scaling {
     md.append("rows id-shift-framed, documents synthetic at every scale). ")
     md.append(s"local[$cpus], two interleaved passes, per-cell min; ")
     md.append("shuffle MB metered on the steady-state pass.\n\n")
+    md.append("Harness isolation (r14): an untimed GC runs before every ")
+    md.append("measurement. Without it, dead localCheckpoint blocks from ")
+    md.append("earlier cells (the graph loops) linger until some GC runs ")
+    md.append("ContextCleaner — which a huge heap may never trigger — and ")
+    md.append("later memory-hungry aggregates measure their neighbors' ")
+    md.append("garbage, not their plan: q_hard_negatives_ann read 21 s at ")
+    md.append("30× in the aged harness JVM vs 4.8 s in a fresh JVM on ")
+    md.append("identical data and artifacts (r13's \"steepest curve\" was ")
+    md.append("this artifact, not IVF asymptotics).\n\n")
     md.append("A time ratio ≈ the data ratio (or below, when fixed ")
     md.append("per-query overhead amortizes) and a shuffle ratio ≈ the ")
     md.append("data ratio certify the linear-scale claim; iterative graph ")
@@ -367,17 +385,24 @@ object Scaling {
         "capped family's transient. See the 90× section."),
       "q_hard_negatives_ann" -> ("IVF route: candidate mass N^1.5·nProbe " +
         "by construction (cells ∝ √N), every candidate exactly re-ranked " +
-        s"at full dimension — t r30 ${t30("q_hard_negatives_ann")}. The " +
-        "avoidable full-dim re-rank is what the _pq entry removes; this " +
-        "entry stays as the shared-oracle anchor."),
-      "q_hard_negatives_ann_pq" -> ("the r14 fix for the board's " +
-        "steepest curve: the IVF shortlist is ADC-scored (memoized " +
-        "per-query LUT, m lookups per candidate against 8-byte codes) " +
-        "and only the top-C per query is re-ranked at full dimension — " +
-        "N^1.5 lookups + N·C MACs, gated by the generated ADC-replay " +
-        s"mirror. t r30 ${t30("q_hard_negatives_ann_pq")} / sh r30 " +
-        s"${sh30("q_hard_negatives_ann_pq")} vs the exact route's " +
-        s"t r30 ${t30("q_hard_negatives_ann")}."),
+        s"at full dimension — t r30 ${t30("q_hard_negatives_ann")}, " +
+        s"sh r30 ${sh30("q_hard_negatives_ann")} (sub-data: the scanned " +
+        "fraction nProbe/cells shrinks with N). r13's 21.2× wall reading " +
+        "was the harness-isolation artifact (header note), not IVF " +
+        "asymptotics; the super-linear component that remains is the " +
+        "candidate count itself."),
+      "q_hard_negatives_ann_pq" -> ("bounds the exact route's full-dim " +
+        "re-rank (its one super-linear CPU term): the IVF shortlist is " +
+        "ADC-scored (memoized per-query LUT, m lookups per candidate " +
+        "against 8-byte codes) and only the top-C per query is re-ranked " +
+        "at full dimension — N^1.5 lookups + N·C MACs, gated by the " +
+        s"generated ADC-replay mirror. t r30 " +
+        s"${t30("q_hard_negatives_ann_pq")} / sh r30 " +
+        s"${sh30("q_hard_negatives_ann_pq")} vs the exact route's t r30 " +
+        s"${t30("q_hard_negatives_ann")} — at dim 64 the ADC win is " +
+        "modest (64 MACs vs 16 lookups + the same TopK aggregate); the " +
+        "route exists for real embedding dims (768+), where full-dim " +
+        "MACs dominate."),
       "q_leakage_safe_split" -> ("dup_clusters + a cluster-atomic split " +
         "join; inherits the pair transient on candidate generation, the " +
         s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Decontaminate, Dedup, Graph, Multimodal, Similarity, TextOps}
+import graft.ext.{Decontaminate, Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps}
 import graft.ingest.Sources
 import graft.ops.{EventQueries, RelationalQueries, WindowedQueries}
 import graft.sink.{ArtifactStore, Sinks}
@@ -120,6 +120,23 @@ object SparkEntry {
   private val dsirRatios =
     new scala.collection.concurrent.TrieMap[String, (Array[String], Array[Long])]
   private val lastDsirDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Trained BM25 idf micro-units per sfDir for the constant probe
+    * queries (`ln` is driver-only — the DSIR discipline; see
+    * [[ext.Retrieval.trainBm25Idf]]); the generated mirror replays the
+    * (query_id, tok, idf_micro) table as a VALUES CTE. */
+  private val bm25Idf =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, String, Long)]]
+  private val lastBm25Dir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Trained hybrid-search query-term table per sfDir (the query DOCS'
+    * distinct tokens with driver-quantized idf — see
+    * [[ext.Retrieval.trainHybridQueryTerms]]). */
+  private val hybridTerms =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, String, Long)]]
+  private val lastHybridDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Trained NB-quality micro-nat log-likelihood ratios per sfDir (the
@@ -281,6 +298,34 @@ object SparkEntry {
     // joins over 1-based postings, generated-mirror join chain from the
     // shared phrase constant
     "q_phrase_search" -> docs(TextOps.phraseSearch(_)),
+    // Okapi BM25 ranked retrieval for constant probe queries: driver-
+    // quantized idf micro-units (ln never runs at query time), per-term
+    // contributions floor-quantized to longs so the per-doc sum is
+    // order-free exact; broadcast query terms, bounded-heap top-k —
+    // nothing corpus-quadratic. Mirror: bm25SearchSql (generated VALUES)
+    "q_bm25_search" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val qt = bm25Idf.getOrElseUpdate(dir, {
+        val idf = Retrieval.trainBm25Idf(d,
+          Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+        Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => (qid, t, idf(t))) }
+      })
+      lastBm25Dir.set(dir)
+      Retrieval.bm25Search(d, qt)
+    }),
+    // reciprocal-rank-fusion hybrid search: the query DOCS' BM25 ranking
+    // fused with their exact embedding-cosine ranking (vec_id ≡ doc_id),
+    // 1/(60+r) contributions in pinned order; both lists depth-20,
+    // missing list contributes 0. Mirror replays the trained query-term
+    // table + both rankings + the fusion (hybridSearchSql)
+    "q_hybrid_search" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val qt = hybridTerms.getOrElseUpdate(dir,
+        Retrieval.trainHybridQueryTerms(d).toSeq)
+      lastHybridDir.set(dir)
+      Retrieval.hybridSearch(d, Sources.table(s, dir, "embeddings"), qt)
+    }),
     "q_pps_sample" -> docs(TextOps.ppsSample(_)),
     // partition-layout advisor: candidate keys scored on cardinality,
     // skew and small-files risk; verdicts on 4dp-rounded metrics
@@ -1592,6 +1637,133 @@ object SparkEntry {
     * Null-text docs emit no token rows in either engine. With no
     * ratios cached yet (oracleSql read before any query ran — not the
     * Verify order) the vocabulary is empty and every token is OOV. */
+  /** Renders a trained `(query_id, tok, idf_micro)` table as a VALUES
+    * CTE body (empty-safe — the dsirSql fallback discipline). */
+  private def qtValuesSql(qt: Seq[(Long, String, Long)]): String = {
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    if (qt.isEmpty)
+      "(SELECT CAST(NULL AS BIGINT) AS query_id, " +
+        "CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS idf_micro " +
+        "WHERE false)"
+    // CAST both longs: DuckDB types small VALUES literals INT32, and
+    // query_id lands in the output schema (the driver's schema gate)
+    else "(VALUES " + qt.map { case (q, t, i) =>
+      s"(CAST($q AS BIGINT), ${sqlLit(t)}, CAST($i AS BIGINT))"
+    }.mkString(", ") + ")"
+  }
+
+  /** Shared BM25 prologue CTEs (→ `bagg(query_id, doc_id,
+    * score_micro)`) for [[bm25SearchSql]] and [[hybridSearchSql]] — the
+    * bpeEncCte sharing discipline. Every IEEE op mirrors
+    * [[graft.ext.Retrieval.bm25Scores]] position-for-position:
+    * `(((idf/1e6) * (tf*(k1+1))) / (tf + k1*((1-b) + b*(dl/avgdl)))) *
+    * 1e6 + 0.5` floored to a BIGINT, then the per-doc sum is exact long
+    * arithmetic. Constants render via [[dblSql]] from the SAME Scala
+    * values (Bm25K1Plus1 is the COMPUTED `1.2 + 1.0`, not a re-typed
+    * `2.2` — the two differ in the last ulp). */
+  private def bm25CoreSql(qtValues: String): String =
+    s"""qt(query_id, tok, idf_micro) AS $qtValues,
+       |bmd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |bdl AS (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |        FROM bmd),
+       |bst AS (SELECT CASE WHEN count(*) > 0 THEN
+       |          CAST(COALESCE(sum(len(string_split(text, ' '))), 0)
+       |            AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS avgdl
+       |        FROM bmd),
+       |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |         FROM bmd),
+       |btf AS (SELECT q.query_id, t.doc_id, q.tok, q.idf_micro,
+       |          CAST(count(*) AS BIGINT) AS tf
+       |        FROM btok t JOIN qt q USING (tok) GROUP BY 1, 2, 3, 4),
+       |bsc AS (SELECT f.query_id, f.doc_id,
+       |          CAST(floor(CAST(f.idf_micro AS DOUBLE) / 1000000e0
+       |            * (CAST(f.tf AS DOUBLE)
+       |               * ${dblSql(Retrieval.Bm25K1Plus1)})
+       |            / (CAST(f.tf AS DOUBLE) + ${dblSql(Retrieval.Bm25K1)}
+       |               * (${dblSql(Retrieval.Bm25OneMinusB)}
+       |                  + ${dblSql(Retrieval.Bm25B)}
+       |                    * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+       |            * 1000000e0 + 0.5e0) AS BIGINT) AS s_micro
+       |        FROM btf f JOIN bdl l USING (doc_id), bst s),
+       |bagg AS (SELECT query_id, doc_id,
+       |           CAST(sum(s_micro) AS BIGINT) AS score_micro
+       |         FROM bsc GROUP BY 1, 2)""".stripMargin
+
+  /** GENERATED mirror for `q_bm25_search`: the driver-trained idf table
+    * as a VALUES CTE + the shared BM25 core + row_number top-k (≡
+    * TopKPairs' score-desc/id-asc). */
+  private def bm25SearchSql: String = {
+    val qt = Option(lastBm25Dir.get).flatMap(bm25Idf.get)
+      .getOrElse(Seq.empty)
+    s"""WITH ${bm25CoreSql(qtValuesSql(qt))},
+       |r AS (SELECT query_id, doc_id, score_micro,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_micro DESC, doc_id) AS rank
+       |      FROM bagg)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  score_micro, CAST(score_micro AS DOUBLE) / 1000000e0 AS score
+       |FROM r WHERE rank <= ${Retrieval.Bm25TopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_hybrid_search`: shared BM25 core over the
+    * query DOCS' trained terms (self-matches excluded before ranking),
+    * the exact cosine ranking of the same ids' embeddings (index-order
+    * sums — the accepted KNN-mirror class; zero-norm pairs filtered),
+    * then RRF fusion `1/(60+r)` with pinned (bm25, cosine) addition
+    * order and NULL ranks contributing 0 via COALESCE. */
+  private def hybridSearchSql: String = {
+    val qt = Option(lastHybridDir.get).flatMap(hybridTerms.get)
+      .getOrElse(Seq.empty)
+    val ids = Retrieval.HybridQueryIds.mkString(", ")
+    s"""WITH ${bm25CoreSql(qtValuesSql(qt))},
+       |rb AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score_micro DESC, doc_id) AS rank
+       |         FROM bagg WHERE doc_id <> query_id)
+       |       WHERE rank <= ${Retrieval.RrfListDepth}),
+       |cq AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |         sum(CAST(q.embedding[t.i] AS DOUBLE)
+       |           * CAST(c.embedding[t.i] AS DOUBLE)) AS dot,
+       |         sum(CAST(q.embedding[t.i] AS DOUBLE)
+       |           * CAST(q.embedding[t.i] AS DOUBLE)) AS nq,
+       |         sum(CAST(c.embedding[t.i] AS DOUBLE)
+       |           * CAST(c.embedding[t.i] AS DOUBLE)) AS nc
+       |       FROM embeddings q, embeddings c, generate_series(1, 64) t(i)
+       |       WHERE q.vec_id IN ($ids) AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |rc AS (SELECT query_id, doc_id, rank FROM (
+       |         SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, doc_id)
+       |             AS rank
+       |         FROM cq WHERE nq > 0 AND nc > 0)
+       |       WHERE rank <= ${Retrieval.RrfListDepth}),
+       |fu AS (SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+       |         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       |         b.rank AS bm25_rank, c.rank AS cos_rank,
+       |         COALESCE(CAST(1 AS DOUBLE)
+       |             / CAST(${Retrieval.RrfK} + b.rank AS DOUBLE),
+       |           CAST(0 AS DOUBLE))
+       |         + COALESCE(CAST(1 AS DOUBLE)
+       |             / CAST(${Retrieval.RrfK} + c.rank AS DOUBLE),
+       |           CAST(0 AS DOUBLE)) AS rrf
+       |       FROM rb b FULL OUTER JOIN rc c
+       |         ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+       |rr AS (SELECT query_id, doc_id, bm25_rank, cos_rank, rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf DESC, doc_id) AS rank
+       |       FROM fu)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       |  CAST(cos_rank AS BIGINT) AS cos_rank,
+       |  ${graft.Exprs.round2Sql("rrf", 6)} AS rrf
+       |FROM rr WHERE rank <= ${Retrieval.HybridTopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def dsirSql: String = {
     val (toks, qlogs) = Option(lastDsirDir.get).flatMap(dsirRatios.get)
       .getOrElse((Array.empty[String], Array.empty[Long]))
@@ -5004,6 +5176,12 @@ object SparkEntry {
     "q_stream_survival" -> SurvivalCurveSql,
     // generated adjacency-join chain over 1-based postings
     "q_phrase_search" -> phraseSearchSql,
+    // generated BM25 mirror: driver-trained idf VALUES + identical IEEE
+    // per-term contribution + exact micro-long sums + row_number top-k
+    "q_bm25_search" -> bm25SearchSql,
+    // generated RRF hybrid mirror: shared BM25 core + exact cosine
+    // ranking + pinned-order 1/(60+r) fusion
+    "q_hybrid_search" -> hybridSearchSql,
     // the stateful streaming lag on the SAME oracle verbatim: the gate
     // certifies flatMapGroupsWithState-lag ≡ window-lag on real data
     "q_stream_event_transitions" -> EventTransitionsSql,

@@ -24,9 +24,11 @@ object Time {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC").contains("1")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       def once(): Double = {
+        if (gcBetween) { System.gc(); Thread.sleep(200) }
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9

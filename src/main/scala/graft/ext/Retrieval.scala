@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query-scoring retrieval stack over the `documents` corpus: Okapi BM25
+  * ranking and reciprocal-rank-fusion (RRF) hybrid search that fuses the
+  * lexical BM25 ranking with an exact embedding-cosine ranking — the
+  * serving-side complement of the corpus-analysis operators in
+  * [[TextOps]] (TF-IDF terms, phrase search) and [[Similarity]] (kNN).
+  * The reference's dashboard answers fixed aggregate questions
+  * (`reference:airflow_docker/dags/utils/snowflake_refresh.py:5-80`);
+  * a training-data pipeline additionally needs ranked retrieval for
+  * corpus auditing ("which documents match this probe query?") and
+  * RAG-style evaluation — this is that surface.
+  *
+  * Exactness discipline (everything rides the driver's hash gate):
+  *  - `ln` has no cross-engine correctly-rounded guarantee, so per-term
+  *    idf is computed ONCE on the driver at train time and quantized to
+  *    micro-units ([[Bm25ScoreScale]], the DSIR micro-nat discipline);
+  *    both engines serve from the same rendered longs.
+  *  - The per-term BM25 contribution is an IDENTICAL IEEE double op
+  *    sequence in both engines (exact long tf/dl inputs; mul/div/add are
+  *    correctly rounded), then floor-trick quantized to micro-unit
+  *    LONGS, so the per-document sum over matched terms is an exact,
+  *    order-free long sum (the k-means fixed-point discipline — no
+  *    float-sum-order exposure at all).
+  *  - RRF contributions `1/(k + rank)` are single correctly-rounded
+  *    divisions of exact longs; the two-list fusion adds them in pinned
+  *    (bm25, cosine) order.
+  *
+  * Scale (the 100 TB story): the corpus-side work is one tokenize pass;
+  * the query-term table is constants-bounded and BROADCAST, so the
+  * posting filter is map-side; per-(query, doc, term) tf is one hash
+  * aggregate keyed by bounded query terms × matched docs; top-k rides
+  * the bounded-heap [[TopK.topKPerGroup]] aggregate (map-side partials,
+  * ≤ k pairs per group per partition). The cosine side broadcasts the
+  * constants-bounded query vectors — the [[Similarity.batchKnn]] shape.
+  * No shuffle anywhere is corpus-quadratic.
+  */
+object Retrieval {
+  /** BM25 shape parameters (Robertson k1/b defaults). Mirrors render
+    * these via the float-exact `dblSql` discipline — never re-typed
+    * literals ([[Bm25K1Plus1]] in particular: `1.2 + 1.0` computed in
+    * double is NOT bit-identical to a parsed `2.2`, so the mirror must
+    * render the COMPUTED value). */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  val Bm25K1Plus1: Double = Bm25K1 + 1.0
+  val Bm25OneMinusB: Double = 1.0 - Bm25B
+
+  /** Micro-unit quantization scale for idf and per-term scores — after
+    * quantization every aggregation is exact long arithmetic. */
+  val Bm25ScoreScale = 1000000L
+
+  /** Result-list depth of `q_bm25_search`. */
+  val Bm25TopK = 10
+
+  /** Constant probe queries for `q_bm25_search` (query_id → distinct
+    * terms), interpolated into BOTH engines from here (the shared-
+    * constant discipline). `dup` is the corpus's one rare token
+    * (df ≈ 5% vs ~77% for the rest) — its idf dominates queries 1 and
+    * 5, demonstrating rarity-weighted ranking; the common terms rank by
+    * tf/length normalization. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "dup"),
+    2L -> Seq("hash", "table", "scan"),
+    3L -> Seq("window", "batch"),
+    4L -> Seq("filter", "merge", "vector"),
+    5L -> Seq("key", "dup"))
+
+  /** RRF fusion constant (the standard 60) and per-list depth fused by
+    * `q_hybrid_search`. */
+  val RrfK = 60L
+  val RrfListDepth = 20
+
+  /** Result-list depth of `q_hybrid_search`. */
+  val HybridTopK = 10
+
+  /** Query DOCUMENT ids for `q_hybrid_search` — a constants-bounded set
+    * (all < the smallest test corpus's 50 docs) whose text drives the
+    * BM25 side and whose embedding (`vec_id` ≡ `doc_id`, the shared id
+    * space of the driver's `documents`/`embeddings` tables) drives the
+    * cosine side. A bounded CONSTANT set, not a modulus — query count
+    * must not grow with the corpus or the Q×N cosine side goes
+    * quadratic. */
+  val HybridQueryIds: Seq[Long] = Seq(3L, 11L, 27L, 42L)
+
+  /** Per-query-document term cap for the hybrid BM25 side, applied at
+    * TRAIN time (rarest-first: df asc, token asc — rare terms carry the
+    * idf mass); never binds on the test corpora (~30 distinct tokens per
+    * doc) but bounds the broadcast on adversarial inputs. */
+  val Bm25MaxQueryTerms = 1024
+
+  /** Driver-side idf training for a bounded term set: one bounded
+    * aggregate + a ≤ |terms|-row collect (the bounded-scalar rule).
+    * idf = ln(1 + (N − df + 0.5) / (df + 0.5)) — the Lucene/ATIRE
+    * non-negative variant — quantized to micro-units. Terms absent from
+    * the corpus keep their (maximal) idf; they simply match no postings. */
+  def trainBm25Idf(documents: DataFrame,
+      terms: Seq[String]): Array[(String, Long)] = {
+    val docs = documents.filter(col("text").isNotNull)
+    val nDocs = docs.count()
+    val dfMap = docs
+      .select(explode(array_distinct(TextOps.tokens(col("text"))))
+        .as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.sorted.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      t -> math.floor(idf * Bm25ScoreScale + 0.5).toLong
+    }.toArray
+  }
+
+  /** Hybrid-search train step: the distinct tokens of each query
+    * document (rarest-first capped at [[Bm25MaxQueryTerms]]) with their
+    * driver-quantized idf — the `(query_id, tok, idf_micro)` table both
+    * engines serve from. One bounded collect (query docs are a constant
+    * set; the test corpora carry ~30 distinct tokens each). */
+  def trainHybridQueryTerms(documents: DataFrame,
+      queryIds: Seq[Long] = HybridQueryIds): Array[(Long, String, Long)] = {
+    val docs = documents.filter(col("text").isNotNull)
+    val nDocs = docs.count()
+    // global df of every token that appears in some query doc
+    val qtoks = docs.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val dfs = docs
+      .select(explode(array_distinct(TextOps.tokens(col("text"))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    qtoks.join(dfs, Seq("tok"))
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, tok, df) => (df, tok) }
+          .take(Bm25MaxQueryTerms)
+          .map { case (_, tok, df) =>
+            val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+            (qid, tok, math.floor(idf * Bm25ScoreScale + 0.5).toLong)
+          }
+      }.sortBy(r => (r._1, r._2)).toArray
+  }
+
+  /** Per-(query, doc) BM25 score in micro-units from a trained
+    * query-term table: tokenize once, broadcast-filter to query terms,
+    * per-term exact-double contribution quantized to a long, exact long
+    * sum per document. `queryTerms` rows are `(query_id, tok,
+    * idf_micro)` with DISTINCT terms per query (qtf ≡ 1). */
+  def bm25Scores(documents: DataFrame,
+      queryTerms: Seq[(Long, String, Long)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("query_id", "tok", "idf_micro")
+    val docs = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    // 1-row stats frame; avgdl guarded (ANSI double division throws on
+    // 0/0 — the r11 zero-denominator rule)
+    val stats = docs.agg(count(lit(1)).as("nd"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("tot"))
+      .select(when(col("nd") > 0,
+        col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy("query_id", "doc_id", "tok", "idf_micro")
+      .agg(count(lit(1)).as("tf"))
+    // identical IEEE op sequence in the mirror: ((idf/1e6) * (tf*(k1+1)))
+    // / (tf + k1*((1-b) + b*(dl/avgdl))), then floor-trick micro longs
+    val sMicro = {
+      val idfD = col("idf_micro").cast("double") / lit(1000000.0)
+      val num = col("tf").cast("double") * lit(Bm25K1Plus1)
+      val den = col("tf").cast("double") + lit(Bm25K1) *
+        (lit(Bm25OneMinusB) + lit(Bm25B) *
+          (col("dl").cast("double") / col("avgdl")))
+      floor(idfD * num / den * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_micro")).cast("long").as("score_micro"))
+  }
+
+  /** `q_bm25_search`: top-[[Bm25TopK]] documents per constant probe
+    * query by exact micro-unit BM25 score (ties to the smaller doc_id). */
+  def bm25Search(documents: DataFrame,
+      queryTerms: Seq[(Long, String, Long)]): DataFrame = {
+    val scored = bm25Scores(documents, queryTerms)
+    TopK.topKPerGroup(scored, "query_id", "score_micro", "doc_id", Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** `q_hybrid_search`: reciprocal-rank fusion of the BM25 ranking (the
+    * query doc's trained terms against the corpus) with the exact
+    * embedding-cosine ranking (the query doc's vector against the
+    * corpus), both at depth [[RrfListDepth]]; fused score is
+    * `1/(60+r_bm25) + 1/(60+r_cos)` with a missing list contributing 0
+    * (the standard RRF convention). Self-matches are excluded on both
+    * sides; zero-norm vectors drop from the cosine list (null-guarded
+    * before ranking — the ANSI divide-by-zero rule). */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[(Long, String, Long)],
+      queryIds: Seq[Long] = HybridQueryIds): DataFrame = {
+    val bm = TopK.topKPerGroup(
+      bm25Scores(documents, queryTerms)
+        .filter(col("doc_id") =!= col("query_id")),
+      "query_id", "score_micro", "doc_id", RrfListDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val dot = Similarity.dot _
+    val qv = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cs = embeddings.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        when(dot(col("q_emb"), col("q_emb")) * dot(col("embedding"),
+            col("embedding")) === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+              sqrt(dot(col("embedding"), col("embedding")))))
+          .as("sim"))
+      .filter(col("sim").isNotNull)
+    val cos = TopK.topKPerGroup(cs, "query_id", "sim", "doc_id",
+      RrfListDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("cos_rank"))
+    // pinned fusion order: bm25 contribution + cosine contribution
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfK) + col("bm25_rank")).cast("double"),
+        lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("cos_rank")).cast("double"),
+        lit(0.0))
+    val fused = bm.join(cos, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        col("cos_rank"), rrf.as("rrf"))
+    import org.apache.spark.sql.expressions.Window
+    fused
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("bm25_rank"), col("cos_rank"),
+        graft.Exprs.round2(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -180,7 +180,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_gopher_by_source",
     "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs",
     "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs",
-    "q_jaccard_prefix")
+    "q_jaccard_prefix", "q_bm25_search")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -357,7 +357,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
-    "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
+    "q_hard_negatives_ann", "q_hard_negatives_ann_pq", "q_hybrid_search",
     "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
     "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift",
     "q_matryoshka_quality")
@@ -455,7 +455,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_dedup_cross_source",
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
     "q_tfidf_pairs", "q_jaccard_prefix", "q_leakage_safe_split",
-    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip")
+    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
+    "q_bm25_search")
 
   /** One frame, the full query list, one oracle invocation. */
   private def sweep(frames: Seq[(String, DataFrame)],

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ext.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = graft.ingest.Sources.table(
+    spark, sf("sf0.001"), "documents")
+  private def embDf = graft.ingest.Sources.table(
+    spark, sf("sf0.001"), "embeddings")
+
+  /** Plain-Scala BM25 ground truth: same formula, same quantization. */
+  private def bm25Replay(
+      docs: Seq[(Long, String)],
+      qt: Seq[(Long, String, Long)]): Map[(Long, Long), Long] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val nd = docs.size
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / nd.toDouble
+    val out = collection.mutable.Map[(Long, Long), Long]()
+    for ((qid, term, idfMicro) <- qt; (did, ts) <- toks) {
+      val tf = ts.count(_ == term).toLong
+      if (tf > 0) {
+        val idfD = idfMicro.toDouble / 1000000.0
+        val num = tf.toDouble * Retrieval.Bm25K1Plus1
+        val den = tf.toDouble + Retrieval.Bm25K1 *
+          (Retrieval.Bm25OneMinusB + Retrieval.Bm25B *
+            (ts.size.toDouble / avgdl))
+        val s = math.floor(idfD * num / den * 1000000.0 + 0.5).toLong
+        out((qid, did)) = out.getOrElse((qid, did), 0L) + s
+      }
+    }
+    out.toMap
+  }
+
+  test("bm25Search matches a plain-Scala replay exactly (micro-unit " +
+      "longs, rank by score desc / doc_id)") {
+    val d = docsDf
+    val idf = Retrieval.trainBm25Idf(d,
+      Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+    val qt = Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, idf(t))) }
+    val got = Retrieval.bm25Search(d, qt)
+      .select("query_id", "rank", "doc_id", "score_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val docsLocal = d.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val truth = bm25Replay(docsLocal, qt)
+    val want = truth.toSeq.groupBy(_._1._1).toSeq.flatMap {
+      case (qid, scored) =>
+        scored.map { case ((_, did), s) => (did, s) }
+          .sortBy { case (did, s) => (-s, did) }
+          .take(Retrieval.Bm25TopK).zipWithIndex
+          .map { case ((did, s), i) => (qid, i + 1L, did, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // non-degenerate: every probe query returns a full list with
+    // distinct scores somewhere in it (tf/dl variation is visible)
+    assert(got.map(_._1).distinct.size == Retrieval.Bm25Queries.size)
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).distinct.size > 1))
+  }
+
+  test("bm25: the rare term's idf dominates — docs containing 'dup' " +
+      "outrank all-common-term docs for query 1") {
+    val d = docsDf
+    val idf = Retrieval.trainBm25Idf(d,
+      Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+    val qt = Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, idf(t))) }
+    val dupDocs = d.filter(col("text").isNotNull)
+      .filter(col("text").contains("dup"))
+      .select("doc_id").as[Long].collect().toSet
+    if (dupDocs.nonEmpty) {
+      val top1 = Retrieval.bm25Search(d, qt)
+        .filter(col("query_id") === 1L && col("rank") === 1L)
+        .select("doc_id").as[Long].head()
+      assert(dupDocs.contains(top1),
+        s"rank-1 doc $top1 for query 1 should contain the rare term")
+    }
+  }
+
+  test("bm25 plan: query terms broadcast (no shuffle on the posting " +
+      "filter side), never a cartesian product") {
+    val d = docsDf
+    val idf = Retrieval.trainBm25Idf(d, Seq("spark", "dup")).toMap
+    val df = Retrieval.bm25Search(d,
+      Seq((1L, "spark", idf("spark")), (1L, "dup", idf("dup"))))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product anywhere:\n$plan")
+  }
+
+  test("hybridSearch: fusion is consistent with its two component " +
+      "lists (RRF arithmetic, membership, rank order)") {
+    val d = docsDf
+    val qt = Retrieval.trainHybridQueryTerms(d).toSeq
+    val fused = Retrieval.hybridSearch(d, embDf, qt)
+      .select("query_id", "rank", "doc_id", "bm25_rank", "cos_rank",
+        "rrf")
+      .collect()
+    assert(fused.nonEmpty)
+    val qids = fused.map(_.getLong(0)).distinct.toSet
+    assert(qids.subsetOf(Retrieval.HybridQueryIds.toSet))
+    fused.foreach { r =>
+      val bm = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val cs = Option(r.get(4)).map(_.asInstanceOf[Long])
+      assert(bm.nonEmpty || cs.nonEmpty, "a fused row must come from " +
+        "at least one list")
+      // RRF value replays exactly from the two ranks (6dp half-up)
+      val expect = bm.map(x => 1.0 / (Retrieval.RrfK + x).toDouble)
+        .getOrElse(0.0) +
+        cs.map(x => 1.0 / (Retrieval.RrfK + x).toDouble).getOrElse(0.0)
+      assert(r.getDouble(5) ==
+        math.floor(expect * 1e6 + 0.5) / 1e6,
+        s"rrf mismatch on $r")
+      // never a self-match
+      assert(r.getLong(2) != r.getLong(0))
+    }
+    // per query: ranks are 1..n contiguous and rrf non-increasing
+    fused.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to sorted.length.toLong))
+      val vs = sorted.map(_.getDouble(5)).toSeq
+      assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    }
+    // a doc present in BOTH depth-20 lists at equal-or-better ranks
+    // outranks a same-single-list-rank doc: spot the property holds by
+    // checking rank-1 of some query has 2 contributions OR the corpus
+    // genuinely has disjoint lists (then every rrf < 2/(60+1))
+    val both = fused.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    if (both.isEmpty)
+      assert(fused.forall(_.getDouble(5) <
+        2.0 / (Retrieval.RrfK + 1).toDouble))
+  }
+
+  test("hybridSearch drops null-text query docs from the BM25 side " +
+      "but keeps their cosine list (one-sided fusion)") {
+    val d = docsDf
+    // blank out query doc 3's text
+    val d2 = d.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 3L,
+        org.apache.spark.sql.functions.lit(null: String))
+        .otherwise(col("text")))
+    val qt = Retrieval.trainHybridQueryTerms(d2).toSeq
+    assert(!qt.exists(_._1 == 3L), "null-text query doc trains no terms")
+    val fused = Retrieval.hybridSearch(d2, embDf, qt)
+      .filter(col("query_id") === 3L).collect()
+    // cosine-only fusion: rows exist, bm25_rank all null
+    assert(fused.nonEmpty)
+    assert(fused.forall(_.isNullAt(3)))
+  }
+}
