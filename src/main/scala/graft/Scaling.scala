@@ -65,6 +65,12 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val sf01 = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft-scaling")
+    // optional third arg: query-name regex for fast dev iteration (the
+    // graft.Verify precedent). A FILTERED run prints measurements but
+    // never rewrites SCALING.md and skips the sparse/90×/diagnosis
+    // sections — partial tables must not masquerade as the full record.
+    val filter = args.lift(2).map(_.r)
+    val filtered = filter.isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -128,12 +134,15 @@ object Scaling {
       M(math.min(a, b), (shuffleBytes.get() - s0) / 1e6,
         shuffleRecords.get() - r0)
     }
-    val results = ScaleQueries.map { n =>
-      val ms = Scales.map(c => c -> measure(n, dirs(c))).toMap
-      System.err.println(f"[scaling] $n%-28s " + Scales.map(c =>
-        f"x$c ${ms(c).sec}%6.2fs ${ms(c).shuffleMb}%8.1fMB").mkString("  "))
-      (n, ms)
-    }
+    val results = ScaleQueries
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+      .map { n =>
+        val ms = Scales.map(c => c -> measure(n, dirs(c))).toMap
+        System.err.println(f"[scaling] $n%-28s " + Scales.map(c =>
+          f"x$c ${ms(c).sec}%6.2fs ${ms(c).shuffleMb}%8.1fMB").mkString("  "))
+        (n, ms)
+      }
+    if (filtered) { spark.stop(); return }
 
     val md = new StringBuilder
     md.append(s"# SCALING — measured ${Scales.map(c => s"$c×").mkString(" / ")} curves\n\n")
@@ -143,14 +152,17 @@ object Scaling {
     md.append(s"local[$cpus], two interleaved passes, per-cell min; ")
     md.append("shuffle MB metered on the steady-state pass.\n\n")
     md.append("Harness isolation (r14): an untimed GC runs before every ")
-    md.append("measurement. Without it, dead localCheckpoint blocks from ")
-    md.append("earlier cells (the graph loops) linger until some GC runs ")
-    md.append("ContextCleaner — which a huge heap may never trigger — and ")
-    md.append("later memory-hungry aggregates measure their neighbors' ")
-    md.append("garbage, not their plan: q_hard_negatives_ann read 21 s at ")
-    md.append("30× in the aged harness JVM vs 4.8 s in a fresh JVM on ")
-    md.append("identical data and artifacts (r13's \"steepest curve\" was ")
-    md.append("this artifact, not IVF asymptotics).\n\n")
+    md.append("measurement, and the iterative operators now RELEASE each ")
+    md.append("superseded round's localCheckpoint blocks deterministically ")
+    md.append("(ColumnBridge.releaseLocalCheckpoint — verified by the ")
+    md.append("GraphSpec leak test and a polluter-first filtered run). ")
+    md.append("Without either, dead checkpoint blocks lingered until some ")
+    md.append("GC ran ContextCleaner — which a huge heap may never ")
+    md.append("trigger — and later memory-hungry aggregates measured their ")
+    md.append("neighbors' garbage, not their plan: q_hard_negatives_ann ")
+    md.append("read 21 s at 30× in the aged harness JVM vs 4.8 s in a ")
+    md.append("fresh JVM on identical data and artifacts (r13's \"steepest ")
+    md.append("curve\" was this artifact, not IVF asymptotics).\n\n")
     md.append("A time ratio ≈ the data ratio (or below, when fixed ")
     md.append("per-query overhead amortizes) and a shuffle ratio ≈ the ")
     md.append("data ratio certify the linear-scale claim; iterative graph ")

@@ -753,6 +753,10 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
+    // labelsCk tracks the actual checkpoint frame (labels is a projection
+    // over it from round 1 on) so the superseded round's blocks release
+    // deterministically (the Graph-loop storage-region discipline)
+    var labelsCk = labels
     while (changed > 0 && iter < maxIters) {
       val nb = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb"))
@@ -763,6 +767,9 @@ object Dedup {
           col("old"))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(labelsCk)
+      labelsCk = next
       labels = next.select("id", "label")
       iter += 1
     }
@@ -821,6 +828,8 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
+      org.apache.spark.sql.graft.ColumnBridge
+        .releaseLocalCheckpoint(edges)
       edges = next
       sig = nextSig
       iter += 1

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** General graph analytics over edge DataFrames — the Pregel-shaped
   * iterate-join-aggregate discipline the dedup clustering family
@@ -62,6 +63,7 @@ object Graph {
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
         .groupBy("node")
@@ -71,6 +73,11 @@ object Graph {
           (lit(teleport) +
             lit(damping) * (col("inflow") + col("dm") / n)).as("rank"))
         .localCheckpoint()
+      // deterministic release of the superseded round's blocks (the new
+      // checkpoint is EAGER, so prev is no longer referenced); round 0's
+      // plain projection no-ops. Without this the N rounds' blocks sit in
+      // the storage-protected memory region until a GC nobody triggers.
+      ColumnBridge.releaseLocalCheckpoint(prev)
     }
     ranks.orderBy(col("rank").desc, col("node"))
   }
@@ -135,6 +142,7 @@ object Graph {
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
         .groupBy("node")
@@ -145,6 +153,9 @@ object Graph {
             expr(s"($dampNum * (inflow + dm div $n)) div $dampDen"))
             .as("r"))
         .localCheckpoint()
+      // superseded round's blocks release deterministically (pageRank's
+      // storage-region discipline; round 0 no-ops)
+      ColumnBridge.releaseLocalCheckpoint(prev)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
@@ -203,6 +214,7 @@ object Graph {
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
         .groupBy("node")
@@ -216,6 +228,7 @@ object Graph {
               s"if(is_seed is not null, dm div ${k}L, 0L))) div $dampDen"))
             .as("r"))
         .localCheckpoint()
+      ColumnBridge.releaseLocalCheckpoint(prev)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
@@ -270,9 +283,11 @@ object Graph {
       val relaxed = dist.filter(col("dist").isNotNull)
         .join(e.hint("shuffle_hash"), col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      val prev = dist
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      ColumnBridge.releaseLocalCheckpoint(prev)
     }
     dist.filter(col("dist").isNotNull).orderBy(col("dist"), col("node"))
   }
@@ -286,10 +301,12 @@ object Graph {
     var e = edges.toDF("a", "b").localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
+      val prev = e
       e = e
         .join(keep.select(col("node").as("a")).hint("shuffle_hash"), "a")
         .join(keep.select(col("node").as("b")).hint("shuffle_hash"), "b")
         .select("a", "b").localCheckpoint()
+      ColumnBridge.releaseLocalCheckpoint(prev)
     }
     degrees(e).orderBy(col("deg").desc, col("node"))
   }
@@ -392,6 +409,11 @@ object Graph {
     val s = HitsScale
     var h = srcs.select(col("src"), lit(s / n).as("h"))
     var a: DataFrame = null
+    // release LAGS one round here (unlike the pagerank loops): the final
+    // round's `a` is consumed AFTER the loop and its lineage reads the
+    // PREVIOUS h checkpoint, so h_{i-1} must outlive round i's end —
+    // h_{i-2} is the newest frame nothing can still reference
+    var hLag: DataFrame = null
     for (_ <- 1 to iterations) {
       val araw = e.join(h.hint("shuffle_hash"), "src")
         .groupBy("dst").agg(sum(col("h")).as("araw"))
@@ -403,9 +425,12 @@ object Graph {
       val hraw = e.join(a.hint("shuffle_hash"), "dst")
         .groupBy("src").agg(sum(col("a")).as("hraw"))
       val ht = hraw.agg(sum(col("hraw")).as("t"))
+      val prev = h
       h = hraw.crossJoin(broadcast(ht))
         .select(col("src"), expr(s"(hraw * $s) div t").as("h"))
         .localCheckpoint()
+      if (hLag != null) ColumnBridge.releaseLocalCheckpoint(hLag)
+      hLag = prev
     }
     h.select(lit("hub").as("role"), col("src").as("id"),
         col("h").as("score_fp"))

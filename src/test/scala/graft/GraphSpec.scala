@@ -107,6 +107,22 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 1.0 + 1e-12 && mass > 1.0 - 1e-9, s"mass $mass")
   }
 
+  test("iterative loops release superseded localCheckpoint blocks: " +
+    "persistent-RDD count stays bounded by the shared frames, not the " +
+    "round count") {
+    val edges = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("B", "D"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.pageRankFixedPoint(edges.toDF("src", "dst"), iterations = 10)
+      .collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // shared pins (sym/nodes/outDeg) + the final round's ranks survive;
+    // the 9 superseded rounds must NOT (without the release they did —
+    // until a GC nobody triggers on a huge heap; the r14 harness lesson)
+    assert(after - before <= 4,
+      s"leaked checkpoints: $before -> $after persistent RDDs")
+  }
+
   test("personalizedPageRankFixedPoint: teleport, start mass and dangling " +
     "restarts all land on the seed set — EXACT driver replay in longs") {
     val edges = Seq(
