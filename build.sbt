@@ -33,5 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g default is a MEASURED choice, not a guess (r14, both directions
+  // tested): at sf0.1 bench scale a 32g heap's bigger young gen taxes
+  // every query ~uniformly (+20 s on the 259-entry suite total), while
+  // at graft.Scaling's 30×/90× cells an 8g heap AGES under G1 pressure
+  // across ~40+ heavy queries until CPU-bound aggregates turn GC-bound
+  // (21 s vs 4 s fresh). So: bench/verify default to 8g; graft.Scaling
+  // REQUIRES SPARK_DRIVER_MEM=32g and guards at startup.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -18,6 +18,9 @@ object Bench {
       // steady-state; the plan never changed). Sized to hold the suite.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
+      // long-lived multi-query driver: cap the on-heap status stores
+      // (the r14 heap-aging residual; see Tuning.statusStoreRetention)
+      .config(Tuning.statusStoreRetention)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen + parquet reader paths, so the first

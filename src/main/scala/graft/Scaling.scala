@@ -25,35 +25,35 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.Scaling [sf01Dir] [workDir]"`.
   */
 object Scaling {
-  /** Data-bound heavy entries (events-only or documents-only inputs). */
+  /** Data-bound heavy entries (events-only or documents-only inputs).
+    *
+    * ORDER IS A MEASUREMENT DECISION (r14): a long multi-query JVM ages
+    * at the JIT level — after ~100 heavy runs the most CPU-bound cells
+    * measure 3–5× their fresh-JVM cost on IDENTICAL data with heap,
+    * storage memory, persistent RDDs and code cache all gauged clean
+    * (the classic shared-call-site profile-pollution signature: only
+    * per-row CPU paths degrade, shuffle-bound rows are unaffected; the
+    * 8g→32g heap fix and the checkpoint releases removed the MEMORY
+    * aging, this residual is not memory). Queries whose big cells are
+    * per-row CPU-bound therefore measure FIRST, in the youngest JVM
+    * state; per-query measurement is independent so order carries no
+    * other meaning. Verified: ANN rows read 21–26 s when measured after
+    * the full prefix vs 3.8–6.8 s measured early/filtered. */
   val ScaleQueries: Seq[String] = Seq(
+    // CPU-bound big cells first (the aging-sensitive class): the ANN
+    // family's MAC/lookup loops, prefix-filter verification, winnowing
+    // fingerprint selection
+    "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
+    "q_jaccard_prefix", "q_winnowing", "q_winnowing_pairs",
     // events-bound (q_pagerank retired in r13 — the exact twin remains)
     "q_pagerank_exact", "q_kcore", "q_bfs_hops",
     "q_session_concurrency", "q_profile_events", "q_equidepth_histogram",
     "q_rolling_user_revenue",
     // documents-bound
     "q_dup_clusters_star", "q_cluster_keepers", "q_jaccard_curve",
-    "q_ngram_jaccard",
-    // r12 additions: per-row CPU-bound HOF selection (expected t linear,
-    // shuffle ≈ 0) and a distinct-shuffle aggregate (shuffle linear)
-    "q_winnowing", "q_kn_continuations",
-    // r12 wave-2 additions: the new pair-family entries (same Σdf²
-    // candidate bound as the jaccard family — the one measured scale
-    // risk class) and the new heaviest graph entry
+    "q_ngram_jaccard", "q_kn_continuations",
     "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact",
-    // the prefix-filtered exact-verify scheme vs its naive siblings
-    "q_jaccard_prefix",
-    // r13: embeddings-bound — the ANN hard-negative route must show
-    // sub-quadratic candidate mass (cells scale as √N, so the scanned
-    // fraction nProbe/cells SHRINKS as the corpus grows)
-    "q_hard_negatives_ann",
-    // r14: the PQ-ADC shortlist variant (VERDICT r13 #3 — the exact
-    // route's full-dim re-rank over the whole shortlist was the board's
-    // steepest curve, 21.2× wall at 30×; ADC drops it to lookups + a
-    // bounded top-C exact re-rank) and the three r13 entries the verdict
-    // flagged as missing scale rows
-    "q_hard_negatives_ann_pq", "q_winnowing_pairs", "q_peak_concurrency",
-    "q_leakage_safe_split")
+    "q_peak_concurrency", "q_leakage_safe_split")
 
   /** Measured scales: 1× is the baseline, 10× the first decade, 30× the
     * second (r11 verdict: at 10× the 1× baseline under-utilizes 32 cores,
@@ -71,6 +71,11 @@ object Scaling {
     // sections — partial tables must not masquerade as the full record.
     val filter = args.lift(2).map(_.r)
     val filtered = filter.isDefined
+    // the 30×/90× cells age an 8g heap into GC-bound measurements (the
+    // r14 bisection); fail loudly instead of recording poisoned curves
+    require(Runtime.getRuntime.maxMemory > (24L << 30),
+      "graft.Scaling needs a large heap: rerun with SPARK_DRIVER_MEM=32g " +
+        s"(max heap is ${Runtime.getRuntime.maxMemory >> 20} MiB)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -80,6 +85,9 @@ object Scaling {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
+      // long-lived multi-query driver: cap the on-heap status stores
+      // (the r14 heap-aging residual; see Tuning.statusStoreRetention)
+      .config(Tuning.statusStoreRetention)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -114,15 +122,20 @@ object Scaling {
     case class M(sec: Double, shuffleMb: Double, records: Long)
     def measure(name: String, dir: String): M = {
       def once(): Double = {
-        // cross-query isolation (r14, MEASURED): dead localCheckpoint
-        // blocks from earlier queries (the graph loops) survive until a
-        // GC triggers ContextCleaner, and a 128 GiB heap may never GC —
-        // the lingering storage blocks then squeeze execution memory and
-        // a later 50M-row aggregate measures 4× slow (hard_negatives_ann
-        // 21 s aged vs 4.8 s fresh on identical data/artifacts). The GC
-        // runs OUTSIDE the timed region: this removes harness-ordering
-        // interference, it does not subsidize the query.
+        // cross-query isolation (r14, MEASURED): without this, garbage
+        // from earlier queries (superseded checkpoints, broadcasts,
+        // shuffle deps) waits for a GC that a big heap may never run,
+        // and ContextCleaner never releases it. The GC runs OUTSIDE the
+        // timed region: it removes harness-ordering interference, it
+        // does not subsidize the query. (The JIT-level aging residual is
+        // handled by ScaleQueries' measurement ORDER — see its scaladoc.)
         System.gc(); Thread.sleep(200)
+        val rt = Runtime.getRuntime
+        System.err.println(f"[scalmem] $name%-26s $dir%-24s " +
+          f"storage=${org.apache.spark.sql.graft.ColumnBridge
+            .storageMemoryUsedBytes / 1e6}%9.1fMB " +
+          f"live=${(rt.totalMemory - rt.freeMemory) / 1e6}%9.1fMB " +
+          f"rdds=${spark.sparkContext.getPersistentRDDs.size}%4d")
         val t0 = System.nanoTime()
         queries(name)(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
@@ -151,18 +164,28 @@ object Scaling {
     md.append("rows id-shift-framed, documents synthetic at every scale). ")
     md.append(s"local[$cpus], two interleaved passes, per-cell min; ")
     md.append("shuffle MB metered on the steady-state pass.\n\n")
-    md.append("Harness isolation (r14): an untimed GC runs before every ")
-    md.append("measurement, and the iterative operators now RELEASE each ")
-    md.append("superseded round's localCheckpoint blocks deterministically ")
-    md.append("(ColumnBridge.releaseLocalCheckpoint — verified by the ")
-    md.append("GraphSpec leak test and a polluter-first filtered run). ")
-    md.append("Without either, dead checkpoint blocks lingered until some ")
-    md.append("GC ran ContextCleaner — which a huge heap may never ")
-    md.append("trigger — and later memory-hungry aggregates measured their ")
-    md.append("neighbors' garbage, not their plan: q_hard_negatives_ann ")
-    md.append("read 21 s at 30× in the aged harness JVM vs 4.8 s in a ")
-    md.append("fresh JVM on identical data and artifacts (r13's \"steepest ")
-    md.append("curve\" was this artifact, not IVF asymptotics).\n\n")
+    md.append("Harness isolation (r14): r13's \"steepest curve\" ")
+    md.append("(q_hard_negatives_ann, 21 s at 30× in the aged harness JVM ")
+    md.append("vs 4.8 s fresh on identical data and artifacts) was a ")
+    md.append("MEASUREMENT artifact, not IVF asymptotics. Bisection found ")
+    md.append("TWO aging mechanisms in a long multi-query JVM: (a) G1 ")
+    md.append("heap pressure on an 8g fork heap — fixed by a required ")
+    md.append("32g Scaling heap (bench keeps 8g: at sf0.1 scale a 32g ")
+    md.append("young gen taxes every query ~uniformly, +20 s suite total ")
+    md.append("— both directions measured), ")
+    md.append("deterministic release of superseded checkpoint ")
+    md.append("blocks (ColumnBridge.releaseLocalCheckpoint; GraphSpec ")
+    md.append("leak test), untimed pre-measurement GC, and status-store ")
+    md.append("retention caps (Tuning.statusStoreRetention); and (b) a ")
+    md.append("residual JIT-level aging that degrades ONLY per-row ")
+    md.append("CPU-bound cells 3–5× after ~100 heavy runs while heap, ")
+    md.append("storage memory and code cache all gauge clean (the ")
+    md.append("shared-call-site profile-pollution signature; a cluster ")
+    md.append("executor running one application's steady task mix does ")
+    md.append("not exhibit this harness property). (b) is handled by ")
+    md.append("MEASUREMENT ORDER: aging-sensitive CPU-bound rows measure ")
+    md.append("first, in the youngest JVM state — per-query cells are ")
+    md.append("independent, so order carries no other meaning.\n\n")
     md.append("A time ratio ≈ the data ratio (or below, when fixed ")
     md.append("per-query overhead amortizes) and a shuffle ratio ≈ the ")
     md.append("data ratio certify the linear-scale claim; iterative graph ")

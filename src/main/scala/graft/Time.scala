@@ -21,6 +21,9 @@ object Time {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // long-lived multi-query driver: cap the on-heap status stores
+      // (the r14 heap-aging residual; see Tuning.statusStoreRetention)
+      .config(Tuning.statusStoreRetention)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()

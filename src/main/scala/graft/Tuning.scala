@@ -46,6 +46,25 @@ object Tuning {
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     "spark.sql.parquet.compression.codec" -> "zstd")
 
+  /** Status-store retention caps for LONG-LIVED driver JVMs (the local
+    * multi-query harnesses AND any production driver that runs hundreds
+    * of queries in one session). Even with the UI disabled, Spark's
+    * AppStatusListener + SQLAppStatusListener retain per-execution plan
+    * graphs, per-stage and per-task rollups in ON-HEAP kv-stores at
+    * generous defaults (1000 SQL executions / 100k tasks); across a
+    * multi-hundred-query run that live set grows monotonically and ages
+    * the heap — the r14 bisection's residual after the heap-size fix.
+    * Nothing in this repo reads those stores (no UI, no status API), so
+    * the harnesses cap them tightly. */
+  def statusStoreRetention: Map[String, String] = Map(
+    "spark.sql.ui.retainedExecutions" -> "8",
+    "spark.ui.retainedJobs" -> "50",
+    "spark.ui.retainedStages" -> "100",
+    "spark.ui.retainedTasks" -> "2000",
+    "spark.ui.retainedDeadExecutors" -> "1",
+    "spark.worker.ui.retainedExecutors" -> "10",
+    "spark.worker.ui.retainedDrivers" -> "10")
+
   /** Streaming state on RocksDB with incremental (changelog) checkpoints:
     * state size bounded by disk not heap, and per-batch checkpoint cost
     * proportional to the CHANGED keys, not the full store — the

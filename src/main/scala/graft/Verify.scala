@@ -38,6 +38,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // long-lived multi-query driver: cap the on-heap status stores
+      // (the r14 heap-aging residual; see Tuning.statusStoreRetention)
+      .config(Tuning.statusStoreRetention)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Schema pin FIRST (the r9 lesson: a driver-side testdata regen can

@@ -21,6 +21,19 @@ import graft.Exprs._
   * [[windowedRevenue]]) evicts closed days.
   */
 object StreamingQueries {
+  /** Per-sfDir cache of the 2-row sentinel parquet FILE
+    * [[runAppendFinalized]] plants as its second micro-batch: the file's
+    * content depends only on the source dir (one template row + the ts
+    * encoding its schema dictates), yet it was being rebuilt with a full
+    * Spark write job on EVERY invocation — ~9 append-finalized bench
+    * entries × two interleaved passes paid a fixed write-job tax each
+    * (the r13 verdict's harness-amortization ask). The cached file lives
+    * in a JVM-lifetime temp dir; each run COPIES it into the per-run
+    * source dir, so per-run cleanup and replay semantics are unchanged
+    * byte-for-byte. */
+  private val sentinelCache =
+    new scala.collection.concurrent.TrieMap[String, java.nio.file.Path]
+
   /** Runs `transform` over a file-streamed view of `<sfDir>/events.parquet`
     * and materializes the result (memory sink) as a batch frame. The file
     * source wants a directory, so the single parquet file is symlinked into
@@ -127,7 +140,6 @@ object StreamingQueries {
     val stream = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val ck = Files.createTempDirectory(s"graft-ck-$name").toString
-    var outDir: java.nio.file.Path = null
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
@@ -149,40 +161,46 @@ object StreamingQueries {
       // match or merge with anything; their own groups/windows sit forever
       // above the watermark and are never emitted.
       val sentinelNs = 4102444800000000000L
-      outDir = Files.createTempDirectory(s"graft-sent-$name")
-      val base = raw.limit(1)
-      // The sentinel file must carry `ts` in the SAME encoding as the raw
-      // file it joins in the stream (the reader applies one fixed schema):
-      // ns-long for the TIMESTAMP(NANOS) era, µs TimestampType for the
-      // µs-parquet era — derive from the raw schema, not an assumption.
-      def sentinelTs(ns: Long): Column =
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType => lit(ns)
-          case _ => expr(s"timestamp_micros(${ns / 1000L}L)")
-        }
-      base.withColumn("ts", sentinelTs(sentinelNs))
-        .withColumn("user_id", lit(-1L))
-        .withColumn("event_type", lit("view"))
-        .unionByName(base
-          .withColumn("ts", sentinelTs(sentinelNs + 864000L * 1000000000L))
+      // the sentinel file is per-sfDir-constant: build it ONCE per JVM
+      // (a Spark write job), then copy the cached bytes per run
+      val cached = sentinelCache.getOrElseUpdate(path.toString, {
+        val sentDir = Files.createTempDirectory(s"graft-sentcache")
+        val base = raw.limit(1)
+        // The sentinel file must carry `ts` in the SAME encoding as the
+        // raw file it joins in the stream (the reader applies one fixed
+        // schema): ns-long for the TIMESTAMP(NANOS) era, µs TimestampType
+        // for the µs-parquet era — derive from the raw schema, not an
+        // assumption.
+        def sentinelTs(ns: Long): Column =
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => lit(ns)
+            case _ => expr(s"timestamp_micros(${ns / 1000L}L)")
+          }
+        base.withColumn("ts", sentinelTs(sentinelNs))
           .withColumn("user_id", lit(-1L))
-          .withColumn("event_type", lit("purchase")))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/out")
-      val part = {
-        import scala.jdk.CollectionConverters._
-        val ls = Files.list(java.nio.file.Paths.get(s"$outDir/out"))
-        try ls.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        finally ls.close()
-      }
-      Files.move(part, srcDir.resolve("zz-sentinel.parquet"))
+          .withColumn("event_type", lit("view"))
+          .unionByName(base
+            .withColumn("ts",
+              sentinelTs(sentinelNs + 864000L * 1000000000L))
+            .withColumn("user_id", lit(-1L))
+            .withColumn("event_type", lit("purchase")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$sentDir/out")
+        val part = {
+          import scala.jdk.CollectionConverters._
+          val ls = Files.list(java.nio.file.Paths.get(s"$sentDir/out"))
+          try ls.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally ls.close()
+        }
+        part
+      })
+      Files.copy(cached, srcDir.resolve("zz-sentinel.parquet"))
       q.processAllAvailable()
       onDrained(q)
     } finally {
       try q.stop() finally {
         graft.Fs.deleteQuietly(srcDir)
         graft.Fs.deleteQuietly(ck)
-        if (outDir != null) graft.Fs.deleteQuietly(outDir)
       }
     }
     spark.table(name)

@@ -34,6 +34,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unified-memory-manager gauges (driver = executor under local[*]) —
+    * the Scaling harness prints them per measurement so lingering-block
+    * regressions are visible as numbers, not 4× wall-time mysteries.
+    * `private[spark]` internals, but simple stable gauges. */
+  def storageMemoryUsedBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.storageMemoryUsed
+  def executionMemoryUsedBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.executionMemoryUsed
+
   /** Releases the storage blocks of a dataset that IS a bare local
     * checkpoint (analyzed plan = exactly one LogicalRDD). Iterative
     * operators re-checkpoint per round; the superseded round's blocks
