@@ -326,6 +326,27 @@ object SparkEntry {
       lastHybridDir.set(dir)
       Retrieval.hybridSearch(d, Sources.table(s, dir, "embeddings"), qt)
     }),
+    // RM1 pseudo-relevance feedback on the BM25 stack: top-F feedback
+    // docs per probe query → expansion terms ranked by Σ tf/dl relevance
+    // mass (micro-longs), original query terms excluded; shares the
+    // trained idf table with q_bm25_search. Mirror: prfExpansionSql
+    "q_prf_expansion" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val qt = bm25Idf.getOrElseUpdate(dir, {
+        val idf = Retrieval.trainBm25Idf(d,
+          Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+        Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => (qid, t, idf(t))) }
+      })
+      lastBm25Dir.set(dir)
+      Retrieval.prfExpansion(d, qt)
+    }),
+    // corpus-level TextRank keywords: top-V token co-occurrence graph
+    // (window 2), 10 fixed rounds of damped weighted PageRank in
+    // fixed-point micro longs (85/100 rational, truncating div); the
+    // V-vertex iteration is a constants-bounded driver fold, the mirror
+    // unrolls the SAME rounds over an identical in-SQL graph build
+    "q_textrank_keywords" -> docs(Retrieval.textRankKeywords(_)),
     "q_pps_sample" -> docs(TextOps.ppsSample(_)),
     // partition-layout advisor: candidate keys scored on cardinality,
     // skew and small-files risk; verdicts on 4dp-rounded metrics
@@ -1762,6 +1783,109 @@ object SparkEntry {
        |  ${graft.Exprs.round2Sql("rrf", 6)} AS rrf
        |FROM rr WHERE rank <= ${Retrieval.HybridTopK}
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_prf_expansion`: shared BM25 core → top-F
+    * feedback docs per query (row_number ≡ TopKPairs' score-desc/
+    * doc-asc), per-(query, doc, term) tf over ONLY the feedback docs,
+    * the identical `floor(tf/dl · 1e6 + 0.5)` quantization, exact long
+    * sums, NOT EXISTS original-term exclusion (≡ Spark's left-anti —
+    * terms are never null), row_number top-E. */
+  private def prfExpansionSql: String = {
+    val qt = Option(lastBm25Dir.get).flatMap(bm25Idf.get)
+      .getOrElse(Seq.empty)
+    s"""WITH ${bm25CoreSql(qtValuesSql(qt))},
+       |pfb AS (SELECT query_id, doc_id FROM (
+       |          SELECT query_id, doc_id,
+       |            row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score_micro DESC, doc_id) AS rk
+       |          FROM bagg) WHERE rk <= ${Retrieval.PrfFeedbackDocs}),
+       |ptf AS (SELECT f.query_id, f.doc_id, l.dl, t.tok AS term,
+       |          CAST(count(*) AS BIGINT) AS tf
+       |        FROM pfb f
+       |        JOIN btok t ON t.doc_id = f.doc_id
+       |        JOIN bdl l ON l.doc_id = f.doc_id
+       |        GROUP BY 1, 2, 3, 4),
+       |pw AS (SELECT query_id, term,
+       |         CAST(sum(CAST(floor(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+       |           * 1000000e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+       |           AS weight_micro
+       |       FROM ptf GROUP BY 1, 2),
+       |pe AS (SELECT w.query_id, w.term, w.weight_micro FROM pw w
+       |       WHERE NOT EXISTS (SELECT 1 FROM qt q
+       |         WHERE q.query_id = w.query_id AND q.tok = w.term)),
+       |pr AS (SELECT query_id, term, weight_micro,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY weight_micro DESC, term) AS rank
+       |       FROM pe)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, term, weight_micro,
+       |  CAST(weight_micro AS DOUBLE) / 1000000e0 AS weight
+       |FROM pr WHERE rank <= ${Retrieval.PrfExpansionTerms}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Generated mirror for `q_textrank_keywords`: the SAME capped
+    * co-occurrence graph (top-V tokens by frequency, window-2
+    * adjacencies symmetrized, co-occurrence weights, once-quantized
+    * transition probabilities) built in SQL, then the SAME fixed-point
+    * rounds unrolled one CTE each (the pagerank-mirror discipline). All
+    * iteration arithmetic is non-negative BIGINT `+`/`*`/`//` ≡ Spark's
+    * driver-side Long ops; scale, damping, vocab cap and round count
+    * interpolate from the [[graft.ext.Retrieval]] constants. */
+  private def textRankKeywordsSql(
+      rounds: Int = Retrieval.TextRankRounds): String = {
+    val sc = Retrieval.TextRankScale
+    val base = Retrieval.TextRankBase
+    val rs = (1 to rounds).map { i =>
+      s"""ts$i AS MATERIALIZED (
+         |  SELECT v.tok, $base + (85 * COALESCE(c.cs, 0)) // 100 AS s
+         |  FROM tvocab v LEFT JOIN
+         |    (SELECT p.v AS tok,
+         |       CAST(sum((r.s * p.p) // $sc) AS BIGINT) AS cs
+         |     FROM tp p JOIN ts${i - 1} r ON r.tok = p.u GROUP BY 1) c
+         |    USING (tok))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tdoc AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |tpos AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks))) AS i
+       |    FROM tdoc)),
+       |tvocab AS MATERIALIZED (
+       |  SELECT tok FROM (
+       |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk
+       |    FROM (SELECT tok, count(*) AS c FROM tpos GROUP BY tok))
+       |  WHERE rk <= ${Retrieval.TextRankVocab}),
+       |tadj AS MATERIALIZED (
+       |  SELECT a.tok AS u, b.tok AS v
+       |  FROM tpos a JOIN tpos b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.tok <> b.tok
+       |    AND a.tok IN (SELECT tok FROM tvocab)
+       |    AND b.tok IN (SELECT tok FROM tvocab)),
+       |tw AS MATERIALIZED (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT u, v FROM tadj
+       |    UNION ALL SELECT v AS u, u AS v FROM tadj)
+       |  GROUP BY 1, 2),
+       |tdeg AS MATERIALIZED (
+       |  SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM tw GROUP BY 1),
+       |tp AS MATERIALIZED (
+       |  SELECT w.u, w.v, (w.w * $sc) // d.wd AS p
+       |  FROM tw w JOIN tdeg d USING (u)),
+       |ts0 AS MATERIALIZED (
+       |  SELECT tok, CAST($sc AS BIGINT) AS s FROM tvocab),
+       |$rs,
+       |tr AS (SELECT tok, s,
+       |         row_number() OVER (ORDER BY s DESC, tok) AS rank
+       |       FROM ts$rounds)
+       |SELECT CAST(rank AS BIGINT) AS rank, tok,
+       |  CAST(s AS BIGINT) AS score_micro,
+       |  CAST(s AS DOUBLE) / ${sc}e0 AS score
+       |FROM tr WHERE rank <= ${Retrieval.TextRankTopK}
+       |ORDER BY rank""".stripMargin
   }
 
   private def dsirSql: String = {
@@ -5182,6 +5306,12 @@ object SparkEntry {
     // generated RRF hybrid mirror: shared BM25 core + exact cosine
     // ranking + pinned-order 1/(60+r) fusion
     "q_hybrid_search" -> hybridSearchSql,
+    // generated RM1 feedback mirror: shared BM25 core + top-F feedback
+    // docs + identical tf/dl micro quantization + NOT EXISTS exclusion
+    "q_prf_expansion" -> prfExpansionSql,
+    // self-contained TextRank mirror: in-SQL capped co-occurrence graph
+    // + the fixed-point rounds unrolled (pagerank-mirror discipline)
+    "q_textrank_keywords" -> textRankKeywordsSql(),
     // the stateful streaming lag on the SAME oracle verbatim: the gate
     // certifies flatMapGroupsWithState-lag ≡ window-lag on real data
     "q_stream_event_transitions" -> EventTransitionsSql,

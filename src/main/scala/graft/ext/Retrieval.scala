@@ -197,6 +197,142 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Feedback-set depth and expansion-list depth of `q_prf_expansion`. */
+  val PrfFeedbackDocs = 5
+  val PrfExpansionTerms = 8
+
+  /** `q_prf_expansion`: RM1-style pseudo-relevance feedback over the
+    * BM25 stack — for each constant probe query, take the top-
+    * [[PrfFeedbackDocs]] BM25 documents as the (pseudo-)relevant set,
+    * weight every term by its relevance-model mass
+    * `Σ_{d ∈ F} P(term|d) = Σ tf(term,d)/dl(d)` (uniform document
+    * weights — RM1), exclude the original query terms, and emit the
+    * top-[[PrfExpansionTerms]] expansion terms per query. This is the
+    * query-expansion step of RM3/Rocchio-style retrieval tuning — the
+    * corpus-audit complement of `q_bm25_search` ("what vocabulary do
+    * the best matches share that the query missed?").
+    *
+    * Exactness: tf and dl are exact longs; each `tf/dl` is ONE
+    * correctly-rounded double division, scaled and floor-quantized to a
+    * micro-unit long per (query, doc, term), so the per-term sum over
+    * the feedback set is exact, order-free long arithmetic (the BM25
+    * discipline). Spark's left-anti original-term exclusion ≡ the
+    * mirror's NOT EXISTS (terms are never null — whitespace splits).
+    *
+    * Scale: the corpus-side cost is the BM25 scoring pass (linear, see
+    * [[bm25Scores]]); the feedback set is a constants-bounded
+    * `|queries| × F` id list BROADCAST into the doc scan, so term
+    * extraction explodes only F·|Q| documents and the final ranking
+    * window partitions over constants-bounded groups. */
+  def prfExpansion(documents: DataFrame,
+      queryTerms: Seq[(Long, String, Long)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val fb = TopK.topKPerGroup(bm25Scores(documents, queryTerms),
+        "query_id", "score_micro", "doc_id", PrfFeedbackDocs)
+      .select(col("query_id"), col("doc_id"))
+    val f = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val contrib = f
+      .groupBy("query_id", "doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("query_id"), col("term"),
+        floor(col("tf").cast("double") / col("dl").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long").as("c"))
+    val qtDf = queryTerms.toDF("query_id", "term", "idf_micro")
+      .select("query_id", "term")
+    import org.apache.spark.sql.expressions.Window
+    contrib.groupBy("query_id", "term")
+      .agg(sum(col("c")).cast("long").as("weight_micro"))
+      .join(broadcast(qtDf), Seq("query_id", "term"), "left_anti")
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("weight_micro").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= PrfExpansionTerms)
+      .select(col("query_id"), col("rank"), col("term"),
+        col("weight_micro"),
+        (col("weight_micro").cast("double") / lit(1000000.0)).as("weight"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** TextRank tuning constants, shared with the generated mirror. The
+    * vocabulary cap is the 100 TB safety bound: every fixed-point value
+    * in the iteration is bounded by constants REGARDLESS of corpus size
+    * (Σ scores ≤ V·S by mass induction — each round injects V·0.15·S
+    * and redistributes ≤ 0.85 of the existing mass, since per-vertex
+    * outgoing transition probabilities sum to ≤ S after truncation — so
+    * s_u·p_uv ≤ V·S·S = 6.4e13 and the 85·Σ premultiply peaks ≈ 3.5e17,
+    * inside int64 with 26× headroom). */
+  val TextRankVocab = 64
+  val TextRankRounds = 10
+  val TextRankScale = 1000000L
+  val TextRankTopK = 15
+  /** (1−d)·S with d = 85/100 — rendered into both engines. */
+  val TextRankBase: Long = TextRankScale * 15L / 100L
+
+  /** `q_textrank_keywords`: corpus-level TextRank keyword extraction
+    * (Mihalcea & Tarau 2004) — vertices are the top-[[TextRankVocab]]
+    * corpus tokens by frequency (ties to the smaller token), edges are
+    * undirected in-document token ADJACENCIES (window 2) between vocab
+    * tokens weighted by co-occurrence count, and the score is
+    * [[TextRankRounds]] fixed rounds of damped weighted PageRank
+    * `s(v) = (1−d)·S + d · Σ_u s(u)·p(u,v)/S` in fixed-point micro-unit
+    * longs (the q_pagerank_exact discipline: damping as the rational
+    * 85/100, truncating divisions — non-negative throughout, so Spark
+    * `div` ≡ DuckDB `//` ≡ floor). Transition probabilities are
+    * quantized ONCE before the loop (`p = w·S div wdeg(u)`), which both
+    * simplifies the round arithmetic and caps every product (see
+    * [[TextRankVocab]]'s bound).
+    *
+    * The corpus-side work (tokenize, positional adjacency, frequency
+    * cap, edge counts) is distributed Spark; the V-vertex iteration
+    * itself runs on the driver over the collected ≤ V² edge list (the
+    * constants-bounded-pool rule — MMR's discipline), and the mirror
+    * unrolls the SAME integer rounds as chained CTEs over an identical
+    * in-SQL graph construction — the gate certifies the whole pipeline
+    * including tokenization and vocabulary selection. */
+  def textRankKeywords(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pos = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+        .as(Seq("p", "tok")))
+    val vocab = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(TextRankVocab)
+      .select("tok")
+    val a = pos.select(col("doc_id"), col("p"), col("tok").as("u"))
+    val b = pos.select(col("doc_id"), (col("p") - 1).as("p"),
+      col("tok").as("v"))
+    val adj = a.join(b, Seq("doc_id", "p"))
+      .filter(col("u") =!= col("v"))
+      .join(broadcast(vocab.withColumnRenamed("tok", "u")), Seq("u"))
+      .join(broadcast(vocab.withColumnRenamed("tok", "v")), Seq("v"))
+      .select("u", "v")
+    val w = adj.union(adj.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).cast("long").as("w"))
+    // constants-bounded collects: ≤ V vertices, ≤ V² weighted edges
+    val verts = vocab.as[String].collect()
+    val edges = w.as[(String, String, Long)].collect()
+    val wdeg = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._3).sum }
+    val p = edges.map { case (u, v, wv) =>
+      (u, v, wv * TextRankScale / wdeg(u)) }
+    var s = verts.map(_ -> TextRankScale).toMap
+    for (_ <- 1 to TextRankRounds) {
+      val contrib = p.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, pm) => s(u) * pm / TextRankScale }.sum }
+      s = verts.map(t =>
+        t -> (TextRankBase + 85L * contrib.getOrElse(t, 0L) / 100L)).toMap
+    }
+    val top = s.toSeq.sortBy { case (t, sc) => (-sc, t) }
+      .take(TextRankTopK).zipWithIndex.map { case ((t, sc), i) =>
+        (i + 1L, t, sc, sc.toDouble / TextRankScale.toDouble) }
+    top.toDF("rank", "tok", "score_micro", "score").orderBy("rank")
+  }
+
   /** `q_hybrid_search`: reciprocal-rank fusion of the BM25 ranking (the
     * query doc's trained terms against the corpus) with the exact
     * embedding-cosine ranking (the query doc's vector against the

@@ -456,7 +456,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
     "q_tfidf_pairs", "q_jaccard_prefix", "q_leakage_safe_split",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
-    "q_bm25_search")
+    "q_bm25_search", "q_prf_expansion", "q_textrank_keywords")
 
   /** One frame, the full query list, one oracle invocation. */
   private def sweep(frames: Seq[(String, DataFrame)],

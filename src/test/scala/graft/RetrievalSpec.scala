@@ -139,6 +139,102 @@ class RetrievalSpec extends SparkSpec {
         2.0 / (Retrieval.RrfK + 1).toDouble))
   }
 
+  test("prfExpansion matches a plain-Scala RM1 replay exactly " +
+      "(feedback top-F, tf/dl micro quantization, original-term " +
+      "exclusion)") {
+    val d = docsDf
+    val idf = Retrieval.trainBm25Idf(d,
+      Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+    val qt = Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, idf(t))) }
+    val got = Retrieval.prfExpansion(d, qt)
+      .select("query_id", "rank", "term", "weight_micro")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val docsLocal = d.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val toks = docsLocal.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq }.toMap
+    val truth = bm25Replay(docsLocal, qt)
+    val want = truth.toSeq.groupBy(_._1._1).toSeq.flatMap {
+      case (qid, scored) =>
+        val fb = scored.map { case ((_, did), s) => (did, s) }
+          .sortBy { case (did, s) => (-s, did) }
+          .take(Retrieval.PrfFeedbackDocs).map(_._1)
+        val origTerms = qt.filter(_._1 == qid).map(_._2).toSet
+        val w = collection.mutable.Map[String, Long]()
+        for (did <- fb; ts = toks(did); term <- ts.distinct
+             if !origTerms.contains(term)) {
+          val tf = ts.count(_ == term).toLong
+          val c = math.floor(
+            tf.toDouble / ts.size.toDouble * 1e6 + 0.5).toLong
+          w(term) = w.getOrElse(term, 0L) + c
+        }
+        w.toSeq.sortBy { case (t, s) => (-s, t) }
+          .take(Retrieval.PrfExpansionTerms).zipWithIndex
+          .map { case ((t, s), i) => (qid, i + 1L, t, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // non-degenerate: every probe query yields a full expansion list
+    // with no original query term in it
+    assert(got.map(_._1).distinct.size == Retrieval.Bm25Queries.size)
+    val origByQ = qt.groupBy(_._1)
+    assert(got.forall { case (q, _, t, _) =>
+      !origByQ(q).exists(_._2 == t) })
+  }
+
+  test("prfExpansion plan: feedback set and original-term exclusion " +
+      "broadcast; never a cartesian product") {
+    val d = docsDf
+    val idf = Retrieval.trainBm25Idf(d, Seq("spark", "dup")).toMap
+    val df = Retrieval.prfExpansion(d,
+      Seq((1L, "spark", idf("spark")), (1L, "dup", idf("dup"))))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("textRankKeywords matches a plain-Scala replay of the capped " +
+      "co-occurrence graph + fixed-point rounds exactly") {
+    val d = docsDf
+    val got = Retrieval.textRankKeywords(d)
+      .select("rank", "tok", "score_micro")
+      .as[(Long, String, Long)].collect().toSeq
+    // replay: vocab, adjacency, weights, 10 integer rounds
+    val texts = d.filter(col("text").isNotNull)
+      .select("text").as[String].collect().toSeq
+    val tokss = texts.map(_.split(" ", -1).toSeq)
+    val freq = tokss.flatten.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(Retrieval.TextRankVocab).map(_._1).toSet
+    val dirAdj = tokss.flatMap(ts => ts.zip(ts.drop(1)))
+      .filter { case (u, v) =>
+        u != v && vocab.contains(u) && vocab.contains(v) }
+    val und = dirAdj ++ dirAdj.map(_.swap)
+    val w = und.groupBy(identity).map { case (e, xs) =>
+      e -> xs.size.toLong }
+    val wdeg = w.toSeq.groupBy(_._1._1).map { case (u, es) =>
+      u -> es.map(_._2).sum }
+    val sc = Retrieval.TextRankScale
+    val p = w.map { case ((u, v), wv) => (u, v, wv * sc / wdeg(u)) }
+    var s = vocab.map(_ -> sc).toMap
+    for (_ <- 1 to Retrieval.TextRankRounds) {
+      val contrib = p.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, pm) => s(u) * pm / sc }.sum }
+      s = vocab.map(t => t -> (Retrieval.TextRankBase +
+        85L * contrib.getOrElse(t, 0L) / 100L)).toMap
+    }
+    val want = s.toSeq.sortBy { case (t, x) => (-x, t) }
+      .take(Retrieval.TextRankTopK).zipWithIndex
+      .map { case ((t, x), i) => (i + 1L, t, x) }
+    assert(got == want)
+    // non-degenerate: full list, and connectivity separates scores
+    assert(got.size == Retrieval.TextRankTopK)
+    assert(got.map(_._3).distinct.size > 1)
+    assert(got.forall(_._3 >= Retrieval.TextRankBase))
+  }
+
   test("hybridSearch drops null-text query docs from the BM25 side " +
       "but keeps their cosine list (one-sided fusion)") {
     val d = docsDf
