@@ -1247,6 +1247,14 @@ object SparkEntry {
     // vector — the tiled all-pairs shape with a label-inequality filter
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Sources.table(s, dir, "embeddings"))),
+    // margin-based pair mining (Artetxe & Schwenk forward margin):
+    // cos(x,y) normalized by the mean of both sides' local kNN
+    // densities — ratio > 1 separates true pairs from hubness; avgK
+    // folds rank-pivoted sims left-associatively, margins are one more
+    // identical division, and even the margin ORDER BY matches. Mirror:
+    // marginPairsSql (the knn_batch index-order-sum class)
+    "q_margin_pairs" -> ((s, dir) =>
+      Similarity.marginPairs(Sources.table(s, dir, "embeddings"))),
     // the ANN route for the SAME task — IVF shortlist (equi-join on the
     // cell id, never a cross product), label filter, exact re-rank; the
     // generated mirror replays the trained centroids as a VALUES CTE so
@@ -1822,6 +1830,76 @@ object SparkEntry {
        |  CAST(weight_micro AS DOUBLE) / 1000000e0 AS weight
        |FROM pr WHERE rank <= ${Retrieval.PrfExpansionTerms}
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Generated mirror for `q_margin_pairs`: anchor→corpus cosines on
+    * the accepted index-order-sum class, both avgK normalization terms
+    * as rank-pivot `max(CASE WHEN rank=i …)` chains added
+    * LEFT-ASSOCIATIVELY over exactly K ranks then divided by the
+    * constant K, the margin as the identical final division; candidates
+    * with a NULL chain (fewer than K scoreable sims) or a zero
+    * denominator drop in both engines. Constants interpolate from
+    * [[graft.ext.Similarity]]. */
+  private def marginPairsSql: String = {
+    val nq = Similarity.MarginQueries
+    val k = Similarity.MarginK
+    val c = Similarity.MarginCandidateDepth
+    def chain(sim: String) = (1 to k)
+      .map(i => s"max(CASE WHEN rank = $i THEN $sim END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ms AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    sum(CAST(e.embedding[t.i] AS DOUBLE)
+       |      * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+       |    sum(CAST(e.embedding[t.i] AS DOUBLE)
+       |      * CAST(e.embedding[t.i] AS DOUBLE)) AS na,
+       |    sum(CAST(q.embedding[t.i] AS DOUBLE)
+       |      * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+       |  FROM embeddings q, embeddings e, generate_series(1, 64) t(i)
+       |  WHERE q.vec_id >= 0 AND q.vec_id < $nq AND e.vec_id >= $nq
+       |  GROUP BY 1, 2),
+       |msim AS (SELECT query_id, vec_id, dot / (sqrt(na) * sqrt(nb)) AS sim
+       |         FROM ms WHERE na > 0 AND nb > 0),
+       |mxr AS (SELECT query_id, vec_id, sim,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY sim DESC, vec_id) AS rank
+       |        FROM msim),
+       |mxa AS (SELECT query_id, ${chain("sim")} / ${k}e0 AS ax
+       |        FROM mxr WHERE rank <= $k GROUP BY 1),
+       |mcand AS (SELECT query_id, vec_id, sim FROM mxr WHERE rank <= $c),
+       |mys AS (SELECT DISTINCT vec_id FROM mcand),
+       |mt AS (SELECT y.vec_id, q.vec_id AS aid,
+       |         sum(CAST(y.embedding[t.i] AS DOUBLE)
+       |           * CAST(q.embedding[t.i] AS DOUBLE)) AS dot,
+       |         sum(CAST(y.embedding[t.i] AS DOUBLE)
+       |           * CAST(y.embedding[t.i] AS DOUBLE)) AS na,
+       |         sum(CAST(q.embedding[t.i] AS DOUBLE)
+       |           * CAST(q.embedding[t.i] AS DOUBLE)) AS nb
+       |       FROM embeddings y JOIN mys USING (vec_id),
+       |         embeddings q, generate_series(1, 64) t(i)
+       |       WHERE q.vec_id >= 0 AND q.vec_id < $nq
+       |       GROUP BY 1, 2),
+       |mysim AS (SELECT vec_id, aid, dot / (sqrt(na) * sqrt(nb)) AS sim
+       |          FROM mt WHERE na > 0 AND nb > 0),
+       |myr AS (SELECT vec_id, sim,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY sim DESC, aid) AS rank
+       |        FROM mysim),
+       |mya AS (SELECT vec_id, ${chain("sim")} / ${k}e0 AS ay
+       |        FROM myr WHERE rank <= $k GROUP BY 1),
+       |mm AS (SELECT c.query_id, c.vec_id, c.sim,
+       |         c.sim / ((x.ax + y.ay) / 2e0) AS margin
+       |       FROM mcand c JOIN mxa x USING (query_id)
+       |       JOIN mya y USING (vec_id)
+       |       WHERE (x.ax + y.ay) / 2e0 <> 0),
+       |mr AS (SELECT query_id, vec_id, sim, margin,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY margin DESC, vec_id) AS rank
+       |       FROM mm)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  ${graft.Exprs.round2Sql("margin", 6)} AS margin,
+       |  ${graft.Exprs.round2Sql("sim", 4)} AS cosine_sim
+       |FROM mr ORDER BY query_id, rank""".stripMargin
   }
 
   /** Generated mirror for `q_textrank_keywords`: the SAME capped
@@ -6218,6 +6296,11 @@ object SparkEntry {
         |SELECT vec_id, label,
         |  floor(dot / (sqrt(nv) * sqrt(nc)) * 10000 + 0.5) / 10000 AS centroid_sim
         |FROM s ORDER BY vec_id""".stripMargin,
+    // generated margin-mining mirror: both kNN-density terms as
+    // rank-pivot + left-assoc chains over index-order cosine sums, the
+    // margin as the identical final division; NULL/zero denominators
+    // drop in both engines
+    "q_margin_pairs" -> marginPairsSql,
     "q_knn_batch" ->
       """WITH s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id,

@@ -297,16 +297,23 @@ object Retrieval {
   def textRankKeywords(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val pos = documents.filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
-        .as(Seq("p", "tok")))
-    val vocab = pos.groupBy("tok").agg(count(lit(1)).as("c"))
+    val docs = documents.filter(col("text").isNotNull)
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(TextRankVocab)
       .select("tok")
-    val a = pos.select(col("doc_id"), col("p"), col("tok").as("u"))
-    val b = pos.select(col("doc_id"), (col("p") - 1).as("p"),
-      col("tok").as("v"))
-    val adj = a.join(b, Seq("doc_id", "p"))
+    // adjacent pairs map-side via zip_with over sliced arrays (a
+    // positional self-join would shuffle the token stream twice on
+    // (doc_id, pos); this has NO shuffle before the pair count — the
+    // lambda touches only its own args, so nothing re-evaluates per
+    // element), then both ends broadcast-filtered to the vocab
+    val adj = docs.filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .join(broadcast(vocab.withColumnRenamed("tok", "u")), Seq("u"))
       .join(broadcast(vocab.withColumnRenamed("tok", "v")), Seq("v"))

@@ -101,6 +101,85 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Margin-scoring constants for [[marginPairs]], shared with the
+    * generated mirror: the anchor probe set (the [[batchKnn]]
+    * convention — vec_id < MarginQueries, constants-bounded and
+    * broadcast), the kNN depth of the margin's normalization terms, and
+    * the candidate-list depth scored per anchor. */
+  val MarginQueries = 5
+  val MarginK = 4
+  val MarginCandidateDepth = 16
+
+  /** `q_margin_pairs`: margin-based candidate-pair mining (the
+    * Artetxe & Schwenk 2019 bitext-mining score, forward direction) —
+    * for each anchor x in the probe set A and each of its top-
+    * [[MarginCandidateDepth]] cosine candidates y from the corpus B,
+    *   `margin(x,y) = cos(x,y) / ((avgK(x,B) + avgK(y,A)) / 2)`
+    * where avgK is the mean cosine of the argument's [[MarginK]]
+    * nearest neighbors on the other side. Ratio margins separate true
+    * aligned pairs (sim far above both local densities ⇒ margin > 1)
+    * from hubness artifacts (high raw sim in a dense region ⇒ margin
+    * ≈ 1) — THE standard mined-pair filter for parallel/paired
+    * training data.
+    *
+    * Exactness: cosines are the accepted index-order-sum KNN-mirror
+    * class; each avgK folds its top-K sims LEFT-ASSOCIATIVELY via the
+    * rank pivot + chain discipline (never an order-free SUM of
+    * doubles) then divides by the constant K; the margin is one more
+    * correctly-rounded division of identically-derived doubles, so
+    * even the ORDER BY on the raw margin matches. A candidate with
+    * fewer than K scoreable anchor sims folds to NULL and drops in
+    * both engines; a zero denominator nulls out Spark-side before
+    * ANSI division (mirror: `WHERE den <> 0`).
+    *
+    * Scale: anchors and both avgK tables are constants-bounded
+    * broadcasts; the corpus sees ONE linear scoring pass (the batchKnn
+    * shape) plus one broadcast-semi-joined pass over the ≤ |A|·C
+    * candidate rows. Nothing is corpus-quadratic — the full
+    * bidirectional CCMatrix mining (every x in a 100 TB corpus) would
+    * route x's candidate generation through the IVF/ADC shortlist
+    * machinery instead of the exact pass; the margin arithmetic here is
+    * unchanged under that swap. */
+  def marginPairs(embeddings: DataFrame): DataFrame = {
+    val q = broadcast(embeddings
+      .filter(col("vec_id") >= 0 && col("vec_id") < MarginQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = embeddings.filter(col("vec_id") >= MarginQueries)
+      .crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("sim"))
+      .filter(col("sim").isNotNull)
+    def avgTopK(df: DataFrame, group: String, id: String): DataFrame =
+      TopK.topKPerGroup(df, group, "sim", id, MarginK)
+        .groupBy(group)
+        .agg(((1 to MarginK).map(i =>
+            max(when(col("rank") === i, col("sim")))).reduceLeft(_ + _)
+          / lit(MarginK.toDouble)).as("avg_" + group))
+    val xAvg = avgTopK(scored, "query_id", "vec_id")
+    val cand = TopK.topKPerGroup(scored, "query_id", "sim", "vec_id",
+        MarginCandidateDepth)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val yScored = embeddings
+      .join(broadcast(cand.select("vec_id").distinct()), Seq("vec_id"))
+      .crossJoin(q)
+      .select(col("vec_id"), col("query_id").as("aid"),
+        cosine(col("embedding"), col("q_emb")).as("sim"))
+      .filter(col("sim").isNotNull)
+    val yAvg = avgTopK(yScored, "vec_id", "aid")
+    val den = (col("avg_query_id") + col("avg_vec_id")) / lit(2.0)
+    cand.join(broadcast(xAvg), Seq("query_id"))
+      .join(broadcast(yAvg), Seq("vec_id"))
+      .withColumn("margin", when(den === 0.0, lit(null).cast("double"))
+        .otherwise(col("sim") / den))
+      .filter(col("margin").isNotNull)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("margin").desc, col("vec_id"))).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round2(col("margin"), 6).as("margin"),
+        round2(col("sim"), 4).as("cosine_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding centroids (mean pooling) in long format: one row
     * per (label, pos) cell with the component mean `m`. Explode keeps the
     * aggregation a plain codegen'd hash aggregate — no per-group vector

@@ -247,6 +247,57 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact int8=$int8")
   }
 
+  test("marginPairs matches a driver-side replay (left-assoc avgK " +
+      "chains, identical margin division, rank by raw margin)") {
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val nq = Similarity.MarginQueries
+    val anchors = vecs.keys.filter(id => id >= 0 && id < nq).toSeq.sorted
+    val corpus = vecs.keys.filter(_ >= nq).toSeq.sorted
+    val sims = (for (a <- anchors; c <- corpus)
+      yield (a, c) -> cosScala(vecs(c), vecs(a))).toMap
+    def avgChain(xs: Seq[Double]): Double =
+      xs.reduceLeft(_ + _) / Similarity.MarginK.toDouble
+    val xAvg = anchors.map { a =>
+      a -> avgChain(corpus.map(c => (sims((a, c)), c))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(Similarity.MarginK).map(_._1))
+    }.toMap
+    val cand = anchors.flatMap { a =>
+      corpus.map(c => (sims((a, c)), c))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(Similarity.MarginCandidateDepth)
+        .map { case (s, c) => (a, c, s) }
+    }
+    val yAvg = cand.map(_._2).distinct.map { y =>
+      y -> avgChain(anchors.map(a => (sims((a, y)), a))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(Similarity.MarginK).map(_._1))
+    }.toMap
+    def r(x: Double, dp: Int) = {
+      val s = math.pow(10, dp)
+      math.floor(x * s + 0.5) / s
+    }
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (a, cs) =>
+      cs.map { case (_, y, s) =>
+        val den = (xAvg(a) + yAvg(y)) / 2.0
+        (a, y, s, s / den)
+      }.sortBy { case (_, y, _, m) => (-m, y) }.zipWithIndex
+        .map { case ((_, y, s, m), i) =>
+          (a, i + 1L, y, r(m, 6), r(s, 4)) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.marginPairs(emb)
+      .select("query_id", "rank", "vec_id", "margin", "cosine_sim")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+    // non-degenerate: all anchors present, full candidate lists, and
+    // margins actually discriminate (not all equal)
+    assert(got.map(_._1).distinct.size == nq)
+    assert(got.groupBy(_._1).values
+      .forall(_.size == Similarity.MarginCandidateDepth))
+    assert(got.map(_._4).distinct.size > 1)
+  }
+
   test("labelCentroids long format matches driver-side means; arrays reassemble") {
     val labelled = emb.withColumn("label",
       org.apache.spark.sql.functions.expr("CAST(vec_id % 3 AS STRING)"))
