@@ -1276,6 +1276,22 @@ object SparkEntry {
       lastIvfKey.set(key)
       Similarity.hardNegativesAnn(emb, cents)
     }),
+    // SemDeDup-style semantic dedup: within-IVF-cell cosine pruning
+    // (keep-first at the 4dp-rounded tau), per-cell report output; the
+    // IVF partition bounds the quadratic term at N^1.5 (the ANN
+    // family's asymptotics) and the mirror replays assignment + pair
+    // sims from the same centroid VALUES machinery (semDedupSql)
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Sources.table(s, dir, "embeddings")
+      val cells = math.max(16,
+        math.sqrt(emb.count().toDouble).toInt)
+      val key = s"$dir#c$cells"
+      val cents = ivfCentroids.getOrElseUpdate(key,
+        ArtifactStore.ivfCentroids(s, dir, s"ivf-c$cells-s42")(
+          Similarity.trainIvfCentroids(emb, cells)))
+      lastIvfKey.set(key)
+      Similarity.semDedup(emb, cents)
+    }),
     // PQ-ADC-routed variant (VERDICT r13 #3): the IVF shortlist is scored
     // by m table lookups against 8-byte codes (memoized per-query LUT),
     // only the ADC top-C per query is exactly re-ranked at full dimension
@@ -1830,6 +1846,70 @@ object SparkEntry {
        |  CAST(weight_micro AS DOUBLE) / 1000000e0 AS weight
        |FROM pr WHERE rank <= ${Retrieval.PrfExpansionTerms}
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** GENERATED mirror for `q_semdedup`: the trained IVF centroids
+    * replay as VALUES CTEs and DuckDB recomputes the IDENTICAL
+    * pipeline — the canonical argmin assignment (verbatim from
+    * [[hardNegativesAnnSql]]), within-cell i<j pair cosines on the
+    * index-order-sum class, 4dp floor-quantization BEFORE the
+    * [[graft.ext.Similarity.SemDedupTau]] compare and the max
+    * aggregate, keep-first drop counts, per-cell LEFT-join report. */
+  private def semDedupSql: String = {
+    val (cv, cn) = ivfRendered
+    val tau = dblSql(Similarity.SemDedupTau)
+    s"""WITH cv(cell, pos, v) AS $cv,
+       |cn(cell, nrm) AS $cn,
+       |dt AS (
+       |  SELECT e.vec_id, c.cell,
+       |    sum(CAST(e.embedding[c.pos] AS DOUBLE) * c.v) AS dt
+       |  FROM embeddings e, cv c
+       |  GROUP BY 1, 2),
+       |sn AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CASE WHEN d.dt = 0 THEN CAST(0e0 AS DOUBLE)
+       |         ELSE -(d.dt) / n.nrm END AS negdot
+       |  FROM dt d JOIN cn n USING (cell)),
+       |rk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY negdot, cell) AS rn
+       |  FROM sn),
+       |asg AS MATERIALIZED (SELECT vec_id, cell FROM rk WHERE rn = 1),
+       |ps AS (SELECT a.cell, a.vec_id AS i, b.vec_id AS j
+       |       FROM asg a JOIN asg b
+       |         ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |sm AS (SELECT p.cell, p.i, p.j,
+       |         sum(CAST(x.embedding[t.i] AS DOUBLE)
+       |           * CAST(y.embedding[t.i] AS DOUBLE)) AS dot,
+       |         sum(CAST(x.embedding[t.i] AS DOUBLE)
+       |           * CAST(x.embedding[t.i] AS DOUBLE)) AS na,
+       |         sum(CAST(y.embedding[t.i] AS DOUBLE)
+       |           * CAST(y.embedding[t.i] AS DOUBLE)) AS nb
+       |       FROM ps p
+       |       JOIN embeddings x ON x.vec_id = p.i
+       |       JOIN embeddings y ON y.vec_id = p.j,
+       |       generate_series(1, 64) t(i)
+       |       GROUP BY 1, 2, 3),
+       |s4 AS MATERIALIZED (
+       |  SELECT cell, i, j,
+       |    floor(dot / (sqrt(na) * sqrt(nb)) * 10000 + 0.5) / 10000
+       |      AS sim4
+       |  FROM sm WHERE na > 0 AND nb > 0),
+       |dr AS (SELECT DISTINCT cell, j FROM s4 WHERE sim4 >= $tau),
+       |bs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |       FROM asg GROUP BY 1),
+       |pst AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs,
+       |          max(sim4) AS max_sim
+       |        FROM s4 GROUP BY 1),
+       |dst AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+       |        FROM dr GROUP BY 1)
+       |SELECT CAST(b.cell AS BIGINT) AS cell, b.n_vecs,
+       |  COALESCE(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       |  p.max_sim
+       |FROM bs b LEFT JOIN pst p USING (cell) LEFT JOIN dst d USING (cell)
+       |ORDER BY cell""".stripMargin
   }
 
   /** Generated mirror for `q_margin_pairs`: anchor→corpus cosines on
@@ -6296,6 +6376,9 @@ object SparkEntry {
         |SELECT vec_id, label,
         |  floor(dot / (sqrt(nv) * sqrt(nc)) * 10000 + 0.5) / 10000 AS centroid_sim
         |FROM s ORDER BY vec_id""".stripMargin,
+    // generated SemDeDup mirror: IVF assignment replay + within-cell
+    // pair cosines rounded before the tau compare + per-cell report
+    "q_semdedup" -> semDedupSql,
     // generated margin-mining mirror: both kNN-density terms as
     // rank-pivot + left-assoc chains over index-order cosine sums, the
     // margin as the identical final division; NULL/zero denominators

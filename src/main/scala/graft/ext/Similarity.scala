@@ -101,6 +101,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** 4dp-rounded within-cell cosine at/above which [[semDedup]] prunes
+    * the LATER vector (round-then-compare — never a raw-double
+    * threshold). 0.45 sits just under the test corpora's top pair sims
+    * so gate-scale reports stay non-degenerate; real-embedding
+    * deployments run 0.95+ (the SemDeDup paper's regime) — the constant
+    * interpolates into the mirror either way. */
+  val SemDedupTau = 0.45
+
+  /** `q_semdedup`: SemDeDup-style semantic deduplication (Abbas et al.
+    * 2023) — partition the corpus by the trained IVF coarse quantizer,
+    * score cosine only WITHIN cells, and prune every vector whose
+    * 4dp-rounded similarity to a LOWER-id cell-mate reaches
+    * [[SemDedupTau]] (keep-first). Output is the per-cell report
+    * `(cell, n_vecs, n_pairs, n_dropped, max_sim)` — the corpus-audit
+    * shape; the drop rule is deterministic so the row-level keep set is
+    * derivable. This is the hash-gated, partitioned sibling of the
+    * declared-approximate `q_embedding_neardups`: the IVF partition
+    * bounds the quadratic term (cells ∝ √N ⇒ expected cell size √N ⇒
+    * total pair mass N^1.5 — the ANN family's accepted asymptotics;
+    * clusters-then-pairs is exactly the SemDeDup scale recipe), and the
+    * assignment + pair cosines ride the same certified mirror
+    * machinery as `q_hard_negatives_ann`.
+    *
+    * Exactness: assignment = the canonical argmin over centroid-literal
+    * dots; pair sims are index-order sums, floor-quantized to 4dp
+    * BEFORE the threshold compare and the max aggregate (both engines
+    * aggregate identical rounded values — max is order-free); zero-norm
+    * pairs drop from pair/drop counts in both engines but their vectors
+    * still count in n_vecs. */
+  def semDedup(embeddings: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val a = assignCells(embeddings, centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        norm(col("embedding")).as("n"))
+    val l = a.select(col("cell"), col("vec_id").as("i"),
+      col("embedding").as("ei"), col("n").as("ni"))
+    val r = a.select(col("cell"), col("vec_id").as("j"),
+      col("embedding").as("ej"), col("n").as("nj"))
+    val pairs = l.join(r, Seq("cell")).filter(col("i") < col("j"))
+      .select(col("cell"), col("i"), col("j"),
+        when(col("ni") * col("nj") === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("ei"), col("ej")) /
+            (col("ni") * col("nj"))).as("sim"))
+      .filter(col("sim").isNotNull)
+      .select(col("cell"), col("i"), col("j"),
+        round2(col("sim"), 4).as("sim4"))
+    val drops = pairs.filter(col("sim4") >= lit(SemDedupTau))
+      .select(col("cell"), col("j")).distinct()
+    val base = a.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val pst = pairs.groupBy("cell").agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      max(col("sim4")).as("max_sim"))
+    val dst = drops.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_dropped"))
+    base.join(pst, Seq("cell"), "left")
+      .join(dst, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("max_sim"))
+      .orderBy("cell")
+  }
+
   /** Margin-scoring constants for [[marginPairs]], shared with the
     * generated mirror: the anchor probe set (the [[batchKnn]]
     * convention — vec_id < MarginQueries, constants-bounded and

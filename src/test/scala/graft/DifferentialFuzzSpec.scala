@@ -360,7 +360,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_hard_negatives_ann", "q_hard_negatives_ann_pq", "q_hybrid_search",
     "q_kmeans_step", "q_cluster_balanced_sample", "q_embedding_dim_stats",
     "q_cluster_silhouette", "q_mmr_rerank", "q_embedding_drift",
-    "q_matryoshka_quality", "q_margin_pairs")
+    "q_matryoshka_quality", "q_margin_pairs", "q_semdedup")
 
   /** Random 64-dim float vectors in the real schema: full-mantissa
     * values, a few zero vectors (zero-norm edge), duplicate vectors

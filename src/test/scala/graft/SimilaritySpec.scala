@@ -247,6 +247,36 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: exact=$exact int8=$int8")
   }
 
+  test("semDedup: per-cell report matches a driver replay over the " +
+      "actual assignment; the planted near-dup pair drops") {
+    val cents = Similarity.trainIvfCentroids(emb, 4)
+    val asg = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val want = asg.values.toSeq.distinct.sorted.map { c =>
+      val ids = asg.filter(_._2 == c).keys.toSeq.sorted
+      val prs = for {
+        i <- ids; j <- ids if i < j
+        s = cosScala(vecs(i), vecs(j)) if !s.isNaN
+      } yield (j, r4(s))
+      val nd = prs.filter(_._2 >= Similarity.SemDedupTau)
+        .map(_._1).distinct.size.toLong
+      (c, ids.size.toLong, prs.size.toLong, nd,
+        if (prs.isEmpty) None else Some(prs.map(_._2).max))
+    }
+    val got = Similarity.semDedup(emb, cents)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == want)
+    // the near-identical pair (0, 1) lands in one cell and prunes one
+    assert(asg(0L) == asg(1L))
+    assert(got.map(_._4).sum >= 1L)
+    // conservation: every vector is assigned to exactly one cell
+    assert(got.map(_._2).sum == vecs.size.toLong)
+  }
+
   test("marginPairs matches a driver-side replay (left-assoc avgK " +
       "chains, identical margin division, rank by raw margin)") {
     val vecs = emb.select("vec_id", "embedding")
