@@ -44,12 +44,14 @@ object Scaling {
     // family's MAC/lookup loops, prefix-filter verification, winnowing
     // fingerprint selection
     "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
+    "q_semdedup", "q_margin_pairs", "q_hybrid_search",
     "q_jaccard_prefix", "q_winnowing", "q_winnowing_pairs",
     // events-bound (q_pagerank retired in r13 — the exact twin remains)
     "q_pagerank_exact", "q_kcore", "q_bfs_hops",
     "q_session_concurrency", "q_profile_events", "q_equidepth_histogram",
     "q_rolling_user_revenue",
     // documents-bound
+    "q_prf_expansion", "q_textrank_keywords",
     "q_dup_clusters_star", "q_cluster_keepers", "q_jaccard_curve",
     "q_ngram_jaccard", "q_kn_continuations",
     "q_containment_pairs", "q_tfidf_pairs", "q_hits_exact",
@@ -440,7 +442,34 @@ object Scaling {
         "MACs dominate."),
       "q_leakage_safe_split" -> ("dup_clusters + a cluster-atomic split " +
         "join; inherits the pair transient on candidate generation, the " +
-        s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."))
+        s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."),
+      "q_semdedup" -> ("SemDeDup: within-IVF-cell pair cosines — pair " +
+        "mass is N^1.5 by construction (cells ∝ √N ⇒ Σ cell² ≈ N^1.5), " +
+        "the same accepted asymptotics as the ANN shortlist; measured " +
+        s"t r30 ${t30("q_semdedup")} / sh r30 ${sh30("q_semdedup")}. " +
+        "The equi-join on cell id is AQE-splittable on skewed cells."),
+      "q_margin_pairs" -> ("margin mining: one linear broadcast-anchor " +
+        "scoring pass over the corpus plus constants-bounded candidate/" +
+        s"density joins — t r30 ${t30("q_margin_pairs")}, sh r30 " +
+        s"${sh30("q_margin_pairs")} (the TopK partials are the only " +
+        "exchange; everything else broadcasts). The batchKnn scale shape."),
+      "q_hybrid_search" -> ("RRF hybrid retrieval: the BM25 side is one " +
+        "tokenize pass + a broadcast posting filter keyed by bounded " +
+        "query terms; the cosine side is the batchKnn broadcast shape; " +
+        s"fusion joins two ≤ Q·depth lists. t r30 ${t30("q_hybrid_search")}, " +
+        s"sh r30 ${sh30("q_hybrid_search")} — the corpus-side shuffles " +
+        "are the per-(query, doc, term) tf aggregate and the TopK " +
+        "partials, both posting-filtered before the exchange."),
+      "q_prf_expansion" -> ("RM1 feedback: the BM25 scoring pass plus " +
+        "term extraction over ONLY the broadcast F·|Q| feedback docs — " +
+        s"t r30 ${t30("q_prf_expansion")}, sh r30 ${sh30("q_prf_expansion")}; " +
+        "the expansion ranking windows over constants-bounded groups."),
+      "q_textrank_keywords" -> ("TextRank: two linear token passes " +
+        "(frequency cap + zip_with adjacency, both map-side partial " +
+        "before their only exchanges); the V-vertex iteration is a " +
+        s"constants-bounded driver fold. t r30 ${t30("q_textrank_keywords")}, " +
+        s"sh r30 ${sh30("q_textrank_keywords")} — shuffle is the " +
+        "vocab-filtered pair count, bounded by V² distinct keys."))
     md.append("\n## Per-entry diagnosis (why each ratio is acceptable)\n\n")
     diags.foreach { case (n, d) =>
       if (byName.contains(n)) md.append(s"- **$n** — $d\n")

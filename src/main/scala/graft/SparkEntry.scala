@@ -351,6 +351,11 @@ object SparkEntry {
     // partition-layout advisor: candidate keys scored on cardinality,
     // skew and small-files risk; verdicts on 4dp-rounded metrics
     "q_partition_advice" -> ev(ops.Checks.partitionAdvice),
+    // k-anonymity re-identification audit: users collapse to
+    // quasi-identifier profiles (first date, activity bucket, dominant
+    // type), profiles below the k threshold flag at_risk — exact
+    // counts + CASE buckets, the pre-release privacy check
+    "q_k_anonymity" -> ev(ops.Checks.kAnonymity),
     // deterministic export shard manifest (fifth Ordinals certification)
     "q_export_shards" -> docs(TextOps.exportShards(_)),
     // training/serving drift monitor: equi-width buckets in integer
@@ -3797,6 +3802,37 @@ object SparkEntry {
          |    WHEN avg_rows < $AdviceMinRowsPerPartition THEN 'too_fine'
          |    ELSE 'ok' END AS advice
          |FROM m ORDER BY part_col""".stripMargin
+    },
+    // k-anonymity audit: exact counts, CASE buckets from the shared
+    // edges, dominant-type row_number with the pinned null ordering,
+    // null users dropped by the equi-join in both engines
+    "q_k_anonymity" -> {
+      import ops.Checks._
+      val Seq(e1, e2, e3) = KAnonBucketEdges
+      s"""WITH bu AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    min(CAST(ts AS DATE)) AS first_date
+         |  FROM events GROUP BY 1),
+         |dm AS (
+         |  SELECT user_id, event_type AS dominant_type FROM (
+         |    SELECT user_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY count(*) DESC, event_type ASC NULLS LAST) AS rn
+         |    FROM events GROUP BY user_id, event_type)
+         |  WHERE rn = 1),
+         |pf AS (
+         |  SELECT b.first_date, d.dominant_type,
+         |    CASE WHEN b.n < $e1 THEN '1'
+         |      WHEN b.n < $e2 THEN '$e1-${e2 - 1}'
+         |      WHEN b.n < $e3 THEN '$e2-${e3 - 1}'
+         |      ELSE '$e3+' END AS activity_bucket
+         |  FROM bu b JOIN dm d USING (user_id))
+         |SELECT first_date, activity_bucket, dominant_type,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  count(*) < $KAnonK AS at_risk
+         |FROM pf GROUP BY 1, 2, 3
+         |ORDER BY first_date ASC NULLS LAST, activity_bucket,
+         |  dominant_type ASC NULLS LAST""".stripMargin
     },
     // generated chain-sum L1 mirror — see revenueDriftSql
     "q_revenue_drift" -> revenueDriftSql(),

@@ -269,4 +269,50 @@ object Checks {
           .otherwise("ok"))
       .orderBy("part_col")
   }
+
+  /** k-anonymity threshold and activity-bucket edges for
+    * [[kAnonymity]] — shared with the generated mirror's CASE chain. */
+  val KAnonK = 5L
+  val KAnonBucketEdges: Seq[Long] = Seq(2L, 5L, 10L)
+
+  /** `q_k_anonymity`: re-identification risk audit over the event log —
+    * the privacy check run before releasing behavioral data as training
+    * corpus. Each user collapses to a QUASI-IDENTIFIER profile
+    * `(first_date, activity_bucket, dominant_type)` — derived
+    * attributes an adversary with partial knowledge could match on —
+    * and the report counts users per profile: a profile with fewer than
+    * [[KAnonK]] users is `at_risk` (its members are k-anonymous only
+    * below the policy threshold). All arithmetic is exact counts and
+    * CASE buckets; the dominant event type tie-breaks to the
+    * lexicographically smallest (row_number over count desc, type asc
+    * nulls last — the fuzz null-ordering rule). Null-user rows drop at
+    * the profile join in BOTH engines (equi-join semantics — never a
+    * window re-attach, per the null-key join rule).
+    *
+    * Scale: two user-keyed hash aggregates (map-side partials) + a
+    * per-user window over ≤ |event-type domain| rows + one
+    * profile-keyed count — nothing beyond the DAU family's shape. */
+  def kAnonymity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Seq(e1, e2, e3) = KAnonBucketEdges
+    val byUser = events.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      min(to_date(col("ts"))).as("first_date"))
+    val dom = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("c").desc, col("event_type").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("dominant_type"))
+    byUser.join(dom, Seq("user_id"))
+      .select(col("first_date"), col("dominant_type"),
+        when(col("n") < e1, "1").when(col("n") < e2, s"$e1-${e2 - 1}")
+          .when(col("n") < e3, s"$e2-${e3 - 1}")
+          .otherwise(s"$e3+").as("activity_bucket"))
+      .groupBy("first_date", "activity_bucket", "dominant_type")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .withColumn("at_risk", col("n_users") < KAnonK)
+      .orderBy(col("first_date").asc_nulls_last, col("activity_bucket"),
+        col("dominant_type").asc_nulls_last)
+  }
 }

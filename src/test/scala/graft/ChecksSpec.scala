@@ -132,6 +132,32 @@ class ChecksSpec extends SparkSpec {
       s"observed $observed != suite $viaSuite")
   }
 
+  test("kAnonymity: profiles, buckets, dominant-type tiebreak and the " +
+      "at-risk flag match a driver replay; null users drop") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    def rows(uid: Long, day: Timestamp, types: Seq[String]) =
+      types.zipWithIndex.map { case (ty, i) =>
+        (uid * 100 + i, day, Option(uid), ty, Option(1.0), "{}") }
+    // users 1-5 share a profile (day1, "1", view); user 6 is unique
+    // (at_risk); user 7 ties view/click 2-2 → dominant = click (asc);
+    // one null-user row must vanish from the report
+    val df = ((1L to 5L).flatMap(u => rows(u, t, Seq("view"))) ++
+      rows(6L, t2, Seq("purchase", "purchase", "view")) ++
+      rows(7L, t, Seq("view", "click", "click", "view")) ++
+      Seq((999L, t, None: Option[Long], "view", Option(1.0), "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Checks.kAnonymity(df)
+      .as[(java.sql.Date, String, String, Long, Boolean)].collect().toSeq
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(got == Seq(
+      (d1, "1", "view", 5L, false),          // k = 5 meets the threshold
+      (d1, "2-4", "click", 1L, true),        // tie → lexicographic min
+      (d2, "2-4", "purchase", 1L, true)))
+    assert(got.map(_._4).sum == 7L)          // null user contributes none
+  }
+
   test("partitionAdvice: verdict ladder on cardinality, skew, small files") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     // one event type (too coarse); 20 uniform users (fine-grained but

@@ -401,7 +401,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_rolling_user_revenue", "q_bootstrap_ci", "q_compaction_plan",
     "q_benford", "q_zorder_layout", "q_velocity_flags",
     "q_seasonal_decomposition", "q_residual_anomalies", "q_user_streaks",
-    "q_decile_lift", "q_partition_advice", "q_revenue_drift",
+    "q_decile_lift", "q_partition_advice", "q_k_anonymity",
+    "q_revenue_drift",
     "q_revenue_trend", "q_zorder_prune", "q_bfs_hops", "q_pagerank_exact",
     "q_ppr_exact",
     "q_triangle_count", "q_kcore", "q_cohort_revenue", "q_data_checks",
