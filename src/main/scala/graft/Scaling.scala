@@ -445,9 +445,16 @@ object Scaling {
         s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."),
       "q_semdedup" -> ("SemDeDup: within-IVF-cell pair cosines — pair " +
         "mass is N^1.5 by construction (cells ∝ √N ⇒ Σ cell² ≈ N^1.5), " +
-        "the same accepted asymptotics as the ANN shortlist; measured " +
-        s"t r30 ${t30("q_semdedup")} / sh r30 ${sh30("q_semdedup")}. " +
-        "The equi-join on cell id is AQE-splittable on skewed cells."),
+        "the same accepted asymptotics as the ANN shortlist; wall " +
+        s"tracks it (t r30 ${t30("q_semdedup")}). The sh r30 " +
+        s"${sh30("q_semdedup")} is a PLAN-TRANSITION artifact of a " +
+        "near-zero baseline, not extra work: at 1× the within-cell " +
+        "join BROADCASTS (plan-verified BroadcastHashJoin — its pair " +
+        "frame never touches the shuffle meter), at 30× it is a " +
+        "SortMergeJoin whose absolute " +
+        f"${byName("q_semdedup")(30).shuffleMb}%.0f MB ≈ the N^1.5 " +
+        "pair frame (30^1.5 ≈ 164× the never-shuffled 1× mass). The " +
+        "equi-join on cell id is AQE-splittable on skewed cells."),
       "q_margin_pairs" -> ("margin mining: one linear broadcast-anchor " +
         "scoring pass over the corpus plus constants-bounded candidate/" +
         s"density joins — t r30 ${t30("q_margin_pairs")}, sh r30 " +
