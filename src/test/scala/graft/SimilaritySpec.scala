@@ -277,6 +277,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum == vecs.size.toLong)
   }
 
+  test("semDedup plan: within-cell pairs ride an equi-join on the cell " +
+      "id — never a cartesian/BNLJ pair enumeration") {
+    val cents = Similarity.trainIvfCentroids(emb, 4)
+    val df = Similarity.semDedup(emb, cents)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
+  }
+
   test("marginPairs matches a driver-side replay (left-assoc avgK " +
       "chains, identical margin division, rank by raw margin)") {
     val vecs = emb.select("vec_id", "embedding")
