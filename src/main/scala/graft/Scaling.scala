@@ -339,17 +339,22 @@ object Scaling {
 
     // --- per-entry diagnosis (restored per VERDICT r13 #2; the table --
     // alone does not explain WHY a ratio is acceptable) ---------------
-    def t30(n: String): String = {
-      val m = byName(n); if (m(1).sec <= 0) "n/a" else f"${m(30).sec / m(1).sec}%.1f"
-    }
-    def sh30(n: String): String = {
-      val m = byName(n)
-      if (m(1).shuffleMb <= 0) "n/a" else f"${m(30).shuffleMb / m(1).shuffleMb}%.1f"
-    }
-    def rec30(n: String): String = {
-      val m = byName(n)
-      if (m(1).records <= 0) "n/a" else f"${m(30).records.toDouble / m(1).records}%.1f"
-    }
+    // Every lookup here totals to "n/a" on ANY drift between the Queries
+    // list and the diags map (the diag strings are built EAGERLY before
+    // the byName.contains append-guard can skip them — an unguarded
+    // byName(n) would crash a multi-hour full run at the very end,
+    // before SCALING.md is written).
+    def ratio(n: String, f: M => Double): String =
+      byName.get(n).flatMap { m =>
+        for (a <- m.get(1); b <- m.get(30) if f(a) > 0)
+          yield f"${f(b) / f(a)}%.1f"
+      }.getOrElse("n/a")
+    def t30(n: String): String = ratio(n, _.sec)
+    def sh30(n: String): String = ratio(n, _.shuffleMb)
+    def rec30(n: String): String = ratio(n, _.records.toDouble)
+    def shMb30(n: String): String =
+      byName.get(n).flatMap(_.get(30)).map(m => f"${m.shuffleMb}%.0f")
+        .getOrElse("n/a")
     val hitsRec = rec30("q_hits_exact"); val hitsSh = sh30("q_hits_exact")
     val diags: Seq[(String, String)] = Seq(
       "q_pagerank_exact" -> ("fixed-round edge-keyed join+agg; t r30 " +
@@ -452,7 +457,7 @@ object Scaling {
         "join BROADCASTS (plan-verified BroadcastHashJoin — its pair " +
         "frame never touches the shuffle meter), at 30× it is a " +
         "SortMergeJoin whose absolute " +
-        f"${byName("q_semdedup")(30).shuffleMb}%.0f MB ≈ the N^1.5 " +
+        s"${shMb30("q_semdedup")} MB ≈ the N^1.5 " +
         "pair frame (30^1.5 ≈ 164× the never-shuffled 1× mass). The " +
         "equi-join on cell id is AQE-splittable on skewed cells."),
       "q_margin_pairs" -> ("margin mining: one linear broadcast-anchor " +

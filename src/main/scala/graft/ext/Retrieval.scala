@@ -299,15 +299,20 @@ object Retrieval {
     import spark.implicits._
     val docs = documents.filter(col("text").isNotNull)
       .select(TextOps.tokens(col("text")).as("toks"))
-    val vocab = docs.select(explode(col("toks")).as("tok"))
+    // vocab collected ONCE (≤ V rows — the constants-bounded-pool rule);
+    // the collected array then serves both the adjacency filter (as an
+    // InSet predicate, cheaper than two broadcast joins that would each
+    // recompute the corpus-scale aggregate — no exchange reuse across
+    // differently-renamed canonicalizations) and the driver fold below
+    val verts = docs.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(TextRankVocab)
-      .select("tok")
+      .select("tok").as[String].collect()
     // adjacent pairs map-side via zip_with over sliced arrays (a
     // positional self-join would shuffle the token stream twice on
     // (doc_id, pos); this has NO shuffle before the pair count — the
     // lambda touches only its own args, so nothing re-evaluates per
-    // element), then both ends broadcast-filtered to the vocab
+    // element), then both ends filtered to the vocab
     val adj = docs.filter(size(col("toks")) >= 2)
       .select(explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -315,13 +320,12 @@ object Retrieval {
         (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
-      .join(broadcast(vocab.withColumnRenamed("tok", "u")), Seq("u"))
-      .join(broadcast(vocab.withColumnRenamed("tok", "v")), Seq("v"))
+      .filter(col("u").isin(verts.toSeq: _*) &&
+        col("v").isin(verts.toSeq: _*))
       .select("u", "v")
     val w = adj.union(adj.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u", "v").agg(count(lit(1)).cast("long").as("w"))
-    // constants-bounded collects: ≤ V vertices, ≤ V² weighted edges
-    val verts = vocab.as[String].collect()
+    // constants-bounded collect: ≤ V² weighted edges
     val edges = w.as[(String, String, Long)].collect()
     val wdeg = edges.groupBy(_._1).map { case (u, es) =>
       u -> es.map(_._3).sum }

@@ -112,8 +112,11 @@ object Similarity {
   /** `q_semdedup`: SemDeDup-style semantic deduplication (Abbas et al.
     * 2023) — partition the corpus by the trained IVF coarse quantizer,
     * score cosine only WITHIN cells, and prune every vector whose
-    * 4dp-rounded similarity to a LOWER-id cell-mate reaches
-    * [[SemDedupTau]] (keep-first). Output is the per-cell report
+    * 4dp-rounded similarity to ANY lower-id cell-mate reaches
+    * [[SemDedupTau]] ("dominated by any lower-id cell-mate" — NOT the
+    * greedy transitive keep-first chain: a vector drops even when its
+    * only ≥τ lower neighbor was itself dropped; both engines and the
+    * spec replay implement this same rule). Output is the per-cell report
     * `(cell, n_vecs, n_pairs, n_dropped, max_sim)` — the corpus-audit
     * shape; the drop rule is deterministic so the row-level keep set is
     * derivable. This is the hash-gated, partitioned sibling of the
