@@ -628,6 +628,23 @@ object Similarity {
     * GENERATED mirror that replays the identical ADC pipeline. */
   val HardNegPqShortlist = 32
 
+  /** Estimated-bytes cap under which [[hardNegativesAnnPq]] BROADCASTS
+    * the per-vector side frames (the PQ codes index through the cell
+    * join; the full-precision vectors through the re-rank joins) instead
+    * of exchanging them. MEASURED rationale (r15): at the 30× scale
+    * point the route's 548 MB shuffle was dominated NOT by the ADC cell
+    * join but by the exact RE-RANK — attaching `q_emb` to the N·C pair
+    * frame and then exchanging that frame again (by neg_id) for the
+    * second vector join ships N·C·dim floats through the shuffle.
+    * Broadcasting the N-row vector frame (N·dim·4 bytes — the FAISS
+    * "index fits the serving node" shape) removes every embedding-
+    * carrying exchange; above the cap the equi-join shape stands and the
+    * N·C·dim re-rank shuffle is the honest, documented refine cost
+    * (pair frames with one vector side attached — the data-movement
+    * equivalent of the N·C MACs). 256 MB keeps the broadcast well under
+    * executor memory at local[32] and any reasonable cluster slot. */
+  val AdcBroadcastCapBytes: Long = 256L << 20
+
   /** PQ-ADC-routed hard-negative mining — [[hardNegativesAnn]] with its
     * one scale defect fixed (VERDICT r13 #3): the exact route scores
     * EVERY IVF-shortlist candidate at full dimension, N^1.5·nProbe·dim
@@ -670,14 +687,22 @@ object Similarity {
       shortC: Int = HardNegPqShortlist): DataFrame = {
     require(shortC >= k, s"shortlist $shortC must cover k=$k")
     val cb = toSeq3(codebooks)
+    // size-guarded broadcast switch (see [[AdcBroadcastCapBytes]]): the
+    // count is a parquet-metadata fast path on the raw scan; the
+    // estimate charges the FULL-precision row (dim floats + ids/labels)
+    // because the re-rank broadcasts carry it
+    val dim = if (centroids.nonEmpty) centroids(0).length else 64
+    val estBytes = embeddings.count() * (4L * dim + 64L)
+    val bc = estBytes <= AdcBroadcastCapBytes
+    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     val nonZero = embeddings
       .filter(dot(col("embedding"), col("embedding")) > 0.0)
-    val corpus = nonZero.select(col("vec_id").as("neg_id"),
+    val corpus = side(nonZero.select(col("vec_id").as("neg_id"),
       col("label").as("neg_label"),
       VecExpressions.pqEncode(col("embedding"), cb).as("codes"),
       norm(col("embedding")).as("xnorm"),
       array_min(cellScores(col("embedding"), centroids)).getField("cell")
-        .as("cell"))
+        .as("cell")))
     val queries = nonZero.select(col("vec_id"), col("label"),
       col("embedding"), norm(col("embedding")).as("q_n"),
       explode(slice(
@@ -691,12 +716,16 @@ object Similarity {
           / (col("q_n") * col("xnorm"))).as("adc"))
     val short = TopK.topKPerGroup(adc, "vec_id", "adc", "neg_id", shortC)
       .select(col("vec_id"), col("neg_id"))
-    // exact re-rank: full-precision vectors fetched for N·C pairs only
-    val qv = embeddings.select(col("vec_id"), col("label"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"))
-    val cv = embeddings.select(col("vec_id").as("neg_id"),
+    // exact re-rank: full-precision vectors fetched for N·C pairs only.
+    // Below the cap BOTH vector sides broadcast — an exchanged shape
+    // here would attach q_emb to the pair frame and then ship N·C·dim
+    // floats through the neg_id exchange (the r15-measured dominant
+    // term of the route's 548 MB @30× shuffle).
+    val qv = side(embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n")))
+    val cv = side(embeddings.select(col("vec_id").as("neg_id"),
       col("label").as("neg_label"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("c_n"))
+      norm(col("embedding")).as("c_n")))
     val scored = short.join(qv, Seq("vec_id")).join(cv, Seq("neg_id"))
       .select(col("vec_id"), col("neg_id"),
         when(col("q_n") * col("c_n") === 0.0, lit(null).cast("double"))
@@ -706,9 +735,9 @@ object Similarity {
       .filter(col("sim").isNotNull)
     val lab = embeddings.select(col("vec_id"), col("label"))
     TopK.topKPerGroup(scored, "vec_id", "sim", "neg_id", k)
-      .join(lab, Seq("vec_id"))
-      .join(lab.select(col("vec_id").as("neg_id"),
-        col("label").as("neg_label")), Seq("neg_id"))
+      .join(side(lab), Seq("vec_id"))
+      .join(side(lab.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label"))), Seq("neg_id"))
       .select(col("vec_id"), col("label"), col("rank"), col("neg_id"),
         col("neg_label"), round2(col("sim"), 4).as("cosine_sim"))
       .orderBy("vec_id", "rank")
