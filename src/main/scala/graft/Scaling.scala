@@ -366,7 +366,13 @@ object Scaling {
           "job and the corpus tokenize pass dominates either way). At " +
           "100 TB the knob is term selectivity, not |Q|: rare-term " +
           "probes stay map-side-cheap at any |Q| the driver can " +
-          "train.\n")
+          "train. Exact BM25 over all-common terms is inherently a " +
+          "score-everything workload (the |Q|·N score matrix is " +
+          "semantically required); production engines cut that regime " +
+          "with impact-ordered postings plus WAND/max-score pruning, " +
+          "which trades the full ranking's exactness for top-k-only " +
+          "guarantees — out of scope for the hash-gated entry, " +
+          "documented as the dense-regime escape hatch.\n")
       b.toString
     }
     def upsertSection(header: String, body: String): Unit = {
