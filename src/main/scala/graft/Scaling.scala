@@ -677,10 +677,14 @@ object Scaling {
         s"generated ADC-replay mirror. t r30 " +
         s"${t30("q_hard_negatives_ann_pq")} / sh r30 " +
         s"${sh30("q_hard_negatives_ann_pq")} vs the exact route's t r30 " +
-        s"${t30("q_hard_negatives_ann")} — at dim 64 the ADC win is " +
-        "modest (64 MACs vs 16 lookups + the same TopK aggregate); the " +
-        "route exists for real embedding dims (768+), where full-dim " +
-        "MACs dominate."),
+        s"${t30("q_hard_negatives_ann")}. r15 closed the r14 watch item " +
+        "twice over: (a) the 548 MB @30× shortlist shuffle was the exact " +
+        "RE-RANK re-exchanging the N·C pair frame with q_emb attached, " +
+        "not the ADC join — a size-guarded broadcast of the codes index " +
+        "and both re-rank vector sides (AdcBroadcastCapBytes) measured " +
+        "it down to ~53 MB; (b) the dim-768 crossover section below " +
+        "MEASURES the route 2.2× ahead of the exact route at its " +
+        "claimed dimensionality (at dim 64 the two are within ~10%)."),
       "q_leakage_safe_split" -> ("dup_clusters + a cluster-atomic split " +
         "join; inherits the pair transient on candidate generation, the " +
         s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."),
