@@ -303,7 +303,10 @@ object Bench {
     // "parsed": null) — a file read is prefix- and truncation-proof.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun":$flaggedJson,"n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
+    // the headline stays tail-capture-small: flagged entries ride as a
+    // COUNT here (the full list is in bench_results.json — a pathological
+    // run could flag dozens and blow the bounded-size guarantee)
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun_n":${flagged.size},"n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
       (headline + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
