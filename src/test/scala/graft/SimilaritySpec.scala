@@ -178,6 +178,23 @@ class SimilaritySpec extends SparkSpec {
       s"expected ADC machinery in the plan:\n$plan")
   }
 
+  test("hardNegativesAnnPq below the broadcast cap: every join " +
+      "broadcasts — the r14 548 MB re-rank exchange (pair frame with " +
+      "q_emb attached, re-shuffled by neg_id) is structurally absent") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb)
+    val cbs = Similarity.trainPqCodebooks(emb)
+    val df = Similarity.hardNegativesAnnPq(emb, cents, cbs)
+    df.collect() // collect FIRST: AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the size-guarded broadcast switch to engage:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "below AdcBroadcastCapBytes no join may exchange the candidate/" +
+        s"pair frames:\n$plan")
+  }
+
   test("hardNegativesAnnPq drops zero-norm vectors up front (equality-" +
       "preserving: the exact route nulls them out of every sim)") {
     import spark.implicits._
