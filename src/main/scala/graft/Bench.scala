@@ -147,6 +147,7 @@ object Bench {
     // second pass so one-time training/index I/O never charges the query.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    val execCpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -155,11 +156,26 @@ object Bench {
           if (m != null) {
             shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             inputBytes.addAndGet(m.inputMetrics.bytesRead)
+            execCpuNs.addAndGet(m.executorCpuTime)
           }
         }
       })
     val shuffleMb = collection.mutable.Map[String, Double]()
     val inputMb = collection.mutable.Map[String, Double]()
+    // Per-query ACHIEVED PARALLELISM (r15 verdict #1): Σ executorCpuTime
+    // ÷ wall over the metered steady-state pass. The three bracket-point
+    // probes cannot attribute a sustained capacity shortfall across a
+    // multi-minute run (the r15 driver run was 28% slower than the
+    // committed record while its probes read HEALTHIER); this makes every
+    // entry carry its own capacity evidence: a low cpu_par on an inflated
+    // wall = the host withheld cores (wave / capacity era), a high
+    // cpu_par on an inflated wall = the plan actually did more work.
+    // Caveats a reader needs: executorCpuTime meters TASK cpu only
+    // (driver-side work — artifact trains, bounded collects, streaming
+    // coordination — shows as low cpu_par with an idle-host wall), and
+    // scheduling gaps between stages depress it; compare entries to their
+    // own history, not to 32.
+    val cpuPar = collection.mutable.Map[String, Double]()
     // materialize the FULL physical plan (projections, sorts, limits):
     // a plain count() would let Catalyst prune the very work being timed.
     // A failed run is reported as -1, never as a near-zero success.
@@ -191,12 +207,16 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       drain()
       val s0 = shuffleBytes.get(); val i0 = inputBytes.get()
+      val c0 = execCpuNs.get()
       val t = once(name, fn)
       drain()
-      if (t < 0) { shuffleMb(name) = -1.0; inputMb(name) = -1.0 }
+      if (t < 0) {
+        shuffleMb(name) = -1.0; inputMb(name) = -1.0; cpuPar(name) = -1.0
+      }
       else {
         shuffleMb(name) = (shuffleBytes.get() - s0) / 1e6
         inputMb(name) = (inputBytes.get() - i0) / 1e6
+        cpuPar(name) = if (t > 0) (execCpuNs.get() - c0) / 1e9 / t else -1.0
       }
       t
     }
@@ -234,8 +254,15 @@ object Bench {
     }.sorted
     val pass3 = flagged.map(n => n -> once(n, queries(n))).toMap
     val results = names.map { n =>
-      val samples = Seq(pass1(n), pass2(n)) ++ pass3.get(n)
-      n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+      // Only pass1/pass2 failures mark a query failed: a flagged entry
+      // already holds two VALID samples, and its rerun runs by definition
+      // under wave suspicion — a transient rerun failure (timeout/OOM
+      // inside the same wave) must not flip an otherwise-clean record to
+      // failures>0 / total_comparable=false (ADVICE r15). A failed rerun
+      // stays visible as its -1 in the `rerun` map.
+      val base = Seq(pass1(n), pass2(n))
+      n -> (if (base.exists(_ < 0)) -1.0
+      else (base ++ pass3.get(n).filter(_ >= 0)).min)
     }.toMap
     val loadEnd = loadavg()
     val probeEnd = cpuProbe()
@@ -282,7 +309,11 @@ object Bench {
     // silently excludes the failed queries' time and must not be compared
     // against a clean round's record (the r9 lesson: 14 failures made a
     // 106s total look like an improvement over r8's 117s).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun":$flaggedJson,"queries":$qs,"pass1":${passMap(pass1)},"pass2":${passMap(pass2)},"rerun":${passMap(pass3)},"cal_adjusted":$calAdj,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)}}"""
+    // cpu_par rounds to 2dp (a parallelism reading, not a timing)
+    def parMap(m: collection.Map[String, Double]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"\"" + k + "\":" + math.round(v * 100) / 100.0 }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun":$flaggedJson,"queries":$qs,"pass1":${passMap(pass1)},"pass2":${passMap(pass2)},"rerun":${passMap(pass3)},"cal_adjusted":$calAdj,"shuffle_mb":${mbMap(shuffleMb)},"input_mb":${mbMap(inputMb)},"cpu_par":${parMap(cpuPar)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
@@ -301,12 +332,19 @@ object Bench {
     // `[info] ` prefix and `[success] …` trails them, so a tail-capture
     // may never see the bare JSON as the literal last line (r9 evidence:
     // "parsed": null) — a file read is prefix- and truncation-proof.
-    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowestEntries = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowest = slowestEntries
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // capacity evidence rides WITH the perf signal: each slowest entry's
+    // steady-pass cpu_par, so a tail-capture reader can tell "host
+    // withheld cores" from "plan did more work" without the full record
+    val slowestPar = slowestEntries.map { case (k, _) =>
+      s"\"" + k + "\":" + math.round(cpuPar.getOrElse(k, -1.0) * 100) / 100.0
+    }.mkString("{", ",", "}")
     // the headline stays tail-capture-small: flagged entries ride as a
     // COUNT here (the full list is in bench_results.json — a pathological
     // run could flag dozens and blow the bounded-size guarantee)
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun_n":${flagged.size},"n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_results.json"}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"calibration":${r3(calibration)},"cal_adjusted_total":$calAdjTotal,"harness_floor_sec":$harnessFloor,"sf":"$sfDir","host":$host,"flagged_rerun_n":${flagged.size},"n_queries":${results.size},"slowest":$slowest,"slowest_cpu_par":$slowestPar,"queries_file":"bench_results.json"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
       (headline + "\n").getBytes("UTF-8"))
     catch { case t: Throwable =>
