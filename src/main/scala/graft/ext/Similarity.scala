@@ -641,9 +641,25 @@ object Similarity {
     * carrying exchange; above the cap the equi-join shape stands and the
     * N·C·dim re-rank shuffle is the honest, documented refine cost
     * (pair frames with one vector side attached — the data-movement
-    * equivalent of the N·C MACs). 256 MB keeps the broadcast well under
-    * executor memory at local[32] and any reasonable cluster slot. */
-  val AdcBroadcastCapBytes: Long = 256L << 20
+    * equivalent of the N·C MACs).
+    *
+    * The cap is charged against the route's TOTAL concurrent broadcast
+    * footprint, not one relation (ADVICE r15): two full-precision vector
+    * relations broadcast at once (`qv`/`cv`; the codes index and the two
+    * id→label frames are byte-scale beside them), each living as a
+    * HashedRelation of UnsafeRows at ~2× its raw column bytes — so the
+    * charge is 4× the raw-size estimate. At 1 GB total the decision
+    * boundary is raw ≤ 256 MB per relation: identical to the r15-measured
+    * boundary (the dim-768/30× record stands), each driver-side build
+    * collects ≤ 256 MB (inside the default 1g
+    * `spark.driver.maxResultSize`), and the resident footprint stays
+    * well under executor memory at local[32] and any reasonable cluster
+    * slot. The raw estimate reads the optimized plan's `sizeInBytes`
+    * (the [[allPairsTiling]]/writeSizedShards discipline — no job, no
+    * per-invocation `count()`): precise for the documented raw-parquet-
+    * scan callers; a derived frame gets Catalyst's propagated estimate,
+    * whose errors skew large — toward the safe (equi-join) side. */
+  val AdcBroadcastCapBytes: Long = 1024L << 20
 
   /** PQ-ADC-routed hard-negative mining — [[hardNegativesAnn]] with its
     * one scale defect fixed (VERDICT r13 #3): the exact route scores
@@ -684,16 +700,19 @@ object Similarity {
       centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], k: Int = HardNegativesK,
       nProbe: Int = HardNegAnnProbes,
-      shortC: Int = HardNegPqShortlist): DataFrame = {
+      shortC: Int = HardNegPqShortlist,
+      broadcastCapBytes: Long = AdcBroadcastCapBytes): DataFrame = {
     require(shortC >= k, s"shortlist $shortC must cover k=$k")
     val cb = toSeq3(codebooks)
-    // size-guarded broadcast switch (see [[AdcBroadcastCapBytes]]): the
-    // count is a parquet-metadata fast path on the raw scan; the
-    // estimate charges the FULL-precision row (dim floats + ids/labels)
-    // because the re-rank broadcasts carry it
-    val dim = if (centroids.nonEmpty) centroids(0).length else 64
-    val estBytes = embeddings.count() * (4L * dim + 64L)
-    val bc = estBytes <= AdcBroadcastCapBytes
+    // size-guarded broadcast switch (see [[AdcBroadcastCapBytes]]): raw
+    // size from the optimizer's own estimate (no per-invocation job),
+    // charged 4× — two concurrent full-precision relations × ~2×
+    // HashedRelation overhead. `broadcastCapBytes` is overridable so the
+    // Scaling harness can measure the ABOVE-cap equi-join shape on a
+    // below-cap corpus (pass 0).
+    val estBytes =
+      embeddings.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+    val bc = estBytes <= broadcastCapBytes
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     val nonZero = embeddings
       .filter(dot(col("embedding"), col("embedding")) > 0.0)

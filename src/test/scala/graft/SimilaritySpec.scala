@@ -195,6 +195,27 @@ class SimilaritySpec extends SparkSpec {
         s"pair frames:\n$plan")
   }
 
+  test("hardNegativesAnnPq above the broadcast cap (forced via cap 0): " +
+      "the equi-join fallback is never quadratic and returns the " +
+      "IDENTICAL rows — the switch is plan-only") {
+    val emb = graft.ingest.Sources.table(spark, sf("sf0.001"), "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb)
+    val cbs = Similarity.trainPqCodebooks(emb)
+    val below = Similarity.hardNegativesAnnPq(emb, cents, cbs)
+      .collect().toSeq
+    val df = Similarity.hardNegativesAnnPq(emb, cents, cbs,
+      broadcastCapBytes = 0L)
+    val above = df.collect().toSeq
+    assert(above == below, "the broadcast switch must not change results")
+    val plan = df.queryExecution.executedPlan.toString
+    // the fallback's joins are all EQUI joins — AQE may still broadcast
+    // tiny sides at runtime (desired at scale too); what must never
+    // appear is a quadratic shape
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"above-cap fallback must stay equi-join shaped:\n$plan")
+  }
+
   test("hardNegativesAnnPq drops zero-norm vectors up front (equality-" +
       "preserving: the exact route nulls them out of every sim)") {
     import spark.implicits._
