@@ -314,6 +314,23 @@ object SparkEntry {
       lastBm25Dir.set(dir)
       Retrieval.bm25Search(d, qt)
     }),
+    // the max-score/WAND-family dense-regime escape hatch (r15 verdict
+    // #2): EXACT top-k BM25 from impact-ordered posting prefixes + a
+    // Fagin-TA termination bound — |Q|-proportional work is bounded by
+    // |Q|·terms·B, never |Q|·N. Shares q_bm25_search's oracle VERBATIM:
+    // the hash gate IS the pruning-losslessness certificate (the
+    // q_zorder_prune discipline).
+    "q_bm25_maxscore" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      val qt = bm25Idf.getOrElseUpdate(dir, {
+        val idf = Retrieval.trainBm25Idf(d,
+          Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+        Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+          ts.map(t => (qid, t, idf(t))) }
+      })
+      lastBm25Dir.set(dir)
+      Retrieval.bm25SearchPruned(d, qt)
+    }),
     // reciprocal-rank-fusion hybrid search: the query DOCS' BM25 ranking
     // fused with their exact embedding-cosine ranking (vec_id ≡ doc_id),
     // 1/(60+r) contributions in pinned order; both lists depth-20,
@@ -856,6 +873,12 @@ object SparkEntry {
     // from above — the report that picks the dedup threshold
     "q_jaccard_curve" -> docs(Dedup.jaccardThresholdCurve(_)),
     "q_dup_ngram_spans" -> docs(Dedup.dupNgramSpans(_)),
+    // substring-LEVEL exact dedup (Lee et al. 2021's suffix-array family
+    // re-expressed as a distributable width-gram cover): one row per
+    // MAXIMAL duplicated token range — exact 1-based extents + the
+    // duplicated text. Mirror: gaps-and-islands over duplicated string
+    // 5-grams, constants interpolated from Dedup
+    "q_dup_substring_spans" -> docs(Dedup.dupSubstringSpans(_)),
     "q_dup_span_removal" -> docs(Dedup.removeDupSpans(_)),
     "q_dup_clusters" -> docs(Dedup.dupClusters(_)),
     "q_cluster_keepers" -> docs(Dedup.clusterKeepers(_)),
@@ -4792,6 +4815,40 @@ object SparkEntry {
          |      FROM documents WHERE len(string_split(text, ' ')) >= 5) t
          |LEFT JOIN cov c ON t.doc_id = c.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // substring-level span INVENTORY: gaps-and-islands over duplicated
+    // window starts (merge when the start gap <= width — equal widths make
+    // the previous start bound the running end), exact 1-based extents,
+    // span text re-sliced from the token array (non-empty by construction,
+    // so array_to_string ≡ concat_ws needs no null scoping). Width and the
+    // df floor interpolate from Dedup (the shared-constant rule).
+    "q_dup_substring_spans" -> {
+      val w = ext.Dedup.DupSpanWidth
+      val mdf = ext.Dedup.DupSpanMinDocFreq
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+${w - 1}], ' ') AS sh
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${w - 1})) AS i
+         |        FROM t WHERE len(toks) >= $w)),
+         |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM w)
+         |        GROUP BY sh HAVING count(*) >= $mdf),
+         |g AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |               <= $w THEN 0 ELSE 1 END AS new_span
+         |      FROM w WHERE sh IN (SELECT sh FROM dup)),
+         |s AS (SELECT doc_id, pos,
+         |        sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |      FROM g),
+         |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + ${w - 1} AS e,
+         |         CAST(count(*) AS BIGINT) AS n_windows
+         |       FROM s GROUP BY doc_id, span_id)
+         |SELECT sp.doc_id, CAST(a AS BIGINT) AS span_start,
+         |  CAST(e AS BIGINT) AS span_end,
+         |  CAST(e - a + 1 AS BIGINT) AS span_len, n_windows,
+         |  array_to_string(t.toks[a:e], ' ') AS span_text
+         |FROM sp JOIN t USING (doc_id)
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
     // span REMOVAL under the same window universe: the min-doc_id owner of
     // a duplicated 5-gram keeps all its occurrences, every other doc drops
     // every covered token; the cleaned text itself rides the hash gate.
@@ -5497,6 +5554,10 @@ object SparkEntry {
     // generated BM25 mirror: driver-trained idf VALUES + identical IEEE
     // per-term contribution + exact micro-long sums + row_number top-k
     "q_bm25_search" -> bm25SearchSql,
+    // SHARED ORACLE (verbatim): the max-score/TA-pruned route must equal
+    // the exact top-k row-for-row — the hash gate certifies pruning
+    // losslessness (the shared-oracle equivalence discipline)
+    "q_bm25_maxscore" -> bm25SearchSql,
     // generated RRF hybrid mirror: shared BM25 core + exact cosine
     // ranking + pinned-order 1/(60+r) fusion
     "q_hybrid_search" -> hybridSearchSql,

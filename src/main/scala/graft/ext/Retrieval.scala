@@ -169,20 +169,27 @@ object Retrieval {
       .join(broadcast(qt), Seq("tok"))
       .groupBy("query_id", "doc_id", "tok", "idf_micro")
       .agg(count(lit(1)).as("tf"))
-    // identical IEEE op sequence in the mirror: ((idf/1e6) * (tf*(k1+1)))
-    // / (tf + k1*((1-b) + b*(dl/avgdl))), then floor-trick micro longs
-    val sMicro = {
-      val idfD = col("idf_micro").cast("double") / lit(1000000.0)
-      val num = col("tf").cast("double") * lit(Bm25K1Plus1)
-      val den = col("tf").cast("double") + lit(Bm25K1) *
-        (lit(Bm25OneMinusB) + lit(Bm25B) *
-          (col("dl").cast("double") / col("avgdl")))
-      floor(idfD * num / den * lit(1000000.0) + lit(0.5)).cast("long")
-    }
     tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), sMicro.as("s_micro"))
+      .select(col("query_id"), col("doc_id"),
+        contribMicro(col("tf"), col("idf_micro"), col("dl"), col("avgdl"))
+          .as("s_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("s_micro")).cast("long").as("score_micro"))
+  }
+
+  /** The per-(term, doc) BM25 contribution in micro-unit longs — ONE
+    * shared Column tree so [[bm25Scores]] (the exact route) and
+    * [[bm25SearchPruned]] (the max-score route) are bit-identical by
+    * construction, not by parallel maintenance. Identical IEEE op
+    * sequence in the mirrors: `((idf/1e6) * (tf*(k1+1))) / (tf +
+    * k1*((1-b) + b*(dl/avgdl)))`, floor-trick quantized. */
+  private def contribMicro(tf: Column, idfMicro: Column, dl: Column,
+      avgdl: Column): Column = {
+    val idfD = idfMicro.cast("double") / lit(1000000.0)
+    val num = tf.cast("double") * lit(Bm25K1Plus1)
+    val den = tf.cast("double") + lit(Bm25K1) *
+      (lit(Bm25OneMinusB) + lit(Bm25B) * (dl.cast("double") / avgdl))
+    floor(idfD * num / den * lit(1000000.0) + lit(0.5)).cast("long")
   }
 
   /** `q_bm25_search`: top-[[Bm25TopK]] documents per constant probe
@@ -195,6 +202,154 @@ object Retrieval {
         col("score_micro").cast("long").as("score_micro"),
         (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Initial per-term posting-prefix depth of [[bm25SearchPruned]];
+    * doubles until the termination certificate holds. ≥ [[Bm25TopK]] so
+    * one round usually suffices on score distributions with any spread. */
+  val MaxScorePrefixB = 64
+
+  /** `q_bm25_maxscore`: EXACT top-k BM25 via impact-ordered posting
+    * prefixes with a Fagin-style threshold-algorithm termination bound —
+    * the max-score/WAND family's dense-regime escape hatch the r15
+    * |Q| = 1000 measurement demanded (SCALING.md: exact BM25 over
+    * all-common vocabulary is inherently score-everything — a |Q|·N
+    * score matrix, 252 s / 11.4 GB at |Q| = 1000/30× — while production
+    * engines prune that regime with impact-ordered postings + max-score/
+    * WAND bounds; Broder et al. 2003, Fagin's TA, the Lucene
+    * `MAXSCORE` implementation).
+    *
+    * Algorithm (top-k-only pruning — score-exact for the returned k):
+    *  1. One corpus pass builds the per-(term, doc) micro-long
+    *     contribution frame over the queries' DISTINCT term vocabulary —
+    *     query-INDEPENDENT, unlike the exact route's per-(query, doc,
+    *     term) aggregate: the |Q| fan-out never touches corpus-sized
+    *     data. Eagerly localCheckpointed: the certification loop and the
+    *     returned plan re-read it without re-tokenizing.
+    *  2. Impact-ordered prefixes: the top-B docs per term by
+    *     (contribution desc, doc_id asc) — a bounded [[TopK]] heap
+    *     aggregate (map-side partials), output |terms|·B rows.
+    *  3. Candidates per query = the union of its terms' prefixes; each
+    *     candidate is scored EXACTLY (its contributions on ALL the
+    *     query's terms, fetched by a broadcast equi-join of the
+    *     query-load-bounded candidate×term frame against the
+    *     contribution frame — map-side, the corpus side never
+    *     re-shuffles).
+    *  4. Termination certificate per query: a non-candidate doc's
+    *     contribution on term t is ≤ bound_B(t) (the B-th prefix entry's
+    *     contribution; 0 when the term's postings are exhausted, i.e.
+    *     max rank < B), so its total score is ≤ τ(q) = Σ_t bound_B(t).
+    *     If the k-th best candidate score is STRICTLY above τ(q), no
+    *     non-candidate can enter the top-k even via the doc_id tiebreak;
+    *     if every term is exhausted the candidates ARE the exact
+    *     route's full matched set. Either way the pruned top-k ≡ the
+    *     exact top-k — which is why the entry shares `q_bm25_search`'s
+    *     oracle VERBATIM (the shared-oracle equivalence discipline): the
+    *     hash gate certifies pruning losslessness, the q_zorder_prune
+    *     pattern.
+    *  5. Queries whose certificate fails double B and re-check (driver
+    *     loop over a ≤ |queries|-row collect — the bounded-scalar rule);
+    *     exhaustion guarantees termination at B ≥ max df.
+    *
+    * Scale: corpus-sized work is ONE tokenize + tf aggregate and one
+    * bounded-heap prefix aggregate, both |Q|-independent; everything
+    * |Q|-proportional is bounded by |Q|·terms·B rows. The exact route's
+    * dense-regime |Q|·N score matrix never materializes. */
+  def bm25SearchPruned(documents: DataFrame,
+      queryTerms: Seq[(Long, String, Long)], k: Int = Bm25TopK,
+      initialB: Int = MaxScorePrefixB): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // one contribution row per (term, doc): safe because idf is a
+    // function of the term alone (trainBm25Idf) — guard the invariant
+    val termIdf = queryTerms.map(t => (t._2, t._3)).distinct
+    require(termIdf.map(_._1).distinct.size == termIdf.size,
+      "a term carries two different idf values across queries")
+    val qTermsOf: Map[Long, Seq[String]] =
+      queryTerms.groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2) }
+    val terms = termIdf.toDF("tok", "idf_micro")
+    val docs = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("tot"))
+      .select(when(col("nd") > 0,
+        col("tot").cast("double") / col("nd").cast("double")).as("avgdl"))
+    // the returned plan reads this checkpoint too, so it is NEVER
+    // released here — the blocks free via ContextCleaner once the
+    // result frame is garbage (the graph-loop outputs' precedent)
+    val contrib = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+      .groupBy("doc_id", "tok", "idf_micro").agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"),
+        contribMicro(col("tf"), col("idf_micro"), col("dl"), col("avgdl"))
+          .as("c_micro"))
+      .localCheckpoint()
+    val qt = broadcast(queryTerms.map(t => (t._1, t._2))
+      .toDF("query_id", "tok"))
+    var b = math.max(initialB, k)
+    var prev: DataFrame = null
+    var result: DataFrame = null
+    while (result == null) {
+      // prefix rows are reused by the certificate collect AND the
+      // candidate/result plan: checkpoint the small frame (|terms|·B),
+      // releasing the previous round's (eager-next rule)
+      val topB = TopK.topKPerGroup(contrib, "tok", "c_micro", "doc_id", b)
+        .localCheckpoint()
+      if (prev != null)
+        org.apache.spark.sql.graft.ColumnBridge.releaseLocalCheckpoint(prev)
+      prev = topB
+      // per-term bound: exhausted (max rank < B) → 0; else the B-th
+      // entry's contribution. ≤ |terms| rows to the driver.
+      // topKPerGroup re-emits the score as DOUBLE (exact for micro
+      // longs < 2^53) — cast back for the driver read
+      val bounds = topB.groupBy("tok")
+        .agg(max(col("rank")).as("mr"),
+          max(when(col("rank") === b, col("c_micro"))).cast("long")
+            .as("at_b"))
+        .collect().map { r =>
+          val exhausted = r.getLong(1) < b
+          r.getString(0) ->
+            (if (exhausted) 0L else r.getLong(2), exhausted)
+        }.toMap
+      val cand = topB.join(qt, Seq("tok"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      // exact candidate scores: the (|Q|·terms·B)-bounded candidate×term
+      // frame joins INTO the contribution frame — docs missing a term
+      // simply contribute nothing (inner join). NOT force-broadcast:
+      // while B stays small AQE broadcasts it at runtime anyway, and in
+      // the adversarial exhaustion limit (all-equal scores force B → max
+      // df) the frame approaches the exact route's (query, doc, term)
+      // mass — a forced broadcast would OOM exactly when the equi-join
+      // shape is the right degradation.
+      val scores = contrib
+        .join(cand.join(qt, Seq("query_id")), Seq("tok", "doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("c_micro")).cast("long").as("score_micro"))
+      val topk =
+        TopK.topKPerGroup(scores, "query_id", "score_micro", "doc_id", k)
+      val kth = topk.filter(col("rank") === k)
+        .select(col("query_id"), col("score_micro").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val unterminated = qTermsOf.keys.filter { q =>
+        val ts = qTermsOf(q)
+        val allExhausted = ts.forall(t => bounds.get(t).forall(_._2))
+        val tau = ts.map(t => bounds.get(t).map(_._1).getOrElse(0L)).sum
+        !(allExhausted || kth.get(q).exists(_ > tau))
+      }
+      if (unterminated.isEmpty)
+        result = topk
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score_micro").cast("long").as("score_micro"),
+            (col("score_micro").cast("double") / lit(1000000.0))
+              .as("score"))
+          .orderBy("query_id", "rank")
+      else b *= 2
+    }
+    result
   }
 
   /** Feedback-set depth and expansion-list depth of `q_prf_expansion`. */

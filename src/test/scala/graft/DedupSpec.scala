@@ -463,6 +463,47 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) == ((13L, 11L, 7L, 0L, 0L, 0.0)))
   }
 
+  test("dupSubstringSpans: maximal merged extents, exact 1-based " +
+      "positions + text; two separated runs stay two spans; intra-doc " +
+      "repeats don't flag") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"   // 8 tokens → one merged span
+    val shared2 = "t1 t2 t3 t4 t5"           // exactly one window
+    val d = Seq(
+      (10L, s"a1 a2 a3 $shared a4 $shared2"), // two DISJOINT spans
+      (11L, s"b1 $shared b2 b3 b4"),
+      (12L, s"$shared2 c1 c2 c3 c4 c5"),
+      (13L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5")) // intra-doc only: df=1
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSubstringSpans(d)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // doc 10: s-run at tokens 4..11 (4 windows), t-run at 13..17
+      (10L, 4L, 11L, 8L, 4L, shared),
+      (10L, 13L, 17L, 5L, 1L, shared2),
+      (11L, 2L, 9L, 8L, 4L, shared),
+      (12L, 1L, 5L, 5L, 1L, shared2)))
+  }
+
+  test("dupSubstringSpans: abutting duplicated windows (gap = width) " +
+      "merge into one contiguous span") {
+    // doc 20 and 21 share run1; 20 and 22 share run2; in doc 20 the two
+    // runs ABUT (run2 starts exactly width after run1's start window
+    // exhausts) → contiguous coverage must merge to ONE 10-token span
+    val run1 = "u1 u2 u3 u4 u5"
+    val run2 = "v1 v2 v3 v4 v5"
+    val d = Seq(
+      (20L, s"$run1 $run2"),
+      (21L, s"x1 $run1 x2"),
+      (22L, s"y1 y2 $run2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSubstringSpans(d)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (20L, 1L, 10L, 10L, 2L, s"$run1 $run2"),
+      (21L, 2L, 6L, 5L, 1L, run1),
+      (22L, 3L, 7L, 5L, 1L, run2)))
+  }
+
   test("removeDupSpans: owner keeps, others drop covered tokens, full dup → empty") {
     val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
     val d = Seq(

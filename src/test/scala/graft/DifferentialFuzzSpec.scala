@@ -180,7 +180,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_gopher_by_source",
     "q_kn_continuations", "q_dedup_cross_source", "q_containment_pairs",
     "q_source_similarity", "q_token_burstiness", "q_tfidf_pairs",
-    "q_jaccard_prefix", "q_bm25_search")
+    "q_jaccard_prefix", "q_bm25_search", "q_bm25_maxscore",
+    "q_dup_substring_spans")
 
   /** Deterministic random document frame: small vocabulary (forces
     * shingle collisions), planted exact + one-token-off near duplicates,
@@ -457,7 +458,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_containment_pairs", "q_source_similarity", "q_token_burstiness",
     "q_tfidf_pairs", "q_jaccard_prefix", "q_leakage_safe_split",
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
-    "q_bm25_search", "q_prf_expansion", "q_textrank_keywords")
+    "q_bm25_search", "q_bm25_maxscore", "q_dup_substring_spans",
+    "q_prf_expansion", "q_textrank_keywords")
 
   /** One frame, the full query list, one oracle invocation. */
   private def sweep(frames: Seq[(String, DataFrame)],

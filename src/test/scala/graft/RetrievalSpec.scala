@@ -95,6 +95,71 @@ class RetrievalSpec extends SparkSpec {
       s"no cartesian product anywhere:\n$plan")
   }
 
+  private def bm25Qt(d: org.apache.spark.sql.DataFrame) = {
+    val idf = Retrieval.trainBm25Idf(d,
+      Retrieval.Bm25Queries.flatMap(_._2).distinct).toMap
+    Retrieval.Bm25Queries.flatMap { case (qid, ts) =>
+      ts.map(t => (qid, t, idf(t))) }
+  }
+
+  test("bm25SearchPruned ≡ bm25Search row-for-row (TA pruning is " +
+      "lossless for the returned top-k)") {
+    val d = docsDf
+    val qt = bm25Qt(d)
+    val exact = Retrieval.bm25Search(d, qt).collect().toSeq
+    val pruned = Retrieval.bm25SearchPruned(d, qt).collect().toSeq
+    assert(pruned == exact)
+    assert(pruned.nonEmpty)
+  }
+
+  test("bm25SearchPruned: a starved initial prefix (B = k) forces the " +
+      "doubling loop and stays exact") {
+    val d = docsDf
+    val qt = bm25Qt(d)
+    val k = 3
+    val exact = Retrieval.bm25Search(d, qt).collect().toSeq
+      .filter(_.getLong(1) <= k)
+    val pruned = Retrieval.bm25SearchPruned(d, qt, k = k, initialB = 1)
+      .collect().toSeq
+    assert(pruned == exact)
+  }
+
+  test("bm25SearchPruned: degenerate all-equal scores terminate via " +
+      "the exhaustion path (certificate can never hold strictly)") {
+    // every doc identical → every (query, doc) score identical → the
+    // k-th best always EQUALS τ; only full posting exhaustion certifies
+    val d = spark.range(40).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("spark join hash table")
+        .as("text"))
+    val idf = Retrieval.trainBm25Idf(d, Seq("spark", "hash", "ghostterm"))
+    val qt = Seq((1L, "spark", idf.toMap.apply("spark")),
+      (1L, "hash", idf.toMap.apply("hash")),
+      // a term absent from the corpus: trains maximal idf, matches
+      // nothing, must not perturb the result
+      (1L, "ghostterm", idf.toMap.apply("ghostterm")))
+    val exact = Retrieval.bm25Search(d, qt).collect().toSeq
+    val pruned = Retrieval.bm25SearchPruned(d, qt, initialB = 4)
+      .collect().toSeq
+    assert(pruned == exact)
+    assert(pruned.size == Retrieval.Bm25TopK) // ties → smallest doc_ids
+    assert(pruned.map(_.getLong(2)).toSeq == (0L until 10L).toSeq)
+  }
+
+  test("bm25SearchPruned plan: the corpus-side contribution frame " +
+      "never re-shuffles for candidate scoring (broadcast candidates), " +
+      "never a cartesian product") {
+    val d = docsDf
+    val qt = bm25Qt(d)
+    val df = Retrieval.bm25SearchPruned(d, qt)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate×term fetch joins broadcast-side against the
+    // checkpointed contribution scan (LogicalRDD — lineage severed)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate fetch must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("hybridSearch: fusion is consistent with its two component " +
       "lists (RRF arithmetic, membership, rank order)") {
     val d = docsDf
