@@ -237,13 +237,44 @@ object Scaling {
       val dd = Seq(1 -> s"$work/d768x1", 30 -> s"$work/d768x30")
       generateDim768(dd(0)._2, 2000)
       generateDim768(dd(1)._2, 60000)
-      val routes = Seq("q_hard_negatives_ann", "q_hard_negatives_ann_pq")
-      val m = (for (r <- routes; (c, d) <- dd) yield {
+      // the ABOVE-cap ADC shape (r15 verdict #3): same artifacts, same
+      // pipeline, broadcast switch forced OFF (cap 0) — the equi-join
+      // fallback whose curve is the one that matters at 100 TB, where
+      // the index never fits the node. Artifacts load via the durable
+      // ArtifactStore L2 (trained once by the below-cap rows).
+      def pqAboveCap(dir: String): DataFrame = {
+        val emb = ingest.Sources.table(spark, dir, "embeddings")
+        val cells = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+        val cents = sink.ArtifactStore.ivfCentroids(
+          spark, dir, s"ivf-c$cells-s42")(
+          ext.Similarity.trainIvfCentroids(emb, cells))
+        val ks = ext.Similarity.maxSupportedKsub(emb)
+        val cbs = sink.ArtifactStore.pqCodebooks(
+          spark, dir, s"pq-m16-k$ks-s42")(
+          ext.Similarity.trainPqCodebooks(emb, ksub = ks))
+        ext.Similarity.hardNegativesAnnPq(emb, cents, cbs,
+          broadcastCapBytes = 0L)
+      }
+      // family extension (r15 verdict #6): the other dim-generic
+      // embedding entries carried dim-64-only records — measure the
+      // N^1.5 SemDeDup prune and the int8 serving route at dim 768 too
+      val routes = Seq("q_hard_negatives_ann", "q_hard_negatives_ann_pq",
+        "q_semdedup", "q_knn_int8")
+      val m = collection.mutable.Map[(String, Int), M]()
+      for (r <- routes; (c, d) <- dd) {
         val mm = measure(r, d)
         System.err.println(
           f"[scaling] d768 $r%-26s x$c ${mm.sec}%6.2fs ${mm.shuffleMb}%8.1fMB")
-        (r, c) -> mm
-      }).toMap
+        m((r, c)) = mm
+      }
+      val AboveCap = "q_hard_negatives_ann_pq (above-cap)"
+      for ((c, d) <- dd) {
+        val mm = meterDf(s"d768 pq-above-cap x$c")(pqAboveCap(d))
+        System.err.println(
+          f"[scaling] d768 pq-above-cap        x$c ${mm.sec}%6.2fs ${mm.shuffleMb}%8.1fMB")
+        m((AboveCap, c)) = mm
+      }
+      val allRows = routes :+ AboveCap
       val b = new StringBuilder
       b.append("The PQ-ADC route (`q_hard_negatives_ann_pq`) exists to ")
       b.append("bound the exact IVF route's full-dimension re-rank; at ")
@@ -254,18 +285,24 @@ object Scaling {
       b.append("floats in [-1, 1], int labels 0–9, 32-file layout) at ")
       b.append("the main table's N: 2,000 (1×) and 60,000 (30×). Each ")
       b.append("route trains its own per-dir artifacts (IVF cells = √N; ")
-      b.append("PQ m=16 → 48-dim subspaces, ksub=32). Measured in a ")
+      b.append("PQ m=16 → 48-dim subspaces, ksub=32). The above-cap row ")
+      b.append("re-runs the PQ route with the broadcast switch forced ")
+      b.append("OFF (cap 0) — the equi-join fallback that governs at ")
+      b.append("100 TB where the index never fits the node; q_semdedup ")
+      b.append("and q_knn_int8 extend the dim-768 record to the rest of ")
+      b.append("the dim-generic embedding family. Measured in a ")
       b.append("dedicated single-section run (`runMain graft.Scaling ")
       b.append("<sf01> <work> dim768`) — young-JVM numbers; full runs ")
       b.append("preserve this section verbatim.\n\n")
       b.append("| route | t(1×) s | t(30×) s | sh(1×) MB | sh(30×) MB |\n")
       b.append("|---|---|---|---|---|\n")
-      routes.foreach { r =>
+      allRows.foreach { r =>
         b.append(f"| $r | ${m((r, 1)).sec}%.2f | ${m((r, 30)).sec}%.2f | ")
         b.append(f"${m((r, 1)).shuffleMb}%.1f | ${m((r, 30)).shuffleMb}%.1f |\n")
       }
       val ex = m(("q_hard_negatives_ann", 30)).sec
       val pq = m(("q_hard_negatives_ann_pq", 30)).sec
+      val ac = m((AboveCap, 30))
       b.append("\n")
       b.append(
         if (pq < ex)
@@ -281,6 +318,23 @@ object Scaling {
             "route's scale claim is DEMOTED: prefer the exact IVF " +
             "route until a corpus/dimension point where ADC measures " +
             "ahead.\n")
+      b.append(
+        f"\nAbove-cap fallback at 30×: ${ac.sec}%.2f s / " +
+          f"${ac.shuffleMb}%.1f MB vs the broadcast plan's " +
+          f"${m(("q_hard_negatives_ann_pq", 30)).shuffleMb}%.1f MB — the " +
+          "delta is the honest refine cost (the N·C pair frame exchanged " +
+          "with one vector side attached, then re-exchanged by neg_id) " +
+          "plus the shortlist join's corpus-side codes exchange; the " +
+          "shape stays equi-join/AQE-splittable (plan-pinned in " +
+          "SimilaritySpec), never BNLJ. " +
+          (if (ac.shuffleMb < m(("q_hard_negatives_ann", 30)).shuffleMb)
+            "Even exchange-shaped, the ADC route moves LESS than the " +
+              "exact route's full-dimension re-rank at dim 768 — the " +
+              "crossover survives losing the broadcast.\n"
+          else
+            "Losing the broadcast costs the route its shuffle edge over " +
+              "the exact plan at this N — the crossover at 100 TB rests " +
+              "on the wall-clock column, not bytes.\n"))
       b.toString
     }
     def retrieval1000Body(): String = {
@@ -315,18 +369,25 @@ object Scaling {
       val sparse = spark.read.parquet(s"$work/sparse/documents.parquet")
       val sparsePool = (0 until 500).flatMap(g =>
         (0 until 15).map(p => s"b${g}x$p")).toIndexedSeq
-      case class Cell(corpus: String, nDocs: Long, q: Int, m: M)
+      case class Cell(corpus: String, route: String, nDocs: Long, q: Int,
+        m: M)
       val cells = Seq(
         ("dense 1×", dense1, densePool),
         ("dense 30×", dense30, densePool),
         ("sparse (df=200 terms)", sparse, sparsePool)).flatMap {
         case (tag, docs, pool) =>
           val n = docs.count()
-          Seq(5, 1000).map { nQ =>
+          Seq(5, 1000).flatMap { nQ =>
             val qt = queryTable(docs, mkQueries(pool, nQ))
             val m = meterDf(s"bm25 $tag |Q|=$nQ")(
               graft.ext.Retrieval.bm25Search(docs, qt))
-            Cell(tag, n, nQ, m)
+            // the r16 escape hatch measured against the same cells: the
+            // TA/max-score pruned EXACT top-k (q_bm25_maxscore) — its
+            // driver certification loop runs inside the timed region
+            val mp = meterDf(s"maxscore $tag |Q|=$nQ")(
+              graft.ext.Retrieval.bm25SearchPruned(docs, qt))
+            Seq(Cell(tag, "exact", n, nQ, m),
+              Cell(tag, "maxscore", n, nQ, mp))
           }
       }
       val b = new StringBuilder
@@ -338,21 +399,28 @@ object Scaling {
       b.append("dense fixed-vocab corpus (every term matches ~77% of ")
       b.append("docs — the posting filter's worst case) and on the ")
       b.append("sparse corpus with df = 200 block terms (realistic probe ")
-      b.append("selectivity). Measured in a dedicated single-section run ")
+      b.append("selectivity) — and, since r16, the TA/max-score pruned ")
+      b.append("EXACT top-k route (`q_bm25_maxscore`, hash-gated against ")
+      b.append("the same oracle) on every cell. Measured in a dedicated ")
+      b.append("single-section run ")
       b.append("(`runMain graft.Scaling <sf01> <work> retrieval1000`); ")
       b.append("full runs preserve this section verbatim.\n\n")
-      b.append("| corpus | docs | \\|Q\\| | wall s | shuffle MB | shuffle rec |\n")
-      b.append("|---|---|---|---|---|---|\n")
+      b.append("| corpus | route | docs | \\|Q\\| | wall s | shuffle MB | shuffle rec |\n")
+      b.append("|---|---|---|---|---|---|---|\n")
       cells.foreach { c =>
-        b.append(f"| ${c.corpus} | ${c.nDocs} | ${c.q} | ${c.m.sec}%.2f | ")
-        b.append(f"${c.m.shuffleMb}%.1f | ${c.m.records} |\n")
+        b.append(f"| ${c.corpus} | ${c.route} | ${c.nDocs} | ${c.q} | ")
+        b.append(f"${c.m.sec}%.2f | ${c.m.shuffleMb}%.1f | ${c.m.records} |\n")
       }
-      def cell(tag: String, q: Int) =
-        cells.find(c => c.corpus == tag && c.q == q).get.m
-      val dWall = cell("dense 30×", 1000).sec / cell("dense 30×", 5).sec
+      def cell(tag: String, route: String, q: Int) =
+        cells.find(c =>
+          c.corpus == tag && c.route == route && c.q == q).get.m
+      val dWall = cell("dense 30×", "exact", 1000).sec /
+        cell("dense 30×", "exact", 5).sec
       val sWall =
-        cell("sparse (df=200 terms)", 1000).sec /
-          cell("sparse (df=200 terms)", 5).sec
+        cell("sparse (df=200 terms)", "exact", 1000).sec /
+          cell("sparse (df=200 terms)", "exact", 5).sec
+      val dEx = cell("dense 30×", "exact", 1000)
+      val dMs = cell("dense 30×", "maxscore", 1000)
       b.append(
         f"\nDiagnosis: the broadcast query-term table is NEVER the " +
           "binding term at |Q| = 1000 (4,000 rows ≈ tens of KB — " +
@@ -366,26 +434,52 @@ object Scaling {
           "job and the corpus tokenize pass dominates either way). At " +
           "100 TB the knob is term selectivity, not |Q|: rare-term " +
           "probes stay map-side-cheap at any |Q| the driver can " +
-          "train. Exact BM25 over all-common terms is inherently a " +
-          "score-everything workload (the |Q|·N score matrix is " +
-          "semantically required); production engines cut that regime " +
-          "with impact-ordered postings plus WAND/max-score pruning, " +
-          "which trades the full ranking's exactness for top-k-only " +
-          "guarantees — out of scope for the hash-gated entry, " +
-          "documented as the dense-regime escape hatch.\n")
+          "train.\n")
+      b.append(
+        f"\nThe max-score route (r16, the escape hatch the r15 " +
+          "measurement demanded): per-(term, doc) contributions are " +
+          "computed ONCE (|Q|-independent), per-term impact-ordered " +
+          "prefixes bound every non-candidate's score (Fagin-TA), and " +
+          "only |Q|·terms·B candidates are scored exactly — top-k-only " +
+          "pruning that stays score-EXACT for the returned k, so it " +
+          "rides q_bm25_search's oracle verbatim. Measured on the " +
+          f"dense-worst-case |Q| = 1000 cell: ${dMs.sec}%.2f s / " +
+          f"${dMs.shuffleMb}%.1f MB vs the exact route's " +
+          f"${dEx.sec}%.2f s / ${dEx.shuffleMb}%.1f MB " +
+          f"(${dEx.sec / dMs.sec}%.1f× wall, " +
+          f"${dEx.shuffleMb / math.max(dMs.shuffleMb, 0.1)}%.0f× " +
+          "shuffle). The |Q|·N score matrix never materializes; what " +
+          "remains |Q|-proportional is the candidate frame, and the " +
+          "adversarial all-equal-scores limit degrades to the exact " +
+          "route's equi-join shape (never a forced broadcast).\n")
       b.toString
     }
+    // Section boundaries anchor to LINE STARTS (ADVICE r15): a verbatim
+    // "## <header>" mention inside another section's prose, or a future
+    // header extending this one's prefix, must not splice the file at the
+    // wrong offset. A header "matches" only as a whole line.
+    def sectionStart(content: String, header: String): Int = {
+      val head = s"## $header"
+      if (content.startsWith(head + "\n") || content == head) 0
+      else {
+        val i = content.indexOf(s"\n$head\n")
+        val j = if (i < 0 && content.endsWith(s"\n$head")) content.length - head.length - 1 else i
+        if (j < 0) -1 else j + 1
+      }
+    }
+    def nextSectionAt(content: String, from: Int): Int =
+      content.indexOf("\n## ", from)
     def upsertSection(header: String, body: String): Unit = {
       val p = java.nio.file.Paths.get("SCALING.md")
       val cur = if (java.nio.file.Files.exists(p))
         java.nio.file.Files.readString(p)
       else "# SCALING\n"
       val head = s"## $header"
-      val start = cur.indexOf(head)
+      val start = sectionStart(cur, header)
       val chunk = s"$head\n\n${body.stripSuffix("\n")}\n"
       val updated = if (start < 0) cur.stripSuffix("\n") + s"\n\n$chunk"
       else {
-        val next = cur.indexOf("\n## ", start + head.length)
+        val next = nextSectionAt(cur, start + head.length)
         val tail = if (next < 0) "" else cur.substring(next + 1)
         cur.substring(0, start) + chunk + (if (tail.isEmpty) "" else "\n" + tail)
       }
@@ -395,10 +489,10 @@ object Scaling {
     }
     def extractSection(content: String, header: String): Option[String] = {
       val head = s"## $header"
-      val start = content.indexOf(head)
+      val start = sectionStart(content, header)
       if (start < 0) None
       else {
-        val next = content.indexOf("\n## ", start + head.length)
+        val next = nextSectionAt(content, start + head.length)
         Some(if (next < 0) content.substring(start)
         else content.substring(start, next + 1))
       }
