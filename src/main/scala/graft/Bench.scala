@@ -44,62 +44,12 @@ object Bench {
     // steal/idle deltas over the probe window, so a bench run taken
     // during a wave is distinguishable from a regression BY ITS OWN
     // RECORD.
-    def loadavg(): String =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
-      catch { case _: Throwable => "n/a" }
-    def procStat(): Array[Long] =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().next().split("\\s+").drop(1).map(_.toLong)
-        finally src.close()
-      } catch { case _: Throwable => Array.empty[Long] }
-    case class CpuProbe(wallSec: Double, parallelism: Double,
-        stealPct: Double, idlePct: Double)
+    // probe machinery factored into HostProbe (r16 — Scaling's
+    // single-section experiments need the same capacity evidence);
+    // fields and behavior identical to the r15 in-line version
+    def loadavg(): String = HostProbe.loadavg()
     val probeThreads = cpus.toInt
-    def cpuProbe(): CpuProbe = {
-      // 150M dependent-LCG steps/thread ≈ 0.2-0.3 s calm — long enough
-      // that thread-start skew amortizes (the first smoke run, with no
-      // start barrier and 60M steps, read parallelism ~18/32 from ramp
-      // alone), short enough to run three times per bench. All threads
-      // block on a latch and start TOGETHER so wall measures concurrent
-      // capacity, not spawn staggering.
-      val iters = 150000000L
-      val mx = java.lang.management.ManagementFactory.getThreadMXBean
-      val cpuTimeOk =
-        try mx.isThreadCpuTimeSupported && mx.isThreadCpuTimeEnabled
-        catch { case _: Throwable => false }
-      val sink = new java.util.concurrent.atomic.AtomicLong
-      val cpuNs = new java.util.concurrent.atomic.AtomicLong
-      val gate = new java.util.concurrent.CountDownLatch(1)
-      val ts = (1 to probeThreads).map { i =>
-        val t = new Thread(() => {
-          gate.await()
-          val c0 = if (cpuTimeOk) mx.getCurrentThreadCpuTime else 0L
-          var x = 0x9E3779B97F4A7C15L * i; var k = 0L
-          while (k < iters) {
-            x = x * 6364136223846793005L + 1442695040888963407L; k += 1
-          }
-          sink.addAndGet(x) // defeat DCE
-          if (cpuTimeOk) cpuNs.addAndGet(mx.getCurrentThreadCpuTime - c0)
-        })
-        t.setDaemon(true); t.start(); t
-      }
-      val s0 = procStat()
-      val t0 = System.nanoTime()
-      gate.countDown()
-      ts.foreach(_.join())
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = procStat()
-      val (steal, idle) =
-        if (s0.length >= 8 && s1.length >= 8) {
-          val d = s1.zip(s0).map { case (a, b) => a - b }
-          val tot = math.max(d.sum.toDouble, 1.0)
-          (d(7) / tot * 100, d(3) / tot * 100)
-        } else (-1.0, -1.0)
-      val par = if (cpuTimeOk && wall > 0) cpuNs.get / 1e9 / wall else -1.0
-      CpuProbe(wall, par, steal, idle)
-    }
+    def cpuProbe(): HostProbe.Probe = HostProbe.run(probeThreads)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val loadStart = loadavg()
     val probeStart = cpuProbe()
