@@ -50,21 +50,81 @@ object Multimodal {
         (b0 == 'B' && b1 == 'M') // BMP
       }
 
+    /** The sniffed format name, for the per-thread reader cache; None
+      * when the payload is not a supported image. */
+    private def sniffFormat(bytes: Array[Byte]): Option[String] =
+      if (bytes == null || bytes.length < 8) None
+      else {
+        val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+        val b2 = bytes(2) & 0xFF
+        if (b0 == 0x89 && b1 == 'P' && b2 == 'N') Some("png")
+        else if (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) Some("jpg")
+        else if (b0 == 'G' && b1 == 'I' && b2 == 'F') Some("gif")
+        else if (b0 == 'B' && b1 == 'M') Some("bmp")
+        else None
+      }
+
+    /** Per-(thread, format) REUSED ImageReaders — the read-side twin of
+      * the writer cache above: `ImageIO.read` also pays an IIORegistry
+      * lookup per call, and the sniff already names the format, so the
+      * reader resolves once per thread. `setInput` + `read(0)` per item;
+      * decoded pixels are the reader's output, identical to the
+      * one-shot `ImageIO.read` path. */
+    private val readersTl =
+      ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+        () => new java.util.HashMap[String, javax.imageio.ImageReader]())
     /** bytes → BufferedImage; None when not decodable as an image. */
     def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      if (!looksLikeImage(bytes)) None
-      else
-        try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: Throwable => None }
+      sniffFormat(bytes).flatMap { fmt =>
+        try {
+          val cache = readersTl.get()
+          var r = cache.get(fmt)
+          if (r == null) {
+            r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+            cache.put(fmt, r)
+          }
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            r.reset(); r.setInput(iis)
+            Option(r.read(0))
+          } finally iis.close()
+        } catch { case _: Throwable => None }
+      }
+
+    /** Per-thread REUSED ImageWriters (r16, with the bench's new
+      * `cpu_par` instrument in hand): `ImageIO.write` performs an
+      * IIORegistry service lookup per CALL, and those lookups contend
+      * across task threads — `q_media_decode_real` measured 3.6-way
+      * achieved parallelism on a 32-thread run while the heavier-CPU
+      * mixed-codec entry read 17.2-way (more real work per lock
+      * acquisition). One writer per (thread, format), `reset` +
+      * `setOutput` per item, default write params — the encoded bytes
+      * are produced by the SAME writer class with the same defaults, so
+      * payload determinism is unchanged (and no gated projection carries
+      * container bytes anyway). Task threads are pooled and bounded, so
+      * the per-thread writers are too. */
+    private def writerFor(format: String) =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName(format).next())
+    private val pngWriterTl = writerFor("png")
+    private val jpgWriterTl = writerFor("jpg")
+    private def encodeWith(tl: ThreadLocal[javax.imageio.ImageWriter],
+        img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = tl.get()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.reset(); w.setOutput(ios)
+        w.write(img)
+      } finally ios.close()
+      bos.toByteArray
+    }
 
     /** BufferedImage → PNG bytes (the JDK PNG writer is deterministic for
       * a given image, so synthesized payloads are stable across runs). */
-    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+      encodeWith(pngWriterTl, img)
 
     /** BufferedImage → baseline JPEG bytes via the JDK's own writer — the
       * second REAL in-sandbox codec (the r11 rule: javax.imageio ships
@@ -72,11 +132,8 @@ object Multimodal {
       * the round trip exactly (what the routing gate certifies); pixel
       * values do not (pixel-exact certificates stay PNG-only —
       * [[Multimodal.averageHash]]). */
-    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] =
+      encodeWith(jpgWriterTl, img)
 
     /** Real decode: pixels, dimensions, band count, and a checksum folded
       * over the ARGB pixel CONTENT (not the container bytes — two encodings
