@@ -489,6 +489,8 @@ object Scaling {
           cell("sparse (df=200 terms)", "exact", 5).sec
       val dEx = cell("dense 30×", "exact", 1000)
       val dMs = cell("dense 30×", "maxscore", 1000)
+      val dEx1 = cell("dense 1×", "exact", 1000)
+      val dMs1 = cell("dense 1×", "maxscore", 1000)
       b.append(
         f"\nDiagnosis: the broadcast query-term table is NEVER the " +
           "binding term at |Q| = 1000 (4,000 rows ≈ tens of KB — " +
@@ -506,19 +508,35 @@ object Scaling {
       b.append(
         f"\nThe max-score route (r16, the escape hatch the r15 " +
           "measurement demanded): per-(term, doc) contributions are " +
-          "computed ONCE (|Q|-independent), per-term impact-ordered " +
-          "prefixes bound every non-candidate's score (Fagin-TA), and " +
-          "only |Q|·terms·B candidates are scored exactly — top-k-only " +
+          "computed ONCE (|Q|-INDEPENDENT — the exact route's per-" +
+          "(query, doc, term) aggregate fan-out never happens), per-term " +
+          "impact-ordered prefixes bound every non-candidate's score " +
+          "(Fagin-TA), and candidates are scored exactly — top-k-only " +
           "pruning that stays score-EXACT for the returned k, so it " +
           "rides q_bm25_search's oracle verbatim. Measured on the " +
           f"dense-worst-case |Q| = 1000 cell: ${dMs.sec}%.2f s / " +
           f"${dMs.shuffleMb}%.1f MB vs the exact route's " +
           f"${dEx.sec}%.2f s / ${dEx.shuffleMb}%.1f MB " +
-          f"(${dEx.sec / dMs.sec}%.1f× wall, " +
-          f"${dEx.shuffleMb / math.max(dMs.shuffleMb, 0.1)}%.0f× " +
-          "shuffle). The |Q|·N score matrix never materializes; what " +
-          "remains |Q|-proportional is the candidate frame, and the " +
-          "adversarial all-equal-scores limit degrades to the exact " +
+          f"(${dEx.sec / dMs.sec}%.1f× wall); at 1×/|Q| = 1000 the " +
+          f"shuffle drops ${dEx1.shuffleMb / math.max(dMs1.shuffleMb, 0.1)}%.1f× " +
+          f"(${dEx1.shuffleMb}%.0f → ${dMs1.shuffleMb}%.0f MB — the " +
+          "removed |Q| fan-out, visible before exhaustion traffic " +
+          "enters). HONEST diagnosis of the limits: these synthetic " +
+          "pools draw every query term from the COMMON vocabulary, and " +
+          "near-uniform doc construction makes per-term contribution " +
+          "distributions plateau at the top — so the strict certificate " +
+          "(k-th best > Σ per-term prefix bounds) binds only near " +
+          "posting exhaustion, and candidate mass approaches the " +
+          "matched set: EXACT top-k with deterministic tiebreaks is " +
+          "information-theoretically forced to consider ~every matching " +
+          "doc when scores tie at the bound. On this corpus the two " +
+          "routes therefore converge on the worst cell (any wall delta " +
+          "is the |Q|-independent contribution pass vs certification-" +
+          "loop overhead, not candidate pruning); the route's pruning " +
+          "regime is score SPREAD (selective or idf-skewed query terms " +
+          "— the gate corpus terminates in few rounds), and on " +
+          "spread-free cells the exact route stays preferable (sparse " +
+          "cells above). The adversarial limit degrades to the exact " +
           "route's equi-join shape (never a forced broadcast).\n")
       b.append("\n").append(hostLine).append("\n")
       b.toString
@@ -854,12 +872,18 @@ object Scaling {
         s"split itself is one hash join (t r30 ${t30("q_leakage_safe_split")})."),
       "q_dup_substring_spans" -> ("substring-level span inventory (r16): " +
         "candidate mass is the duplicated-WINDOW occurrence stream — " +
-        "linear in corpus tokens, never pairs (the gram stats join is " +
-        "the dupWindowStream skew-spread shape; a hot boilerplate gram " +
-        "contributes its occurrence count, not its df²) — t r30 " +
-        s"${t30("q_dup_substring_spans")}, sh r30 " +
-        s"${sh30("q_dup_substring_spans")}; the per-doc island merge " +
-        "windows over duplicated starts only, bounded by doc length."),
+        "never pairs (the gram stats join is the dupWindowStream " +
+        "skew-spread shape; a hot boilerplate gram contributes its " +
+        s"occurrence count, not its df²). sh r30 " +
+        s"${sh30("q_dup_substring_spans")} above the data ratio is the " +
+        "df ≥ 2 COVERAGE transient: as the corpus densifies, more " +
+        "windows cross the duplication floor and the KEPT stream grows " +
+        "faster than the corpus — but its ceiling is the full window " +
+        "stream (coverage saturates at 100%), so the ratio converges to " +
+        "the data ratio from above, a strictly milder transient than " +
+        s"Σdf². t r30 ${t30("q_dup_substring_spans")}; the per-doc " +
+        "island merge windows over duplicated starts only, bounded by " +
+        "doc length."),
       "q_semdedup" -> ("SemDeDup: within-IVF-cell pair cosines — pair " +
         "mass is N^1.5 by construction (cells ∝ √N ⇒ Σ cell² ≈ N^1.5), " +
         "the same accepted asymptotics as the ANN shortlist; wall " +
