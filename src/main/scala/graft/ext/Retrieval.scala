@@ -209,6 +209,17 @@ object Retrieval {
     * one round usually suffices on score distributions with any spread. */
   val MaxScorePrefixB = 64
 
+  /** Diagnostics of the LAST [[bm25SearchPruned]] certification loop on
+    * this JVM (spec visibility — the pruning claim needs evidence that
+    * the certificate can fire BEFORE exhaustion, not only that the
+    * exhaustion fallback is exact): rounds taken, the final prefix depth
+    * B, and whether any query's certificate passed via the strict
+    * bound (vs all-exhausted). Monotonic set-at-exit; racing invocations
+    * simply record one of the runs. */
+  val lastPrunedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lastPrunedFinalB = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lastPrunedByBound = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** `q_bm25_maxscore`: EXACT top-k BM25 via impact-ordered posting
     * prefixes with a Fagin-style threshold-algorithm termination bound —
     * the max-score/WAND family's dense-regime escape hatch the r15
@@ -293,7 +304,9 @@ object Retrieval {
     var b = math.max(initialB, k)
     var prev: DataFrame = null
     var result: DataFrame = null
+    var rounds = 0
     while (result == null) {
+      rounds += 1
       // prefix rows are reused by the certificate collect AND the
       // candidate/result plan: checkpoint the small frame (|terms|·B),
       // releasing the previous round's (eager-next rule)
@@ -334,20 +347,26 @@ object Retrieval {
       val kth = topk.filter(col("rank") === k)
         .select(col("query_id"), col("score_micro").cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var anyByBound = false
       val unterminated = qTermsOf.keys.filter { q =>
         val ts = qTermsOf(q)
         val allExhausted = ts.forall(t => bounds.get(t).forall(_._2))
         val tau = ts.map(t => bounds.get(t).map(_._1).getOrElse(0L)).sum
-        !(allExhausted || kth.get(q).exists(_ > tau))
+        val byBound = kth.get(q).exists(_ > tau)
+        if (byBound && !allExhausted) anyByBound = true
+        !(allExhausted || byBound)
       }
-      if (unterminated.isEmpty)
+      if (unterminated.isEmpty) {
+        lastPrunedRounds.set(rounds)
+        lastPrunedFinalB.set(b)
+        lastPrunedByBound.set(anyByBound)
         result = topk
           .select(col("query_id"), col("rank"), col("doc_id"),
             col("score_micro").cast("long").as("score_micro"),
             (col("score_micro").cast("double") / lit(1000000.0))
               .as("score"))
           .orderBy("query_id", "rank")
-      else b *= 2
+      } else b *= 2
     }
     result
   }

@@ -145,6 +145,33 @@ class RetrievalSpec extends SparkSpec {
     assert(pruned.map(_.getLong(2)).toSeq == (0L until 10L).toSeq)
   }
 
+  test("bm25SearchPruned: the certificate fires BEFORE exhaustion on a " +
+      "spread corpus — the pruning path itself is exercised, not just " +
+      "the exhaustion fallback") {
+    // 5 of 1000 docs carry a rare high-idf term; the common term is in
+    // every doc. τ = bound(rare: exhausted at B=64 → 0) + bound₆₄(common
+    // ≈ 400 micro), while the k-th best candidate carries the rare idf
+    // (~4e6 micro) — the strict certificate holds in ROUND ONE with the
+    // common term's postings (1000 > 64) decidedly unexhausted.
+    val d = spark.range(1000).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.when(col("id") < 5,
+        org.apache.spark.sql.functions.lit("raregem common alpha beta"))
+        .otherwise(org.apache.spark.sql.functions
+          .lit("common alpha beta gamma")).as("text"))
+    val idf = Retrieval.trainBm25Idf(d, Seq("raregem", "common")).toMap
+    val qt = Seq((1L, "raregem", idf("raregem")),
+      (1L, "common", idf("common")))
+    val exact = Retrieval.bm25Search(d, qt).collect().toSeq
+      .filter(_.getLong(1) <= 3)
+    val pruned = Retrieval.bm25SearchPruned(d, qt, k = 3).collect().toSeq
+    assert(pruned == exact)
+    assert(Retrieval.lastPrunedRounds.get == 1,
+      s"expected one certification round, got ${Retrieval.lastPrunedRounds.get}")
+    assert(Retrieval.lastPrunedFinalB.get == Retrieval.MaxScorePrefixB)
+    assert(Retrieval.lastPrunedByBound.get,
+      "termination must come from the strict bound, not exhaustion")
+  }
+
   test("bm25SearchPruned plan: the corpus-side contribution frame " +
       "never re-shuffles for candidate scoring (broadcast candidates), " +
       "never a cartesian product") {
