@@ -209,16 +209,15 @@ object Retrieval {
     * one round usually suffices on score distributions with any spread. */
   val MaxScorePrefixB = 64
 
-  /** Diagnostics of the LAST [[bm25SearchPruned]] certification loop on
-    * this JVM (spec visibility — the pruning claim needs evidence that
-    * the certificate can fire BEFORE exhaustion, not only that the
-    * exhaustion fallback is exact): rounds taken, the final prefix depth
-    * B, and whether any query's certificate passed via the strict
-    * bound (vs all-exhausted). Monotonic set-at-exit; racing invocations
-    * simply record one of the runs. */
-  val lastPrunedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
-  val lastPrunedFinalB = new java.util.concurrent.atomic.AtomicInteger(0)
-  val lastPrunedByBound = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Certification-loop diagnostics of ONE [[bm25SearchPrunedDiag]]
+    * invocation (the pruning claim needs evidence that the certificate
+    * can fire BEFORE exhaustion, not only that the exhaustion fallback
+    * is exact): rounds taken, the final prefix depth B, and whether any
+    * query's certificate passed via the strict bound while some of its
+    * terms were NOT yet exhausted. Returned per call (ADVICE r16: the
+    * former JVM-global atomics made concurrent invocations race their
+    * consumers). */
+  final case class PrunedDiag(rounds: Int, finalB: Int, byBound: Boolean)
 
   /** `q_bm25_maxscore`: EXACT top-k BM25 via impact-ordered posting
     * prefixes with a Fagin-style threshold-algorithm termination bound —
@@ -268,7 +267,15 @@ object Retrieval {
     * dense-regime |Q|·N score matrix never materializes. */
   def bm25SearchPruned(documents: DataFrame,
       queryTerms: Seq[(Long, String, Long)], k: Int = Bm25TopK,
-      initialB: Int = MaxScorePrefixB): DataFrame = {
+      initialB: Int = MaxScorePrefixB): DataFrame =
+    bm25SearchPrunedDiag(documents, queryTerms, k, initialB)._1
+
+  /** [[bm25SearchPruned]] plus its certification diagnostics — complete
+    * when this returns (the loop's jobs all run inside; only the final
+    * top-k plan is still lazy). */
+  def bm25SearchPrunedDiag(documents: DataFrame,
+      queryTerms: Seq[(Long, String, Long)], k: Int = Bm25TopK,
+      initialB: Int = MaxScorePrefixB): (DataFrame, PrunedDiag) = {
     val spark = documents.sparkSession
     import spark.implicits._
     // one contribution row per (term, doc): safe because idf is a
@@ -301,9 +308,24 @@ object Retrieval {
       .localCheckpoint()
     val qt = broadcast(queryTerms.map(t => (t._1, t._2))
       .toDF("query_id", "tok"))
+    // the doubling's termination backstop (ADVICE r16: an unbounded
+    // `b *= 2` overflows Int once a term's df passes ~2^30 in the
+    // tie-plateau regime): exhaustion is guaranteed at B > max df, so
+    // clamp the doubling there — one ≤ |terms|-row aggregate over the
+    // checkpointed contribution frame (the bounded-scalar rule). A df
+    // at/above Int.MaxValue cannot exhaust through an Int-k prefix heap
+    // at all: fail loudly instead of looping forever.
+    val maxDf = contrib.groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(coalesce(max(col("df")), lit(0L))).collect()(0).getLong(0)
+    require(maxDf < Int.MaxValue,
+      s"bm25SearchPruned: max term df $maxDf exceeds the Int prefix-depth " +
+        "ceiling — the TA certificate cannot be driven to exhaustion; " +
+        "use bm25Search for this corpus/term mix")
+    val bCeil = (maxDf + 1L).toInt
     var b = math.max(initialB, k)
     var prev: DataFrame = null
     var result: DataFrame = null
+    var diag: PrunedDiag = null
     var rounds = 0
     while (result == null) {
       rounds += 1
@@ -357,18 +379,16 @@ object Retrieval {
         !(allExhausted || byBound)
       }
       if (unterminated.isEmpty) {
-        lastPrunedRounds.set(rounds)
-        lastPrunedFinalB.set(b)
-        lastPrunedByBound.set(anyByBound)
+        diag = PrunedDiag(rounds, b, anyByBound)
         result = topk
           .select(col("query_id"), col("rank"), col("doc_id"),
             col("score_micro").cast("long").as("score_micro"),
             (col("score_micro").cast("double") / lit(1000000.0))
               .as("score"))
           .orderBy("query_id", "rank")
-      } else b *= 2
+      } else b = math.min(b.toLong * 2L, bCeil.toLong).toInt
     }
-    result
+    (result, diag)
   }
 
   /** Feedback-set depth and expansion-list depth of `q_prf_expansion`. */

@@ -707,11 +707,26 @@ object Similarity {
     // size-guarded broadcast switch (see [[AdcBroadcastCapBytes]]): raw
     // size from the optimizer's own estimate (no per-invocation job),
     // charged 4× — two concurrent full-precision relations × ~2×
-    // HashedRelation overhead. `broadcastCapBytes` is overridable so the
-    // Scaling harness can measure the ABOVE-cap equi-join shape on a
-    // below-cap corpus (pass 0).
-    val estBytes =
-      embeddings.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+    // HashedRelation overhead. The plan estimate is COMPRESSED on-disk
+    // bytes for a raw scan, so it is FLOORED by a footer-derived
+    // rows × (4·dim + 64) bound (ADVICE r16: a low-entropy corpus —
+    // zeroed/repeated vectors — can compress under the cap while its
+    // raw collect blows driver.maxResultSize; footers cost no job and
+    // the probe only runs when the plan estimate is already under the
+    // cap). Derived frames have no footer floor and keep Catalyst's
+    // estimate, whose errors skew large — the safe side.
+    // `broadcastCapBytes` is overridable so the Scaling harness can
+    // measure the ABOVE-cap equi-join shape on a below-cap corpus
+    // (pass 0).
+    val planBytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val rowFloor =
+      if (planBytes * 4 <= broadcastCapBytes)
+        org.apache.spark.sql.graft.ColumnBridge
+          .parquetScanRowCount(embeddings)
+          .map(rows => BigInt(rows) * (4L * dim + 64L))
+      else None
+    val estBytes = planBytes.max(rowFloor.getOrElse(BigInt(0))) * 4
     val bc = estBytes <= broadcastCapBytes
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     val nonZero = embeddings

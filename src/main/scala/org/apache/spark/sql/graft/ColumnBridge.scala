@@ -80,6 +80,53 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** Exact row count of a frame whose optimized plan is ONE parquet
+    * scan, read from the file FOOTERS on the driver — no Spark job, no
+    * column IO (a footer read is a few KB per file). This is the
+    * row-based broadcast-size floor ADVICE r16 asked for: the
+    * optimizer's `sizeInBytes` is COMPRESSED on-disk bytes, so a
+    * low-entropy corpus (zeroed/repeated vectors) can pass a broadcast
+    * cap whose real constraint is the raw collected/resident footprint —
+    * `rows × rowWidth` does not compress. Returns None when the plan is
+    * not a bare parquet scan (derived frames keep Catalyst's propagated
+    * estimate, whose errors skew large — the safe side) or when the
+    * relation lists more than `maxFiles` files (footer probing is
+    * driver-side IO; callers only need the floor when the plan estimate
+    * is already under a broadcast cap, where file counts are small).
+    * Filters/projections above the scan only reduce rows, so the scan
+    * count stays an upper bound — floor-safe. NOT on the version-pin
+    * list: LogicalRelation/HadoopFsRelation shapes are stable here. */
+  def parquetScanRowCount(df: org.apache.spark.sql.DataFrame,
+      maxFiles: Int = 4096): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    df.queryExecution.optimizedPlan.collectLeaves() match {
+      case Seq(lr: LogicalRelation) => lr.relation match {
+        case rel: HadoopFsRelation
+            if rel.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          val files = rel.location.listFiles(Nil, Nil)
+            .flatMap(_.files).filter(_.getLen > 0)
+          if (files.isEmpty || files.size > maxFiles) None
+          else try {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            var rows = 0L
+            files.foreach { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(f.getPath, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                val it = r.getFooter.getBlocks.iterator()
+                while (it.hasNext) rows += it.next().getRowCount
+              } finally r.close()
+            }
+            Some(rows)
+          } catch { case _: Throwable => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Executed physical plan of a streaming query's LAST micro-batch —
     * the streaming PlanPin surface (`StreamingQueryWrapper` and
     * `StreamExecution.lastExecution` are `private[sql]`; the wrapper

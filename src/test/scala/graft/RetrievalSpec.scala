@@ -163,12 +163,13 @@ class RetrievalSpec extends SparkSpec {
       (1L, "common", idf("common")))
     val exact = Retrieval.bm25Search(d, qt).collect().toSeq
       .filter(_.getLong(1) <= 3)
-    val pruned = Retrieval.bm25SearchPruned(d, qt, k = 3).collect().toSeq
+    val (prunedDf, diag) = Retrieval.bm25SearchPrunedDiag(d, qt, k = 3)
+    val pruned = prunedDf.collect().toSeq
     assert(pruned == exact)
-    assert(Retrieval.lastPrunedRounds.get == 1,
-      s"expected one certification round, got ${Retrieval.lastPrunedRounds.get}")
-    assert(Retrieval.lastPrunedFinalB.get == Retrieval.MaxScorePrefixB)
-    assert(Retrieval.lastPrunedByBound.get,
+    assert(diag.rounds == 1,
+      s"expected one certification round, got ${diag.rounds}")
+    assert(diag.finalB == Retrieval.MaxScorePrefixB)
+    assert(diag.byBound,
       "termination must come from the strict bound, not exhaustion")
   }
 
