@@ -135,36 +135,31 @@ object Similarity {
     * still count in n_vecs. */
   def semDedup(embeddings: DataFrame,
       centroids: Array[Array[Float]]): DataFrame = {
+    // ONE cell exchange (VERDICT r16 #3): the former cell SELF-JOIN
+    // shipped full vectors on BOTH sides (1263 MB at dim-768/30× — the
+    // board's largest shuffle); a collect_list aggregate ships each
+    // vector ONCE and [[VecExpressions.cellPairStats]] runs the
+    // identical pair arithmetic cell-local (bit-for-bit: same dot /
+    // norm-product / floor-quantize / τ-compare op sequence, strict
+    // i<j id pairing, distinct dominated-id drop counts). A null-CELL
+    // group (null embedding upstream) keeps the join semantics — the
+    // equi-join dropped null keys, so its report row is (n_vecs, 0, 0,
+    // NULL).
     val a = assignCells(embeddings, centroids)
       .select(col("vec_id"), col("embedding"), col("cell"),
         norm(col("embedding")).as("n"))
-    val l = a.select(col("cell"), col("vec_id").as("i"),
-      col("embedding").as("ei"), col("n").as("ni"))
-    val r = a.select(col("cell"), col("vec_id").as("j"),
-      col("embedding").as("ej"), col("n").as("nj"))
-    val pairs = l.join(r, Seq("cell")).filter(col("i") < col("j"))
-      .select(col("cell"), col("i"), col("j"),
-        when(col("ni") * col("nj") === 0.0, lit(null).cast("double"))
-          .otherwise(dot(col("ei"), col("ej")) /
-            (col("ni") * col("nj"))).as("sim"))
-      .filter(col("sim").isNotNull)
-      .select(col("cell"), col("i"), col("j"),
-        round2(col("sim"), 4).as("sim4"))
-    val drops = pairs.filter(col("sim4") >= lit(SemDedupTau))
-      .select(col("cell"), col("j")).distinct()
-    val base = a.groupBy("cell")
-      .agg(count(lit(1)).cast("long").as("n_vecs"))
-    val pst = pairs.groupBy("cell").agg(
-      count(lit(1)).cast("long").as("n_pairs"),
-      max(col("sim4")).as("max_sim"))
-    val dst = drops.groupBy("cell")
-      .agg(count(lit(1)).cast("long").as("n_dropped"))
-    base.join(pst, Seq("cell"), "left")
-      .join(dst, Seq("cell"), "left")
+    val st = VecExpressions.cellPairStats(
+      collect_list(struct(col("vec_id"), col("embedding"), col("n"))),
+      SemDedupTau)
+    a.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_vecs"), st.as("st"))
       .select(col("cell").cast("long").as("cell"), col("n_vecs"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        col("max_sim"))
+        when(col("cell").isNotNull, col("st.n_pairs")).otherwise(lit(0L))
+          .as("n_pairs"),
+        when(col("cell").isNotNull, col("st.n_dropped")).otherwise(lit(0L))
+          .as("n_dropped"),
+        when(col("cell").isNotNull, col("st.max_sim"))
+          .otherwise(lit(null).cast("double")).as("max_sim"))
       .orderBy("cell")
   }
 

@@ -207,6 +207,114 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
     copy(child = newChild)
 }
 
+/** Within-cell SemDeDup pair statistics over ONE cell's collected
+  * vectors: input `array<struct<vec_id: long, embedding: array<float>,
+  * n: double>>` (the collect_list of a cell's members, `n` the
+  * pre-computed norm), output `struct(n_pairs, n_dropped, max_sim)` —
+  * exactly the per-cell aggregate the former cell SELF-JOIN produced,
+  * with HALF the exchange (VERDICT r16 #3: the join shipped full
+  * vectors on BOTH sides — 1263 MB at dim-768/30×, the board's largest
+  * shuffle; one collect_list aggregate ships each vector ONCE and the
+  * N^1.5 pair arithmetic runs cell-local, where it always ran).
+  *
+  * Exactness is bit-for-bit with the join formulation: entries sort by
+  * vec_id and every index pair with STRICTLY increasing ids is scored
+  * (a duplicated id never self-pairs — the `i < j` join predicate);
+  * `sim = vecDot(ei, ej) / (ni · nj)` is the identical IEEE op sequence
+  * ([[VecDotProduct]]'s index-order accumulation, min-length bound);
+  * a zero/NULL denominator or NULL embedding skips the pair (the
+  * `when(den === 0, NULL)` + isNotNull filter); `sim4` quantizes via
+  * the floor trick BEFORE the τ compare and the max; compares route
+  * through [[SQLOrderingUtil]] so NaN ordering matches Spark SQL's.
+  * `n_dropped` counts DISTINCT dominated ids (the `.distinct()` on
+  * (cell, j)).
+  *
+  * CodegenFallback is justified here (the r13 rule's carve-out): eval
+  * runs once per CELL (√N rows for the IVF layout), not per corpus row
+  * — the interpreted dispatch amortizes over the cell's |cell|²/2
+  * hand-written pair loop. The aggregation buffer holds one cell's
+  * vectors (√N·dim floats), the same working set the join's per-key
+  * build side held; ObjectHashAggregate spills partials if a cell runs
+  * hot. */
+case class CellPairStats(child: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_pairs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_dropped",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_sim", DoubleType,
+      nullable = true)))
+  override def prettyName: String = "cell_pair_stats"
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    // pairable entries: non-null id, embedding and norm (a NULL
+    // component nulls the join-side sim, which the filter dropped)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](m)
+    val embs = new scala.collection.mutable.ArrayBuffer[ArrayData](m)
+    val norms = new scala.collection.mutable.ArrayBuffer[Double](m)
+    var e = 0
+    while (e < m) {
+      if (!arr.isNullAt(e)) {
+        val row = arr.getStruct(e, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          // views into `arr`'s buffer — valid for the whole eval
+          ids += row.getLong(0)
+          embs += row.getArray(1)
+          norms += row.getDouble(2)
+        }
+      }
+      e += 1
+    }
+    val order = ids.indices.sortBy(ids(_))
+    var nPairs = 0L
+    var maxSim: java.lang.Double = null
+    val dropped = new java.util.HashSet[Long]()
+    var jj = 1
+    while (jj < order.length) {
+      val j = order(jj)
+      val ej = embs(j); val nj = norms(j); val idJ = ids(j)
+      var ii = 0
+      while (ii < jj) {
+        val i = order(ii)
+        if (ids(i) < idJ) { // strict: duplicate ids never pair
+          val den = norms(i) * nj
+          if (den != 0.0) {
+            val ei = embs(i)
+            val n = math.min(ei.numElements(), ej.numElements())
+            var dot = 0.0
+            var p = 0
+            while (p < n) {
+              dot += ei.getFloat(p).toDouble * ej.getFloat(p).toDouble
+              p += 1
+            }
+            val sim4 = math.floor(dot / den * 10000.0 + 0.5) / 10000.0
+            nPairs += 1L
+            if (maxSim == null ||
+                SQLOrderingUtil.compareDoubles(sim4, maxSim) > 0)
+              maxSim = sim4
+            if (SQLOrderingUtil.compareDoubles(sim4, tau) >= 0)
+              dropped.add(idJ)
+          }
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nPairs,
+      dropped.size().toLong,
+      if (maxSim == null) null else maxSim.doubleValue())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance (ADC) scoring of PQ codes against ONE query: the
   * approximate cosine `Σ_j lut[j*ksub+code_j] / (sqrt(Σ_j cn2[j*ksub+code_j])
   * * qnorm)`, where `lut` holds the query-slice·centroid dot products and
@@ -489,6 +597,11 @@ object VecExpressions {
       qnorm: Double, ksub: Int): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes),
       lut, cn2, qnorm, ksub))
+
+  /** Per-cell SemDeDup pair statistics from a collected
+    * `array<struct<vec_id, embedding, n>>` column (see [[CellPairStats]]). */
+  def cellPairStats(vs: Column, tau: Double): Column =
+    ColumnBridge.column(CellPairStats(ColumnBridge.expression(vs), tau))
 
   /** Memoized per-pair ADC dot: `dot(q, recon(x))` from a query id +
     * embedding + candidate-codes triple — the LUT rebuilds only when the

@@ -315,14 +315,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum == vecs.size.toLong)
   }
 
-  test("semDedup plan: within-cell pairs ride an equi-join on the cell " +
-      "id — never a cartesian/BNLJ pair enumeration") {
+  test("semDedup plan: ONE cell exchange (collect_list + cell_pair_stats " +
+      "— vectors ship once, r17) — never a join-shaped pair enumeration") {
     val cents = Similarity.trainIvfCentroids(emb, 4)
     val df = Similarity.semDedup(emb, cents)
     df.collect()
+    // the physical Aggregate hides its result projection behind an
+    // attribute name — pin the expression on the optimized plan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("cell_pair_stats"),
+      s"pair stats must come from the cell-local expression:\n$opt")
     val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"), s"one-exchange aggregate:\n$plan")
+    assert(!plan.contains("Join"), s"no pair join at all:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no BNLJ:\n$plan")
   }
 
   test("marginPairs matches a driver-side replay (left-assoc avgK " +
