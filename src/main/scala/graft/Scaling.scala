@@ -45,6 +45,7 @@ object Scaling {
     // fingerprint selection
     "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
     "q_semdedup", "q_margin_pairs", "q_hybrid_search",
+    "q_media_neardups", // per-row codec CPU + banded candidate join
     "q_jaccard_prefix", "q_winnowing", "q_winnowing_pairs",
     // events-bound (q_pagerank retired in r13 — the exact twin remains)
     "q_pagerank_exact", "q_kcore", "q_bfs_hops",

@@ -1200,6 +1200,13 @@ object SparkEntry {
     // PNG round trip PIXEL-FOR-PIXEL (stronger than dims-only)
     "q_media_ahash" -> ((s, dir) => Multimodal.averageHash(s,
       Sources.table(s, dir, "documents"))),
+    // image near-dup dedup (r17): Hamming-banded perceptual-hash
+    // candidates over the REAL-codec aHash of a planted-near-dup PNG
+    // corpus, exact popcount verify — pigeonhole makes the banding
+    // lossless at radius bands-1, so the naive quadratic mirror
+    // certifies the pruning (the q_zorder_prune discipline on images)
+    "q_media_neardups" -> ((s, dir) => Multimodal.mediaNearDups(s,
+      Sources.table(s, dir, "documents"))),
     // video-to-training-examples fan-out: 4 evenly-spaced frames per
     // payload via the mapPartitions/flatMap batch shape; the frame
     // BOUNDARIES are pure integer arithmetic on the byte length, so the
@@ -6162,6 +6169,70 @@ object SparkEntry {
          |FROM mn m JOIN lum l USING (doc_id)
          |GROUP BY 1, 2, 3
          |ORDER BY m.doc_id""".stripMargin,
+    // naive quadratic popcount mirror for the banded near-dup route:
+    // every aHash recomputes from the id arithmetic (the q_media_ahash
+    // luma machinery) with the planted-predecessor override, pairs are
+    // ALL same-dim combinations (no banding — the hash match certifies
+    // the banded candidate generation lossless at the radius), popcount
+    // via DuckDB's two's-complement bit_count(xor()) ≡ Spark's
+    // bit_count(^) on BIGINT
+    "q_media_neardups" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
+         |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
+         |        AND doc_id > 0
+         |      THEN doc_id - 1 ELSE doc_id END AS bid,
+         |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
+         |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
+         |        AND doc_id > 0
+         |      THEN 1 ELSE 0 END AS planted
+         |  FROM documents),
+         |dims AS (
+         |  SELECT doc_id, planted, 1 + ((bid % 16) + 16) % 16 AS w,
+         |    1 + ((bid % 8) + 8) % 8 AS h,
+         |    ((bid % 16777216) + 16777216) % 16777216 AS seed
+         |  FROM nd),
+         |xs AS (
+         |  SELECT doc_id, planted, w, h, seed,
+         |    unnest(generate_series(0, w - 1)) AS x
+         |  FROM dims),
+         |px AS (
+         |  SELECT doc_id, w, h, i,
+         |    CASE WHEN planted = 1 AND i = 0 THEN xor(v0, 16777215)
+         |         ELSE v0 END AS v
+         |  FROM (SELECT doc_id, planted, w, h, y * w + x AS i,
+         |          (seed * 2654435761 + x * 31 + y) & 16777215 AS v0
+         |        FROM (SELECT doc_id, planted, w, h, x, seed,
+         |                unnest(generate_series(0, h - 1)) AS y
+         |              FROM xs))),
+         |lum AS (
+         |  SELECT doc_id, w, h, i,
+         |    299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+         |      + 114 * (v & 255) AS l
+         |  FROM px),
+         |mn AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+         |    CAST(sum(l) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS mean_luma
+         |  FROM lum GROUP BY 1),
+         |ah AS MATERIALIZED (
+         |  SELECT l.doc_id, max(l.w) AS w, max(l.h) AS h,
+         |    max(m.n_px) AS n_px,
+         |    CAST(COALESCE(sum(CASE WHEN l.l > m.mean_luma
+         |        AND l.i < ${Multimodal.AHashBits}
+         |      THEN (CAST(1 AS BIGINT) << l.i) ELSE 0 END), 0) AS BIGINT)
+         |      AS ahash
+         |  FROM mn m JOIN lum l USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM ah a JOIN ah b
+         |  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+         |WHERE a.n_px >= ${Multimodal.AHashBits}
+         |  AND b.n_px >= ${Multimodal.AHashBits}
+         |  AND bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.NearDupRadius}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // same floor-division frame boundaries over the byte length; empty
     // payloads emit no frames on either side; frame count rendered from
     // the shared constant

@@ -123,6 +123,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got.head == ((0L, 1L, got.head._3, 0L, 0L)), got.head.toString)
   }
 
+  test("mediaNearDups ≡ a driver-side quadratic popcount replay over the " +
+      "decoded hashes — the banded candidate generation is LOSSLESS at " +
+      "radius bands−1 (pigeonhole), and the planted pair is found") {
+    // range covers several dims classes AND a planted pair whose base
+    // passes the ≥60-px filter: base 231 (231 % 33 = 0, 232 ≡ 1 mod 33,
+    // dims 8×8) flips exactly one hash bit under the pixel inversion
+    val ids = (0L until 430L).toDF("doc_id")
+    val hs = Multimodal.averageHashDims(spark,
+        Multimodal.synthesizeNearDupPng(spark, ids))
+      .collect().filter(_.n_px >= Multimodal.AHashBits)
+    val want = (for {
+      a <- hs; b <- hs
+      if a.doc_id < b.doc_id && a.w == b.w && a.h == b.h
+      d = java.lang.Long.bitCount(a.ahash ^ b.ahash)
+      if d <= Multimodal.NearDupRadius
+    } yield (a.doc_id, b.doc_id, d.toLong)).toSeq
+      .sortBy(p => (p._1, p._2))
+    val got = Multimodal.mediaNearDups(spark, ids)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"banding must be lossless: got ${got.size} " +
+      s"want ${want.size}")
+    assert(got.nonEmpty)
+    // at least one planted predecessor pair (doc, doc+1) with doc+1 ≡ 1
+    // mod 33 is inside the radius
+    assert(got.exists(p => p._2 == p._1 + 1 &&
+      java.lang.Math.floorMod(p._2, Multimodal.NearDupPlantMod) == 1L),
+      s"planted near-dup pair must surface: $got")
+  }
+
   test("synthesizePng payloads are stable across invocations (the PNG " +
       "writer is deterministic)") {
     val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(5)
