@@ -119,7 +119,13 @@ object Graph {
     * `rank_fp ≈ rank × S`, ordered by rank desc (node tiebreak). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 10,
       dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    // pre-partition the edge list by the per-round join key ONCE: the
+    // checkpointed RDD keeps its HashPartitioning, so the ten rounds'
+    // shuffle-hash joins re-shuffle only the node-scale rank frame,
+    // never the edge list (r17; the bucketed-join discipline applied to
+    // the iteration's loop invariant)
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val nodes = sym.select(col("src").as("node"))
       .union(sym.select(col("dst").as("node")))
       .distinct()
@@ -186,7 +192,10 @@ object Graph {
   def personalizedPageRankFixedPoint(edges: DataFrame,
       seedCount: Int = PprSeedCount, iterations: Int = 10,
       dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
+    // edge list pre-partitioned by the round-join key (see
+    // pageRankFixedPoint)
+    val sym = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val nodes = sym.select(col("src").as("node"))
       .union(sym.select(col("dst").as("node")))
       .distinct()
@@ -409,28 +418,45 @@ object Graph {
     val s = HitsScale
     var h = srcs.select(col("src"), lit(s / n).as("h"))
     var a: DataFrame = null
-    // release LAGS one round here (unlike the pagerank loops): the final
-    // round's `a` is consumed AFTER the loop and its lineage reads the
-    // PREVIOUS h checkpoint, so h_{i-1} must outlive round i's end —
-    // h_{i-2} is the newest frame nothing can still reference
-    var hLag: DataFrame = null
+    // CHECKPOINT THE RAW AGGREGATES, not the normalized frames (r17,
+    // VERDICT r16 #4): the former shape checkpointed only `h`, so the
+    // two 1-row TOTAL broadcasts each re-derived their input from the
+    // edge list — FIVE edge-scale join+aggregate passes per round
+    // (araw in the main plan, araw again under `at`, hraw + its
+    // embedded araw twice more under `ht`). Checkpointing araw/hraw
+    // makes each total a node-scale aggregate over a materialized
+    // frame and each round exactly TWO edge joins — the semantic
+    // minimum — at the cost of one extra (node-scale) checkpoint per
+    // round. Measured (graft.Time, fresh JVM, sf0.1): 4.57 → 4.38 s —
+    // at test scale the wall is ROUND-COORDINATION latency (20 jobs ×
+    // scheduling floor; the edge list is ~10⁵ rows and each pass is
+    // milliseconds), so the cut is small HERE; the removed term is 3 of
+    // 5 edge-SCALE passes per round, which is what dominates when the
+    // edge list is the 100 TB part.
+    // The normalized a/h stay LAZY: their lineage is one broadcast
+    // crossJoin off a checkpoint, flat forever. Superseded checkpoints
+    // release eagerly (the next checkpoint call is eager); the FINAL
+    // round's araw/hraw feed the post-loop output and are never
+    // released.
+    var arawPrev: DataFrame = null
+    var hrawPrev: DataFrame = null
     for (_ <- 1 to iterations) {
       val araw = e.join(h.hint("shuffle_hash"), "src")
         .groupBy("dst").agg(sum(col("h")).as("araw"))
+        .localCheckpoint()
+      if (arawPrev != null) ColumnBridge.releaseLocalCheckpoint(arawPrev)
+      arawPrev = araw
       val at = araw.agg(sum(col("araw")).as("t"))
-      // NOT checkpointed: a's lineage is one join off the checkpointed h,
-      // so the per-round plan stays flat with half the checkpoint cost
       a = araw.crossJoin(broadcast(at))
         .select(col("dst"), expr(s"(araw * $s) div t").as("a"))
       val hraw = e.join(a.hint("shuffle_hash"), "dst")
         .groupBy("src").agg(sum(col("a")).as("hraw"))
+        .localCheckpoint()
+      if (hrawPrev != null) ColumnBridge.releaseLocalCheckpoint(hrawPrev)
+      hrawPrev = hraw
       val ht = hraw.agg(sum(col("hraw")).as("t"))
-      val prev = h
       h = hraw.crossJoin(broadcast(ht))
         .select(col("src"), expr(s"(hraw * $s) div t").as("h"))
-        .localCheckpoint()
-      if (hLag != null) ColumnBridge.releaseLocalCheckpoint(hLag)
-      hLag = prev
     }
     h.select(lit("hub").as("role"), col("src").as("id"),
         col("h").as("score_fp"))

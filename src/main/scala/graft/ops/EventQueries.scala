@@ -1031,6 +1031,17 @@ object EventQueries {
   val MarkovScale = 1000000000L
   val MarkovIters = 12
 
+  /** State-count ceiling for [[markovStationary]]'s DRIVER fold: at or
+    * under it the ≤ k² transition matrix collects (≤ 4096 rows — the
+    * zone-map bounded-scalar rule) and the twelve rounds run as a pure
+    * driver loop; above it the distributed per-round loop stands. The
+    * event-TYPE domain is semantically tiny (a handful of interaction
+    * verbs), so the driver route is the one that runs in practice —
+    * VERDICT r16 #4 measured the distributed loop's 2.96 s wall at
+    * cpu_par 0.20: ten Spark jobs of round-coordination latency over a
+    * constants-bounded matrix. */
+  val MarkovDriverFoldMaxStates = 64L
+
   /** Stationary distribution of the event-type Markov chain — the
     * long-run "where does a user's attention settle" readout over the
     * q_event_transitions matrix: fixed-point power iteration
@@ -1060,21 +1071,55 @@ object EventQueries {
       .union(t.select(col("next_type")))
       .distinct().localCheckpoint(true)
     val k = states.count() // pre-loop driver count (the pagerank rule)
-    var x = states.select(col("state"),
-      lit(MarkovScale / math.max(k, 1L)).as("w"))
-    for (_ <- 1 to iters) {
-      val contrib = tm.join(x, tm("prev_type") === x("state"))
-        .select(col("next_type").as("state"),
-          expr("(w * n) div tot").as("c"))
-        .groupBy("state").agg(sum(col("c")).as("w"))
-      x = states.join(contrib, Seq("state"), "left")
-        .select(col("state"), coalesce(col("w"), lit(0L)).as("w"))
-        .localCheckpoint(true)
+    if (k <= MarkovDriverFoldMaxStates) {
+      // DRIVER fold (r17): the transition matrix is ≤ k² ≤ 4096 rows —
+      // one bounded collect, then twelve rounds of exact long
+      // arithmetic on the driver. `w * n / tot` on non-negative longs
+      // truncates ≡ Spark `div` ≡ DuckDB `//`, so the mirror's
+      // unrolled rounds are untouched. Null states (a null event_type)
+      // key the map like any other value; the final orderBy runs in
+      // Spark, so null-first output ordering is unchanged.
+      val spark = events.sparkSession
+      val tRows = tm.select(col("prev_type"), col("next_type"), col("n"),
+          col("tot")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val stateList = states.collect().map(_.getString(0))
+      val w0 = MarkovScale / math.max(k, 1L)
+      var w = stateList.map(_ -> w0).toMap
+      for (_ <- 1 to iters) {
+        val contrib = new scala.collection.mutable.HashMap[String, Long]()
+        tRows.foreach { case (prev, next, n, tot) =>
+          contrib.update(next,
+            contrib.getOrElse(next, 0L) + w(prev) * n / tot)
+        }
+        w = stateList.map(st => st -> contrib.getOrElse(st, 0L)).toMap
+      }
+      import spark.implicits._
+      val out = stateList.map { st =>
+        val m = w(st)
+        val p = math.floor(
+          m.toDouble / MarkovScale.toDouble * 10000.0 + 0.5) / 10000.0
+        (st, m, p)
+      }.toSeq
+      out.toDF("state", "mass_fp", "prob").orderBy("state")
+    } else {
+      var x = states.select(col("state"),
+        lit(MarkovScale / math.max(k, 1L)).as("w"))
+      for (_ <- 1 to iters) {
+        val contrib = tm.join(x, tm("prev_type") === x("state"))
+          .select(col("next_type").as("state"),
+            expr("(w * n) div tot").as("c"))
+          .groupBy("state").agg(sum(col("c")).as("w"))
+        x = states.join(contrib, Seq("state"), "left")
+          .select(col("state"), coalesce(col("w"), lit(0L)).as("w"))
+          .localCheckpoint(true)
+      }
+      x.select(col("state"), col("w").as("mass_fp"),
+          round2(col("w").cast("double") / lit(MarkovScale.toDouble), 4)
+            .as("prob"))
+        .orderBy("state")
     }
-    x.select(col("state"), col("w").as("mass_fp"),
-        round2(col("w").cast("double") / lit(MarkovScale.toDouble), 4)
-          .as("prob"))
-      .orderBy("state")
   }
 
   /** Kaplan-Meier survival curve over user LIFETIMES (tenure = days
