@@ -307,11 +307,25 @@ object Scaling {
       val routes = Seq("q_hard_negatives_ann", "q_hard_negatives_ann_pq",
         "q_semdedup", "q_knn_int8")
       val AboveCap = "q_hard_negatives_ann_pq (above-cap)"
-      val allRows = routes :+ AboveCap
+      // r17 (VERDICT r16 #7): the retrieval stack's embedding half at
+      // dim 768 — hybridSearch's BM25 side reads the SCALE-matched dense
+      // document corpus, its cosine side the dim-768 embeddings (the
+      // constants-bounded HybridQueryIds exist in both id spaces); the
+      // query-term table trains UNTIMED at defs construction
+      val Hybrid = "q_hybrid_search (dim-768 cosine side)"
+      val allRows = routes ++ Seq(AboveCap, Hybrid)
+      val hybridCells: Seq[((String, Int), () => DataFrame)] =
+        for ((c, d) <- dd) yield {
+          val docs = spark.read.parquet(s"${dirs(c)}/documents.parquet")
+          val qt = graft.ext.Retrieval.trainHybridQueryTerms(docs)
+          ((Hybrid, c), () => graft.ext.Retrieval.hybridSearch(docs,
+            ingest.Sources.table(spark, d, "embeddings"), qt))
+        }
       val cells: Seq[((String, Int), () => DataFrame)] =
         (for (r <- routes; (c, d) <- dd)
           yield ((r, c), () => queries(r)(spark, d))) ++
-          (for ((c, d) <- dd) yield ((AboveCap, c), () => pqAboveCap(d)))
+          (for ((c, d) <- dd) yield ((AboveCap, c), () => pqAboveCap(d))) ++
+          hybridCells
       val (m, hostLine) = measureCells[(String, Int)](cells,
         k => s"d768 ${k._1} x${k._2}")
       val b = new StringBuilder
@@ -387,13 +401,26 @@ object Scaling {
               "MACs for lookups but pays N·C·dim refine bytes); when " +
               "the index cannot fit the node AND the network is the " +
               "scarce resource, prefer the exact IVF route or shrink C.\n"))
+      val hy1 = m((Hybrid, 1)); val hy30 = m((Hybrid, 30))
+      b.append(
+        f"\nRetrieval-stack row (r17): q_hybrid_search's cosine half at " +
+          f"dim 768 — ${hy1.sec}%.2f s (1×) → ${hy30.sec}%.2f s (30×), " +
+          f"shuffle ${hy30.shuffleMb}%.1f MB at 30×. The cosine side is " +
+          "the batchKnn shape (constants-bounded query vectors " +
+          "broadcast, ONE linear corpus scan, bounded-heap top-k): " +
+          "12× the per-row MAC cost of dim 64, zero additional " +
+          "exchange structure — the dim-generic scan-bound argument, " +
+          "now measured for the last embedding consumer without a " +
+          "dim-768 record.\n")
       b.append(
         f"\nFamily rows at dim 768: q_semdedup pays its N^1.5 pair mass " +
-          "as CPU inside the cell-partitioned self-join; its shuffle is " +
-          "the cell exchange carrying full vectors on both sides " +
-          f"(${m(("q_semdedup", 30)).shuffleMb}%.1f MB at 30× — vector " +
-          "bytes scale with dim, the pair frame itself never " +
-          "re-exchanges), wall " +
+          "as CPU inside the cell-LOCAL pair expression (r17: the former " +
+          "vector-carrying cell self-join — 1263 MB at 30× in the r16 " +
+          "record, the board's largest shuffle — is now ONE collect_list " +
+          "exchange shipping each vector once: " +
+          f"${m(("q_semdedup", 30)).shuffleMb}%.1f MB at 30×; vector " +
+          "bytes still scale with dim, the pair frame never exchanges " +
+          "at all), wall " +
           f"${m(("q_semdedup", 30)).sec / m(("q_semdedup", 1)).sec}%.1f× " +
           "for 30× data. q_knn_int8's bounded-probe serving scan stays " +
           f"flat (${m(("q_knn_int8", 30)).sec}%.2f s, zero shuffle — " +
@@ -434,11 +461,74 @@ object Scaling {
       val sparse = spark.read.parquet(s"$work/sparse/documents.parquet")
       val sparsePool = (0 until 500).flatMap(g =>
         (0 until 15).map(p => s"b${g}x$p")).toIndexedSeq
+      // SPREAD-idf corpus (r17, VERDICT r16 #1): the dense COMMON
+      // vocabulary (~26 tokens per doc from the 256-token pool) PLUS one
+      // RARE marker token per doc, df = 200 (r{doc/200}) — the realistic
+      // audit-probe mix where each query carries one high-idf selective
+      // term and three low-idf common ones. This is the max-score
+      // route's claimed pruning regime: the rare term's postings exhaust
+      // at B = 256 (bound → 0) while the common terms' plateau bounds
+      // alone stay BELOW the k-th candidate's rare-idf-dominated score,
+      // so the strict certificate fires with the common postings
+      // decidedly unexhausted — pre-exhaustion pruning, measured at the
+      // dense corpus's 30× size.
+      val nSpread = dense30.count()
+      val spreadShare = 200L
+      def ensureSpreadIdf(): Unit = {
+        val dir = s"$work/spread-idf"
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root.resolve("_done"))) return
+        java.nio.file.Files.createDirectories(root)
+        val poolArr = densePool.toArray
+        spark.range(nSpread).select(col("id").as("doc_id")).as[Long]
+          .map { id =>
+            val len =
+              24 + java.lang.Math.floorMod(id * 2654435761L, 17L).toInt
+            val toks = (0 until len).map(p => poolArr(
+              java.lang.Math.floorMod(id * 1000003L + p * 40503L,
+                poolArr.length.toLong).toInt))
+            val text = (toks :+ s"r${id / spreadShare}").mkString(" ")
+            (id, text, "en", s"src${id % 3}", text.length.toLong)
+          }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        java.nio.file.Files.writeString(root.resolve("_done"), "ok")
+      }
+      ensureSpreadIdf()
+      val spreadDocs = spark.read.parquet(
+        s"$work/spread-idf/documents.parquet")
+      val nRare = math.max(1L, nSpread / spreadShare)
+      def mkSpreadQueries(nQ: Int): Seq[(Long, Seq[String])] =
+        (1 to nQ).map { q =>
+          val rare = s"r${java.lang.Math.floorMod(q * 7919L, nRare)}"
+          val commons = (0 until 3).map(j => densePool(
+            (math.abs(q * 2654435761L + j * 48611L) % densePool.size).toInt))
+          (q.toLong, (rare +: commons).distinct)
+        }
       case class Cell(corpus: String, route: String, nDocs: Long, q: Int,
         m: M)
       // train every query table FIRST (untimed), then measure all cells
       // through the interleaved two-pass section walk; the max-score
       // route's driver certification loop runs inside the timed region
+      val SpreadTag = "spread (1 rare df=200 + 3 common)"
+      val spreadQt1000 = queryTable(spreadDocs, mkSpreadQueries(1000))
+      val spreadQt5 = queryTable(spreadDocs, mkSpreadQueries(5))
+      // certification diagnostics captured from the measured thunk (the
+      // loop re-runs identically on both passes)
+      @volatile var spreadDiag: graft.ext.Retrieval.PrunedDiag = null
+      val spreadDefs = Seq(
+        (SpreadTag, "exact", nSpread, 5,
+          () => graft.ext.Retrieval.bm25Search(spreadDocs, spreadQt5)),
+        (SpreadTag, "maxscore", nSpread, 5,
+          () => graft.ext.Retrieval.bm25SearchPruned(spreadDocs, spreadQt5)),
+        (SpreadTag, "exact", nSpread, 1000,
+          () => graft.ext.Retrieval.bm25Search(spreadDocs, spreadQt1000)),
+        (SpreadTag, "maxscore", nSpread, 1000, () => {
+          val (df, d) = graft.ext.Retrieval.bm25SearchPrunedDiag(
+            spreadDocs, spreadQt1000)
+          spreadDiag = d
+          df
+        }))
       val defs = Seq(
         ("dense 1×", dense1, densePool),
         ("dense 30×", dense30, densePool),
@@ -452,7 +542,7 @@ object Scaling {
               (tag, "maxscore", n, nQ,
                 () => graft.ext.Retrieval.bm25SearchPruned(docs, qt)))
           }
-      }
+      } ++ spreadDefs
       val (mm, hostLine) = measureCells[(String, String, Int)](
         defs.map { case (tag, route, _, nQ, th) =>
           ((tag, route, nQ), th) },
@@ -539,6 +629,39 @@ object Scaling {
           "spread-free cells the exact route stays preferable (sparse " +
           "cells above). The adversarial limit degrades to the exact " +
           "route's equi-join shape (never a forced broadcast).\n")
+      val spEx = cell(SpreadTag, "exact", 1000)
+      val spMs = cell(SpreadTag, "maxscore", 1000)
+      val d = spreadDiag
+      b.append(
+        f"\nThe SPREAD-idf cell (r17 — the pruning regime MEASURED at " +
+          "scale, the r16 verdict's top ask): every query = one rare " +
+          f"df-200 term + three common ones, over $nSpread%d docs of the " +
+          "dense common vocabulary with one rare marker each. " +
+          f"Certification diagnostics of the measured |Q| = 1000 run: " +
+          f"rounds = ${d.rounds}, final prefix B = ${d.finalB}, " +
+          f"certified by the STRICT bound with unexhausted terms = " +
+          f"${d.byBound} — the certificate fired " +
+          (if (d.byBound) "PRE-EXHAUSTION (the rare postings exhaust " +
+            "at B ≥ 200 and zero out of τ; the common terms' plateau " +
+            "bounds alone sit below the rare-idf-dominated k-th " +
+            "candidate score while their postings remain live). "
+          else "only via exhaustion in this run. ") +
+          f"Measured: maxscore ${spMs.sec}%.2f s / ${spMs.shuffleMb}%.1f " +
+          f"MB vs exact ${spEx.sec}%.2f s / ${spEx.shuffleMb}%.1f MB — " +
+          f"${spEx.sec / math.max(spMs.sec, 0.01)}%.1f× wall, " +
+          f"${spEx.shuffleMb / math.max(spMs.shuffleMb, 0.1)}%.1f× " +
+          "shuffle. " +
+          (if (d.byBound && spMs.sec < spEx.sec &&
+              spMs.shuffleMb < spEx.shuffleMb)
+            "The route's reason to exist is now measurement, not " +
+              "argument: on skewed-idf probe mixes the pruned route " +
+              "beats the exact one on wall AND shuffle at 30×/|Q| = " +
+              "1000 with the certificate firing before exhaustion.\n"
+          else
+            "HONEST readout: the spread cell did not produce the " +
+              "decisive pre-exhaustion win; the route's standing claim " +
+              "remains the |Q|-independent contribution-pass shuffle " +
+              "structure (see the dense cells above).\n"))
       b.append("\n").append(hostLine).append("\n")
       b.toString
     }

@@ -264,7 +264,15 @@ object Retrieval {
     * Scale: corpus-sized work is ONE tokenize + tf aggregate and one
     * bounded-heap prefix aggregate, both |Q|-independent; everything
     * |Q|-proportional is bounded by |Q|·terms·B rows. The exact route's
-    * dense-regime |Q|·N score matrix never materializes. */
+    * dense-regime |Q|·N score matrix never materializes. MEASURED at
+    * scale (SCALING.md §Retrieval, r17): on the skewed-idf probe mix
+    * the route exists for (one rare df-200 term + three common ones per
+    * query, 150k docs, |Q| = 1000) the certificate fires in ROUND ONE
+    * pre-exhaustion and the route wins 24.4× wall / 32.5× shuffle over
+    * the exact plan (5.5 s / 240 MB vs 134.5 s / 7.8 GB); the
+    * spread-free all-common worst case stays the documented
+    * honest-neutral regime (tie-plateau ⇒ information-theoretically
+    * score-everything). */
   def bm25SearchPruned(documents: DataFrame,
       queryTerms: Seq[(Long, String, Long)], k: Int = Bm25TopK,
       initialB: Int = MaxScorePrefixB): DataFrame =
