@@ -46,6 +46,7 @@ object Scaling {
     "q_hard_negatives_ann", "q_hard_negatives_ann_pq",
     "q_semdedup", "q_margin_pairs", "q_hybrid_search",
     "q_media_neardups", // per-row codec CPU + banded candidate join
+    "q_media_dup_classes", // the distinct-hash-sized class report
     "q_jaccard_prefix", "q_winnowing", "q_winnowing_pairs",
     // events-bound (q_pagerank retired in r13 — the exact twin remains)
     "q_pagerank_exact", "q_kcore", "q_bfs_hops",
@@ -1010,16 +1011,37 @@ object Scaling {
         "doc length."),
       "q_semdedup" -> ("SemDeDup: within-IVF-cell pair cosines — pair " +
         "mass is N^1.5 by construction (cells ∝ √N ⇒ Σ cell² ≈ N^1.5), " +
-        "the same accepted asymptotics as the ANN shortlist; wall " +
-        s"tracks it (t r30 ${t30("q_semdedup")}). The sh r30 " +
-        s"${sh30("q_semdedup")} is a PLAN-TRANSITION artifact of a " +
-        "near-zero baseline, not extra work: at 1× the within-cell " +
-        "join BROADCASTS (plan-verified BroadcastHashJoin — its pair " +
-        "frame never touches the shuffle meter), at 30× it is a " +
-        "SortMergeJoin whose absolute " +
-        s"${shMb30("q_semdedup")} MB ≈ the N^1.5 " +
-        "pair frame (30^1.5 ≈ 164× the never-shuffled 1× mass). The " +
-        "equi-join on cell id is AQE-splittable on skewed cells."),
+        "the same accepted asymptotics as the ANN shortlist. Since the " +
+        "r17 rewrite (VERDICT r16 #3) the pair frame never exchanges at " +
+        "all: ONE collect_list cell exchange ships each vector once and " +
+        "the CellPairStats expression runs the pair arithmetic " +
+        s"cell-local — sh r30 ${sh30("q_semdedup")} ≈ the data ratio " +
+        "(the retired vector-carrying self-join had made this the " +
+        "board's largest shuffle: 1263 MB at dim-768/30×, now 316.6), " +
+        s"wall flat (t r30 ${t30("q_semdedup")}) with the N^1.5 term " +
+        "paid as in-cell CPU."),
+      "q_media_neardups" -> ("image near-dup pairs (r17): the codec+aHash " +
+        "pass is map-side; candidates band over DISTINCT (w, h, ahash) " +
+        "values — a perceptual-hash corpus CONCENTRATES (46,875 images " +
+        "→ 413 distinct hashes at 30×; largest identical-hash class " +
+        "1,150 docs), so doc-level banding paid Σ class² candidate rows " +
+        "(measured 100.5M rows / 741.6 MB) where distinct-hash banding " +
+        "generates 1,518, and verified hash pairs expand back through " +
+        "class-membership joins. The remaining sh r30 " +
+        s"${sh30("q_media_neardups")} is the OUTPUT itself (26.1M pairs " +
+        "at 30× — " +
+        s"${shMb30("q_media_neardups")} MB absolute): a pair inventory " +
+        "is semantically quadratic in duplicate density (a k-member " +
+        "class owes k(k−1)/2 rows), the r13 pairs-vs-counts lesson — " +
+        "the class-level report below is the deliverable that scales."),
+      "q_media_dup_classes" -> ("the class-level image-dedup report: one " +
+        "row per identical-hash class (size, keeper, radius-bounded " +
+        "neighborhood) — everything after the linear hash aggregate is " +
+        s"distinct-hash-sized. t r30 ${t30("q_media_dup_classes")}, " +
+        s"sh r30 ${sh30("q_media_dup_classes")} on " +
+        s"${shMb30("q_media_dup_classes")} MB absolute — flat; the " +
+        "100 TB image-dedup shape (pairs only materialize where a " +
+        "consumer genuinely needs them)."),
       "q_margin_pairs" -> ("margin mining: one linear broadcast-anchor " +
         "scoring pass over the corpus plus constants-bounded candidate/" +
         s"density joins — t r30 ${t30("q_margin_pairs")}, sh r30 " +

@@ -1207,6 +1207,12 @@ object SparkEntry {
     // certifies the pruning (the q_zorder_prune discipline on images)
     "q_media_neardups" -> ((s, dir) => Multimodal.mediaNearDups(s,
       Sources.table(s, dir, "documents"))),
+    // class-level image-dedup report (r17): one row per identical-hash
+    // class with its keeper and radius-bounded neighborhood — the
+    // deliverable that stays distinct-hash-sized where the pair
+    // inventory above is semantically quadratic in duplicate density
+    "q_media_dup_classes" -> ((s, dir) => Multimodal.mediaDupClasses(s,
+      Sources.table(s, dir, "documents"))),
     // video-to-training-examples fan-out: 4 evenly-spaced frames per
     // payload via the mapPartitions/flatMap batch shape; the frame
     // BOUNDARIES are pure integer arithmetic on the byte length, so the
@@ -3447,6 +3453,62 @@ object SparkEntry {
     s"""SELECT json_extract_string(props, '$$.k') AS category, $MoneySumValue AS revenue
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY revenue DESC, category LIMIT 15""".stripMargin
+
+  /** Shared DuckDB prologue for the media near-dup mirrors (the
+    * bpeEncCte discipline): recomputes every planted-corpus aHash from
+    * the id arithmetic — the pixel-exact q_media_ahash luma machinery
+    * plus the planted-predecessor override — ending in the materialized
+    * `ah(doc_id, w, h, n_px, ahash)`. Compose with `"\nSELECT …"` or
+    * extend the CTE chain with `",\n<more CTEs> SELECT …"`. */
+  private def nearDupAhCte: String =
+    s"""WITH nd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
+       |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
+       |        AND doc_id > 0
+       |      THEN doc_id - 1 ELSE doc_id END AS bid,
+       |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
+       |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
+       |        AND doc_id > 0
+       |      THEN 1 ELSE 0 END AS planted
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, planted, 1 + ((bid % 16) + 16) % 16 AS w,
+       |    1 + ((bid % 8) + 8) % 8 AS h,
+       |    ((bid % 16777216) + 16777216) % 16777216 AS seed
+       |  FROM nd),
+       |xs AS (
+       |  SELECT doc_id, planted, w, h, seed,
+       |    unnest(generate_series(0, w - 1)) AS x
+       |  FROM dims),
+       |px AS (
+       |  SELECT doc_id, w, h, i,
+       |    CASE WHEN planted = 1 AND i = 0 THEN xor(v0, 16777215)
+       |         ELSE v0 END AS v
+       |  FROM (SELECT doc_id, planted, w, h, y * w + x AS i,
+       |          (seed * 2654435761 + x * 31 + y) & 16777215 AS v0
+       |        FROM (SELECT doc_id, planted, w, h, x, seed,
+       |                unnest(generate_series(0, h - 1)) AS y
+       |              FROM xs))),
+       |lum AS (
+       |  SELECT doc_id, w, h, i,
+       |    299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+       |      + 114 * (v & 255) AS l
+       |  FROM px),
+       |mn AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+       |    CAST(sum(l) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |      AS mean_luma
+       |  FROM lum GROUP BY 1),
+       |ah AS MATERIALIZED (
+       |  SELECT l.doc_id, max(l.w) AS w, max(l.h) AS h,
+       |    max(m.n_px) AS n_px,
+       |    CAST(COALESCE(sum(CASE WHEN l.l > m.mean_luma
+       |        AND l.i < ${Multimodal.AHashBits}
+       |      THEN (CAST(1 AS BIGINT) << l.i) ELSE 0 END), 0) AS BIGINT)
+       |      AS ahash
+       |  FROM mn m JOIN lum l USING (doc_id)
+       |  GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_daily_revenue" -> DailyRevenueSql,
@@ -6177,62 +6239,42 @@ object SparkEntry {
     // via DuckDB's two's-complement bit_count(xor()) ≡ Spark's
     // bit_count(^) on BIGINT
     "q_media_neardups" ->
-      s"""WITH nd AS (
-         |  SELECT doc_id,
-         |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
-         |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
-         |        AND doc_id > 0
-         |      THEN doc_id - 1 ELSE doc_id END AS bid,
-         |    CASE WHEN ((doc_id % ${Multimodal.NearDupPlantMod})
-         |        + ${Multimodal.NearDupPlantMod}) % ${Multimodal.NearDupPlantMod} = 1
-         |        AND doc_id > 0
-         |      THEN 1 ELSE 0 END AS planted
-         |  FROM documents),
-         |dims AS (
-         |  SELECT doc_id, planted, 1 + ((bid % 16) + 16) % 16 AS w,
-         |    1 + ((bid % 8) + 8) % 8 AS h,
-         |    ((bid % 16777216) + 16777216) % 16777216 AS seed
-         |  FROM nd),
-         |xs AS (
-         |  SELECT doc_id, planted, w, h, seed,
-         |    unnest(generate_series(0, w - 1)) AS x
-         |  FROM dims),
-         |px AS (
-         |  SELECT doc_id, w, h, i,
-         |    CASE WHEN planted = 1 AND i = 0 THEN xor(v0, 16777215)
-         |         ELSE v0 END AS v
-         |  FROM (SELECT doc_id, planted, w, h, y * w + x AS i,
-         |          (seed * 2654435761 + x * 31 + y) & 16777215 AS v0
-         |        FROM (SELECT doc_id, planted, w, h, x, seed,
-         |                unnest(generate_series(0, h - 1)) AS y
-         |              FROM xs))),
-         |lum AS (
-         |  SELECT doc_id, w, h, i,
-         |    299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
-         |      + 114 * (v & 255) AS l
-         |  FROM px),
-         |mn AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
-         |    CAST(sum(l) AS BIGINT) // CAST(count(*) AS BIGINT)
-         |      AS mean_luma
-         |  FROM lum GROUP BY 1),
-         |ah AS MATERIALIZED (
-         |  SELECT l.doc_id, max(l.w) AS w, max(l.h) AS h,
-         |    max(m.n_px) AS n_px,
-         |    CAST(COALESCE(sum(CASE WHEN l.l > m.mean_luma
-         |        AND l.i < ${Multimodal.AHashBits}
-         |      THEN (CAST(1 AS BIGINT) << l.i) ELSE 0 END), 0) AS BIGINT)
-         |      AS ahash
-         |  FROM mn m JOIN lum l USING (doc_id)
-         |  GROUP BY 1)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-         |FROM ah a JOIN ah b
-         |  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
-         |WHERE a.n_px >= ${Multimodal.AHashBits}
-         |  AND b.n_px >= ${Multimodal.AHashBits}
-         |  AND bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.NearDupRadius}
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      (nearDupAhCte + "\n" +
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+           |FROM ah a JOIN ah b
+           |  ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+           |WHERE a.n_px >= ${Multimodal.AHashBits}
+           |  AND b.n_px >= ${Multimodal.AHashBits}
+           |  AND bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.NearDupRadius}
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    // class-level mirror: identical-hash classes from the same ah
+    // prologue, neighborhood from a naive distinct-hash popcount
+    // self-join (no banding — the hash match certifies the banded
+    // neighborhood counts exact)
+    "q_media_dup_classes" ->
+      (nearDupAhCte + ",\n" +
+        s"""cls AS MATERIALIZED (
+           |  SELECT w, h, ahash, CAST(count(*) AS BIGINT) AS class_size,
+           |    min(doc_id) AS keeper
+           |  FROM ah WHERE n_px >= ${Multimodal.AHashBits}
+           |  GROUP BY 1, 2, 3),
+           |nb AS (
+           |  SELECT a.w, a.h, a.ahash,
+           |    CAST(count(*) AS BIGINT) AS n_near_classes,
+           |    CAST(sum(b.class_size) AS BIGINT) AS n_near_docs
+           |  FROM cls a JOIN cls b
+           |    ON a.w = b.w AND a.h = b.h AND a.ahash <> b.ahash
+           |  WHERE bit_count(xor(a.ahash, b.ahash)) <= ${Multimodal.NearDupRadius}
+           |  GROUP BY 1, 2, 3)
+           |SELECT CAST(c.w AS BIGINT) AS w, CAST(c.h AS BIGINT) AS h,
+           |  c.ahash, c.class_size, c.keeper,
+           |  CAST(COALESCE(n.n_near_classes, 0) AS BIGINT)
+           |    AS n_near_classes,
+           |  CAST(COALESCE(n.n_near_docs, 0) AS BIGINT) AS n_near_docs
+           |FROM cls c LEFT JOIN nb n
+           |  ON c.w = n.w AND c.h = n.h AND c.ahash = n.ahash
+           |ORDER BY 1, 2, 3""".stripMargin),
     // same floor-division frame boundaries over the byte length; empty
     // payloads emit no frames on either side; frame count rendered from
     // the shared constant

@@ -535,36 +535,144 @@ object Multimodal {
     * hash space would degenerately collide (every 1×1 image hashes to
     * 0).
     *
-    * Scale: hashing is one map-side codec pass; the hash frame (5 longs
-    * per image, no pixels) localCheckpoints and everything downstream is
-    * banded equi-joins on 15-bit band values — candidate mass is
-    * Σ_bucket |bucket|², bounded by band-value selectivity exactly like
-    * the SimHash banding, never N². */
+    * Scale (r17, re-shaped after the first SCALING measurement read
+    * sh r30 = 503×): band over DISTINCT hashes, never over docs. A
+    * perceptual-hash corpus concentrates — identical images, and
+    * near-identical ones whose quantized bit pattern coincides, collapse
+    * to ONE (w, h, ahash) value (measured on the synthetic 30× corpus:
+    * 46,875 images → 413 distinct hashes, largest identical-hash class
+    * 1,150 docs) — so banding doc rows pays |class|² candidate rows per
+    * bucket for pairs whose verification is ONE popcount (measured
+    * 100.5M candidate rows where the distinct-hash banding generates
+    * 1,518). The shape here: (1) collapse to distinct (w, h, ahash)
+    * representatives (one linear exchange of a 4-long frame); (2) banded
+    * equi-join on (w, h, band_idx, band_value) over representatives
+    * only; (3) ONE exact popcount per distinct-hash pair; (4) expand
+    * verified hash pairs back to doc pairs through two class-membership
+    * equi-joins (cross-class pairs), plus the within-class self-join for
+    * same-hash pairs (Hamming 0). Every doc pair derives from exactly
+    * one hash pair, so the expansion needs no dedup. What remains
+    * super-linear is the OUTPUT itself: pair inventories are
+    * semantically quadratic in duplicate density (a k-member
+    * identical-hash class owes k(k−1)/2 pairs) — the r13 interval
+    * lesson. This entry exists to certify banding losslessness on the
+    * hash gate; the scale DELIVERABLE over a dup-dense corpus is the
+    * class-level report ([[mediaDupClasses]]), which stays
+    * distinct-hash-sized. */
   def mediaNearDups(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val hs = averageHashDims(spark, synthesizeNearDupPng(spark, documents))
+    val hs = hashFrame(spark, documents)
+    val cand = nearDupHashPairs(hs)
+    // expansion: class membership on each side; every (doc_a, doc_b)
+    // pair has exactly one (ha, hb) hash pair, so no distinct is needed
+    val cross = cand
+      .join(hs.select(col("w"), col("h"), col("ahash").as("ha"),
+        col("doc_id").as("id_a")), Seq("w", "h", "ha"))
+      .join(hs.select(col("w"), col("h"), col("ahash").as("hb"),
+        col("doc_id").as("id_b")), Seq("w", "h", "hb"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val within = hs.select(col("w"), col("h"), col("ahash"),
+        col("doc_id").as("doc_a"))
+      .join(hs.select(col("w"), col("h"), col("ahash"),
+        col("doc_id").as("doc_b")), Seq("w", "h", "ahash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.union(within).orderBy("doc_a", "doc_b")
+  }
+
+  /** Qualifying (doc_id, w, h, ahash) frame shared by the near-dup
+    * routes: real-codec aHash over the planted corpus, restricted to the
+    * ≥ [[AHashBits]]-pixel universe, checkpointed (the codec pass runs
+    * once). The distinct collapses duplicate doc_id ROWS (a fuzz-frame
+    * class — the hash is a deterministic function of doc_id, so
+    * duplicates are identical rows): the mirrors GROUP BY doc_id, and
+    * without it the membership-expansion joins would emit duplicate
+    * pairs where the old candidate-distinct route deduped them.
+    *
+    * The repartition after the distinct is LOAD-BEARING (the r12
+    * file-granularity lesson in checkpoint form): AQE coalesces the
+    * distinct's output to ~1 partition (the hash frame is ~1.5 MB at
+    * 30×), the localCheckpoint PINS that layout, and every downstream
+    * broadcast-join probe — the whole pair enumeration and the sort's
+    * sample pass — then runs on ONE core (measured: 67 s vs 7 s at 30×
+    * for the identical plan, the single difference being the
+    * checkpoint's partition count). */
+  private def hashFrame(spark: SparkSession,
+      documents: DataFrame): DataFrame =
+    averageHashDims(spark, synthesizeNearDupPng(spark, documents))
       .toDF()
       .filter(col("n_px") >= AHashBits)
       .select(col("doc_id"), col("w"), col("h"), col("ahash"))
+      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
+
+  /** Verified near-dup DISTINCT-hash pairs `(w, h, ha, hb, hamming)`
+    * with `ha < hb`, `0 < hamming ≤ [[NearDupRadius]]`: banded
+    * candidates over the distinct (w, h, ahash) representatives, exact
+    * popcount verify. Lossless at the radius by pigeonhole — two hashes
+    * within Hamming [[NearDupRadius]] = bands − 1 agree on some band. */
+  private def nearDupHashPairs(hs: DataFrame): DataFrame = {
+    val reps = hs.select(col("w"), col("h"), col("ahash")).distinct()
     val bandVals = array((0 until NearDupBands).map(k =>
       shiftright(col("ahash"), k * NearDupBandBits)
         .bitwiseAND(lit((1L << NearDupBandBits) - 1L))): _*)
-    val bands = hs.select(col("doc_id"), col("w"), col("h"), col("ahash"),
+    val bands = reps.select(col("w"), col("h"), col("ahash"),
       posexplode(bandVals).as(Seq("band_idx", "band_val")))
     val l = bands.select(col("w"), col("h"), col("band_idx"),
-      col("band_val"), col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      col("band_val"), col("ahash").as("ha"))
     val r = bands.select(col("w"), col("h"), col("band_idx"),
-      col("band_val"), col("doc_id").as("doc_b"), col("ahash").as("hb"))
-    val cand = l.join(r, Seq("w", "h", "band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      col("band_val"), col("ahash").as("hb"))
+    l.join(r, Seq("w", "h", "band_idx", "band_val"))
+      .filter(col("ha") < col("hb"))
+      .select(col("w"), col("h"), col("ha"), col("hb"))
       .distinct()
-    cand
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("w"), col("h"), col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType)
           .as("hamming"))
       .filter(col("hamming") <= NearDupRadius)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** `q_media_dup_classes`: the class-level image-dedup report — the
+    * deliverable that stays SMALL on a duplicate-dense corpus where the
+    * pair inventory ([[mediaNearDups]]) is semantically quadratic. One
+    * row per identical-hash class (w, h, ahash): member count, keeper
+    * (min doc_id — the survivorship rule), and the class's near-dup
+    * NEIGHBORHOOD at [[NearDupRadius]] (how many OTHER classes sit
+    * within the radius, and how many docs they carry) — exactly what a
+    * 100 TB dedup pass feeds its keeper-selection / cluster stage.
+    * Everything is distinct-hash-sized after one linear aggregate over
+    * the hash frame; the banded candidate machinery is shared with the
+    * pair route ([[nearDupHashPairs]]), so the same pigeonhole makes the
+    * neighborhood counts exact. Hash-gates against a mirror that
+    * recomputes classes from the id arithmetic and the neighborhood from
+    * a naive distinct-hash popcount self-join. */
+  def mediaDupClasses(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val hs = hashFrame(spark, documents)
+    val classes = hs.groupBy(col("w"), col("h"), col("ahash"))
+      .agg(count(lit(1)).as("class_size"), min(col("doc_id")).as("keeper"))
+      .localCheckpoint()
+    // symmetric neighbor edges from the verified hash pairs (classes
+    // already carries one row per (w, h, ahash) — the inner distinct is
+    // a no-op on it)
+    val pairs = nearDupHashPairs(classes)
+    val edges = pairs.select(col("w"), col("h"), col("ha").as("ahash"),
+        col("hb").as("nb"))
+      .union(pairs.select(col("w"), col("h"), col("hb").as("ahash"),
+        col("ha").as("nb")))
+    val nbStats = edges
+      .join(classes.select(col("w"), col("h"), col("ahash").as("nb"),
+        col("class_size").as("nb_size")), Seq("w", "h", "nb"))
+      .groupBy(col("w"), col("h"), col("ahash"))
+      .agg(count(lit(1)).as("n_near_classes"),
+        sum(col("nb_size")).as("n_near_docs"))
+    classes.join(nbStats, Seq("w", "h", "ahash"), "left")
+      .select(col("w").cast(LongType).as("w"),
+        col("h").cast(LongType).as("h"), col("ahash"),
+        col("class_size"), col("keeper"),
+        coalesce(col("n_near_classes"), lit(0L)).as("n_near_classes"),
+        coalesce(col("n_near_docs"), lit(0L)).as("n_near_docs"))
+      .orderBy("w", "h", "ahash")
   }
 
   /** Frame row emitted by [[sampleFrames]]. */

@@ -174,7 +174,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_fingerprint_dedup", "q_intradoc_dedup", "q_ngram_jaccard",
     "q_dup_span_removal", "q_tfidf_top_terms", "q_collocations",
     "q_token_budget_by_lang", "q_sequence_packing", "q_doc_chunks",
-    "q_media_frames", "q_media_neardups", "q_compression_dist", "q_pii_scrub",
+    "q_media_frames", "q_media_neardups", "q_media_dup_classes",
+    "q_compression_dist", "q_pii_scrub",
     "q_train_test_split", "q_phrase_search", "q_contamination_scrub",
     "q_winnowing", "q_lang_temperature_mix", "q_gopher_rules",
     "q_gopher_by_source",
@@ -450,7 +451,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_intradoc_dedup", "q_unit_filter", "q_sequence_packing",
     "q_doc_chunks", "q_stratified_sample", "q_media_meta",
     "q_media_frames", "q_media_decode", "q_media_decode_real",
-    "q_media_ahash", "q_media_neardups",
+    "q_media_ahash", "q_media_neardups", "q_media_dup_classes",
     "q_compression_dist", "q_winnowing", "q_winnowing_pairs",
     "q_lang_temperature_mix",
     "q_gopher_rules", "q_gopher_by_source", "q_kn_continuations",

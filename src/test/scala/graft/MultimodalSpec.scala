@@ -152,6 +152,32 @@ class MultimodalSpec extends SparkSpec {
       s"planted near-dup pair must surface: $got")
   }
 
+  test("mediaDupClasses ≡ a driver-side replay: identical-hash classes " +
+      "with keeper and radius-bounded neighborhood counts") {
+    val ids = (0L until 430L).toDF("doc_id")
+    val hs = Multimodal.averageHashDims(spark,
+        Multimodal.synthesizeNearDupPng(spark, ids))
+      .collect().filter(_.n_px >= Multimodal.AHashBits)
+    val classes = hs.groupBy(r => (r.w, r.h, r.ahash)).map {
+      case ((w, h, ah), members) =>
+        (w.toLong, h.toLong, ah, members.length.toLong,
+          members.map(_.doc_id).min)
+    }.toSeq
+    val want = classes.map { case (w, h, ah, size, keeper) =>
+      val nbs = classes.filter(c => c._1 == w && c._2 == h &&
+        c._3 != ah &&
+        java.lang.Long.bitCount(c._3 ^ ah) <= Multimodal.NearDupRadius)
+      (w, h, ah, size, keeper, nbs.size.toLong, nbs.map(_._4).sum)
+    }.sortBy(c => (c._1, c._2, c._3))
+    val got = Multimodal.mediaDupClasses(spark, ids)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.size} classes want ${want.size}")
+    // the corpus has at least one multi-member class and one class with
+    // a non-empty neighborhood (otherwise the test demonstrates nothing)
+    assert(got.exists(_._4 > 1L), "expect a multi-member class")
+    assert(got.exists(_._6 > 0L), "expect a near-dup neighborhood")
+  }
+
   test("synthesizePng payloads are stable across invocations (the PNG " +
       "writer is deterministic)") {
     val docs = Sources.table(spark, sf("sf0.001"), "documents").limit(5)
