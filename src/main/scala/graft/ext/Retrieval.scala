@@ -349,15 +349,12 @@ object Retrieval {
       // entry's contribution. ≤ |terms| rows to the driver.
       // topKPerGroup re-emits the score as DOUBLE (exact for micro
       // longs < 2^53) — cast back for the driver read
-      val bounds = topB.groupBy("tok")
+      val boundsDf = topB.groupBy("tok")
         .agg(max(col("rank")).as("mr"),
           max(when(col("rank") === b, col("c_micro"))).cast("long")
             .as("at_b"))
-        .collect().map { r =>
-          val exhausted = r.getLong(1) < b
-          r.getString(0) ->
-            (if (exhausted) 0L else r.getLong(2), exhausted)
-        }.toMap
+        .select(lit("t").as("kind"), col("tok").as("key"),
+          col("mr").cast("long").as("v1"), col("at_b").as("v2"))
       val cand = topB.join(qt, Seq("tok"))
         .select(col("query_id"), col("doc_id")).distinct()
       // exact candidate scores: the (|Q|·terms·B)-bounded candidate×term
@@ -374,9 +371,30 @@ object Retrieval {
         .agg(sum(col("c_micro")).cast("long").as("score_micro"))
       val topk =
         TopK.topKPerGroup(scores, "query_id", "score_micro", "doc_id", k)
-      val kth = topk.filter(col("rank") === k)
-        .select(col("query_id"), col("score_micro").cast("long"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ONE driver action per round (r17): the per-term bounds and the
+      // per-query k-th scores ride a single union collect — the bounds
+      // job only re-read the topB checkpoint, so as a separate action
+      // it was pure job-coordination latency (~one scheduling floor per
+      // round; at the gate corpus the plateau loop runs ~8 rounds, all
+      // of them coordination-bound — cpu_par 0.36 in BENCH r17). Both
+      // halves stay ≤ |terms| + |queries| rows (the bounded-scalar
+      // rule); query_id rides the string key column and round-trips
+      // exactly (a decimal-rendered long).
+      val certRows = boundsDf.unionAll(
+        topk.filter(col("rank") === k)
+          .select(lit("q").as("kind"),
+            col("query_id").cast("string").as("key"),
+            col("score_micro").cast("long").as("v1"),
+            lit(null).cast("long").as("v2")))
+        .collect()
+      val bounds = certRows.iterator.filter(_.getString(0) == "t").map {
+        r =>
+          val exhausted = r.getLong(2) < b
+          r.getString(1) ->
+            (if (exhausted) 0L else r.getLong(3), exhausted)
+      }.toMap
+      val kth = certRows.iterator.filter(_.getString(0) == "q")
+        .map(r => r.getString(1).toLong -> r.getLong(2)).toMap
       var anyByBound = false
       val unterminated = qTermsOf.keys.filter { q =>
         val ts = qTermsOf(q)
