@@ -205,8 +205,9 @@ object Retrieval {
   }
 
   /** Initial per-term posting-prefix depth of [[bm25SearchPruned]];
-    * doubles until the termination certificate holds. ≥ [[Bm25TopK]] so
-    * one round usually suffices on score distributions with any spread. */
+    * grows (×2 then ×4 per failed round) until the termination
+    * certificate holds. ≥ [[Bm25TopK]] so one round usually suffices on
+    * score distributions with any spread. */
   val MaxScorePrefixB = 64
 
   /** Certification-loop diagnostics of ONE [[bm25SearchPrunedDiag]]
@@ -257,9 +258,13 @@ object Retrieval {
     *     oracle VERBATIM (the shared-oracle equivalence discipline): the
     *     hash gate certifies pruning losslessness, the q_zorder_prune
     *     pattern.
-    *  5. Queries whose certificate fails double B and re-check (driver
-    *     loop over a ≤ |queries|-row collect — the bounded-scalar rule);
-    *     exhaustion guarantees termination at B ≥ max df.
+    *  5. Queries whose certificate fails grow B and re-check (driver
+    *     loop over a ≤ |queries|-row collect — the bounded-scalar rule):
+    *     ×2 after the first failed round, ×4 thereafter (plateau corpora
+    *     reach the exhaustion clamp in ~log₄ rounds with Σ Bᵢ ≤ 4/3 of
+    *     the final round vs pure doubling's log₂ rounds and 2×; the
+    *     spread regime keeps its round-one exit). Exhaustion guarantees
+    *     termination at B ≥ max df.
     *
     * Scale: corpus-sized work is ONE tokenize + tf aggregate and one
     * bounded-heap prefix aggregate, both |Q|-independent; everything
@@ -331,6 +336,18 @@ object Retrieval {
         "use bm25Search for this corpus/term mix")
     val bCeil = (maxDf + 1L).toInt
     var b = math.max(initialB, k)
+    // ESCALATING prefix schedule (r17): ×2 after the first failed
+    // round, ×4 thereafter. Any schedule is EXACT (the certificate is
+    // checked per round; exhaustion clamps at bCeil), so the schedule
+    // is purely a cost knob: the spread regime keeps its round-one
+    // exit and a cheap 2× second probe, while plateau corpora — where
+    // bound-certification never fires and termination is exhaustion
+    // regardless — reach the clamp in ~log₄ rounds with total prefix
+    // work Σ Bᵢ ≤ 4/3 · B_final (pure doubling pays log₂ rounds and
+    // 2 · B_final). The loss case is a corpus that would certify at
+    // exactly 2× an intermediate B: it overshoots one round by ≤ 4×
+    // (vs doubling's 2×), bounded and linear in the final round.
+    var bMult = 2L
     var prev: DataFrame = null
     var result: DataFrame = null
     var diag: PrunedDiag = null
@@ -412,7 +429,10 @@ object Retrieval {
             (col("score_micro").cast("double") / lit(1000000.0))
               .as("score"))
           .orderBy("query_id", "rank")
-      } else b = math.min(b.toLong * 2L, bCeil.toLong).toInt
+      } else {
+        b = math.min(b.toLong * bMult, bCeil.toLong).toInt
+        bMult = 4L
+      }
     }
     (result, diag)
   }

@@ -173,6 +173,29 @@ class RetrievalSpec extends SparkSpec {
       "termination must come from the strict bound, not exhaustion")
   }
 
+  test("bm25SearchPruned: the escalating prefix schedule (×2 then ×4) " +
+      "reaches exhaustion on a plateau corpus in the log₄ round count") {
+    // 40 identical docs, df = 40, bCeil = 41; b starts at
+    // max(initialB = 4, k = Bm25TopK = 10) = 10. Schedule: 10 (fail,
+    // all scores tie so the strict bound can never hold) → ×2 = 20
+    // (fail) → ×4 = 80, clamped to 41 → every term exhausted (max
+    // rank 40 < 41): THREE rounds, where pure doubling paid four
+    // (10, 20, 40 — NOT exhausted at B = 40 since rank 40 = B — 41).
+    val d = spark.range(40).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("spark join hash table")
+        .as("text"))
+    val idf = Retrieval.trainBm25Idf(d, Seq("spark", "hash")).toMap
+    val qt = Seq((1L, "spark", idf("spark")), (1L, "hash", idf("hash")))
+    val exact = Retrieval.bm25Search(d, qt).collect().toSeq
+    val (prunedDf, diag) = Retrieval.bm25SearchPrunedDiag(d, qt,
+      initialB = 4)
+    assert(prunedDf.collect().toSeq == exact)
+    assert(diag.rounds == 3,
+      s"escalating schedule should exhaust in 3 rounds, got $diag")
+    assert(diag.finalB == 41, s"final B must be the bCeil clamp: $diag")
+    assert(!diag.byBound, "termination must be exhaustion on ties")
+  }
+
   test("bm25SearchPruned plan: the corpus-side contribution frame " +
       "never re-shuffles for candidate scoring (broadcast candidates), " +
       "never a cartesian product") {
