@@ -285,6 +285,15 @@ object Bench {
     val slowestEntries = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
     val slowest = slowestEntries
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // PER-QUERY seconds as ONE compact JSON line of their own (r17 verdict
+    // #2): the driver's tail capture truncated mid-way through the full
+    // record line above (7 per-query maps ≈ 50 KB), so its round-over-round
+    // per-query diff came up empty (PERF_r17 n_common=0). This line carries
+    // ONLY the {name: sec} map (3dp — ~6 KB for 268 entries, the r8
+    // tail-capture bound), key-sorted like every other per-query record,
+    // with the same headline totals so a parser looking for
+    // metric/value/unit/queries/sf finds them all in one bounded line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"total_comparable":${failures == 0},"sf":"$sfDir","queries":${passMap(results)}}""")
     // capacity evidence rides WITH the perf signal: each slowest entry's
     // steady-pass cpu_par, so a tail-capture reader can tell "host
     // withheld cores" from "plan did more work" without the full record

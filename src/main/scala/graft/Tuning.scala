@@ -46,6 +46,24 @@ object Tuning {
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     "spark.sql.parquet.compression.codec" -> "zstd")
 
+  /** `spark.sql.files.maxRecordsPerFile` for a parquet write targeting
+    * ~`targetFileBytes` per output file, derived from the OBSERVED
+    * on-disk row width of already-landed data (metered bytes ÷ parquet
+    * footer row count — see `Sinks.observedRowWidth`), never from a
+    * local constant (r17 verdict #7): at 100 TB a task can hold many
+    * times the target per partition value, and without the cap the
+    * warehouse's `(event_date, ingest_batch)` files grow with batch
+    * size instead of staying scan-friendly. Returns 0 (= Spark's
+    * "no cap") when nothing has been observed yet — the first batch
+    * lands unsplit and becomes the next batch's observation. Long
+    * arithmetic via BigInt so petabyte observations cannot overflow
+    * into a tiny cap (the [[shufflePartitions]] discipline). */
+  def maxRecordsPerFile(observedBytes: Long, observedRows: Long,
+      targetFileBytes: Long = 128L << 20): Long =
+    if (observedRows <= 0 || observedBytes <= 0 || targetFileBytes <= 0) 0L
+    else (BigInt(targetFileBytes) * observedRows / observedBytes)
+      .max(1).min(Long.MaxValue).toLong
+
   /** Status-store retention caps for LONG-LIVED driver JVMs (the local
     * multi-query harnesses AND any production driver that runs hundreds
     * of queries in one session). Even with the UI disabled, Spark's

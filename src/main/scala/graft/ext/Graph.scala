@@ -17,6 +17,24 @@ import org.apache.spark.sql.graft.ColumnBridge
   * loop. */
 object Graph {
 
+  /** Measurement-only in-loop plan capture (env `GRAFT_GRAPH_ROUND_PLANS`
+    * = target dir): the per-round `localCheckpoint` SEVERS lineage (r13
+    * rule), so the committed post-loop plan dumps cannot show whether the
+    * pre-partitioned edge list is re-exchanged inside the loop — this
+    * writes the EXECUTED plan of each round's update frame (captured
+    * right after the eager checkpoint ran it) so the claim is provable
+    * from a committed artifact (r17 verdict #3). Off by default. */
+  private val roundPlanDir = sys.env.get("GRAFT_GRAPH_ROUND_PLANS")
+  private def dumpRoundPlan(algo: String, round: Int,
+      df: DataFrame): Unit =
+    roundPlanDir.foreach { dir =>
+      val p = java.nio.file.Paths.get(dir, s"${algo}_round$round.txt")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .getBytes("UTF-8"))
+    }
+
   /** Bounded-iteration PageRank (Page et al. 1999 / the classic power
     * iteration) over a DIRECTED edge list `(src, dst)`; symmetrize the
     * edges first for an undirected graph.
@@ -140,7 +158,7 @@ object Graph {
     val teleport = ((dampDen - dampNum) * s / dampDen) / n
 
     var ranks = nodes.select(col("node"), lit(s / n).as("r"))
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val contribs = sym
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .join(outDeg, "src")
@@ -149,7 +167,7 @@ object Graph {
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
       val prev = ranks
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left_outer")
         .groupBy("node")
         .agg(coalesce(sum(col("c")), lit(0L)).as("inflow"))
@@ -158,7 +176,8 @@ object Graph {
           (lit(teleport) +
             expr(s"($dampNum * (inflow + dm div $n)) div $dampDen"))
             .as("r"))
-        .localCheckpoint()
+      ranks = next.localCheckpoint()
+      dumpRoundPlan("pagerank", round, next)
       // superseded round's blocks release deterministically (pageRank's
       // storage-region discipline; round 0 no-ops)
       ColumnBridge.releaseLocalCheckpoint(prev)
@@ -215,7 +234,7 @@ object Graph {
       .select(col("node"),
         when(col("is_seed").isNotNull, lit(s / k)).otherwise(lit(0L))
           .as("r"))
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val contribs = sym
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .join(outDeg, "src")
@@ -224,7 +243,7 @@ object Graph {
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
       val prev = ranks
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left_outer")
         .groupBy("node")
         .agg(coalesce(sum(col("c")), lit(0L)).as("inflow"))
@@ -236,7 +255,8 @@ object Graph {
             expr(s"($dampNum * (inflow + " +
               s"if(is_seed is not null, dm div ${k}L, 0L))) div $dampDen"))
             .as("r"))
-        .localCheckpoint()
+      ranks = next.localCheckpoint()
+      dumpRoundPlan("ppr", round, next)
       ColumnBridge.releaseLocalCheckpoint(prev)
     }
     ranks.select(col("node"), col("r").as("rank_fp"))

@@ -392,8 +392,10 @@ object Retrieval {
       // per-query k-th scores ride a single union collect — the bounds
       // job only re-read the topB checkpoint, so as a separate action
       // it was pure job-coordination latency (~one scheduling floor per
-      // round; at the gate corpus the plateau loop runs ~8 rounds, all
-      // of them coordination-bound — cpu_par 0.36 in BENCH r17). Both
+      // round; under the former pure-doubling schedule the plateau loop
+      // ran ~8 coordination-bound rounds at the gate corpus — cpu_par
+      // 0.36, BENCH r17 pre-fix; the ×2-then-×4 escalation below cut
+      // that to ~log₄ rounds). Both
       // halves stay ≤ |terms| + |queries| rows (the bounded-scalar
       // rule); query_id rides the string key column and round-trips
       // exactly (a decimal-rendered long).

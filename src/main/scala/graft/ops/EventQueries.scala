@@ -323,11 +323,29 @@ object EventQueries {
     * Quintiles are ARITHMETIC over the distributed global ordinal
     * ([[Ordinals.globalRowNumbers]] — range-repartition + bounded offset
     * frame): q = ((rn-1)·5) div n + 1. A window `ntile(5)` would force
-    * the whole user frame through ONE task's sort; three ordinal passes
-    * keep every step partitioned, and the arithmetic form is exactly
-    * mirrorable (integer floor-div in both engines). Ties break on
-    * user_id — a total order, so the gate certifies the ordinal
-    * machinery once more, now over three different sort keys. */
+    * the whole user frame through ONE task's sort; the ordinal pass
+    * keeps every step partitioned, and the arithmetic form is exactly
+    * mirrorable (integer floor-div in both engines).
+    *
+    * The three ordinals ride ONE tagged-union pass (r18; the
+    * q_token_budget / globalRunningSums discipline): each user row is
+    * exploded into (kind ∈ 0,1,2; key) rows where the key encodes that
+    * dimension's sort value as a DOUBLE — exact and order-preserving
+    * (−recency and frequency are ints < 2^53; monetary is already a
+    * 2dp-rounded double) — and one global row_number over
+    * (kind, key NULLS LAST, user_id) numbers all three dimensions at
+    * once. Kind blocks are contiguous with exactly n_users rows each, so
+    * the per-dimension ordinal is rn − kind·n_users, and a per-user
+    * pivot re-assembles the row. This replaces THREE range exchanges +
+    * eager checkpoints (three driver-side global sync barriers — the
+    * entry was the suite's noisiest latency-bound residual, cpu_par
+    * 0.23) with ONE, for one extra map-side ×3 explode and one bounded
+    * hash aggregate. Null keys sort last within their kind in BOTH
+    * engines (asc_nulls_last here ≡ the originals: recency desc is
+    * NULLS LAST in Spark, monetary was pinned asc_nulls_last; DuckDB
+    * ASC defaults NULLS LAST). Ties break on user_id — a total order,
+    * so the gate certifies the ordinal machinery once more, now over a
+    * three-block composite sort key. */
   def rfmSegments(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
     val base = p.groupBy(col("user_id"))
@@ -339,18 +357,29 @@ object EventQueries {
     val rfm = base.crossJoin(broadcast(anchor))
       .withColumn("recency", datediff(col("anchor"), col("last_day")))
       .drop("anchor", "last_day")
-    val withR = Ordinals.globalRowNumbers(rfm,
-      Seq(col("recency").desc, col("user_id")), "r_rn")
-    val withF = Ordinals.globalRowNumbers(withR,
-      Seq(col("frequency"), col("user_id")), "f_rn")
-    // NULLS LAST pinned: an all-NULL-valued user's monetary is null;
-    // DuckDB's ascending row_number puts it LAST, Spark's default FIRST
-    val withM = Ordinals.globalRowNumbers(withF,
-      Seq(col("monetary").asc_nulls_last, col("user_id")), "m_rn")
-    withM
-      .withColumn("r_q", expr("(r_rn - 1) * 5 div n_users + 1"))
-      .withColumn("f_q", expr("(f_rn - 1) * 5 div n_users + 1"))
-      .withColumn("m_q", expr("(m_rn - 1) * 5 div n_users + 1"))
+    val tagged = rfm.select(col("user_id"), col("recency"),
+        col("frequency"), col("monetary"), col("n_users"),
+        explode(array(
+          struct(lit(0L).as("kind"),
+            (-col("recency")).cast("double").as("key")),
+          struct(lit(1L).as("kind"),
+            col("frequency").cast("double").as("key")),
+          struct(lit(2L).as("kind"),
+            col("monetary").cast("double").as("key")))).as("t"))
+      .select(col("user_id"), col("recency"), col("frequency"),
+        col("monetary"), col("n_users"),
+        col("t.kind").as("kind"), col("t.key").as("key"))
+    val numbered = Ordinals.globalRowNumbers(tagged,
+      Seq(col("kind"), col("key").asc_nulls_last, col("user_id")), "rn")
+      .withColumn("q",
+        expr("(rn - kind * n_users - 1) * 5 div n_users + 1"))
+    numbered.groupBy("user_id")
+      .agg(max(col("recency")).as("recency"),
+        max(col("frequency")).as("frequency"),
+        max(col("monetary")).as("monetary"),
+        max(when(col("kind") === 0L, col("q"))).as("r_q"),
+        max(when(col("kind") === 1L, col("q"))).as("f_q"),
+        max(when(col("kind") === 2L, col("q"))).as("m_q"))
       .select(col("user_id"), col("recency"), col("frequency"),
         col("monetary"), col("r_q"), col("f_q"), col("m_q"),
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))

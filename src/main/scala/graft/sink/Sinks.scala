@@ -270,8 +270,17 @@ object Sinks {
       }
     val stamped = valid.withColumn("event_date", to_date(col("ts")))
       .withColumn("ingest_batch", lit(batchKey))
+    // output file sizing from METERED input bytes (r17 verdict #7): the
+    // per-file record cap derives from the raw table's own observed
+    // on-disk row width (footer rows ÷ bytes, bounded sample), so at
+    // 100 TB a huge batch splits into ~128 MB files instead of one file
+    // per (task, day); 0 before the first batch lands = Spark's "no
+    // cap", and small local batches never reach the cap — the bench's
+    // behavior is unchanged at test SF.
     stamped.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile",
+        derivedMaxRecordsPerFile(spark, rawPath).toString)
       .partitionBy("event_date", "ingest_batch").parquet(rawPath)
     if (incremental) {
       val days = stamped.select("event_date").distinct()
@@ -779,6 +788,59 @@ object Sinks {
 
   private def targetFileCount(bytes: Long, targetBytes: Long): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+  /** OBSERVED on-disk parquet row width of `path`: (bytes, rows) summed
+    * over up to `sampleFiles` part files (deterministic path order), rows
+    * from the parquet FOOTERS — driver-side metadata reads only, no job
+    * (the `ColumnBridge.parquetScanRowCount` discipline, but sampled so
+    * the probe stays bounded however many files the table accumulates).
+    * None when the path has no non-empty parquet files yet, or on any
+    * footer-read failure (callers fall back to "no cap"). Feeds
+    * [[graft.Tuning.maxRecordsPerFile]] so output file sizing derives
+    * from METERED input bytes, not a local constant (r17 verdict #7). */
+  def observedRowWidth(spark: org.apache.spark.sql.SparkSession,
+      path: String, sampleFiles: Int = 64): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val files = {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p) &&
+          java.nio.file.Files.size(p) > 0)
+        .toSeq.sortBy(_.toString).take(sampleFiles)
+      finally walk.close()
+    }
+    if (files.isEmpty) None
+    else try {
+      val conf = spark.sessionState.newHadoopConf()
+      var bytes = 0L; var rows = 0L
+      files.foreach { f =>
+        bytes += java.nio.file.Files.size(f)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val it = r.getFooter.getBlocks.iterator()
+          while (it.hasNext) rows += it.next().getRowCount
+        } finally r.close()
+      }
+      if (rows <= 0) None else Some((bytes, rows))
+    } catch { case _: Throwable => None }
+  }
+
+  /** [[graft.Tuning.maxRecordsPerFile]] over [[observedRowWidth]] of an
+    * existing parquet path: the per-write file-size cap the warehouse
+    * writers apply, derived from what the SAME table's data actually
+    * compresses to. 0 (no cap) until the first batch lands. */
+  def derivedMaxRecordsPerFile(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): Long =
+    observedRowWidth(spark, path) match {
+      case Some((bytes, rows)) =>
+        graft.Tuning.maxRecordsPerFile(bytes, rows, targetFileBytes)
+      case None => 0L
+    }
 
   private def parquetBytes(dir: java.nio.file.Path): Long = {
     import scala.jdk.CollectionConverters._

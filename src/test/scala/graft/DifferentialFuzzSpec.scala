@@ -32,10 +32,10 @@ import org.apache.spark.sql.functions._
   * ~frames·subset/|queries| frames drawn without correlation. A failure
   * prints the frame seed — `genFrame(seed)` reproduces the exact input.
   */
-class DifferentialFuzzSpec extends SparkSpec {
+abstract class DifferentialFuzzBase extends SparkSpec {
   import spark.implicits._
 
-  private val duckdbAvailable =
+  protected val duckdbAvailable =
     try scala.sys.process.Process(
       Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: Throwable => false }
@@ -46,7 +46,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   private val repoRoot = new java.io.File(sys.props("user.dir"))
 
   /** Events-only, hash-gated, arithmetic-heavy entries. */
-  private val FuzzQueries = Vector(
+  protected val FuzzQueries = Vector(
     "q_daily_revenue", "q_avg_order_value_daily", "q_ewma_revenue",
     "q_holt_trend", "q_backlog_queue", "q_benford", "q_ab_test",
     "q_mad_anomalies", "q_revenue_anomalies", "q_revenue_dod",
@@ -58,13 +58,13 @@ class DifferentialFuzzSpec extends SparkSpec {
   // 50 per family × 5 families (EVENT / DOCUMENT / threshold-BOUNDARY /
   // ORDERS+LINEITEM / EMBEDDING) = 250 frames per suite run (the round-10
   // verdict asked for ≥100); GRAFT_FUZZ_FRAMES raises it for harvest runs
-  private val Frames =
+  protected val Frames =
     sys.env.get("GRAFT_FUZZ_FRAMES").map(_.toInt).getOrElse(50)
   private val QueriesPerFrame = 4
 
   /** Deterministic random event frame for `seed` (reproduce any failure
     * with the printed seed). */
-  private def genFrame(seed: Int, n: Int = 220, users: Int = 30,
+  protected def genFrame(seed: Int, n: Int = 220, users: Int = 30,
       days: Int = 6): DataFrame = {
     val r = new scala.util.Random(seed)
     val types = Vector("view", "click", "purchase", "signup", "error")
@@ -124,7 +124,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     * (it is a def) so data-dependent generated mirrors — planted-counts
     * CTEs like q_compression_dist — are keyed to the fuzz frame, exactly
     * as in the Verify ordering. */
-  private def runFuzz(frames: Int,
+  protected def runFuzz(frames: Int,
       gen: Int => Seq[(String, DataFrame)],
       fuzzQueries: Vector[String]): Unit = {
     val queries = SparkEntry.queries
@@ -157,18 +157,13 @@ class DifferentialFuzzSpec extends SparkSpec {
       s"${failures.size} fuzz frames diverged:\n${failures.mkString("\n")}")
   }
 
-  test(s"differential fuzz: $Frames seeded random EVENT frames hash-match " +
-      "DuckDB on the arithmetic-heavy gated queries") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, s => Seq("events" -> genFrame(s)), FuzzQueries)
-  }
 
   // ---- document-frame fuzzing: the text machinery (tokenization, null
   // handling, shingles, span removal, TF-IDF, budgets) has historically
   // been the richest source of cross-engine traps ----
 
   /** Documents-only, hash-gated, untrained text queries. */
-  private val DocFuzzQueries = Vector(
+  protected val DocFuzzQueries = Vector(
     "q_token_stats", "q_doc_quality", "q_lang_id", "q_readability",
     "q_text_normalize", "q_normalized_dedup", "q_dedup_exact",
     "q_fingerprint_dedup", "q_intradoc_dedup", "q_ngram_jaccard",
@@ -189,7 +184,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     * repeated-token runs, PII-looking tokens, empty texts, null langs —
     * ASCII-only on purpose (DuckDB `strlen` is BYTES; the byte↔char
     * question is pinned separately, not fuzzed). */
-  private def genDocFrame(seed: Int, n: Int = 120): DataFrame = {
+  protected def genDocFrame(seed: Int, n: Int = 120): DataFrame = {
     val r = new scala.util.Random(0x5EED0000 + seed)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "model", "data", "train", "line", "graph", "the", "a", "of", "and",
@@ -222,11 +217,6 @@ class DifferentialFuzzSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  test(s"differential fuzz: $Frames seeded random DOCUMENT frames " +
-      "hash-match DuckDB on the text-pipeline gated queries") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, s => Seq("documents" -> genDocFrame(s)), DocFuzzQueries)
-  }
 
   // ---- planted threshold-boundary pair frames: the exact pair family's
   // integer threshold arithmetic (prefix length, PPJoin length/positional
@@ -234,7 +224,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   // where a one-ulp or off-by-one defect flips a pair in or out ----
 
   /** Exact pair-family gated queries the boundary frames target. */
-  private val PairBoundaryQueries = Vector(
+  protected val PairBoundaryQueries = Vector(
     "q_ngram_jaccard", "q_jaccard_prefix", "q_jaccard_curve",
     "q_containment_pairs", "q_tfidf_pairs")
 
@@ -247,7 +237,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     * boundary when b = 0). Plus: an all-identical block (J = 1, max
     * candidate mass), an exact-width doc (1 shingle), a sub-width doc
     * (no shingles), an empty and a null text. */
-  private def genBoundaryPairFrame(seed: Int): DataFrame = {
+  protected def genBoundaryPairFrame(seed: Int): DataFrame = {
     val r = new scala.util.Random(0xB0DA0000 + seed)
     val w = graft.ext.Dedup.JaccardShingleWidth
     val rows = collection.mutable.ArrayBuffer[
@@ -276,12 +266,6 @@ class DifferentialFuzzSpec extends SparkSpec {
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
-  test(s"differential fuzz: $Frames planted threshold-boundary pair " +
-      "frames hash-match DuckDB on the exact pair family") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, s => Seq("documents" -> genBoundaryPairFrame(s)),
-      PairBoundaryQueries)
-  }
 
   // ---- relational (lineitem + orders) fuzzing: the TPC-H-shape family —
   // decimal money sums, date-window predicates, outer-join count
@@ -289,7 +273,7 @@ class DifferentialFuzzSpec extends SparkSpec {
 
   /** Gated queries over the relational star (dims stay the real sf0.001
     * tables; generated fact keys land inside their domains). */
-  private val RelFuzzQueries = Vector(
+  protected val RelFuzzQueries = Vector(
     "q_pricing_summary", "q_returned_items", "q_small_qty_revenue",
     "q_large_orders", "q_order_priority", "q_order_count_dist",
     "q_ship_latency_priority", "q_top_orders", "q_market_share",
@@ -306,7 +290,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     * so year-literal predicates select non-trivially; money mixes exact
     * 2dp values with full-mantissa doubles; discounts/taxes are the
     * TPC-H 0.00-0.10 / 0.00-0.08 cent steps. */
-  private def genRelFrames(seed: Int,
+  protected def genRelFrames(seed: Int,
       nOrders: Int = 150): Seq[(String, DataFrame)] = {
     val r = new scala.util.Random(0x07DE7000 + seed)
     val prios = Vector("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
@@ -347,16 +331,11 @@ class DifferentialFuzzSpec extends SparkSpec {
     Seq("orders" -> ordersDf, "lineitem" -> linesDf)
   }
 
-  test(s"differential fuzz: $Frames seeded random ORDERS+LINEITEM frames " +
-      "hash-match DuckDB on the relational gated queries") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, genRelFrames(_), RelFuzzQueries)
-  }
 
   // ---- embedding fuzzing: float→double casts, dot/norm accumulation,
   // cosine tie-breaks — the similarity family's exact-arithmetic mirrors ----
 
-  private val VecFuzzQueries = Vector(
+  protected val VecFuzzQueries = Vector(
     "q_knn_all", "q_knn_cosine", "q_knn_batch", "q_label_centroids",
     "q_centroid_sim", "q_label_balance", "q_hard_negatives",
     "q_hard_negatives_ann", "q_hard_negatives_ann_pq", "q_hybrid_search",
@@ -368,7 +347,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     * values, a few zero vectors (zero-norm edge), duplicate vectors
     * (cosine ties exercising the nn_id tiebreak), labels 0-9. Queries
     * here are O(n²·d), so the frames stay small. */
-  private def genVecFrame(seed: Int, n: Int = 40): DataFrame = {
+  protected def genVecFrame(seed: Int, n: Int = 40): DataFrame = {
     val r = new scala.util.Random(0x7EC70000 + seed)
     val vecs = new Array[Array[Float]](n)
     (0 until n).foreach { i =>
@@ -384,11 +363,6 @@ class DifferentialFuzzSpec extends SparkSpec {
         col("label"))
   }
 
-  test(s"differential fuzz: $Frames seeded random EMBEDDING frames " +
-      "hash-match DuckDB on the similarity gated queries") {
-    assume(duckdbAvailable, "python3 + duckdb not available in this env")
-    runFuzz(Frames, s => Seq("embeddings" -> genVecFrame(s)), VecFuzzQueries)
-  }
 
   // ---- edge-frame sweeps: EVERY gated events-/documents-only entry runs
   // once per suite against one adversarial random frame — breadth to the
@@ -396,7 +370,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   // frame now fails CI, not just the arithmetic-heavy rotation) ----
 
   /** All gated events-only entries (the `ev(...)` wrapper set). */
-  private val AllEventQueries = Vector(
+  protected val AllEventQueries = Vector(
     "q_daily_revenue", "q_revenue_anomalies", "q_rfm_segments",
     "q_basket_pairs", "q_assoc_rules", "q_weekday_seasonality",
     "q_interpurchase_gaps", "q_revenue_concentration",
@@ -434,7 +408,7 @@ class DifferentialFuzzSpec extends SparkSpec {
   /** All gated documents-only entries (the `docs(...)` wrapper set minus
     * the trained-artifact families, which cache per sfDir and would
     * retrain against every temp frame). */
-  private val AllDocQueries = Vector(
+  protected val AllDocQueries = Vector(
     "q_phrase_search", "q_pps_sample", "q_export_shards", "q_readability",
     "q_dedup_exact", "q_ngram_jaccard", "q_jaccard_curve",
     "q_dup_ngram_spans", "q_dup_span_removal", "q_dup_clusters",
@@ -463,7 +437,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     "q_prf_expansion", "q_textrank_keywords")
 
   /** One frame, the full query list, one oracle invocation. */
-  private def sweep(frames: Seq[(String, DataFrame)],
+  protected def sweep(frames: Seq[(String, DataFrame)],
       queries: Vector[String]): Unit = {
     val dir = fuzzDir(frames)
     val out = Files.createTempDirectory("graft-sweep-out")
@@ -485,6 +459,76 @@ class DifferentialFuzzSpec extends SparkSpec {
     } finally { Fs.deleteQuietly(dir); Fs.deleteQuietly(out) }
   }
 
+
+
+  /** Every gated STREAMING entry: the stream harness replays the fuzz
+    * frame's parquet through the real file-stream machinery (sentinel
+    * finalization, watermarks, keyed state) — streaming-vs-oracle parity
+    * over an arbitrary random frame, not just the driver corpus. */
+  protected val AllStreamQueries = Vector(
+    "q_stream_funnel", "q_stream_daily_revenue",
+    "q_stream_daily_revenue_append", "q_stream_dau", "q_stream_dau_ttl",
+    "q_stream_weekday", "q_stream_benford", "q_stream_top_categories",
+    "q_stream_segment_revenue", "q_stream_sessions",
+    "q_stream_sessions_append", "q_stream_sliding_revenue",
+    "q_stream_event_transitions", "q_stream_event_transitions_ttl",
+    "q_stream_velocity", "q_stream_velocity_ttl", "q_stream_user_streaks",
+    "q_stream_user_streaks_ttl", "q_stream_survival",
+    "q_stream_attribution", "q_stream_abandoned_views",
+    "q_stream_quarantine", "q_stream_mv_incremental", "q_stream_doc_dedup",
+    "q_stream_contamination")
+
+}
+
+/** The differential-fuzz surface is split into INDEPENDENT leaf suites
+  * (one abstract machinery base, zero coverage change) so sbt's parallel
+  * forked test groups can schedule them concurrently — as one monolithic
+  * suite it owned ~19 of the test run's ~36 minutes and serialized the
+  * whole budget (r18; the r17 verdict's "make the suite fit the driver's
+  * test budget" ask). Frame counts, seeds, generators and query lists
+  * are UNCHANGED — see [[DifferentialFuzzBase]]. */
+class DifferentialFuzzEventsSpec extends DifferentialFuzzBase {
+  test(s"differential fuzz: $Frames seeded random EVENT frames hash-match " +
+      "DuckDB on the arithmetic-heavy gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("events" -> genFrame(s)), FuzzQueries)
+  }
+}
+
+class DifferentialFuzzDocsSpec extends DifferentialFuzzBase {
+  test(s"differential fuzz: $Frames seeded random DOCUMENT frames " +
+      "hash-match DuckDB on the text-pipeline gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("documents" -> genDocFrame(s)), DocFuzzQueries)
+  }
+}
+
+class DifferentialFuzzPairBoundarySpec extends DifferentialFuzzBase {
+  test(s"differential fuzz: $Frames planted threshold-boundary pair " +
+      "frames hash-match DuckDB on the exact pair family") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("documents" -> genBoundaryPairFrame(s)),
+      PairBoundaryQueries)
+  }
+}
+
+class DifferentialFuzzRelationalSpec extends DifferentialFuzzBase {
+  test(s"differential fuzz: $Frames seeded random ORDERS+LINEITEM frames " +
+      "hash-match DuckDB on the relational gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, genRelFrames(_), RelFuzzQueries)
+  }
+}
+
+class DifferentialFuzzEmbeddingSpec extends DifferentialFuzzBase {
+  test(s"differential fuzz: $Frames seeded random EMBEDDING frames " +
+      "hash-match DuckDB on the similarity gated queries") {
+    assume(duckdbAvailable, "python3 + duckdb not available in this env")
+    runFuzz(Frames, s => Seq("embeddings" -> genVecFrame(s)), VecFuzzQueries)
+  }
+}
+
+class EdgeFrameSweepSpec extends DifferentialFuzzBase {
   test("edge-frame sweep: every gated events-only entry hash-matches on " +
       "one adversarial random frame") {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
@@ -500,23 +544,6 @@ class DifferentialFuzzSpec extends SparkSpec {
     assume(duckdbAvailable, "python3 + duckdb not available in this env")
     sweep(Seq("documents" -> genDocFrame(424242, n = 150)), AllDocQueries)
   }
-
-  /** Every gated STREAMING entry: the stream harness replays the fuzz
-    * frame's parquet through the real file-stream machinery (sentinel
-    * finalization, watermarks, keyed state) — streaming-vs-oracle parity
-    * over an arbitrary random frame, not just the driver corpus. */
-  private val AllStreamQueries = Vector(
-    "q_stream_funnel", "q_stream_daily_revenue",
-    "q_stream_daily_revenue_append", "q_stream_dau", "q_stream_dau_ttl",
-    "q_stream_weekday", "q_stream_benford", "q_stream_top_categories",
-    "q_stream_segment_revenue", "q_stream_sessions",
-    "q_stream_sessions_append", "q_stream_sliding_revenue",
-    "q_stream_event_transitions", "q_stream_event_transitions_ttl",
-    "q_stream_velocity", "q_stream_velocity_ttl", "q_stream_user_streaks",
-    "q_stream_user_streaks_ttl", "q_stream_survival",
-    "q_stream_attribution", "q_stream_abandoned_views",
-    "q_stream_quarantine", "q_stream_mv_incremental", "q_stream_doc_dedup",
-    "q_stream_contamination")
 
   test("edge-frame sweep: every gated STREAMING entry hash-matches on " +
       "one adversarial random frame through the real stream harness") {

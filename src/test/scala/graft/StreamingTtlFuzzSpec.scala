@@ -44,19 +44,19 @@ import graft.streaming.{StreamingQueries, TransitionState, VelocityState}
   * nothing). Frames default to 50 (`GRAFT_TTL_FUZZ_FRAMES=N` to change);
   * a failure prints the reproducing seed.
   */
-class StreamingTtlFuzzSpec extends SparkSpec {
+abstract class StreamingTtlFuzzBase extends SparkSpec {
   import spark.implicits._
 
-  private val Frames =
+  protected val Frames =
     sys.env.get("GRAFT_TTL_FUZZ_FRAMES").map(_.toInt).getOrElse(50)
 
-  private case class Ev(id: Long, us: Long, user: Long, typ: String)
+  protected case class Ev(id: Long, us: Long, user: Long, typ: String)
 
   /** Random event rows: always-nonzero random µs components (whole-second
     * alignment would let watermark/timeout boundary ties appear; the
     * boundary rules are pinned by the hand-written specs, not fuzzed),
     * few users (state collisions), clustered seconds (velocity runs). */
-  private def genRows(seed: Int, n: Int, users: Int, days: Int): Seq[Ev] = {
+  protected def genRows(seed: Int, n: Int, users: Int, days: Int): Seq[Ev] = {
     val r = new scala.util.Random(0x77A0000 + seed)
     val types = Vector("view", "click", "purchase", "signup", "error")
     val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
@@ -73,7 +73,7 @@ class StreamingTtlFuzzSpec extends SparkSpec {
     * batch's rows bumped one batch later — out-of-order stragglers whose
     * lateness spans minutes to days, so both the on-time-behind-peers and
     * the behind-the-watermark classes occur. */
-  private def splitBatches(seed: Int, rows: Seq[Ev]): Seq[Seq[Ev]] = {
+  protected def splitBatches(seed: Int, rows: Seq[Ev]): Seq[Seq[Ev]] = {
     val r = new scala.util.Random(0x5B117000 + seed)
     val nParts = 2 + (seed % 2)
     val sorted = rows.sortBy(e => (e.us, e.id))
@@ -87,7 +87,7 @@ class StreamingTtlFuzzSpec extends SparkSpec {
     parts.map(_.result()).toSeq
   }
 
-  private def toDf(rows: Seq[Ev]): DataFrame =
+  protected def toDf(rows: Seq[Ev]): DataFrame =
     rows.map(e => (e.id, e.us, e.user, e.typ))
       .toDF("event_id", "us", "user_id", "event_type")
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
@@ -97,7 +97,7 @@ class StreamingTtlFuzzSpec extends SparkSpec {
     * micro-batches: file k is moved into the source dir only after file
     * k-1's batches (and their watermark-advancing flush batches) fully
     * drained — the runAppendFinalized two-phase discipline, generalized. */
-  private def runMultiBatch(name: String, batches: Seq[Seq[Ev]],
+  protected def runMultiBatch(name: String, batches: Seq[Seq[Ev]],
       transform: DataFrame => DataFrame): DataFrame = {
     val srcDir = Files.createTempDirectory(s"graft-ttlf-$name")
     val ck = Files.createTempDirectory(s"graft-ttlfck-$name")
@@ -142,7 +142,7 @@ class StreamingTtlFuzzSpec extends SparkSpec {
 
   /** Watermark (ms) BEFORE each batch: max event-time ms seen across
     * earlier batches minus the delay, monotone, starting at 0. */
-  private def wmBefore(batches: Seq[Seq[Ev]], delayMs: Long): Seq[Long] =
+  protected def wmBefore(batches: Seq[Seq[Ev]], delayMs: Long): Seq[Long] =
     batches.scanLeft(0L) { (wm, b) =>
       if (b.isEmpty) wm
       else math.max(wm, math.max(0L, b.map(_.us / 1000L).max - delayMs))
@@ -150,16 +150,26 @@ class StreamingTtlFuzzSpec extends SparkSpec {
 
   /** The surviving (non-late) rows of each batch under the late-drop rule
     * `ts < wm ⇒ dropped`. */
-  private def keptBatches(batches: Seq[Seq[Ev]],
+  protected def keptBatches(batches: Seq[Seq[Ev]],
       delayMs: Long): Seq[Seq[Ev]] = {
     val wms = wmBefore(batches, delayMs)
     batches.zip(wms).map { case (b, wm) => b.filter(_.us >= wm * 1000L) }
   }
 
-  private var lateDropsSeen = 0L
-  private var evictionsSeen = 0L
-  private var reemissionsSeen = 0L
+  protected var lateDropsSeen = 0L
+  protected var evictionsSeen = 0L
+  protected var reemissionsSeen = 0L
 
+
+
+}
+
+/** Leaf suites (one per fuzz class) so the parallel forked test groups
+  * can schedule them concurrently — the r18 suite-budget split (see
+  * DifferentialFuzzBase's leaf note). Counters are per-leaf instance;
+  * every vacuity assertion reads only increments from its own test. */
+class StreamingTtlTransitionsFuzzSpec extends StreamingTtlFuzzBase {
+  import spark.implicits._
   test(s"TTL fuzz: q_stream_event_transitions_ttl on $Frames multi-batch " +
       "frames — eviction resets exactly the out-of-horizon gaps") {
     val horizonMs = 3600000L // transitionsTtl default "1 hour"
@@ -204,7 +214,10 @@ class StreamingTtlFuzzSpec extends SparkSpec {
     assert(lateDropsSeen > 0, "fuzz never produced a late drop — vacuous")
     assert(evictionsSeen > 0, "fuzz never evicted a key — vacuous")
   }
+}
 
+class StreamingTtlVelocityFuzzSpec extends StreamingTtlFuzzBase {
+  import spark.implicits._
   test(s"TTL fuzz: q_stream_velocity_ttl on $Frames multi-batch frames — " +
       "TTL equals the UNBOUNDED machine on surviving rows (losslessness)") {
     val windowSec = graft.ops.EventQueries.VelocityWindowSec
@@ -250,7 +263,10 @@ class StreamingTtlFuzzSpec extends SparkSpec {
           s"stream=$got\nexpected=${expected.result().sortBy(_._1)}")
     }
   }
+}
 
+class StreamingTtlDedupFuzzSpec extends StreamingTtlFuzzBase {
+  import spark.implicits._
   test(s"TTL fuzz: q_stream_dau_ttl + q_stream_user_streaks_ttl on " +
       s"$Frames multi-batch frames — distinct finishers absorb " +
       "re-emissions exactly") {
